@@ -1,0 +1,296 @@
+"""Scalar semantics spec — the single source of truth for every per-turn rule.
+
+Both the vectorized Ray stages (``dataquality_ray.stages``) and the
+single-process oracle labeler (``dataquality_ray.oracle``) implement exactly
+these functions; tests assert the vectorized kernels agree with these scalar
+definitions element-for-element. Everything here is a pure function of its
+inputs (plus the frozen ``PipelineConfig``), uses integer arithmetic where a
+DuckDB SQL oracle must reproduce it exactly, and sticks to RE2-compatible
+regex syntax (no lookaround, no backreferences) so the same pattern string
+runs identically under Python ``re``, pyarrow's RE2 kernels and DuckDB.
+
+Reference behaviors being re-expressed (file:line in /root/reference):
+- 17 canonical dimension names + clamp/default semantics:
+  app/services/metadata.py:151-180
+- overall score = round(mean(17 dims)): app/services/metadata.py:419-421
+- action thresholds 85/70/60: app/services/metadata.py:425-433
+- timeliness cap at 60 beyond 30 days: app/services/metadata.py:398-407
+- token Jaccard on ``\\W+``-split lowered tokens: app/services/metadata.py:218-237
+- PII risk flagging (LLM-prompted in the reference, bedrock.py:211-214) →
+  deterministic regex scrub here.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Dict, List, Tuple
+
+from dataquality_ray.config import DEFAULT_CONFIG, PipelineConfig
+
+# ---------------------------------------------------------------------------
+# PII scrub
+# ---------------------------------------------------------------------------
+# RE2-safe patterns, applied IN THIS ORDER (email, ssn, phone) with global
+# (non-overlapping, left-to-right) replacement. Order matters: SSN (3-2-4)
+# is replaced before phone (3-3-4 / (ddd) ddd-dddd) so digit runs are
+# consumed by the more specific pattern first.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+SSN_PATTERN = r"\b\d{3}-\d{2}-\d{4}\b"
+PHONE_PATTERN = r"\(\d{3}\)[ ]?\d{3}[-.]\d{4}|\b\d{3}[-. ]\d{3}[-.]\d{4}\b"
+
+EMAIL_TOKEN = "<EMAIL>"
+SSN_TOKEN = "<SSN>"
+PHONE_TOKEN = "<PHONE>"
+
+# (name, pattern, replacement) — applied sequentially.
+PII_RULES: List[Tuple[str, str, str]] = [
+    ("email", EMAIL_PATTERN, EMAIL_TOKEN),
+    ("ssn", SSN_PATTERN, SSN_TOKEN),
+    ("phone", PHONE_PATTERN, PHONE_TOKEN),
+]
+
+_PII_COMPILED = [(name, re.compile(pat), repl) for name, pat, repl in PII_RULES]
+
+
+def scrub_text(text: str) -> Tuple[str, Dict[str, int]]:
+    """Scrub PII from one text; returns (scrubbed, {email,ssn,phone} counts)."""
+    counts: Dict[str, int] = {}
+    for name, rx, repl in _PII_COMPILED:
+        text, n = rx.subn(repl, text)
+        counts[name] = n
+    return text, counts
+
+
+# ---------------------------------------------------------------------------
+# Tokenization (reference analog: re.split(r"\W+", lower) metadata.py:218-226)
+# ---------------------------------------------------------------------------
+# ASCII alnum runs over lowercased text — identical under Python re, RE2 and
+# DuckDB ``regexp_extract_all(lower(text), '[a-z0-9]+')``.
+TOKEN_PATTERN = r"[a-z0-9]+"
+_TOKEN_RX = re.compile(TOKEN_PATTERN)
+
+
+def tokenize(text: str) -> List[str]:
+    return _TOKEN_RX.findall(text.lower())
+
+
+# Symbols: ASCII classes only (RE2 ``\w`` is ASCII); non-Latin letters count
+# as symbols — documented behavior; language dims carry the nuance.
+SYMBOL_PATTERN = r"[^A-Za-z0-9\s]"
+_SYMBOL_RX = re.compile(SYMBOL_PATTERN)
+
+
+def count_symbols(text: str) -> int:
+    return len(_SYMBOL_RX.findall(text))
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate phrases (lowercase substring match, any hit → score 0)
+# ---------------------------------------------------------------------------
+BOILERPLATE_PHRASES: List[str] = [
+    "lorem ipsum",
+    "click here to unsubscribe",
+    "terms and conditions apply",
+    "this message was generated automatically",
+    "all rights reserved",
+    "please do not reply to this email",
+    "to whom it may concern",
+    "this is an automated response",
+]
+
+# One RE2-safe alternation usable by pyarrow match_substring_regex and DuckDB
+# regexp_matches on lower(text).
+BOILERPLATE_PATTERN = "|".join(re.escape(p) for p in BOILERPLATE_PHRASES)
+_BOILERPLATE_RX = re.compile(BOILERPLATE_PATTERN)
+
+
+def is_boilerplate(text: str) -> bool:
+    return _BOILERPLATE_RX.search(text.lower()) is not None
+
+
+# ---------------------------------------------------------------------------
+# Heuristic dimension scores — integer arithmetic only (SQL-exact)
+# ---------------------------------------------------------------------------
+
+def length_score(n_chars: int, cfg: PipelineConfig = DEFAULT_CONFIG) -> int:
+    """min(100, 100 * n_chars // min_len_chars) — full credit at >= 20 chars."""
+    return min(100, (100 * n_chars) // cfg.min_len_chars)
+
+
+def repetition_score(n_distinct: int, n_tokens: int) -> int:
+    """Type-token ratio as an integer percent; empty text scores 100."""
+    if n_tokens == 0:
+        return 100
+    return (100 * n_distinct) // n_tokens
+
+
+def symbol_score(n_symbols: int, n_chars: int,
+                 cfg: PipelineConfig = DEFAULT_CONFIG) -> int:
+    """100 - min(100, 300 * n_symbols // n_chars); empty text scores 100."""
+    if n_chars == 0:
+        return 100
+    return 100 - min(100, (cfg.symbol_penalty_mult * n_symbols) // n_chars)
+
+
+def boilerplate_score(hit: bool) -> int:
+    return 0 if hit else 100
+
+
+def lang_score(pred_lang: str, cfg: PipelineConfig = DEFAULT_CONFIG) -> int:
+    return 100 if pred_lang == cfg.target_lang else cfg.lang_other_score
+
+
+def ppl_score(log2_ppl: float, cfg: PipelineConfig = DEFAULT_CONFIG) -> int:
+    """clamp(0, 100, a - b*log2_ppl) with floor — monotone in perplexity."""
+    raw = cfg.ppl_score_a - int(cfg.ppl_score_b * log2_ppl)
+    return max(0, min(100, raw))
+
+
+def timeliness_score(age_days: int, cfg: PipelineConfig = DEFAULT_CONFIG) -> int:
+    """Base 100, capped at 60 when older than 30 days (metadata.py:398-407)."""
+    if age_days > cfg.timeliness_max_age_days:
+        return min(100, cfg.timeliness_cap)
+    return 100
+
+
+# ---------------------------------------------------------------------------
+# 17 canonical dimensions (reference: metadata.py:153-158) and the fixed
+# mapping from our computed signals onto them.
+# ---------------------------------------------------------------------------
+DIMENSION_NAMES: List[str] = [
+    "Accuracy", "Completeness", "Consistency", "Timeliness", "Validity",
+    "Uniqueness", "Reliability", "Relevance", "Accessibility", "Precision",
+    "Integrity", "Conformity", "Interpretability", "Traceability",
+    "Credibility", "Fitness_for_Use", "Value",
+]
+
+# signal keys available: length, repetition, symbol, boilerplate, lang, ppl,
+# timeliness. Each canonical dim maps to one deterministic expression.
+def dimension_scores(sig: Dict[str, int]) -> Dict[str, int]:
+    """Map computed signals onto the 17 canonical dimension names.
+
+    ``sig`` holds integer scores for: length, repetition, symbol,
+    boilerplate, lang, ppl, timeliness.
+    """
+    heur_mean = (sig["length"] + sig["repetition"] + sig["symbol"]
+                 + sig["boilerplate"]) // 4
+    model_mean = (sig["lang"] + sig["ppl"]) // 2
+    return {
+        "Accuracy": sig["ppl"],
+        "Completeness": sig["length"],
+        "Consistency": (sig["repetition"] + sig["symbol"]) // 2,
+        "Timeliness": sig["timeliness"],
+        "Validity": sig["symbol"],
+        "Uniqueness": sig["repetition"],
+        "Reliability": sig["ppl"],
+        "Relevance": sig["boilerplate"],
+        "Accessibility": sig["lang"],
+        "Precision": sig["symbol"],
+        "Integrity": sig["length"],
+        "Conformity": sig["boilerplate"],
+        "Interpretability": sig["lang"],
+        "Traceability": 100,   # conv_id/turn_idx lineage always present
+        "Credibility": sig["ppl"],
+        "Fitness_for_Use": heur_mean,
+        "Value": model_mean,
+    }
+
+
+DIM_EVIDENCE_TEMPLATES: Dict[str, str] = {
+    "Accuracy": "n-gram LM perplexity score {score}",
+    "Completeness": "length score {score}",
+    "Consistency": "mean of repetition and symbol scores: {score}",
+    "Timeliness": "timeliness score {score} (age rule: >30d caps at 60)",
+    "Validity": "symbol-density score {score}",
+    "Uniqueness": "type-token-ratio score {score}",
+    "Reliability": "n-gram LM perplexity score {score}",
+    "Relevance": "boilerplate score {score}",
+    "Accessibility": "language-id score {score}",
+    "Precision": "symbol-density score {score}",
+    "Integrity": "length score {score}",
+    "Conformity": "boilerplate score {score}",
+    "Interpretability": "language-id score {score}",
+    "Traceability": "conv_id/turn_idx lineage present",
+    "Credibility": "n-gram LM perplexity score {score}",
+    "Fitness_for_Use": "mean of heuristic scores: {score}",
+    "Value": "mean of model scores: {score}",
+}
+
+
+def overall_score(dims: Dict[str, int]) -> int:
+    """round(mean(17 dims)) — reference metadata.py:419-421.
+
+    Uses Python ``round`` (banker's); the oracle and pipeline share this
+    exact function so they agree bit-for-bit.
+    """
+    vals = [dims[name] for name in DIMENSION_NAMES]
+    return round(sum(vals) / len(vals))
+
+
+def derive_action(overall: int, cfg: PipelineConfig = DEFAULT_CONFIG) -> str:
+    return cfg.action_for(overall)
+
+
+def keep_decision(overall: int, cfg: PipelineConfig = DEFAULT_CONFIG) -> bool:
+    """keep == action in {KEEP, REVIEW} == overall >= 70."""
+    return overall >= cfg.keep_min_overall
+
+
+# ---------------------------------------------------------------------------
+# Hashing / sketches — all seeds and parameters are frozen constants
+# ---------------------------------------------------------------------------
+_WS_RX = re.compile(r"\s+")
+
+
+def normalize_for_hash(text: str) -> str:
+    """Lowercase, trim, collapse whitespace — the exact-dup equivalence key."""
+    return _WS_RX.sub(" ", text.strip().lower())
+
+
+def content_hash(text: str) -> str:
+    """md5 hex of the normalized text (md5 exists in DuckDB too)."""
+    return hashlib.md5(normalize_for_hash(text).encode("utf-8")).hexdigest()
+
+
+def token_hash_u64(token: str) -> int:
+    """Stable 64-bit token hash (blake2b-8; PYTHONHASHSEED-independent)."""
+    return int.from_bytes(
+        hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(),
+        "little",
+    )
+
+
+MERSENNE_P = (1 << 61) - 1  # prime field for minhash universal hashing
+
+
+def minhash_params(n_perms: int, seed: int):
+    """Deterministic (a, b) arrays for n_perms universal hash functions."""
+    import numpy as np
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, MERSENNE_P, size=n_perms, dtype=np.uint64)
+    b = rng.integers(0, MERSENNE_P, size=n_perms, dtype=np.uint64)
+    return a, b
+
+
+def jaccard(set_a, set_b) -> float:
+    """Exact Jaccard over token sets (reference metadata.py:232-237)."""
+    if not set_a and not set_b:
+        return 1.0
+    if not set_a or not set_b:
+        return 0.0
+    inter = len(set_a & set_b)
+    return inter / (len(set_a) + len(set_b) - inter)
+
+
+def rolling_fingerprint(text: str) -> int:
+    """64-bit polynomial rolling hash of the normalized text."""
+    h = 1469598103934665603  # FNV offset basis
+    for ch in normalize_for_hash(text):
+        h = ((h * 1099511628211) ^ ord(ch)) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def order_key(conv_id: str, turn_idx: int) -> str:
+    """Lexicographic composite key preserving (conv_id, turn_idx) order."""
+    return f"{conv_id}#{turn_idx:08d}"
