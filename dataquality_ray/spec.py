@@ -261,15 +261,13 @@ def token_hash_u64(token: str) -> int:
     )
 
 
-MERSENNE_P = (1 << 61) - 1  # prime field for minhash universal hashing
-
-
 def minhash_params(n_perms: int, seed: int):
-    """Deterministic (a, b) arrays for n_perms universal hash functions."""
+    """Deterministic (a, b) arrays for n_perms multiplicative hash functions
+    over uint64 (h -> a*h + b mod 2^64, a odd). Frozen by seed."""
     import numpy as np
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, MERSENNE_P, size=n_perms, dtype=np.uint64)
-    b = rng.integers(0, MERSENNE_P, size=n_perms, dtype=np.uint64)
+    a = rng.integers(0, 1 << 63, size=n_perms, dtype=np.uint64) * 2 + 1
+    b = rng.integers(0, 1 << 63, size=n_perms, dtype=np.uint64)
     return a, b
 
 

@@ -1,0 +1,137 @@
+"""Golden end-to-end: the Ray pipeline must match the oracle labeler.
+
+north_rule contract: exact per-turn scrubbed-text equality under stable
+(conv_id, turn_idx) ordering, keep/drop F1 >= 0.99 vs reference labels.
+Ours matches exactly (deterministic models on both sides), so we assert
+F1 == 1.0 and full column equality, plus invariance to batch size,
+input order and block structure.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+
+from dataquality_ray.config import DEFAULT_CONFIG
+from dataquality_ray.oracle import label_transcripts, near_dup_pairs_exact
+from dataquality_ray.pipelines.quality import (
+    quality_pipeline,
+    run_summary,
+    transcript_near_dup_pairs,
+)
+
+
+def _run_pipeline(table: pa.Table, **kw) -> pa.Table:
+    ds = ray.data.from_arrow(table)
+    out = quality_pipeline(ds, **kw)
+    result = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
+    return result.sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+
+
+def _f1(pred, truth):
+    pred = np.asarray(pred)
+    truth = np.asarray(truth)
+    tp = int((pred & truth).sum())
+    fp = int((pred & ~truth).sum())
+    fn = int((~pred & truth).sum())
+    if tp == 0:
+        return 0.0
+    p = tp / (tp + fp)
+    r = tp / (tp + fn)
+    return 2 * p * r / (p + r)
+
+
+class TestEndToEnd:
+    def test_matches_oracle(self, small_transcripts, small_oracle):
+        got = _run_pipeline(small_transcripts)
+        assert got.num_rows == small_oracle.num_rows
+        # exact text equality (the north_rule hard contract)
+        assert got["text"].to_pylist() == small_oracle["text"].to_pylist()
+        # all discrete columns exact
+        for col in ("conv_id", "turn_idx", "n_email", "n_phone", "n_ssn",
+                    "lang", "length_score", "repetition_score",
+                    "symbol_score", "boilerplate_score", "lang_score",
+                    "ppl_score", "timeliness_score",
+                    "overall_quality_score", "action", "keep",
+                    "content_hash", "dup_of"):
+            assert got[col].to_pylist() == small_oracle[col].to_pylist(), col
+        # keep/drop F1 (trivially 1.0 given exact match — assert the gate)
+        f1 = _f1(got["keep"].to_pylist(), small_oracle["keep"].to_pylist())
+        assert f1 >= 0.99
+        assert f1 == 1.0
+
+    def test_output_is_sorted(self, small_transcripts):
+        ds = ray.data.from_arrow(small_transcripts)
+        out = quality_pipeline(ds).to_pandas()
+        keys = list(zip(out["conv_id"], out["turn_idx"]))
+        assert keys == sorted(keys)
+
+    def test_dup_of_points_to_canonical(self, small_oracle):
+        # every dup_of target exists and is not itself a dup
+        keys = {f"{c}#{t:08d}"
+                for c, t in zip(small_oracle["conv_id"].to_pylist(),
+                                small_oracle["turn_idx"].to_pylist())}
+        by_key = dict(zip(
+            (f"{c}#{t:08d}" for c, t in zip(small_oracle["conv_id"].to_pylist(),
+                                            small_oracle["turn_idx"].to_pylist())),
+            small_oracle["dup_of"].to_pylist()))
+        dups = [d for d in small_oracle["dup_of"].to_pylist() if d]
+        assert dups, "fixture must contain exact dups"
+        for d in dups:
+            assert d in keys
+            assert by_key[d] is None
+
+
+class TestInvariance:
+    """Results identical across batch size, block structure, input order."""
+
+    def test_batch_size_invariance(self, small_transcripts, small_oracle):
+        from dataclasses import replace
+        cfg = replace(DEFAULT_CONFIG, batch_size=64)
+        got = _run_pipeline(small_transcripts, cfg=cfg)
+        assert got["keep"].to_pylist() == small_oracle["keep"].to_pylist()
+        assert got["text"].to_pylist() == small_oracle["text"].to_pylist()
+        assert got["dup_of"].to_pylist() == small_oracle["dup_of"].to_pylist()
+
+    def test_input_order_invariance(self, small_transcripts, small_oracle):
+        perm = np.random.default_rng(7).permutation(small_transcripts.num_rows)
+        shuffled = small_transcripts.take(pa.array(perm))
+        got = _run_pipeline(shuffled)
+        assert got["text"].to_pylist() == small_oracle["text"].to_pylist()
+        assert got["dup_of"].to_pylist() == small_oracle["dup_of"].to_pylist()
+
+    def test_block_structure_invariance(self, small_transcripts, small_oracle):
+        ds = ray.data.from_arrow(small_transcripts).repartition(13)
+        out = quality_pipeline(ds)
+        got = pa.Table.from_pandas(out.to_pandas(), preserve_index=False) \
+            .sort_by([("conv_id", "ascending"), ("turn_idx", "ascending")])
+        assert got["keep"].to_pylist() == small_oracle["keep"].to_pylist()
+        assert got["dup_of"].to_pylist() == small_oracle["dup_of"].to_pylist()
+
+
+class TestNearDup:
+    def test_lsh_pairs_match_exact_oracle(self, small_transcripts):
+        expect = near_dup_pairs_exact(small_transcripts)
+        assert expect, "fixture must contain near-dup pairs"
+        ds = ray.data.from_arrow(small_transcripts)
+        got_df = transcript_near_dup_pairs(ds).to_pandas()
+        got = sorted(zip(got_df["key_a"], got_df["key_b"]))
+        want = sorted((a, b) for a, b, _ in expect)
+        # precision is exact (verified); recall bounded by LSH band choice
+        assert set(got) <= set(want)
+        recall = len(set(got) & set(want)) / len(want)
+        assert recall >= 0.95, f"LSH recall {recall}"
+        # jaccard values agree with oracle on common pairs
+        jac = {(a, b): j for a, b, j in expect}
+        for a, b, j in zip(got_df["key_a"], got_df["key_b"], got_df["jaccard"]):
+            assert abs(jac[(a, b)] - j) < 1e-9
+
+
+class TestRunSummary:
+    def test_action_counts(self, small_transcripts, small_oracle):
+        ds = ray.data.from_arrow(small_transcripts)
+        out = run_summary(quality_pipeline(ds, sort_output=False)).to_pandas()
+        import collections
+        want = collections.Counter(small_oracle["action"].to_pylist())
+        got = dict(zip(out["action"], out["n"]))
+        assert got == dict(want)
