@@ -1,0 +1,121 @@
+"""Per-partition lineage manifests + atomic partition commits.
+
+Reference analog: the reference writes one JSON per processed file next to
+the source as an incremental checkpoint (metadata.py:454-464) and recovers
+a lost consolidated result by re-scanning those files
+(reconstruct_results, metadata.py:868-944). Our re-expression for a
+partitioned batch engine:
+
+- each output partition is written to ``<out>/partitions/<pid>.tmp/`` and
+  atomically renamed to ``<pid>/`` on success;
+- a manifest JSON ``<out>/manifests/<pid>.json`` is then written (tmp +
+  fsync + rename) recording inputs, row counts and metrics;
+- resume = read manifests, skip partitions already committed, re-run the
+  rest (an uncommitted partial tmp dir is deleted and re-processed —
+  idempotent because every stage is a pure function of the input).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Any, Dict, List, Optional
+
+
+def _manifest_dir(out_dir: str) -> str:
+    return os.path.join(out_dir, "manifests")
+
+
+def partition_dir(out_dir: str, partition_id: str) -> str:
+    return os.path.join(out_dir, "partitions", partition_id)
+
+
+def manifest_path(out_dir: str, partition_id: str) -> str:
+    return os.path.join(_manifest_dir(out_dir), f"{partition_id}.json")
+
+
+def committed_partitions(out_dir: str) -> Dict[str, Dict[str, Any]]:
+    """partition_id → manifest for every committed partition."""
+    mdir = _manifest_dir(out_dir)
+    out: Dict[str, Dict[str, Any]] = {}
+    if not os.path.isdir(mdir):
+        return out
+    for name in sorted(os.listdir(mdir)):
+        if not name.endswith(".json"):
+            continue
+        try:
+            with open(os.path.join(mdir, name)) as f:
+                m = json.load(f)
+        except (json.JSONDecodeError, OSError):
+            continue  # torn write → treated as uncommitted
+        if m.get("status") == "committed":
+            out[m["partition_id"]] = m
+    return out
+
+
+def begin_partition(out_dir: str, partition_id: str) -> str:
+    """Returns a clean tmp dir to write the partition into."""
+    tmp = partition_dir(out_dir, partition_id) + ".tmp"
+    if os.path.isdir(tmp):
+        shutil.rmtree(tmp)  # leftover from a crashed attempt
+    os.makedirs(tmp, exist_ok=True)
+    return tmp
+
+
+def commit_partition(out_dir: str, partition_id: str,
+                     input_files: List[str],
+                     row_count: int, kept: int,
+                     metrics: Optional[Dict[str, Any]] = None,
+                     started_at: Optional[float] = None) -> None:
+    """Atomic rename of the tmp dir + fsync'd manifest write."""
+    tmp = partition_dir(out_dir, partition_id) + ".tmp"
+    final = partition_dir(out_dir, partition_id)
+    if os.path.isdir(final):
+        shutil.rmtree(final)
+    os.rename(tmp, final)
+
+    os.makedirs(_manifest_dir(out_dir), exist_ok=True)
+    manifest = {
+        "partition_id": partition_id,
+        "input_files": input_files,
+        "row_count": row_count,
+        "kept": kept,
+        "dropped": row_count - kept,
+        "metrics": metrics or {},
+        "status": "committed",
+        "started_at": started_at,
+        "committed_at": time.time(),
+    }
+    mpath = manifest_path(out_dir, partition_id)
+    tmp_m = mpath + ".tmp"
+    with open(tmp_m, "w") as f:
+        json.dump(manifest, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp_m, mpath)
+
+
+def write_run_manifest(out_dir: str, payload: Dict[str, Any]) -> None:
+    """Run-level summary (reference analog: consolidated run JSON,
+    metadata.py:639-673)."""
+    path = os.path.join(out_dir, "run_manifest.json")
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
+def plan_partitions(input_files: List[str], num_partitions: int
+                    ) -> Dict[str, List[str]]:
+    """Deterministic partition plan: sorted input files round-robin'd into
+    ``num_partitions`` groups → {partition_id: [files]}."""
+    files = sorted(input_files)
+    n = max(1, min(num_partitions, len(files)))
+    plan: Dict[str, List[str]] = {f"part-{i:05d}": [] for i in range(n)}
+    for i, f in enumerate(files):
+        plan[f"part-{i % n:05d}"].append(f)
+    return plan

@@ -1,0 +1,136 @@
+#!/usr/bin/env python
+"""Resumable run driver for the transcript quality pipeline.
+
+Two phases (SURVEY §7.1 steps 6-7):
+
+1. **Per-partition scoring** (resumable): the input file list is split into
+   deterministic partitions; each partition runs
+   scrub → heuristics → model actors → decision → content-hash and is
+   written atomically with a lineage manifest. On restart, committed
+   partitions are skipped (reference analog: per-file incremental JSON +
+   reconstruction scan, metadata.py:454-464, 868-944).
+2. **Global dedup + final ordered write**: reads all partition outputs,
+   runs the exact-dedup shuffle, sorts by (conv_id, turn_idx) and writes
+   the final results + run manifest. Phase 2 is cheap relative to phase 1
+   (no model scoring) and re-runs end-to-end on resume.
+
+Usage:
+    python run.py --input /path/transcripts --output /tmp/out \
+                  [--partitions 16] [--num-cpus N] [--fail-after K]
+
+``--fail-after K`` injects a crash after K committed partitions (used by
+the resume test).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import time
+
+import ray
+
+from dataquality_ray.config import DEFAULT_CONFIG, PipelineConfig
+from dataquality_ray.pipelines.quality import quality_pipeline
+from dataquality_ray.sources.transcripts import list_transcript_files
+from dataquality_ray.state import manifest as mf
+from dataquality_ray.stages.dedup import exact_dedup
+
+
+def run_partitioned(input_path: str, out_dir: str, partitions: int = 16,
+                    cfg: PipelineConfig = DEFAULT_CONFIG,
+                    fail_after: int | None = None) -> dict:
+    """Execute both phases; returns the run manifest payload."""
+    files = list_transcript_files(input_path)
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {input_path}")
+    plan = mf.plan_partitions(files, partitions)
+    done = mf.committed_partitions(out_dir)
+
+    n_committed_this_run = 0
+    for pid, pfiles in sorted(plan.items()):
+        if pid in done:
+            continue  # resume: skip committed work
+        started = time.time()
+        tmp = mf.begin_partition(out_dir, pid)
+        ds = ray.data.read_parquet(pfiles)
+        # phase-1 stages only: no dedup (global), no sort (global)
+        scored = quality_pipeline(ds, cfg=cfg, with_dedup=False,
+                                  sort_output=False)
+        scored = scored.drop_columns(["dup_of"])  # phase 2 recomputes it
+        scored.write_parquet(tmp)
+        import pyarrow.dataset as pads
+        stats = pads.dataset(tmp).to_table(columns=["keep"])
+        rows = stats.num_rows
+        kept = stats["keep"].combine_chunks().to_numpy(
+            zero_copy_only=False).sum()
+        mf.commit_partition(out_dir, pid, pfiles, int(rows), int(kept),
+                            metrics={"phase": 1}, started_at=started)
+        n_committed_this_run += 1
+        if fail_after is not None and n_committed_this_run >= fail_after:
+            raise RuntimeError(
+                f"injected failure after {fail_after} partitions")
+
+    # ---- phase 2: global dedup + stable ordered final output ----
+    started = time.time()
+    part_root = os.path.join(out_dir, "partitions")
+    scored = ray.data.read_parquet(part_root)
+    final = exact_dedup(scored, cfg).sort(["conv_id", "turn_idx"])
+    final_dir = os.path.join(out_dir, "final")
+    tmp_final = final_dir + ".tmp"
+    if os.path.isdir(tmp_final):
+        import shutil
+        shutil.rmtree(tmp_final)
+    final.write_parquet(tmp_final)
+    if os.path.isdir(final_dir):
+        import shutil
+        shutil.rmtree(final_dir)
+    os.rename(tmp_final, final_dir)
+
+    import pyarrow.dataset as pads
+    out_tab = pads.dataset(final_dir).to_table(
+        columns=["keep", "overall_quality_score", "dup_of"])
+    payload = {
+        "input": input_path,
+        "partitions": len(plan),
+        "total_rows": out_tab.num_rows,
+        "kept": int(out_tab["keep"].combine_chunks().to_numpy(
+            zero_copy_only=False).sum()),
+        "duplicates": int(out_tab.num_rows
+                          - out_tab["dup_of"].null_count),
+        "avg_quality": float(
+            out_tab["overall_quality_score"].combine_chunks()
+            .to_numpy(zero_copy_only=False).mean()),
+        "phase2_sec": time.time() - started,
+        "committed_at": time.time(),
+    }
+    mf.write_run_manifest(out_dir, payload)
+    return payload
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--partitions", type=int, default=16)
+    ap.add_argument("--num-cpus", type=int,
+                    default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
+    ap.add_argument("--fail-after", type=int, default=None)
+    args = ap.parse_args()
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    try:
+        payload = run_partitioned(args.input, args.output,
+                                  partitions=args.partitions,
+                                  fail_after=args.fail_after)
+        print(payload)
+    finally:
+        ray.shutdown()
+
+
+if __name__ == "__main__":
+    main()
