@@ -1,16 +1,15 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship transcript quality pipeline on an
+sf0.001-scale deterministic fixture. ``queries()`` exposes one callable per
+implemented operator/pipeline from SURVEY §2 (plus the training-data ops:
+dedup variants, ANN, text analysis); ``oracle_sql()`` gives the DuckDB
+equivalent for every SQL-expressible query — the SQL strings are built
+from the SAME ``spec.py`` constants the Ray kernels use, so the two sides
+cannot drift.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +17,303 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from dataquality_ray import spec
+from dataquality_ray.config import DEFAULT_CONFIG as CFG
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on an sf0.001-scale transcript fixture."""
+    import ray
+    from dataquality_ray.fixtures import transcripts_path
+    from dataquality_ray.pipelines.quality import quality_pipeline
+    path = transcripts_path(2_000, seed=CFG.seed)
+    ds = ray.data.read_parquet(path)
+    return quality_pipeline(ds)
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _transcript_ds(sf_dir: str):
+    import ray
+    from dataquality_ray.fixtures import scale_for_sf_dir, transcripts_path
+    path = transcripts_path(scale_for_sf_dir(sf_dir), seed=CFG.seed)
+    return ray.data.read_parquet(path)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from dataquality_ray.pipelines import documents as D
+    from dataquality_ray.pipelines import metrics as M
+    from dataquality_ray.pipelines.quality import (
+        quality_pipeline,
+        run_summary,
+        transcript_near_dup_pairs,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def transcript_pipeline(sf_dir: str):
+        return quality_pipeline(_transcript_ds(sf_dir))
+
+    def transcript_near_dups(sf_dir: str):
+        return transcript_near_dup_pairs(_transcript_ds(sf_dir))
+
+    def transcript_run_summary(sf_dir: str):
+        return run_summary(
+            quality_pipeline(_transcript_ds(sf_dir), sort_output=False))
+
+    def doc_sketches(sf_dir: str):
+        import functools
+        import os
+        import ray
+        import pyarrow as pa
+        from dataquality_ray.stages.dedup import (
+            MinHashSimHash, content_hash_batch)
+        ds = ray.data.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "text"])
+        ds = ds.map_batches(
+            lambda t: content_hash_batch(
+                t.append_column("conv_id",
+                                pa.array([str(d) for d in
+                                          t["doc_id"].to_pylist()]))
+                 .append_column("turn_idx",
+                                pa.array([0] * t.num_rows, pa.int32()))),
+            batch_format="pyarrow")
+        ds = ds.map_batches(MinHashSimHash, batch_format="pyarrow",
+                            concurrency=(1, CFG.actor_pool_size))
+
+        def project(t: pa.Table) -> pa.Table:
+            from dataquality_ray.spec import rolling_fingerprint
+            fp = [rolling_fingerprint(s) for s in t["text"].to_pylist()]
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "content_hash": t["content_hash"],
+                "simhash": t["simhash"],
+                "fingerprint": pa.array(fp, pa.uint64()),
+                "minhash_sig": t["minhash_sig"],
+            })
+
+        return ds.map_batches(project, batch_format="pyarrow")
+
+    def multimodal_features(sf_dir: str):
+        from dataquality_ray.stages.multimodal import multimodal_demo
+        return multimodal_demo(sf_dir)
+
+    return {
+        # --- documents: scrub / quality / dedup / langid (SQL-checked) ---
+        "scrub_documents": D.scrub_documents,
+        "quality_documents": D.quality_documents,
+        "exact_dedup_documents": D.exact_dedup_documents,
+        "near_dup_documents": D.near_dup_documents,
+        "max_similarity_per_doc": D.max_similarity_per_doc,
+        "union_dedup_documents": D.union_dedup_documents,
+        "langid_documents": D.langid_documents,
+        "quality_by_source": D.quality_by_source,
+        # --- events: metrics (SQL-checked) ---
+        "daily_event_metrics": M.daily_event_metrics,
+        "top_users_by_value": M.top_users_by_value,
+        "timeliness_events": M.timeliness_events,
+        # --- embeddings: similarity search (SQL-checked) ---
+        "ann_topk_embeddings": D.ann_topk_embeddings,
+        "embedding_near_dup": D.embedding_near_dup,
+        # --- transcripts: flagship pipeline (rows-only; pytest-verified
+        #     against the single-process oracle labeler) ---
+        "transcript_pipeline": transcript_pipeline,
+        "transcript_near_dup_pairs": transcript_near_dups,
+        "transcript_run_summary": transcript_run_summary,
+        # --- sketches + multimodal plumbing (rows-only) ---
+        "doc_sketches": doc_sketches,
+        "multimodal_features": multimodal_features,
+    }
+
+
+# ---------------------------------------------------------------------------
+# oracle SQL — built from the same spec constants as the Ray kernels
+# ---------------------------------------------------------------------------
+
+_EMAIL = spec.EMAIL_PATTERN
+_SSN = spec.SSN_PATTERN
+_PHONE = spec.PHONE_PATTERN
+_TOK = spec.TOKEN_PATTERN
+_SYM = spec.SYMBOL_PATTERN
+_BP = spec.BOILERPLATE_PATTERN
+
+_AFTER_EMAIL = f"regexp_replace(text, '{_EMAIL}', '<EMAIL>', 'g')"
+_AFTER_SSN = f"regexp_replace({_AFTER_EMAIL}, '{_SSN}', '<SSN>', 'g')"
+_SCRUBBED = f"regexp_replace({_AFTER_SSN}, '{_PHONE}', '<PHONE>', 'g')"
+
+_QUALITY_CTE = f"""
+WITH t AS (
+  SELECT doc_id, source,
+    length(text) AS n_chars,
+    len(regexp_extract_all(lower(text), '{_TOK}')) AS n_tokens,
+    len(list_distinct(regexp_extract_all(lower(text), '{_TOK}'))) AS n_distinct,
+    len(regexp_extract_all(text, '{_SYM}')) AS n_sym,
+    CASE WHEN regexp_matches(lower(text), '{_BP}') THEN 1 ELSE 0 END AS bp
+  FROM documents),
+s AS (
+  SELECT doc_id, source, n_chars, n_tokens, n_distinct,
+    LEAST(100, (100 * n_chars) // {CFG.min_len_chars}) AS length_score,
+    CASE WHEN n_tokens = 0 THEN 100
+         ELSE (100 * n_distinct) // n_tokens END AS repetition_score,
+    CASE WHEN n_chars = 0 THEN 100
+         ELSE 100 - LEAST(100, ({CFG.symbol_penalty_mult} * n_sym) // n_chars)
+         END AS symbol_score,
+    CASE WHEN bp = 1 THEN 0 ELSE 100 END AS boilerplate_score
+  FROM t),
+q AS (
+  SELECT *, (length_score + repetition_score + symbol_score
+             + boilerplate_score) // 4 AS overall
+  FROM s)
+"""
+
+_PAIR_CTE = f"""
+WITH t AS (
+  SELECT doc_id,
+    list_distinct(regexp_extract_all(lower(text), '{_TOK}')) AS toks
+  FROM documents),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+      AS jaccard
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE len(a.toks) > 0 AND len(b.toks) > 0)
+"""
+
+
+def _langid_sql() -> str:
+    count_exprs = []
+    for lang, markers in spec.STOPWORD_MARKERS:
+        in_list = ", ".join(f"'{m}'" for m in markers)
+        count_exprs.append(
+            f"len(list_filter(toks, x -> x IN ({in_list}))) AS c_{lang}")
+    langs = [lang for lang, _ in spec.STOPWORD_MARKERS]
+    greatest = "GREATEST(" + ", ".join(f"c_{l}" for l in langs) + ")"
+    case = [f"WHEN {greatest} = 0 THEN 'und'"]
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"c_{lang} >= c_{other}"
+                             for other in langs[i + 1:])
+        case.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(case) + f" ELSE '{langs[-1]}' END"
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS toks
+  FROM documents),
+c AS (SELECT doc_id, {', '.join(count_exprs)} FROM t)
+SELECT doc_id, {case_sql} AS pred_lang FROM c
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from dataquality_ray.pipelines.documents import (
+        ANN_K,
+        ANN_QUERY_IDS,
+        EMB_NEAR_DUP_COSINE,
+        NEAR_DUP_DOC_JACCARD,
+    )
+    ann_ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    return {
+        "scrub_documents": f"""
+SELECT doc_id,
+  {_SCRUBBED} AS text,
+  CAST(len(regexp_extract_all(text, '{_EMAIL}')) AS INTEGER) AS n_email,
+  CAST(len(regexp_extract_all({_AFTER_SSN}, '{_PHONE}')) AS INTEGER) AS n_phone,
+  CAST(len(regexp_extract_all({_AFTER_EMAIL}, '{_SSN}')) AS INTEGER) AS n_ssn
+FROM documents
+""",
+        "quality_documents": _QUALITY_CTE + f"""
+SELECT doc_id,
+  CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(n_distinct AS BIGINT) AS n_distinct,
+  CAST(length_score AS INTEGER) AS length_score,
+  CAST(repetition_score AS INTEGER) AS repetition_score,
+  CAST(symbol_score AS INTEGER) AS symbol_score,
+  CAST(boilerplate_score AS INTEGER) AS boilerplate_score,
+  CAST(overall AS INTEGER) AS overall_quality_score,
+  CASE WHEN overall >= {CFG.keep_action_threshold} THEN 'KEEP'
+       WHEN overall >= {CFG.review_action_threshold} THEN 'REVIEW'
+       WHEN overall >= {CFG.quarantine_action_threshold} THEN 'QUARANTINE'
+       ELSE 'DISCARD' END AS action
+FROM q
+""",
+        "exact_dedup_documents": r"""
+SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+  MIN(doc_id) AS canonical_doc_id,
+  CAST(COUNT(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY 1
+""",
+        "near_dup_documents": _PAIR_CTE + f"""
+SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= {NEAR_DUP_DOC_JACCARD}
+""",
+        "max_similarity_per_doc": _PAIR_CTE + f"""
+, nd AS (SELECT * FROM p WHERE jaccard >= {NEAR_DUP_DOC_JACCARD}),
+b AS (SELECT id_a AS doc_id, jaccard FROM nd
+      UNION ALL SELECT id_b AS doc_id, jaccard FROM nd)
+SELECT doc_id, MAX(jaccard) AS max_jaccard FROM b GROUP BY doc_id
+""",
+        "union_dedup_documents": """
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM (SELECT doc_id FROM documents
+      UNION ALL SELECT doc_id FROM documents WHERE doc_id < 100)
+GROUP BY doc_id
+""",
+        "langid_documents": _langid_sql(),
+        "quality_by_source": _QUALITY_CTE + """
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(overall) // COUNT(*) AS BIGINT) AS avg_quality
+FROM q GROUP BY source
+""",
+        "daily_event_metrics": """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) // COUNT(*) AS BIGINT)
+    AS avg_value_milli
+FROM events GROUP BY 1, 2
+""",
+        "top_users_by_value": """
+SELECT user_id,
+  CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+    AS total_value_milli,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+ORDER BY total_value_milli DESC, user_id LIMIT 20
+""",
+        "timeliness_events": f"""
+WITH m AS (SELECT MAX(ts) AS mt FROM events)
+SELECT event_id,
+  (epoch_us(m.mt) - epoch_us(ts)) // 86400000000 AS age_days,
+  CAST(CASE WHEN (epoch_us(m.mt) - epoch_us(ts)) // 86400000000
+              > {CFG.timeliness_max_age_days}
+            THEN {CFG.timeliness_cap} ELSE 100 END AS INTEGER)
+    AS timeliness_score
+FROM events, m
+""",
+        "ann_topk_embeddings": f"""
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id IN ({ann_ids})),
+c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings WHERE vec_id NOT IN ({ann_ids})),
+s AS (SELECT q.query_id, c.vec_id,
+        list_cosine_similarity(q.qe, c.e) AS sim,
+        row_number() OVER (PARTITION BY q.query_id
+                           ORDER BY list_cosine_similarity(q.qe, c.e) DESC,
+                                    c.vec_id) AS rank
+      FROM q, c)
+SELECT query_id, vec_id, round(sim, 6) AS cosine_sim,
+  CAST(rank AS BIGINT) AS rank
+FROM s WHERE rank <= {ANN_K}
+""",
+        "embedding_near_dup": f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+           FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+  round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.emb, b.emb) >= {EMB_NEAR_DUP_COSINE}
+""",
+    }

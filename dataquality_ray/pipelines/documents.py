@@ -1,0 +1,252 @@
+"""Document-table pipelines — the SQL-oracle-checkable query surface.
+
+Each function takes ``sf_dir`` (a driver testdata directory), builds a lazy
+Ray Data pipeline over ``documents.parquet`` / ``embeddings.parquet`` and
+returns a Dataset / Table whose columns match the corresponding
+``oracle_sql()`` string in ``__ray_entry__`` name-for-name and
+value-for-value (integer formulas + pinned float semantics — see spec.py).
+
+SURVEY §2 coverage exercised here: M-ops (scrub/normalize/score), D1/D2
+(near-dup via Jaccard), D4 (key dedup), A1-A3/A6 (aggregations), O1-O4
+(sort+limit), J2 (broadcast corpus lookup = ANN top-k).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+
+from dataquality_ray.config import DEFAULT_CONFIG, PipelineConfig
+from dataquality_ray.spec import STOPWORD_MARKERS, TOKEN_PATTERN
+from dataquality_ray.stages.heuristics import heuristics_batch
+from dataquality_ray.stages.scrub import scrub_batch
+from dataquality_ray.stages.similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    token_jaccard_pairs,
+)
+
+NEAR_DUP_DOC_JACCARD = 0.9   # documents-table near-dup threshold
+EMB_NEAR_DUP_COSINE = 0.4    # embeddings-table near-dup threshold
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+ANN_K = 10
+
+
+def _docs(sf_dir: str, columns=None):
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def _emb(sf_dir: str):
+    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# scrub / heuristics / token stats
+# ---------------------------------------------------------------------------
+
+def scrub_documents(sf_dir: str):
+    """doc_id, text (scrubbed), n_email, n_phone, n_ssn."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(scrub_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def quality_documents(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """Heuristic quality scores + action over raw document text.
+
+    overall_quality_score = integer mean of the four heuristic scores
+    (no ts column here, so no timeliness; the full 17-dim surface is the
+    transcript pipeline's job)."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(functools.partial(heuristics_batch, cfg=cfg),
+                        batch_format="pyarrow", zero_copy_batch=True)
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import numpy as np
+        s = {c: batch[c].to_numpy(zero_copy_only=False).astype(np.int64)
+             for c in ("length_score", "repetition_score", "symbol_score",
+                       "boilerplate_score")}
+        overall = (s["length_score"] + s["repetition_score"]
+                   + s["symbol_score"] + s["boilerplate_score"]) // 4
+        action = np.select(
+            [overall >= cfg.keep_action_threshold,
+             overall >= cfg.review_action_threshold,
+             overall >= cfg.quarantine_action_threshold],
+            ["KEEP", "REVIEW", "QUARANTINE"], default="DISCARD")
+        batch = batch.append_column(
+            "overall_quality_score", pa.array(overall.astype(np.int32)))
+        batch = batch.append_column("action", pa.array(action, pa.string()))
+        return batch.select(
+            ["doc_id", "n_chars", "n_tokens", "n_distinct",
+             "length_score", "repetition_score", "symbol_score",
+             "boilerplate_score", "overall_quality_score", "action"])
+
+    return ds.map_batches(finish, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_documents(sf_dir: str,
+                          cfg: PipelineConfig = DEFAULT_CONFIG):
+    """content_hash → canonical_doc_id (min), n_copies.
+
+    The groupby(content_hash) is the exact-dedup shuffle (SURVEY §7.3);
+    at transcript scale the same shape runs inside the quality pipeline.
+    """
+    from ray.data.aggregate import Count, Min
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def add_hash(batch: pa.Table) -> pa.Table:
+        import hashlib
+        norm = pc.replace_substring_regex(
+            pc.utf8_trim_whitespace(pc.utf8_lower(batch["text"])),
+            r"\s+", " ")
+        hashes = [hashlib.md5(s.encode()).hexdigest()
+                  for s in norm.to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "content_hash": pa.array(hashes, pa.string()),
+        })
+
+    ds = ds.map_batches(add_hash, batch_format="pyarrow")
+    return ds.groupby("content_hash").aggregate(
+        Min("doc_id", alias_name="canonical_doc_id"),
+        Count(alias_name="n_copies"))
+
+
+def near_dup_documents(sf_dir: str):
+    """(id_a, id_b, jaccard) pairs with distinct-token Jaccard >= 0.9."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return token_jaccard_pairs(ds, NEAR_DUP_DOC_JACCARD, id_col="doc_id")
+
+
+def max_similarity_per_doc(sf_dir: str):
+    """Per doc appearing in near-dup pairs: its max Jaccard (A6 analog,
+    reference routes.py:378)."""
+    from ray.data.aggregate import Max
+    pairs = near_dup_documents(sf_dir)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": pa.concat_arrays([
+                batch["id_a"].combine_chunks()
+                if isinstance(batch["id_a"], pa.ChunkedArray) else batch["id_a"],
+                batch["id_b"].combine_chunks()
+                if isinstance(batch["id_b"], pa.ChunkedArray) else batch["id_b"],
+            ]),
+            "jaccard": pa.concat_arrays([
+                batch["jaccard"].combine_chunks()
+                if isinstance(batch["jaccard"], pa.ChunkedArray) else batch["jaccard"],
+            ] * 2),
+        })
+
+    both = pairs.map_batches(explode, batch_format="pyarrow")
+    return both.groupby("doc_id").aggregate(
+        Max("jaccard", alias_name="max_jaccard"))
+
+
+def union_dedup_documents(sf_dir: str):
+    """D4/D5 analog: union of the full table with its first-100 subset,
+    then key-level dedup (one row per doc_id, min n_chars meaningless —
+    they're equal — count proves the dedup)."""
+    from ray.data.aggregate import Count
+    full = _docs(sf_dir, columns=["doc_id"])
+    subset = _docs(sf_dir, columns=["doc_id"]).map_batches(
+        lambda t: t.filter(pc.less(t["doc_id"], 100)),
+        batch_format="pyarrow")
+    unioned = full.union(subset)
+    return unioned.groupby("doc_id").aggregate(Count(alias_name="n_rows"))
+
+
+# ---------------------------------------------------------------------------
+# language id (stopword-marker variant — SQL-expressible; the char-n-gram
+# model is used by the transcript pipeline)
+# ---------------------------------------------------------------------------
+
+def langid_documents(sf_dir: str):
+    """doc_id, pred_lang via the pinned spec.STOPWORD_MARKERS rule."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def classify(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch["text"])
+        if isinstance(s, pl.DataFrame):
+            s = s.to_series()
+        toks = s.str.to_lowercase().str.extract_all(TOKEN_PATTERN)
+        counts = []
+        for _, markers in STOPWORD_MARKERS:
+            c = (toks.list.eval(
+                    pl.element().is_in(list(markers)).cast(pl.Int32))
+                 .list.sum().fill_null(0))
+            counts.append(c.to_numpy())
+        cmat = np.stack(counts, axis=1)          # (n, n_langs)
+        best = cmat.max(axis=1)
+        arg = cmat.argmax(axis=1)                # first max wins (pinned)
+        langs = np.array([l for l, _ in STOPWORD_MARKERS])
+        pred = np.where(best > 0, langs[arg], "und")
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "pred_lang": pa.array(pred.tolist(), pa.string()),
+        })
+
+    return ds.map_batches(classify, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# per-source aggregate (A3 analog)
+# ---------------------------------------------------------------------------
+
+def quality_by_source(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """source → n_docs, avg overall quality (integer mean: sum // count)."""
+    from ray.data.aggregate import Count, Sum
+    ds = _docs(sf_dir, columns=["doc_id", "text", "source"])
+    ds = ds.map_batches(functools.partial(heuristics_batch, cfg=cfg),
+                        batch_format="pyarrow", zero_copy_batch=True)
+
+    def overall(batch: pa.Table) -> pa.Table:
+        s = {c: batch[c].to_numpy(zero_copy_only=False).astype(np.int64)
+             for c in ("length_score", "repetition_score", "symbol_score",
+                       "boilerplate_score")}
+        ov = (s["length_score"] + s["repetition_score"]
+              + s["symbol_score"] + s["boilerplate_score"]) // 4
+        return pa.table({
+            "source": batch["source"],
+            "overall": pa.array(ov, pa.int64()),
+        })
+
+    agg = (ds.map_batches(overall, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Count(alias_name="n_docs"),
+                      Sum("overall", alias_name="sum_overall")))
+
+    def int_mean(batch: pa.Table) -> pa.Table:
+        avg = (batch["sum_overall"].to_numpy(zero_copy_only=False)
+               // batch["n_docs"].to_numpy(zero_copy_only=False))
+        return pa.table({
+            "source": batch["source"],
+            "n_docs": pc.cast(batch["n_docs"], pa.int64()),
+            "avg_quality": pa.array(avg, pa.int64()),
+        })
+
+    return agg.map_batches(int_mean, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# embeddings: ANN top-k + cosine near-dup pairs
+# ---------------------------------------------------------------------------
+
+def ann_topk_embeddings(sf_dir: str):
+    return cosine_topk(_emb(sf_dir), ANN_QUERY_IDS, k=ANN_K)
+
+
+def embedding_near_dup(sf_dir: str):
+    return embedding_near_dup_pairs(_emb(sf_dir), EMB_NEAR_DUP_COSINE)

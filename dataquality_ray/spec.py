@@ -292,3 +292,31 @@ def rolling_fingerprint(text: str) -> int:
 def order_key(conv_id: str, turn_idx: int) -> str:
     """Lexicographic composite key preserving (conv_id, turn_idx) order."""
     return f"{conv_id}#{turn_idx:08d}"
+
+
+# ---------------------------------------------------------------------------
+# Stopword-marker language ID — the SQL-expressible langid variant.
+# (The char-n-gram model in functions/langid.py is the engine's real
+# classifier; this pinned marker rule exists so a DuckDB oracle can verify
+# the distributed implementation bit-for-bit.)
+# ---------------------------------------------------------------------------
+STOPWORD_MARKERS: List[Tuple[str, Tuple[str, ...]]] = [
+    ("en", ("the", "and", "of", "to", "is", "in", "that", "it")),
+    ("es", ("el", "los", "las", "que", "una", "por", "para", "con")),
+    ("de", ("der", "die", "das", "und", "ist", "nicht", "ein", "mit")),
+    ("fr", ("le", "les", "est", "dans", "une", "pour", "vous", "nous")),
+]
+
+
+def stopword_langid(tokens: List[str]) -> str:
+    """First language (in STOPWORD_MARKERS order) whose marker count equals
+    the maximum, if the maximum is > 0; else "und"."""
+    counts = [sum(t in markers for t in tokens)
+              for _, markers in STOPWORD_MARKERS]
+    best = max(counts)
+    if best == 0:
+        return "und"
+    for (lang, _), c in zip(STOPWORD_MARKERS, counts):
+        if c == best:
+            return lang
+    return "und"

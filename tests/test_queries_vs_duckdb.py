@@ -1,0 +1,96 @@
+"""Driver-style correctness gate run locally: every SQL-checkable entry in
+__ray_entry__.queries() must match its oracle_sql() under DuckDB on the
+same parquet tables — row count, schema (names), and exact values
+(order-insensitive), mirroring CORRECTNESS_r{N}.json semantics.
+"""
+
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import __ray_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+    return con
+
+
+def _to_df(result) -> pd.DataFrame:
+    import pyarrow as pa
+    import ray.data
+    if isinstance(result, ray.data.Dataset):
+        result = result.to_pandas()
+    if isinstance(result, pa.Table):
+        result = result.to_pandas()
+    return result
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    df = df.sort_values(list(df.columns), kind="mergesort") \
+           .reset_index(drop=True)
+    return df
+
+
+def _compare(name, got: pd.DataFrame, want: pd.DataFrame):
+    assert sorted(got.columns) == sorted(want.columns), (
+        f"{name}: columns {sorted(got.columns)} != {sorted(want.columns)}")
+    assert len(got) == len(want), f"{name}: rows {len(got)} != {len(want)}"
+    g, w = _canon(got), _canon(want)
+    for col in g.columns:
+        gv, wv = g[col].to_numpy(), w[col].to_numpy()
+        if np.issubdtype(gv.dtype, np.floating) \
+                or np.issubdtype(wv.dtype, np.floating):
+            np.testing.assert_array_almost_equal(
+                gv.astype(np.float64), wv.astype(np.float64), decimal=9,
+                err_msg=f"{name}.{col}")
+        else:
+            mismatch = gv != wv
+            assert not mismatch.any(), (
+                f"{name}.{col}: first mismatch at "
+                f"{np.argmax(mismatch)}: {gv[mismatch][:5]} vs "
+                f"{wv[mismatch][:5]}")
+
+
+_SQL = entrymod.oracle_sql()
+_QUERIES = entrymod.queries()
+
+
+@pytest.mark.parametrize("name", sorted(_SQL))
+def test_query_matches_oracle(name):
+    con = _duck(SF_DIR)
+    want = con.execute(_SQL[name]).df()
+    got = _to_df(_QUERIES[name](SF_DIR))
+    _compare(name, got, want)
+
+
+@pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_SQL)))
+def test_rows_only_queries_run(name):
+    """Non-SQL-expressible entries: runs, returns rows, stable schema."""
+    got = _to_df(_QUERIES[name](SF_DIR))
+    assert len(got) >= 0
+    assert len(got.columns) > 0
+
+
+def test_every_query_key_has_callable():
+    for name, fn in _QUERIES.items():
+        assert callable(fn), name
+
+
+def test_entry_runs():
+    df = _to_df(entrymod.entry())
+    assert len(df) > 0
+    assert "keep" in df.columns and "text" in df.columns
