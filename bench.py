@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Benchmark harness.
+
+Headline: the flagship transcript quality pipeline (scrub + heuristics +
+model actors + decision + exact-dedup shuffle + stable sort + parquet
+write) over a deterministic transcript fixture sized to $GRAFT_SF_DIR
+(default /root/testdata/sf0.1 → 200k turns). Prints ONE JSON line:
+
+  {"metric": "...", "value": <headline sec>, "unit": "sec",
+   "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+   "rows": ..., "turns_per_sec": ...}
+
+--scaling: runs the headline twice in fresh processes (num_cpus=8 and 32)
+on the same input and prints throughputs + scaling efficiency
+(sandbox stand-in for the N vs 4N node criterion; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+# must precede any polars import anywhere (workers inherit this env):
+# concurrent Ray actors each spinning a full-width polars pool thrash CPUs
+os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
+import shutil
+import subprocess
+import sys
+import time
+
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+
+def _headline(sf_dir: str) -> dict:
+    import ray
+    from dataquality_ray.fixtures import scale_for_sf_dir, transcripts_path
+    from dataquality_ray.pipelines.quality import quality_pipeline
+
+    n_turns = scale_for_sf_dir(sf_dir)
+    path = transcripts_path(n_turns)          # cached; built once
+    # warm the page cache so we measure compute + shuffle, not cold disk
+    for f in sorted(os.listdir(path)):
+        if f.endswith(".parquet"):
+            with open(os.path.join(path, f), "rb") as fh:
+                fh.read()
+
+    out_dir = "/tmp/dq_bench_out"
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    t0 = time.time()
+    ds = ray.data.read_parquet(path)
+    result = quality_pipeline(
+        ds, concurrency=max(2, int(NUM_CPUS * 0.75)))
+    result.write_parquet(out_dir)
+    elapsed = time.time() - t0
+    import pyarrow.dataset as pads
+    rows = pads.dataset(out_dir).count_rows()
+    return {"sec": elapsed, "rows": rows,
+            "turns_per_sec": rows / elapsed}
+
+
+def _query_benches(sf_dir: str) -> dict:
+    import __ray_entry__ as entrymod
+    q = entrymod.queries()
+    names = ["scrub_documents", "quality_documents", "exact_dedup_documents",
+             "near_dup_documents", "langid_documents", "daily_event_metrics",
+             "top_users_by_value", "ann_topk_embeddings", "doc_sketches"]
+    out = {}
+    for name in names:
+        t0 = time.time()
+        res = q[name](sf_dir)
+        # consume lazily-built datasets
+        if hasattr(res, "count"):
+            res.count()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main() -> None:
+    import logging
+    import ray
+    ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
+             logging_level="ERROR")
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.ERROR)
+    try:
+        head = _headline(SF_DIR)
+        queries = _query_benches(SF_DIR)
+    finally:
+        ray.shutdown()
+    print(json.dumps({
+        "metric": ("turns/sec keep-drop+scrub throughput "
+                   "(transcript quality pipeline, F1=1.0 vs oracle)"),
+        "value": round(head["sec"], 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": os.path.basename(SF_DIR.rstrip("/")),
+        "num_cpus": NUM_CPUS,
+        "rows": head["rows"],
+        "turns_per_sec": round(head["turns_per_sec"], 1),
+    }))
+
+
+def scaling() -> None:
+    """Same headline job at num_cpus=8 and 32 in fresh processes."""
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
+                   GRAFT_SF_DIR=SF_DIR,
+                   PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            capture_output=True, text=True, check=True).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo_cpus, hi_cpus = 8, 32
+    lo = run(lo_cpus)
+    hi = run(hi_cpus)
+    tp_lo, tp_hi = lo["turns_per_sec"], hi["turns_per_sec"]
+    eff = (tp_hi / tp_lo) / (hi_cpus / lo_cpus)
+    print(json.dumps({
+        "metric": "scaling efficiency N->4N (num_cpus 8 -> 32)",
+        "sf": lo["sf"],
+        "rows": lo["rows"],
+        "sec_8": lo["value"],
+        "sec_32": hi["value"],
+        "turns_per_sec_8": tp_lo,
+        "turns_per_sec_32": tp_hi,
+        "scaling_efficiency": round(eff, 3),
+    }))
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        scaling()
+    else:
+        main()

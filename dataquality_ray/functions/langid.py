@@ -51,32 +51,37 @@ class LangIDModel:
         # language is a proper distribution over the same support — a small
         # corpus (zh) just gets a flatter profile, not an unfair advantage
         # on unseen trigrams.
+        import numpy as np
         v = len(global_vocab) + 1
-        self.logp = []
-        self.default_logp = []
-        for counts, total in zip(per_lang_counts, per_lang_total):
+        vocab_sorted = sorted(global_vocab)
+        self.gram_id = {g: i for i, g in enumerate(vocab_sorted)}
+        n_langs = len(self.langs)
+        # (V+1, L): row per known trigram + final default row for unknowns
+        self.logp_matrix = np.empty((len(vocab_sorted) + 1, n_langs),
+                                    dtype=np.float64)
+        for li, (counts, total) in enumerate(
+                zip(per_lang_counts, per_lang_total)):
             denom = total + v
-            self.logp.append(
-                {g: math.log((c + 1) / denom) for g, c in counts.items()}
-            )
-            self.default_logp.append(math.log(1.0 / denom))
+            default = math.log(1.0 / denom)
+            col = np.full(len(vocab_sorted) + 1, default)
+            for g, c in counts.items():
+                col[self.gram_id[g]] = math.log((c + 1) / denom)
+            self.logp_matrix[:, li] = col
 
     def predict(self, text: str) -> Tuple[str, float]:
         """Returns (lang, confidence). Empty/garbage text → ("und", 0.0)."""
+        import numpy as np
         grams = _trigrams(text) if text else []
         if not grams:
             return "und", 0.0
-        scores = []
-        for li in range(len(self.langs)):
-            table = self.logp[li]
-            default = self.default_logp[li]
-            s = 0.0
-            for g in grams:
-                s += table.get(g, default)
-            scores.append(s / len(grams))
-        order = sorted(range(len(scores)), key=lambda i: scores[i], reverse=True)
-        best, second = order[0], order[1]
-        margin = scores[best] - scores[second]
+        gid = self.gram_id
+        unk = len(gid)
+        ids = np.fromiter((gid.get(g, unk) for g in grams),
+                          dtype=np.int64, count=len(grams))
+        scores = self.logp_matrix[ids].mean(axis=0)
+        order = np.argsort(-scores, kind="stable")
+        best, second = int(order[0]), int(order[1])
+        margin = float(scores[best] - scores[second])
         conf = 1.0 - math.exp(-margin * 8.0)  # deterministic squashing
         return self.langs[best], max(0.0, min(1.0, conf))
 

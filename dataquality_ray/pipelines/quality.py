@@ -43,16 +43,25 @@ RESULT_COLUMNS = [
 def quality_pipeline(ds, cfg: PipelineConfig = DEFAULT_CONFIG,
                      now: Optional[str] = None,
                      with_dedup: bool = True,
+                     dedup_mode: str = "broadcast",
                      with_sketches: bool = False,
                      with_evidence: bool = False,
                      sort_output: bool = True,
                      concurrency: Optional[int] = None):
     """Assemble the lazy quality DAG over a transcript Dataset.
 
+    ``dedup_mode``:
+      - "broadcast" (default): duplicate map computed by a cheap narrow
+        side pipeline (scrub+hash only) and broadcast via ray.put — the
+        main pipeline stays shuffle-free until the final sort. Right when
+        the duplicated-hash set fits in worker memory.
+      - "shuffle": the general bucketed groupby shuffle (exact_dedup) —
+        no size assumption; full rows move once.
     ``with_sketches`` additionally computes MinHash/SimHash columns
     (needed when a near-dup pass follows). ``concurrency`` sizes the model
     actor pool (defaults to cfg.actor_pool_size).
     """
+    raw = ds
     ds = ds.map_batches(
         functools.partial(scrub_batch),
         batch_format="pyarrow", zero_copy_batch=True)
@@ -80,7 +89,18 @@ def quality_pipeline(ds, cfg: PipelineConfig = DEFAULT_CONFIG,
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
             concurrency=(1, concurrency or cfg.actor_pool_size))
-    if with_dedup:
+    if with_dedup and dedup_mode == "broadcast":
+        import ray
+        from dataquality_ray.stages.dedup import (
+            assign_dup_from_map,
+            compute_dup_map,
+        )
+        dup_map = compute_dup_map(raw, cfg)   # cheap narrow side pipeline
+        map_ref = ray.put(dup_map)
+        ds = ds.map_batches(
+            functools.partial(assign_dup_from_map, map_ref=map_ref),
+            batch_format="pyarrow", zero_copy_batch=True)
+    elif with_dedup:
         ds = exact_dedup(ds, cfg)
     else:
         ds = ds.map_batches(

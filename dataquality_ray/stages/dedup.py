@@ -77,12 +77,18 @@ def content_hash_batch(batch: pa.Table, text_col: str = "text",
     hashes: List[str] = []
     dedup_keys: List[str] = []
     buckets = np.empty(batch.num_rows, dtype=np.int32)
+    md5 = hashlib.md5
     for i, s in enumerate(norm.to_pylist()):
-        digest = hashlib.md5(s.encode("utf-8")).hexdigest()
-        hashes.append(digest)
-        dk = digest if s else f"e:{order_keys[i]}"
-        dedup_keys.append(dk)
-        buckets[i] = _bucket_of(dk, num_buckets)
+        digest = md5(s.encode("utf-8")).digest()
+        hashes.append(digest.hex())
+        if s:
+            dedup_keys.append(hashes[-1])
+            # bucket straight from the digest bytes — one md5 per row
+            buckets[i] = int.from_bytes(digest[:4], "little") % num_buckets
+        else:
+            dk = f"e:{order_keys[i]}"
+            dedup_keys.append(dk)
+            buckets[i] = _bucket_of(dk, num_buckets)
 
     empty = pc.equal(pc.utf8_length(norm), 0)
     batch = batch.append_column("content_hash", pa.array(hashes, pa.string()))
@@ -118,12 +124,81 @@ def exact_dedup(ds, cfg: PipelineConfig = DEFAULT_CONFIG):
 
     Expects content_hash_batch columns. One all-to-all (groupby
     hash_bucket); B = cfg.num_buckets groups, each processed by one
-    vectorized pandas pass.
+    vectorized pandas pass. This is the general path (no assumption on
+    duplicate-map size); the cheaper broadcast path below is preferred
+    when the set of duplicated hashes fits in worker memory.
     """
     deduped = ds.groupby("hash_bucket").map_groups(
         _bucket_dedup, batch_format="pandas")
     return deduped.map_batches(_to_arrow_dup, batch_format="pyarrow",
                                zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# broadcast dup-map dedup (narrow-shuffle + broadcast join)
+# ---------------------------------------------------------------------------
+
+def compute_dup_map(raw_ds, cfg: PipelineConfig = DEFAULT_CONFIG) -> dict:
+    """Duplicate map {content_hash → canonical order_key} from a CHEAP
+    side pipeline over the raw transcripts (scrub + normalize + hash only
+    — no model scoring): per-batch partial (hash, min key, count) →
+    narrow groupby → keep only hashes with count ≥ 2.
+
+    Shuffle volume = two short strings + an int per row (vs full rows in
+    ``exact_dedup``); the returned map holds only *duplicated* hashes, so
+    it broadcasts. Scale limit: if the duplicated-hash set outgrows
+    worker memory, fall back to ``exact_dedup`` (dedup_mode="shuffle").
+    """
+    from dataquality_ray.stages.scrub import scrub_batch
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = scrub_batch(batch, with_counts=False)
+        batch = content_hash_batch(batch, num_buckets=cfg.num_buckets)
+        df = pd.DataFrame({
+            "dedup_key": batch["dedup_key"].to_pylist(),
+            "order_key": batch["order_key"].to_pylist(),
+            "bucket": batch["hash_bucket"].to_pylist(),
+            "empty": batch["is_empty_norm"].to_pylist(),
+        })
+        df = df[~df["empty"]]
+        g = (df.groupby(["bucket", "dedup_key"], sort=False)["order_key"]
+             .agg(min_key="min", cnt="size").reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("dedup_key", sort=False)
+             .agg(canonical=("min_key", "min"), n=("cnt", "sum"))
+             .reset_index())
+        return g[g["n"] >= 2][["dedup_key", "canonical"]]
+
+    # groupby on the int32 bucket (cheap sort) — per-bucket pandas reduce
+    narrow = raw_ds.map_batches(partial, batch_format="pyarrow")
+    dups = (narrow.groupby("bucket")
+            .map_groups(reduce_bucket, batch_format="pandas")
+            .to_pandas())
+    return dict(zip(dups["dedup_key"], dups["canonical"]))
+
+
+_DUP_MAP_CACHE: dict = {}
+
+
+def assign_dup_from_map(batch: pa.Table, map_ref) -> pa.Table:
+    """map_batches fn: dup_of from the broadcast duplicate map (None for
+    canonical rows and non-duplicated hashes)."""
+    import ray
+    m = _DUP_MAP_CACHE.get(map_ref)
+    if m is None:
+        m = ray.get(map_ref)
+        _DUP_MAP_CACHE.clear()   # hold at most one map per worker
+        _DUP_MAP_CACHE[map_ref] = m
+    keys = batch["dedup_key"].to_pylist()
+    own = batch["order_key"].to_pylist()
+    dup = [None] * len(keys)
+    for i, k in enumerate(keys):
+        c = m.get(k)
+        if c is not None and c != own[i]:
+            dup[i] = c
+    return batch.append_column("dup_of", pa.array(dup, pa.string()))
 
 
 # ---------------------------------------------------------------------------

@@ -13,6 +13,13 @@ DuckDB SQL oracle reproduces them bit-for-bit.
 
 from __future__ import annotations
 
+import os
+
+# One polars thread per worker: many concurrent Ray actors each spinning a
+# full-width polars thread pool thrash the node (must be set before the
+# first polars import anywhere in the process).
+os.environ.setdefault("POLARS_MAX_THREADS", "1")
+
 import numpy as np
 import polars as pl
 import pyarrow as pa

@@ -25,8 +25,10 @@ the resume test).
 from __future__ import annotations
 
 import argparse
-import functools
 import os
+
+os.environ.setdefault("POLARS_MAX_THREADS", "1")  # see bench.py
+
 import time
 
 import ray
