@@ -230,5 +230,5 @@ def scale_for_sf_dir(sf_dir: str) -> int:
     return {
         "sf0.001": 2_000,
         "sf0.01": 20_000,
-        "sf0.1": 1_000_000,
+        "sf0.1": 4_000_000,
     }.get(name, 20_000)

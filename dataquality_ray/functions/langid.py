@@ -69,21 +69,48 @@ class LangIDModel:
             self.logp_matrix[:, li] = col
 
     def predict(self, text: str) -> Tuple[str, float]:
-        """Returns (lang, confidence). Empty/garbage text → ("und", 0.0)."""
+        """Returns (lang, confidence). Empty/garbage text → ("und", 0.0).
+
+        Delegates to predict_batch so the scalar (oracle) and batched
+        (pipeline) paths share ONE float summation order — bit-identical.
+        """
+        return self.predict_batch([text])[0]
+
+    def predict_batch(self, texts) -> List[Tuple[str, float]]:
+        """Vectorized scoring of a batch: one gram-id gather + one
+        segmented sum (reduceat) over all texts' trigrams."""
         import numpy as np
-        grams = _trigrams(text) if text else []
-        if not grams:
-            return "und", 0.0
         gid = self.gram_id
         unk = len(gid)
-        ids = np.fromiter((gid.get(g, unk) for g in grams),
-                          dtype=np.int64, count=len(grams))
-        scores = self.logp_matrix[ids].mean(axis=0)
-        order = np.argsort(-scores, kind="stable")
-        best, second = int(order[0]), int(order[1])
-        margin = float(scores[best] - scores[second])
-        conf = 1.0 - math.exp(-margin * 8.0)  # deterministic squashing
-        return self.langs[best], max(0.0, min(1.0, conf))
+        ids_parts = []
+        lengths = np.empty(len(texts), dtype=np.int64)
+        for i, text in enumerate(texts):
+            grams = _trigrams(text) if text else []
+            lengths[i] = len(grams)
+            if grams:
+                ids_parts.append(np.fromiter(
+                    (gid.get(g, unk) for g in grams),
+                    dtype=np.int64, count=len(grams)))
+        out: List[Tuple[str, float]] = [("und", 0.0)] * len(texts)
+        if not ids_parts:
+            return out
+        all_ids = np.concatenate(ids_parts)
+        gathered = self.logp_matrix[all_ids]          # (T_total, L)
+        nonempty = np.flatnonzero(lengths > 0)
+        starts = np.zeros(len(nonempty), dtype=np.int64)
+        np.cumsum(lengths[nonempty][:-1], out=starts[1:])
+        sums = np.add.reduceat(gathered, starts, axis=0)
+        means = sums / lengths[nonempty][:, None]
+        order = np.argsort(-means, axis=1, kind="stable")
+        best = order[:, 0]
+        second = order[:, 1]
+        margins = means[np.arange(len(nonempty)), best] \
+            - means[np.arange(len(nonempty)), second]
+        confs = 1.0 - np.exp(-margins * 8.0)
+        for j, row in enumerate(nonempty):
+            out[row] = (self.langs[int(best[j])],
+                        float(min(1.0, max(0.0, confs[j]))))
+        return out
 
 
 _MODEL: LangIDModel | None = None

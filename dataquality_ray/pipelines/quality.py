@@ -68,14 +68,18 @@ def quality_pipeline(ds, cfg: PipelineConfig = DEFAULT_CONFIG,
     ds = ds.map_batches(
         functools.partial(heuristics_batch, cfg=cfg, now=now),
         batch_format="pyarrow", zero_copy_batch=True)
+    # explicit int concurrency → FIXED pool (all actors up immediately —
+    # autoscaling ramp is too slow for short bench jobs); default →
+    # autoscaling (1, cfg.actor_pool_size) so small test clusters never
+    # starve the non-actor stages.
+    model_conc = concurrency if concurrency is not None \
+        else (1, cfg.actor_pool_size)
     ds = ds.map_batches(
         CombinedModelScorer,
         fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        # autoscaling pool (min 1): never starves the non-actor stages on
-        # a small cluster, scales up when CPUs are free
-        concurrency=(1, concurrency or cfg.actor_pool_size))
+        concurrency=model_conc)
     ds = ds.map_batches(
         functools.partial(decision_batch, cfg=cfg,
                           with_evidence=with_evidence),
@@ -88,7 +92,7 @@ def quality_pipeline(ds, cfg: PipelineConfig = DEFAULT_CONFIG,
             fn_constructor_kwargs={"cfg": cfg},
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
-            concurrency=(1, concurrency or cfg.actor_pool_size))
+            concurrency=model_conc)
     if with_dedup and dedup_mode == "broadcast":
         import ray
         from dataquality_ray.stages.dedup import (
@@ -108,8 +112,91 @@ def quality_pipeline(ds, cfg: PipelineConfig = DEFAULT_CONFIG,
                 "dup_of", pa.nulls(t.num_rows, pa.string())),
             batch_format="pyarrow")
     if sort_output:
+        # project away intermediates BEFORE the sort — the global sort is
+        # the one unavoidable all-to-all; don't shuffle helper columns
+        keep_cols = [c for c in RESULT_COLUMNS + (
+            ["token_hashes", "minhash_sig", "simhash"] if with_sketches
+            else [])
+            if c != "dup_of"] + (["dimensions"] if with_evidence else [])
+        ds = ds.map_batches(
+            functools.partial(_project, cols=keep_cols + ["dup_of"]),
+            batch_format="pyarrow", zero_copy_batch=True)
+        # Coalesce before the global sort: a sort shuffle creates
+        # #map_tasks × #reduce_partitions objects — with many small blocks
+        # the scheduling latency of that task² fan-out dominates the sort
+        # by 10×. Target ~num_cpus/2 partitions locally; at real scale
+        # choose partitions ≈ total_bytes / 256 MB instead.
+        ds = ds.repartition(_sort_partitions())
         ds = ds.sort(["conv_id", "turn_idx"])
     return ds
+
+
+def _sort_partitions() -> int:
+    import ray
+    try:
+        cpus = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        cpus = 8
+    return max(8, cpus // 2)
+
+
+def _project(batch: pa.Table, cols) -> pa.Table:
+    return batch.select([c for c in cols if c in batch.column_names])
+
+
+def quality_run(ds, work_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
+                now: Optional[str] = None,
+                concurrency: Optional[int] = None) -> str:
+    """Checkpointed 3-phase execution of the quality pipeline (the
+    shape bench.py and large runs use; byte-equivalent to
+    ``quality_pipeline`` with dedup — tests assert it):
+
+    1. score: scrub → heuristics → models → decision → hash, streamed to
+       a parquet checkpoint (this is also the resume point, see run.py);
+    2. dup map: narrow column-pruned read of the checkpoint
+       (dedup_key/order_key only — no re-scrub) → broadcast map;
+    3. finalize: read checkpoint, assign dup_of, project, coalesce,
+       global (conv_id, turn_idx) sort, write final parquet.
+
+    Returns the final output directory.
+    """
+    import os
+    import shutil
+
+    import ray
+
+    from dataquality_ray.stages.dedup import (
+        assign_dup_from_map,
+        compute_dup_map_from_hashed,
+    )
+
+    scored_dir = os.path.join(work_dir, "scored")
+    final_dir = os.path.join(work_dir, "final")
+    for d in (scored_dir, final_dir):
+        if os.path.isdir(d):
+            shutil.rmtree(d)
+
+    scored = quality_pipeline(ds, cfg=cfg, now=now, with_dedup=False,
+                              sort_output=False, concurrency=concurrency)
+    scored.write_parquet(scored_dir)
+
+    narrow = ray.data.read_parquet(
+        scored_dir,
+        columns=["dedup_key", "order_key", "hash_bucket", "is_empty_norm"])
+    dup_map = compute_dup_map_from_hashed(narrow, cfg)
+    map_ref = ray.put(dup_map)
+
+    final = ray.data.read_parquet(scored_dir)
+    final = final.map_batches(
+        functools.partial(assign_dup_from_map, map_ref=map_ref),
+        batch_format="pyarrow", zero_copy_batch=True)
+    final = final.map_batches(
+        functools.partial(_project, cols=RESULT_COLUMNS),
+        batch_format="pyarrow", zero_copy_batch=True)
+    final = final.repartition(_sort_partitions())
+    final = final.sort(["conv_id", "turn_idx"])
+    final.write_parquet(final_dir)
+    return final_dir
 
 
 def transcript_near_dup_pairs(ds, cfg: PipelineConfig = DEFAULT_CONFIG,

@@ -138,6 +138,40 @@ def exact_dedup(ds, cfg: PipelineConfig = DEFAULT_CONFIG):
 # broadcast dup-map dedup (narrow-shuffle + broadcast join)
 # ---------------------------------------------------------------------------
 
+def compute_dup_map_from_hashed(hashed_ds,
+                                cfg: PipelineConfig = DEFAULT_CONFIG
+                                ) -> dict:
+    """Duplicate map from a dataset that ALREADY carries dedup_key /
+    order_key / hash_bucket / is_empty_norm (e.g. a narrow column-pruned
+    read of a scored checkpoint — no re-scrub / re-hash)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        tbl = pa.table({
+            "bucket": batch["hash_bucket"],
+            "dedup_key": batch["dedup_key"],
+            "order_key": batch["order_key"],
+        }).filter(pc.invert(
+            batch["is_empty_norm"].combine_chunks()
+            if isinstance(batch["is_empty_norm"], pa.ChunkedArray)
+            else batch["is_empty_norm"]))
+        g = tbl.group_by(["bucket", "dedup_key"]).aggregate(
+            [("order_key", "min"), ("order_key", "count")])
+        return g.rename_columns(["bucket", "dedup_key", "min_key", "cnt"])
+
+    def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby("dedup_key", sort=False)
+             .agg(canonical=("min_key", "min"), n=("cnt", "sum"))
+             .reset_index())
+        return g[g["n"] >= 2][["dedup_key", "canonical"]]
+
+    narrow = hashed_ds.map_batches(partial, batch_format="pyarrow") \
+                      .repartition(max(8, cfg.num_buckets // 2))
+    dups = (narrow.groupby("bucket")
+            .map_groups(reduce_bucket, batch_format="pandas")
+            .to_pandas())
+    return dict(zip(dups["dedup_key"], dups["canonical"]))
+
+
 def compute_dup_map(raw_ds, cfg: PipelineConfig = DEFAULT_CONFIG) -> dict:
     """Duplicate map {content_hash → canonical order_key} from a CHEAP
     side pipeline over the raw transcripts (scrub + normalize + hash only
@@ -154,16 +188,14 @@ def compute_dup_map(raw_ds, cfg: PipelineConfig = DEFAULT_CONFIG) -> dict:
     def partial(batch: pa.Table) -> pa.Table:
         batch = scrub_batch(batch, with_counts=False)
         batch = content_hash_batch(batch, num_buckets=cfg.num_buckets)
-        df = pd.DataFrame({
-            "dedup_key": batch["dedup_key"].to_pylist(),
-            "order_key": batch["order_key"].to_pylist(),
-            "bucket": batch["hash_bucket"].to_pylist(),
-            "empty": batch["is_empty_norm"].to_pylist(),
-        })
-        df = df[~df["empty"]]
-        g = (df.groupby(["bucket", "dedup_key"], sort=False)["order_key"]
-             .agg(min_key="min", cnt="size").reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        tbl = pa.table({
+            "bucket": batch["hash_bucket"],
+            "dedup_key": batch["dedup_key"],
+            "order_key": batch["order_key"],
+        }).filter(pc.invert(batch["is_empty_norm"]))
+        g = tbl.group_by(["bucket", "dedup_key"]).aggregate(
+            [("order_key", "min"), ("order_key", "count")])
+        return g.rename_columns(["bucket", "dedup_key", "min_key", "cnt"])
 
     def reduce_bucket(df: pd.DataFrame) -> pd.DataFrame:
         g = (df.groupby("dedup_key", sort=False)
@@ -171,8 +203,11 @@ def compute_dup_map(raw_ds, cfg: PipelineConfig = DEFAULT_CONFIG) -> dict:
              .reset_index())
         return g[g["n"] >= 2][["dedup_key", "canonical"]]
 
-    # groupby on the int32 bucket (cheap sort) — per-bucket pandas reduce
-    narrow = raw_ds.map_batches(partial, batch_format="pyarrow")
+    # groupby on the int32 bucket (cheap sort) — per-bucket pandas reduce.
+    # Coalesce the narrow partials first: the groupby's sort shuffle costs
+    # #blocks × #partitions scheduling, so fewer, larger blocks win.
+    narrow = raw_ds.map_batches(partial, batch_format="pyarrow") \
+                   .repartition(max(8, cfg.num_buckets // 2))
     dups = (narrow.groupby("bucket")
             .map_groups(reduce_bucket, batch_format="pandas")
             .to_pandas())
@@ -198,6 +233,8 @@ def assign_dup_from_map(batch: pa.Table, map_ref) -> pa.Table:
         c = m.get(k)
         if c is not None and c != own[i]:
             dup[i] = c
+    if "dup_of" in batch.column_names:   # e.g. a null placeholder column
+        batch = batch.drop_columns(["dup_of"])
     return batch.append_column("dup_of", pa.array(dup, pa.string()))
 
 

@@ -91,9 +91,9 @@ class CombinedModelScorer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = _texts(batch, self.text_col)
+        preds = self.model.predict_batch(texts)
         langs, confs, lscores, ppls, pscores = [], [], [], [], []
-        for t in texts:
-            lang, conf = self.model.predict(t)
+        for t, (lang, conf) in zip(texts, preds):
             lp = self.lm.log2_ppl(t)
             langs.append(lang)
             confs.append(conf)

@@ -109,6 +109,21 @@ class TestInvariance:
         assert got["dup_of"].to_pylist() == small_oracle["dup_of"].to_pylist()
 
 
+class TestQualityRun:
+    def test_checkpointed_run_equals_pipeline(self, tmp_path,
+                                              small_transcripts,
+                                              small_oracle):
+        import pyarrow.dataset as pads
+        from dataquality_ray.pipelines.quality import quality_run
+        ds = ray.data.from_arrow(small_transcripts)
+        final_dir = quality_run(ds, str(tmp_path / "qr"))
+        got = pads.dataset(final_dir).to_table().sort_by(
+            [("conv_id", "ascending"), ("turn_idx", "ascending")])
+        for col in ("conv_id", "turn_idx", "text", "keep", "action",
+                    "dup_of", "overall_quality_score"):
+            assert got[col].to_pylist() == small_oracle[col].to_pylist(), col
+
+
 class TestNearDup:
     def test_lsh_pairs_match_exact_oracle(self, small_transcripts):
         expect = near_dup_pairs_exact(small_transcripts)
