@@ -137,7 +137,7 @@ def _sort_partitions() -> int:
         cpus = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         cpus = 8
-    return max(8, cpus // 2)
+    return max(8, cpus)
 
 
 def _project(batch: pa.Table, cols) -> pa.Table:
