@@ -64,6 +64,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return run_summary(
             quality_pipeline(_transcript_ds(sf_dir), sort_output=False))
 
+    def transcript_conv_stats(sf_dir: str):
+        from dataquality_ray.pipelines.conversations import conv_stats
+        scored = quality_pipeline(_transcript_ds(sf_dir),
+                                  with_dedup=False, sort_output=False)
+        return conv_stats(scored)
+
     def doc_sketches(sf_dir: str):
         import functools
         import os
@@ -116,6 +122,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_event_metrics": M.daily_event_metrics,
         "top_users_by_value": M.top_users_by_value,
         "timeliness_events": M.timeliness_events,
+        "latest_event_per_user": M.latest_event_per_user,
+        "event_windows": M.event_windows,
         # --- embeddings: similarity search (SQL-checked) ---
         "ann_topk_embeddings": D.ann_topk_embeddings,
         "embedding_near_dup": D.embedding_near_dup,
@@ -124,6 +132,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_pipeline": transcript_pipeline,
         "transcript_near_dup_pairs": transcript_near_dups,
         "transcript_run_summary": transcript_run_summary,
+        "transcript_conv_stats": transcript_conv_stats,
         # --- sketches + multimodal plumbing (rows-only) ---
         "doc_sketches": doc_sketches,
         "multimodal_features": multimodal_features,
@@ -292,6 +301,21 @@ SELECT event_id,
             THEN {CFG.timeliness_cap} ELSE 100 END AS INTEGER)
     AS timeliness_score
 FROM events, m
+""",
+        "latest_event_per_user": """
+SELECT user_id, event_id AS last_event_id,
+  event_type AS last_event_type,
+  CAST(floor(value * 1000) AS BIGINT) AS last_value_milli
+FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+        ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+WHERE rn = 1
+""",
+        "event_windows": """
+SELECT epoch_us(ts) // 3600000000 AS window_hour, event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+    AS sum_value_milli
+FROM events GROUP BY 1, 2
 """,
         "ann_topk_embeddings": f"""
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

@@ -81,14 +81,6 @@ class LangIDModel:
                 col[key_to_idx[g]] = math.log((c + 1) / denom)
             self.logp_matrix[:, li] = col
 
-    def _ids(self, text: str) -> np.ndarray:
-        """Vocab row indices for one text's trigrams (unknown → last row)."""
-        keys = _gram_keys(_codepoints(text))
-        pos = np.searchsorted(self.vocab, keys)
-        pos_c = np.minimum(pos, len(self.vocab) - 1)
-        known = self.vocab[pos_c] == keys
-        return np.where(known, pos_c, len(self.vocab))
-
     def predict(self, text: str) -> Tuple[str, float]:
         """Returns (lang, confidence). Empty text → ("und", 0.0).
 
@@ -98,20 +90,25 @@ class LangIDModel:
         return self.predict_batch([text])[0]
 
     def predict_batch(self, texts) -> List[Tuple[str, float]]:
-        """Vectorized scoring: one gram-key gather + one segmented sum."""
-        ids_parts = []
+        """Vectorized scoring: ONE vocab searchsorted + gather + segmented
+        sum over all texts' trigrams in the batch."""
+        key_parts = []
         lengths = np.empty(len(texts), dtype=np.int64)
         for i, text in enumerate(texts):
             if text:
-                ids = self._ids(text)
-                lengths[i] = len(ids)
-                ids_parts.append(ids)
+                keys = _gram_keys(_codepoints(text))
+                lengths[i] = len(keys)
+                key_parts.append(keys)
             else:
                 lengths[i] = 0
         out: List[Tuple[str, float]] = [("und", 0.0)] * len(texts)
-        if not ids_parts:
+        if not key_parts:
             return out
-        all_ids = np.concatenate(ids_parts)
+        all_keys = np.concatenate(key_parts)
+        pos = np.searchsorted(self.vocab, all_keys)
+        pos_c = np.minimum(pos, len(self.vocab) - 1)
+        known = self.vocab[pos_c] == all_keys
+        all_ids = np.where(known, pos_c, len(self.vocab))
         gathered = self.logp_matrix[all_ids]          # (T_total, L)
         nonempty = np.flatnonzero(lengths > 0)
         starts = np.zeros(len(nonempty), dtype=np.int64)

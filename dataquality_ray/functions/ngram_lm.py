@@ -4,21 +4,28 @@ Trained deterministically on the embedded English seed corpus
 (``corpora.LANG_CORPORA["en"]``); scores a text by its per-token log2
 perplexity. Low perplexity → fluent, natural text; repetitive or
 symbol-salad text scores high. Pure function of ``corpora.py`` + constants,
-so oracle and Ray actors agree exactly.
+so oracle and Ray actors agree exactly (the scalar path delegates to the
+batched path — one float summation order everywhere).
+
+Vectorized scoring: tokens map to integer ids (unknown → -1); bigram
+counts live in a sorted packed-key array, so a whole batch scores with one
+searchsorted + one np.log2 + one segmented sum.
 
 The perplexity → 0-100 score mapping lives in ``spec.ppl_score``.
 """
 
 from __future__ import annotations
 
-import math
 from typing import Dict, List, Tuple
+
+import numpy as np
 
 from dataquality_ray.functions.corpora import LANG_CORPORA
 from dataquality_ray.spec import tokenize
 
 _BOS = "<s>"
 _K = 0.1  # add-k smoothing
+_EMPTY_PPL = 16.0
 
 
 class BigramLM:
@@ -31,34 +38,81 @@ class BigramLM:
                 unigrams[tok] = unigrams.get(tok, 0) + 1
             for a, b in zip(toks, toks[1:]):
                 bigrams[(a, b)] = bigrams.get((a, b), 0) + 1
-        self.unigrams = unigrams
-        self.bigrams = bigrams
         self.vocab_size = len(unigrams) + 1  # +1 for <unk>
 
-    def log2_prob(self, prev: str, tok: str) -> float:
-        num = self.bigrams.get((prev, tok), 0) + _K
-        den = self.unigrams.get(prev, 0) + _K * self.vocab_size
-        return math.log2(num / den)
+        # id maps: 0..V-1 known tokens (sorted for determinism), V = BOS
+        # slot, -1 = unknown (mapped to V+1 internally for packing)
+        tokens_sorted = sorted(t for t in unigrams if t != _BOS)
+        self.token_id = {t: i for i, t in enumerate(tokens_sorted)}
+        self._bos_id = len(tokens_sorted)
+        n_ids = len(tokens_sorted) + 2       # + BOS + unk
+        self._unk_id = n_ids - 1
+        self.unig_counts = np.zeros(n_ids, dtype=np.float64)
+        for t, c in unigrams.items():
+            idx = self._bos_id if t == _BOS else self.token_id[t]
+            self.unig_counts[idx] = c
+        # packed bigram keys (prev_id * n_ids + tok_id), sorted
+        keys = []
+        counts = []
+        for (a, b), c in bigrams.items():
+            ia = self._bos_id if a == _BOS else self.token_id.get(a)
+            ib = self._bos_id if b == _BOS else self.token_id.get(b)
+            if ia is None or ib is None:
+                continue
+            keys.append(ia * n_ids + ib)
+            counts.append(c)
+        order = np.argsort(np.asarray(keys, dtype=np.int64))
+        self._bi_keys = np.asarray(keys, dtype=np.int64)[order]
+        self._bi_counts = np.asarray(counts, dtype=np.float64)[order]
+        self._n_ids = n_ids
+
+    def _token_ids(self, text: str) -> np.ndarray:
+        toks = tokenize(text)
+        tid = self.token_id
+        unk = self._unk_id
+        return np.fromiter((tid.get(t, unk) for t in toks),
+                           dtype=np.int64, count=len(toks))
 
     def log2_ppl(self, text: str) -> float:
-        """Per-token log2 perplexity; empty text → a fixed high value."""
-        toks = tokenize(text)
-        if not toks:
-            return 16.0
-        total = 0.0
-        prev = _BOS
-        for tok in toks:
-            if tok not in self.unigrams:
-                tok_eff = "<unk>"
-                # unseen token: probability mass from smoothing only
-                num = _K
-                den = self.unigrams.get(prev, 0) + _K * self.vocab_size
-                total += math.log2(num / den)
-                prev = tok  # prev unseen → next bigram backs off via smoothing
-                continue
-            total += self.log2_prob(prev, tok)
-            prev = tok
-        return -total / len(toks)
+        return float(self.log2_ppl_batch([text])[0])
+
+    def log2_ppl_batch(self, texts: List[str]) -> np.ndarray:
+        """Per-token log2 perplexity per text; empty → _EMPTY_PPL."""
+        id_parts = []
+        lengths = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            ids = self._token_ids(t)
+            lengths[i] = len(ids)
+            if len(ids):
+                id_parts.append(ids)
+        out = np.full(len(texts), _EMPTY_PPL, dtype=np.float64)
+        if not id_parts:
+            return out
+        all_ids = np.concatenate(id_parts)
+        nonempty = np.flatnonzero(lengths > 0)
+        lens = lengths[nonempty]
+        starts = np.zeros(len(nonempty), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+
+        # prev ids: BOS at each text start, else the previous token
+        prev = np.empty_like(all_ids)
+        prev[0] = self._bos_id
+        prev[1:] = all_ids[:-1]
+        prev[starts] = self._bos_id
+
+        # num = K + bigram_count(prev, tok); unknown tok → count 0
+        pk = prev * self._n_ids + all_ids
+        pos = np.searchsorted(self._bi_keys, pk)
+        pos_c = np.minimum(pos, len(self._bi_keys) - 1) \
+            if len(self._bi_keys) else np.zeros_like(pk)
+        hit = (self._bi_keys[pos_c] == pk) if len(self._bi_keys) \
+            else np.zeros(len(pk), dtype=bool)
+        num = _K + np.where(hit, self._bi_counts[pos_c], 0.0)
+        den = self.unig_counts[prev] + _K * self.vocab_size
+        logs = np.log2(num / den)
+        sums = np.add.reduceat(logs, starts)
+        out[nonempty] = -sums / lens
+        return out
 
 
 _LM: BigramLM | None = None

@@ -1,0 +1,86 @@
+"""Per-conversation aggregates with explicit hot-key salting.
+
+The 10^12-turn framing makes single hot conversations (hundreds of
+thousands of turns) a real shuffle hazard (SURVEY §7.3). The pattern here
+is the canonical two-phase salted aggregate:
+
+1. per-batch partial aggregation keyed on ``(conv_id, salt)`` where
+   ``salt = turn_idx % cfg.salt_buckets`` — a hot conversation's rows
+   split across ``salt_buckets`` reducer keys instead of one;
+2. a second, tiny groupby over the salted partials merges them per
+   conversation.
+
+Every aggregate carried is mergeable (counts/sums/min/max), so the split
+is lossless.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from dataquality_ray.config import DEFAULT_CONFIG, PipelineConfig
+
+
+def conv_stats(scored_ds, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """conv_id → n_turns, n_keep, avg_quality (integer mean), first/last
+    turn index. Input: a scored dataset (quality_pipeline output or the
+    scored checkpoint) — requires conv_id, turn_idx, keep,
+    overall_quality_score."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "conv_id": batch["conv_id"].to_pylist(),
+            "turn_idx": batch["turn_idx"].to_numpy(zero_copy_only=False),
+            "keep": batch["keep"].to_numpy(zero_copy_only=False),
+            "score": batch["overall_quality_score"].to_numpy(
+                zero_copy_only=False),
+        })
+        df["salt"] = df["turn_idx"] % cfg.salt_buckets
+        g = (df.groupby(["conv_id", "salt"], sort=False)
+             .agg(n=("score", "size"),
+                  n_keep=("keep", "sum"),
+                  sum_score=("score", "sum"),
+                  min_turn=("turn_idx", "min"),
+                  max_turn=("turn_idx", "max"))
+             .reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    # phase 1: salted partials (hot conversations split across reducers)
+    salted = scored_ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["conv_id", "salt"]).aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_keep", alias_name="n_keep"),
+            Sum("sum_score", alias_name="sum_score"),
+            Min("min_turn", alias_name="min_turn"),
+            Max("max_turn", alias_name="max_turn"))
+
+    # phase 2: merge the (tiny) salted aggregates per conversation
+    merged = salted.groupby("conv_id").aggregate(
+        Sum("n", alias_name="n_turns"),
+        Sum("n_keep", alias_name="n_keep"),
+        Sum("sum_score", alias_name="sum_score"),
+        Min("min_turn", alias_name="first_turn"),
+        Max("max_turn", alias_name="last_turn"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        n = batch["n_turns"].to_numpy(zero_copy_only=False)
+        s = batch["sum_score"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "conv_id": batch["conv_id"],
+            "n_turns": pa.array(n.astype(np.int64)),
+            "n_keep": pa.array(
+                batch["n_keep"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)),
+            "avg_quality": pa.array((s // n).astype(np.int64)),
+            "first_turn": pa.array(
+                batch["first_turn"].to_numpy(zero_copy_only=False)
+                .astype(np.int32)),
+            "last_turn": pa.array(
+                batch["last_turn"].to_numpy(zero_copy_only=False)
+                .astype(np.int32)),
+        })
+
+    return merged.map_batches(finish, batch_format="pyarrow")

@@ -87,6 +87,87 @@ def top_users_by_value(sf_dir: str, k: int = 20):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+def latest_event_per_user(sf_dir: str):
+    """J3 analog (argmax join, reference routes.py:43-82): for each user,
+    the event_type/value of their latest event (max ts; ties broken by
+    max event_id). Two-phase: per-batch argmax partials → per-user final
+    argmax — no full-row shuffle."""
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id",
+                                  "event_type", "value"])
+
+    def partial_argmax(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        top = df.groupby("user_id", sort=False).tail(1)
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    partials = ds.map_batches(partial_argmax, batch_format="pyarrow")
+    # final reduce over the (small) per-batch winners — one batch, whole
+    # block (batch_size=None) so the argmax is global
+    final = partials.repartition(1).map_batches(
+        partial_argmax, batch_format="pyarrow", batch_size=None)
+
+    def project(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        v = np.floor(df["value"].to_numpy() * 1000).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(df["user_id"].to_numpy()),
+            "last_event_id": pa.array(df["event_id"].to_numpy()),
+            "last_event_type": pa.array(df["event_type"], pa.string()),
+            "last_value_milli": pa.array(v),
+        })
+
+    return final.map_batches(project, batch_format="pyarrow")
+
+
+def event_windows(sf_dir: str):
+    """Tumbling 1-hour windows per (user bucket): window start epoch-hour,
+    event_type → count + fixed-point value sum (streaming-shaped analog;
+    the reference has no windows — SURVEY §2.9 — so this is the
+    training-pipeline extension expressed as groupby over ints)."""
+    from ray.data.aggregate import Sum
+    ds = _events(sf_dir, columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ts_us = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        hour = ts_us // 3_600_000_000
+        v = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                     * 1000).astype(np.int64)
+        df = pd.DataFrame({
+            "window_hour": hour,
+            "event_type": batch["event_type"].to_pylist(),
+            "n": 1,
+            "v": v,
+        })
+        g = (df.groupby(["window_hour", "event_type"], sort=False)
+             .agg(n=("n", "sum"), v=("v", "sum")).reset_index())
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby(["window_hour", "event_type"]).aggregate(
+                Sum("n", alias_name="n_events"),
+                Sum("v", alias_name="sum_value_milli"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_hour": pa.array(
+                batch["window_hour"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)),
+            "event_type": batch["event_type"],
+            "n_events": pa.array(
+                batch["n_events"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)),
+            "sum_value_milli": pa.array(
+                batch["sum_value_milli"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def timeliness_events(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
     """Per-event timeliness vs the table's max ts (the reference's
     upload-age rule, metadata.py:398-407, applied to the events stream):

@@ -61,7 +61,6 @@ def quality_pipeline(ds, cfg: PipelineConfig = DEFAULT_CONFIG,
     (needed when a near-dup pass follows). ``concurrency`` sizes the model
     actor pool (defaults to cfg.actor_pool_size).
     """
-    raw = ds
     ds = ds.map_batches(
         functools.partial(scrub_batch),
         batch_format="pyarrow", zero_copy_batch=True)
@@ -97,9 +96,15 @@ def quality_pipeline(ds, cfg: PipelineConfig = DEFAULT_CONFIG,
         import ray
         from dataquality_ray.stages.dedup import (
             assign_dup_from_map,
-            compute_dup_map,
+            compute_dup_map_from_hashed,
         )
-        dup_map = compute_dup_map(raw, cfg)   # cheap narrow side pipeline
+        # Checkpoint the scored stream in the object store (spills to disk
+        # under pressure), derive the dup map from its already-computed
+        # hash columns — no second scrub/hash pass over the corpus — then
+        # assign dup_of from the broadcast map. At cluster scale prefer
+        # quality_run(), which uses a parquet checkpoint instead.
+        ds = ds.materialize()
+        dup_map = compute_dup_map_from_hashed(ds, cfg)
         map_ref = ray.put(dup_map)
         ds = ds.map_batches(
             functools.partial(assign_dup_from_map, map_ref=map_ref),

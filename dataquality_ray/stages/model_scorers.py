@@ -92,21 +92,20 @@ class CombinedModelScorer:
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = _texts(batch, self.text_col)
         preds = self.model.predict_batch(texts)
-        langs, confs, lscores, ppls, pscores = [], [], [], [], []
-        for t, (lang, conf) in zip(texts, preds):
-            lp = self.lm.log2_ppl(t)
-            langs.append(lang)
-            confs.append(conf)
-            lscores.append(lang_score(lang, self.cfg))
-            ppls.append(lp)
-            pscores.append(ppl_score(lp, self.cfg))
+        ppls = self.lm.log2_ppl_batch(texts)
+        langs = [p[0] for p in preds]
+        confs = np.fromiter((p[1] for p in preds), dtype=np.float32,
+                            count=len(preds))
+        lscores = np.fromiter(
+            (lang_score(l, self.cfg) for l in langs), dtype=np.int32,
+            count=len(langs))
+        pscores = np.fromiter(
+            (ppl_score(float(x), self.cfg) for x in ppls), dtype=np.int32,
+            count=len(ppls))
         batch = batch.append_column("lang", pa.array(langs, pa.string()))
+        batch = batch.append_column("lang_conf", pa.array(confs))
+        batch = batch.append_column("lang_score", pa.array(lscores))
         batch = batch.append_column(
-            "lang_conf", pa.array(np.asarray(confs, dtype=np.float32)))
-        batch = batch.append_column(
-            "lang_score", pa.array(np.asarray(lscores, dtype=np.int32)))
-        batch = batch.append_column(
-            "log2_ppl", pa.array(np.asarray(ppls, dtype=np.float32)))
-        batch = batch.append_column(
-            "ppl_score", pa.array(np.asarray(pscores, dtype=np.int32)))
+            "log2_ppl", pa.array(ppls.astype(np.float32)))
+        batch = batch.append_column("ppl_score", pa.array(pscores))
         return batch
