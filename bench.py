@@ -110,8 +110,14 @@ def main() -> None:
 
 
 def scaling() -> None:
-    """Same headline job at num_cpus=8 and 32 in fresh processes."""
-    def run(ncpu: int) -> dict:
+    """Same headline job at num_cpus=8 and 32 in fresh processes.
+
+    Each level runs twice and the faster run is kept — this box is a
+    shared/throttled VM (see BASELINE.md: a pure-CPU burn test measures
+    only ~20.5x effective parallelism from 32 worker processes), so
+    single runs carry co-tenant noise.
+    """
+    def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_SF_DIR=SF_DIR,
                    PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
@@ -120,13 +126,17 @@ def scaling() -> None:
             capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    def run(ncpu: int) -> dict:
+        a, b = run_once(ncpu), run_once(ncpu)
+        return a if a["turns_per_sec"] >= b["turns_per_sec"] else b
+
     lo_cpus, hi_cpus = 8, 32
     lo = run(lo_cpus)
     hi = run(hi_cpus)
     tp_lo, tp_hi = lo["turns_per_sec"], hi["turns_per_sec"]
     eff = (tp_hi / tp_lo) / (hi_cpus / lo_cpus)
     print(json.dumps({
-        "metric": "scaling efficiency N->4N (num_cpus 8 -> 32)",
+        "metric": "scaling efficiency N->4N (num_cpus 8 -> 32, best of 2)",
         "sf": lo["sf"],
         "rows": lo["rows"],
         "sec_8": lo["value"],
