@@ -124,19 +124,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "timeliness_events": M.timeliness_events,
         "latest_event_per_user": M.latest_event_per_user,
         "event_windows": M.event_windows,
+        "user_sessions": M.user_sessions,
         # --- embeddings: similarity search (SQL-checked) ---
         "ann_topk_embeddings": D.ann_topk_embeddings,
         "embedding_near_dup": D.embedding_near_dup,
+        # IVF-bucketed approximate variant (rows-only; recall vs brute
+        # force asserted in tests/test_clustering.py)
+        "ivf_topk_embeddings": _ivf_topk_embeddings,
         # --- transcripts: flagship pipeline (rows-only; pytest-verified
         #     against the single-process oracle labeler) ---
         "transcript_pipeline": transcript_pipeline,
         "transcript_near_dup_pairs": transcript_near_dups,
         "transcript_run_summary": transcript_run_summary,
         "transcript_conv_stats": transcript_conv_stats,
+        "transcript_dup_clusters": _transcript_dup_clusters,
         # --- sketches + multimodal plumbing (rows-only) ---
         "doc_sketches": doc_sketches,
         "multimodal_features": multimodal_features,
     }
+
+
+def _ivf_topk_embeddings(sf_dir: str):
+    import os
+    import ray
+    from dataquality_ray.pipelines.documents import ANN_K, ANN_QUERY_IDS
+    from dataquality_ray.stages.clustering import ivf_topk
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return ivf_topk(ds, ANN_QUERY_IDS, k=ANN_K)
+
+
+def _transcript_dup_clusters(sf_dir: str):
+    from dataquality_ray.pipelines.quality import transcript_near_dup_pairs
+    from dataquality_ray.stages.clustering import dup_clusters
+    return dup_clusters(transcript_near_dup_pairs(_transcript_ds(sf_dir)))
 
 
 # ---------------------------------------------------------------------------
@@ -316,6 +336,22 @@ SELECT epoch_us(ts) // 3600000000 AS window_hour, event_type,
   CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
     AS sum_value_milli
 FROM events GROUP BY 1, 2
+""",
+        "user_sessions": """
+WITH o AS (SELECT event_id, user_id, epoch_us(ts) AS tus,
+             CAST(floor(value * 1000) AS BIGINT) AS v FROM events),
+m AS (SELECT *, CASE WHEN lag(tus) OVER w IS NULL
+                       OR tus - lag(tus) OVER w > 1800000000
+                     THEN 1 ELSE 0 END AS new_s
+      FROM o WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)),
+s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+        ORDER BY tus, event_id ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM m)
+SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+  MIN(tus) AS session_start_us,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(v) AS BIGINT) AS sum_value_milli
+FROM s GROUP BY 1, 2
 """,
         "ann_topk_embeddings": f"""
 WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe

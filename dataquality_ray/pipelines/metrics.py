@@ -168,6 +168,63 @@ def event_windows(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+SESSION_GAP_US = 30 * 60 * 1_000_000   # 30-minute inactivity gap
+
+
+def user_sessions(sf_dir: str, num_buckets: int = 16):
+    """Session windows per user (gap > 30 min starts a new session) —
+    the streaming-shaped operator the reference lacks (SURVEY §2.9),
+    expressed as the guide's pattern: partition by key, sort by ts within
+    partition, vectorized sessionization per group.
+
+    Shuffle shape: users are hashed into ``num_buckets`` reducer groups
+    (bounded group count — no per-user task overhead); inside each bucket
+    one pandas pass sessionizes every user at once.
+    Output: user_id, session_no (1-based per user), session_start_us,
+    n_events, sum_value_milli.
+    """
+    from ray.data.aggregate import Sum  # noqa: F401 (doc: mergeable aggs)
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        b = (u % num_buckets).astype(np.int32)
+        ts_us = pc.cast(batch["ts"], pa.int64())
+        v = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                     * 1000).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(b),
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            "ts_us": ts_us,
+            "v": pa.array(v),
+        })
+
+    def sessionize(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "event_id"],
+                            kind="mergesort")
+        new_user = df["user_id"].ne(df["user_id"].shift())
+        gap = df["ts_us"].diff() > SESSION_GAP_US
+        new_session = (new_user | gap)
+        df["session_no"] = new_session.groupby(
+            df["user_id"]).cumsum().astype(np.int64)
+        g = (df.groupby(["user_id", "session_no"], sort=False)
+             .agg(session_start_us=("ts_us", "min"),
+                  n_events=("ts_us", "size"),
+                  sum_value_milli=("v", "sum"))
+             .reset_index())
+        g["n_events"] = g["n_events"].astype(np.int64)
+        return g
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(sessionize, batch_format="pandas")
+            .map_batches(lambda t: t.drop_columns(["bucket"])
+                         if "bucket" in t.column_names else t,
+                         batch_format="pyarrow"))
+
+
 def timeliness_events(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
     """Per-event timeliness vs the table's max ts (the reference's
     upload-age rule, metadata.py:398-407, applied to the events stream):
