@@ -270,8 +270,10 @@ SELECT doc_id,
        ELSE 'DISCARD' END AS action
 FROM q
 """,
-        "exact_dedup_documents": r"""
-SELECT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS content_hash,
+        "exact_dedup_documents": f"""
+SELECT md5(regexp_replace(
+         regexp_replace(lower(text), '{spec.EDGE_WS_PATTERN}', '', 'g'),
+         '{spec.WS_PLUS_PATTERN}', ' ', 'g')) AS content_hash,
   MIN(doc_id) AS canonical_doc_id,
   CAST(COUNT(*) AS BIGINT) AS n_copies
 FROM documents GROUP BY 1

@@ -108,9 +108,11 @@ def exact_dedup_documents(sf_dir: str,
 
     def add_hash(batch: pa.Table) -> pa.Table:
         import hashlib
+        from dataquality_ray.spec import EDGE_WS_PATTERN, WS_PLUS_PATTERN
         norm = pc.replace_substring_regex(
-            pc.utf8_trim_whitespace(pc.utf8_lower(batch["text"])),
-            r"\s+", " ")
+            pc.replace_substring_regex(
+                pc.utf8_lower(batch["text"]), EDGE_WS_PATTERN, ""),
+            WS_PLUS_PATTERN, " ")
         hashes = [hashlib.md5(s.encode()).hexdigest()
                   for s in norm.to_pylist()]
         return pa.table({

@@ -50,7 +50,12 @@ PII_RULES: List[Tuple[str, str, str]] = [
     ("phone", PHONE_PATTERN, PHONE_TOKEN),
 ]
 
-_PII_COMPILED = [(name, re.compile(pat), repl) for name, pat, repl in PII_RULES]
+# re.ASCII everywhere: RE2 (pyarrow, DuckDB) treats \s, \w, \b as ASCII
+# classes; Python re defaults to Unicode. Pinning Python to ASCII keeps the
+# oracle and the vectorized kernels bit-identical on unicode whitespace
+# (NEL, NBSP, ...) — found by hypothesis (tests/test_property.py).
+_PII_COMPILED = [(name, re.compile(pat, re.ASCII), repl)
+                 for name, pat, repl in PII_RULES]
 
 
 def scrub_text(text: str) -> Tuple[str, Dict[str, int]]:
@@ -68,17 +73,23 @@ def scrub_text(text: str) -> Tuple[str, Dict[str, int]]:
 # ASCII alnum runs over lowercased text — identical under Python re, RE2 and
 # DuckDB ``regexp_extract_all(lower(text), '[a-z0-9]+')``.
 TOKEN_PATTERN = r"[a-z0-9]+"
-_TOKEN_RX = re.compile(TOKEN_PATTERN)
+_TOKEN_RX = re.compile(TOKEN_PATTERN, re.ASCII)
 
 
 def tokenize(text: str) -> List[str]:
     return _TOKEN_RX.findall(text.lower())
 
 
+# Whitespace is an EXPLICIT class: Python's ASCII \s includes \v but RE2's
+# \s does not — an explicit set is identical in Python, RE2 and DuckDB
+# (found by hypothesis on '\x0b').
+WS_CLASS = r"[\t\n\v\f\r ]"
+WS_PLUS_PATTERN = WS_CLASS + "+"
+
 # Symbols: ASCII classes only (RE2 ``\w`` is ASCII); non-Latin letters count
 # as symbols — documented behavior; language dims carry the nuance.
-SYMBOL_PATTERN = r"[^A-Za-z0-9\s]"
-_SYMBOL_RX = re.compile(SYMBOL_PATTERN)
+SYMBOL_PATTERN = r"[^A-Za-z0-9\t\n\v\f\r ]"
+_SYMBOL_RX = re.compile(SYMBOL_PATTERN, re.ASCII)
 
 
 def count_symbols(text: str) -> int:
@@ -240,12 +251,16 @@ def keep_decision(overall: int, cfg: PipelineConfig = DEFAULT_CONFIG) -> bool:
 # ---------------------------------------------------------------------------
 # Hashing / sketches — all seeds and parameters are frozen constants
 # ---------------------------------------------------------------------------
-_WS_RX = re.compile(r"\s+")
+_WS_RX = re.compile(WS_PLUS_PATTERN)
+EDGE_WS_PATTERN = f"^{WS_CLASS}+|{WS_CLASS}+$"   # RE2-safe trim
+_EDGE_WS_RX = re.compile(EDGE_WS_PATTERN)
 
 
 def normalize_for_hash(text: str) -> str:
-    """Lowercase, trim, collapse whitespace — the exact-dup equivalence key."""
-    return _WS_RX.sub(" ", text.strip().lower())
+    """Lowercase, ASCII-whitespace trim, collapse — the exact-dup
+    equivalence key. Regex-based trim (not str.strip) so Python, RE2 and
+    DuckDB agree on control characters like \\x1c-\\x1f."""
+    return _WS_RX.sub(" ", _EDGE_WS_RX.sub("", text.lower()))
 
 
 def content_hash(text: str) -> str:

@@ -61,11 +61,13 @@ def content_hash_batch(batch: pa.Table, text_col: str = "text",
     content hash for non-empty rows and a per-row unique key for empty
     ones (skew guard: empties never form a group).
     """
+    from dataquality_ray.spec import EDGE_WS_PATTERN, WS_PLUS_PATTERN
     text = batch[text_col]
     if isinstance(text, pa.ChunkedArray):
         text = text.combine_chunks()
     norm = pc.replace_substring_regex(
-        pc.utf8_trim_whitespace(pc.utf8_lower(text)), r"\s+", " ")
+        pc.replace_substring_regex(pc.utf8_lower(text), EDGE_WS_PATTERN, ""),
+        WS_PLUS_PATTERN, " ")
 
     if "order_key" not in batch.column_names:
         conv = batch["conv_id"]
@@ -256,7 +258,7 @@ class MinHashSimHash:
         self.text_col = text_col
         self.cfg = cfg
         self.a, self.b = minhash_params(cfg.minhash_perms, cfg.seed)
-        self.token_rx = re.compile(TOKEN_PATTERN)
+        self.token_rx = re.compile(TOKEN_PATTERN, re.ASCII)
         self.token_cache: Dict[str, int] = {}
 
     def _token_hashes(self, text: str) -> np.ndarray:
