@@ -205,10 +205,18 @@ def quality_run(ds, work_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
 
 
 def transcript_near_dup_pairs(ds, cfg: PipelineConfig = DEFAULT_CONFIG,
-                              concurrency: Optional[int] = None):
+                              concurrency: Optional[int] = None,
+                              strategy: str = "carry"):
     """Side output: (key_a, key_b, jaccard) near-dup pairs over scrubbed
     transcript text (reference analog: similarity_pairs,
-    metadata.py:592-597, computed there as an O(n²) loop)."""
+    metadata.py:592-597, computed there as an O(n²) loop).
+
+    ``strategy``: "carry" ships token sets inside the band rows (simple;
+    volume × lsh_bands); "join" ships slim band rows and attaches token
+    sets via two hash joins (the 100 TB path — corpus payload moves 2×
+    instead of 32×). Both produce identical pairs (tested).
+    """
+    from dataquality_ray.stages.dedup import near_dup_pairs_join
     ds = ds.map_batches(functools.partial(scrub_batch, with_counts=False),
                         batch_format="pyarrow", zero_copy_batch=True)
     ds = ds.map_batches(content_hash_batch, batch_format="pyarrow")
@@ -218,6 +226,8 @@ def transcript_near_dup_pairs(ds, cfg: PipelineConfig = DEFAULT_CONFIG,
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         concurrency=(1, concurrency or cfg.actor_pool_size))
+    if strategy == "join":
+        return near_dup_pairs_join(ds.materialize(), cfg)
     return near_dup_pairs(ds, cfg)
 
 

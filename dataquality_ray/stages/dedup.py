@@ -411,6 +411,162 @@ def _dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
     return df.drop_duplicates(["key_a", "key_b"])
 
 
+def explode_bands_slim(batch: pa.Table,
+                       cfg: PipelineConfig = DEFAULT_CONFIG) -> pa.Table:
+    """Band rows WITHOUT payload: (band_key, band_bucket, order_key) only —
+    ~25 bytes/row instead of the token list. Used by the join-based
+    variant (the 100 TB path)."""
+    sigs = batch["minhash_sig"].combine_chunks() \
+        if isinstance(batch["minhash_sig"], pa.ChunkedArray) \
+        else batch["minhash_sig"]
+    keys = batch["order_key"].to_pylist()
+    toks = batch["token_hashes"].to_pylist()
+    sig_lists = sigs.to_pylist()
+    b, r = cfg.lsh_bands, cfg.lsh_rows
+    band_keys: List[str] = []
+    buckets: List[int] = []
+    out_keys: List[str] = []
+    for i in range(len(keys)):
+        if not toks[i]:
+            continue
+        row = np.asarray(sig_lists[i], dtype=np.uint64)
+        for bi in range(b):
+            seg = row[bi * r:(bi + 1) * r]
+            digest = hashlib.md5(bytes([bi]) + seg.tobytes()).digest()
+            band_keys.append(f"{bi}:{digest[:8].hex()}")
+            buckets.append(int.from_bytes(digest[4:8], "little")
+                           % cfg.num_buckets)
+            out_keys.append(keys[i])
+    return pa.table({
+        "band_key": pa.array(band_keys, pa.string()),
+        "band_bucket": pa.array(buckets, pa.int32()),
+        "order_key": pa.array(out_keys, pa.string()),
+    })
+
+
+def _bucket_candidates(df: pd.DataFrame, cfg: PipelineConfig
+                       ) -> pd.DataFrame:
+    """Candidate (key_a < key_b) pairs within band groups of one bucket —
+    no verification payload here."""
+    out_a: List[str] = []
+    out_b: List[str] = []
+    df = df.drop_duplicates(["band_key", "order_key"])
+    sizes = df.groupby("band_key", sort=False)["order_key"].transform("size")
+    multi = df[sizes > 1]
+    for _, g in multi.groupby("band_key", sort=False):
+        if len(g) > cfg.max_lsh_bucket:
+            g = g.sort_values("order_key").head(cfg.max_lsh_bucket)
+        keys = sorted(g["order_key"])
+        k = len(keys)
+        for i in range(k):
+            for j in range(i + 1, k):
+                out_a.append(keys[i])
+                out_b.append(keys[j])
+    return pd.DataFrame({"key_a": out_a, "key_b": out_b}) \
+        .drop_duplicates()
+
+
+def near_dup_pairs_join(ds, cfg: PipelineConfig = DEFAULT_CONFIG,
+                        num_partitions: int | None = None):
+    """Join-based LSH near-dup (the 100 TB shape): slim band rows →
+    candidate pairs → two hash joins against the sketch table to attach
+    each side's token set + content hash → exact-Jaccard verification.
+
+    Shuffle volume: corpus sketches move twice (≈2× row payload) instead
+    of ``lsh_bands``× as in ``near_dup_pairs`` — the carrying-cost
+    crossover is at bands > 2, so this wins whenever payloads are
+    non-trivial. Requires Ray's hash-partitioned ``Dataset.join``.
+    ``num_partitions`` defaults to ~half the cluster CPUs (join
+    aggregators are actors — oversizing deadlocks a small cluster).
+    """
+    if num_partitions is None:
+        import ray
+        try:
+            num_partitions = max(2, int(
+                ray.cluster_resources().get("CPU", 4)) // 2)
+        except Exception:
+            num_partitions = 4
+
+    def pack_sketch(t: pa.Table) -> pa.Table:
+        # Acero joins reject list<> non-key fields — pack the uint64 token
+        # set into a binary blob for the join, unpack in verify.
+        toks = t["token_hashes"].to_pylist()
+        blobs = [np.asarray(x, dtype=np.uint64).tobytes() for x in toks]
+        return pa.table({
+            "order_key": t["order_key"],
+            "content_hash": t["content_hash"],
+            "token_bytes": pa.array(blobs, pa.binary()),
+        })
+
+    sketch = ds.map_batches(pack_sketch, batch_format="pyarrow")
+
+    bands = ds.map_batches(
+        functools.partial(explode_bands_slim, cfg=cfg),
+        batch_format="pyarrow")
+    cands = (bands.groupby("band_bucket")
+             .map_groups(functools.partial(_bucket_candidates, cfg=cfg),
+                         batch_format="pandas")
+             .map_batches(lambda t: t, batch_format="pyarrow"))
+    # distinct pairs across bands (bucketed drop_duplicates)
+    cands = (cands.map_batches(
+                lambda df: df.assign(
+                    pair_bucket=[_bucket_of(f"{a}|{b}", cfg.num_buckets)
+                                 for a, b in zip(df["key_a"], df["key_b"])]),
+                batch_format="pandas")
+             .groupby("pair_bucket")
+             .map_groups(lambda g: g.drop_duplicates(["key_a", "key_b"]),
+                         batch_format="pandas")
+             .map_batches(lambda t: t.drop_columns(["pair_bucket"]),
+                          batch_format="pyarrow"))
+
+    a_joined = cands.join(sketch, join_type="inner",
+                          num_partitions=num_partitions,
+                          on=("key_a",), right_on=("order_key",))
+
+    def rename_a(t: pa.Table) -> pa.Table:
+        cols = {c: (c + "_a" if c in ("content_hash", "token_bytes")
+                    else c)
+                for c in t.column_names}
+        t = t.rename_columns([cols[c] for c in t.column_names])
+        if "order_key" in t.column_names:
+            t = t.drop_columns(["order_key"])
+        return t
+
+    b_joined = a_joined.map_batches(rename_a, batch_format="pyarrow") \
+        .join(sketch, join_type="inner", num_partitions=num_partitions,
+              on=("key_b",), right_on=("order_key",))
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ka = batch["key_a"].to_pylist()
+        kb = batch["key_b"].to_pylist()
+        ha = batch["content_hash_a"].to_pylist()
+        hb = batch["content_hash"].to_pylist()
+        ta = batch["token_bytes_a"].to_pylist()
+        tb = batch["token_bytes"].to_pylist()
+        out_a, out_b, out_j = [], [], []
+        for i in range(len(ka)):
+            if ha[i] == hb[i]:
+                continue  # exact dups handled by exact_dedup
+            sa = frozenset(np.frombuffer(ta[i], dtype=np.uint64))
+            sb = frozenset(np.frombuffer(tb[i], dtype=np.uint64))
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            jac = inter / union if union else 1.0
+            if jac >= cfg.near_dup_jaccard:
+                out_a.append(ka[i])
+                out_b.append(kb[i])
+                out_j.append(jac)
+        return pa.table({
+            "key_a": pa.array(out_a, pa.string()),
+            "key_b": pa.array(out_b, pa.string()),
+            "jaccard": pa.array(out_j, pa.float64()),
+        })
+
+    return b_joined.map_batches(verify, batch_format="pyarrow")
+
+
 def near_dup_pairs(ds, cfg: PipelineConfig = DEFAULT_CONFIG):
     """Full LSH near-dup pipeline over a dataset that already carries
     minhash_sig / token_hashes / order_key. Returns a distinct

@@ -142,6 +142,16 @@ class TestNearDup:
             assert abs(jac[(a, b)] - j) < 1e-9
 
 
+class TestNearDupJoinStrategy:
+    def test_join_strategy_equals_carry(self, small_transcripts):
+        ds_a = ray.data.from_arrow(small_transcripts)
+        ds_b = ray.data.from_arrow(small_transcripts)
+        carry = transcript_near_dup_pairs(ds_a, strategy="carry").to_pandas()
+        join = transcript_near_dup_pairs(ds_b, strategy="join").to_pandas()
+        assert set(zip(carry.key_a, carry.key_b)) \
+            == set(zip(join.key_a, join.key_b))
+
+
 class TestRunSummary:
     def test_action_counts(self, small_transcripts, small_oracle):
         ds = ray.data.from_arrow(small_transcripts)
