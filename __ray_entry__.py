@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_run_summary": transcript_run_summary,
         "transcript_conv_stats": transcript_conv_stats,
         "transcript_dup_clusters": _transcript_dup_clusters,
+        "transcript_simhash_pairs": _transcript_simhash_pairs,
         # --- sketches + multimodal plumbing (rows-only) ---
         "doc_sketches": doc_sketches,
         "multimodal_features": multimodal_features,
@@ -151,6 +152,20 @@ def _ivf_topk_embeddings(sf_dir: str):
     from dataquality_ray.stages.clustering import ivf_topk
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     return ivf_topk(ds, ANN_QUERY_IDS, k=ANN_K)
+
+
+def _transcript_simhash_pairs(sf_dir: str):
+    import functools
+    from dataquality_ray.stages.dedup import (
+        MinHashSimHash, content_hash_batch, simhash_near_dup)
+    from dataquality_ray.stages.scrub import scrub_batch
+    ds = _transcript_ds(sf_dir)
+    ds = ds.map_batches(functools.partial(scrub_batch, with_counts=False),
+                        batch_format="pyarrow")
+    ds = ds.map_batches(content_hash_batch, batch_format="pyarrow")
+    ds = ds.map_batches(MinHashSimHash, batch_format="pyarrow",
+                        concurrency=(1, CFG.actor_pool_size))
+    return simhash_near_dup(ds)
 
 
 def _transcript_dup_clusters(sf_dir: str):

@@ -567,6 +567,92 @@ def near_dup_pairs_join(ds, cfg: PipelineConfig = DEFAULT_CONFIG,
     return b_joined.map_batches(verify, batch_format="pyarrow")
 
 
+def simhash_near_dup(ds, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """SimHash near-dup pairs: Hamming(simhash_a, simhash_b) <=
+    cfg.simhash_max_hamming (the reference's cosine >= 0.95 analog,
+    metadata.py:599), found without O(n²) via pigeonhole banding:
+
+    the 64-bit signature is split into ``simhash_max_hamming + 1``
+    contiguous bit chunks — any pair within the Hamming budget must agree
+    EXACTLY on at least one chunk — so candidate generation is a
+    groupby on (chunk_id, chunk_value) and verification is a vectorized
+    Hamming check. Exact recall (pigeonhole guarantees it), exact
+    precision (verified).
+
+    Input must carry order_key + simhash. Returns (key_a, key_b, hamming).
+    """
+    n_chunks = cfg.simhash_max_hamming + 1
+    bits = 64 // n_chunks          # low 62/63 bits covered; remainder
+    # bits beyond n_chunks*bits are ignored by banding but still verified
+
+    def explode(batch: pa.Table) -> pa.Table:
+        sims = batch["simhash"].to_numpy(zero_copy_only=False)
+        keys = batch["order_key"].to_pylist()
+        out_key, out_band, out_bucket, out_sim = [], [], [], []
+        for i in range(len(keys)):
+            s = int(sims[i])
+            if s == 0:
+                continue   # empty texts never pair
+            for c in range(n_chunks):
+                chunk = (s >> (c * bits)) & ((1 << bits) - 1)
+                band = f"{c}:{chunk:x}"
+                out_key.append(keys[i])
+                out_band.append(band)
+                out_bucket.append(_bucket_of(band, cfg.num_buckets))
+                out_sim.append(s)
+        return pa.table({
+            "band_key": pa.array(out_band, pa.string()),
+            "band_bucket": pa.array(out_bucket, pa.int32()),
+            "order_key": pa.array(out_key, pa.string()),
+            "simhash": pa.array(np.array(out_sim, dtype=np.uint64)),
+        })
+
+    def bucket_pairs_sim(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_h = [], [], []
+        df = df.drop_duplicates(["band_key", "order_key"])
+        sizes = df.groupby("band_key", sort=False)["order_key"] \
+                  .transform("size")
+        for _, g in df[sizes > 1].groupby("band_key", sort=False):
+            if len(g) > cfg.max_lsh_bucket:
+                g = g.sort_values("order_key").head(cfg.max_lsh_bucket)
+            keys = g["order_key"].to_numpy()
+            sims = g["simhash"].to_numpy().astype(np.uint64)
+            k = len(keys)
+            for i in range(k):
+                d = hamming64(np.full(k - i - 1, sims[i], dtype=np.uint64),
+                              sims[i + 1:])
+                for j_off in np.flatnonzero(
+                        d <= cfg.simhash_max_hamming):
+                    j = i + 1 + j_off
+                    if keys[i] == keys[j]:
+                        continue
+                    a, b = sorted((keys[i], keys[j]))
+                    out_a.append(a)
+                    out_b.append(b)
+                    out_h.append(int(d[j_off]))
+        return pd.DataFrame({"key_a": out_a, "key_b": out_b,
+                             "hamming": out_h}).drop_duplicates(
+                                 ["key_a", "key_b"])
+
+    pairs = (ds.map_batches(explode, batch_format="pyarrow")
+             .groupby("band_bucket")
+             .map_groups(bucket_pairs_sim, batch_format="pandas"))
+
+    def add_pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["pair_bucket"] = [
+            _bucket_of(f"{a}|{b}", cfg.num_buckets)
+            for a, b in zip(df["key_a"], df["key_b"])]
+        return df
+
+    return (pairs.map_batches(add_pair_bucket, batch_format="pandas")
+            .groupby("pair_bucket")
+            .map_groups(lambda g: g.drop_duplicates(["key_a", "key_b"]),
+                        batch_format="pandas")
+            .map_batches(lambda t: t.drop_columns(["pair_bucket"]),
+                         batch_format="pyarrow"))
+
+
 def near_dup_pairs(ds, cfg: PipelineConfig = DEFAULT_CONFIG):
     """Full LSH near-dup pipeline over a dataset that already carries
     minhash_sig / token_hashes / order_key. Returns a distinct

@@ -142,6 +142,59 @@ class TestNearDup:
             assert abs(jac[(a, b)] - j) < 1e-9
 
 
+class TestSimHashNearDup:
+    def test_matches_exact_hamming_oracle(self, small_transcripts):
+        import functools
+
+        import numpy as np
+
+        from dataquality_ray.config import DEFAULT_CONFIG as cfg
+        from dataquality_ray.spec import order_key as mk_key
+        from dataquality_ray.stages.dedup import (
+            MinHashSimHash,
+            content_hash_batch,
+            hamming64,
+            simhash_near_dup,
+        )
+        from dataquality_ray.stages.scrub import scrub_batch
+
+        ds = ray.data.from_arrow(small_transcripts)
+        ds = ds.map_batches(
+            functools.partial(scrub_batch, with_counts=False),
+            batch_format="pyarrow")
+        ds = ds.map_batches(content_hash_batch, batch_format="pyarrow")
+        ds = ds.map_batches(MinHashSimHash, batch_format="pyarrow",
+                            concurrency=(1, 2)).materialize()
+        got = simhash_near_dup(ds).to_pandas()
+        got_set = set(zip(got.key_a, got.key_b))
+
+        # exact O(n²) oracle over the same simhashes
+        tab = ds.to_pandas()
+        sims = tab["simhash"].to_numpy().astype(np.uint64)
+        keys = tab["order_key"].to_numpy()
+        want = set()
+        for i in range(len(keys)):
+            if sims[i] == 0:
+                continue
+            rest = sims[i + 1:]
+            d = hamming64(np.full(len(rest), sims[i], dtype=np.uint64),
+                          rest)
+            for j_off in np.flatnonzero(
+                    (d <= cfg.simhash_max_hamming) & (rest != 0)):
+                j = i + 1 + j_off
+                if keys[i] != keys[j]:
+                    want.add(tuple(sorted((keys[i], keys[j]))))
+        assert want, "fixture must contain simhash near-dups"
+        assert got_set == want   # pigeonhole banding: exact recall
+        # hamming values correct
+        by_key = {mk_key(c, t): s for c, t, s in zip(
+            tab["conv_id"], tab["turn_idx"], sims)}
+        for a, b, h in zip(got.key_a, got.key_b, got.hamming):
+            d = hamming64(np.array([by_key[a]], dtype=np.uint64),
+                          np.array([by_key[b]], dtype=np.uint64))[0]
+            assert int(d) == h
+
+
 class TestNearDupJoinStrategy:
     def test_join_strategy_equals_carry(self, small_transcripts):
         ds_a = ray.data.from_arrow(small_transcripts)
