@@ -70,40 +70,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                   with_dedup=False, sort_output=False)
         return conv_stats(scored)
 
-    def doc_sketches(sf_dir: str):
-        import functools
-        import os
-        import ray
-        import pyarrow as pa
-        from dataquality_ray.stages.dedup import (
-            MinHashSimHash, content_hash_batch)
-        ds = ray.data.read_parquet(
-            os.path.join(sf_dir, "documents.parquet"),
-            columns=["doc_id", "text"])
-        ds = ds.map_batches(
-            lambda t: content_hash_batch(
-                t.append_column("conv_id",
-                                pa.array([str(d) for d in
-                                          t["doc_id"].to_pylist()]))
-                 .append_column("turn_idx",
-                                pa.array([0] * t.num_rows, pa.int32()))),
-            batch_format="pyarrow")
-        ds = ds.map_batches(MinHashSimHash, batch_format="pyarrow",
-                            concurrency=(1, CFG.actor_pool_size))
-
-        def project(t: pa.Table) -> pa.Table:
-            from dataquality_ray.spec import rolling_fingerprint
-            fp = [rolling_fingerprint(s) for s in t["text"].to_pylist()]
-            return pa.table({
-                "doc_id": t["doc_id"],
-                "content_hash": t["content_hash"],
-                "simhash": t["simhash"],
-                "fingerprint": pa.array(fp, pa.uint64()),
-                "minhash_sig": t["minhash_sig"],
-            })
-
-        return ds.map_batches(project, batch_format="pyarrow")
-
     def multimodal_features(sf_dir: str):
         from dataquality_ray.stages.multimodal import multimodal_demo
         return multimodal_demo(sf_dir)
@@ -128,9 +94,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- embeddings: similarity search (SQL-checked) ---
         "ann_topk_embeddings": D.ann_topk_embeddings,
         "embedding_near_dup": D.embedding_near_dup,
-        # IVF-bucketed approximate variant (rows-only; recall vs brute
-        # force asserted in tests/test_clustering.py)
+        # approximate variants (rows-only; recall vs brute force / exact
+        # asserted in tests/test_clustering.py)
         "ivf_topk_embeddings": _ivf_topk_embeddings,
+        "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         # --- transcripts: flagship pipeline (rows-only; pytest-verified
         #     against the single-process oracle labeler) ---
         "transcript_pipeline": transcript_pipeline,
@@ -139,8 +106,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_conv_stats": transcript_conv_stats,
         "transcript_dup_clusters": _transcript_dup_clusters,
         "transcript_simhash_pairs": _transcript_simhash_pairs,
-        # --- sketches + multimodal plumbing (rows-only) ---
-        "doc_sketches": doc_sketches,
+        # --- sketches (doc_sketches SQL-checked) + multimodal (rows-only) ---
+        "doc_sketches": D.doc_sketches,
+        "doc_sim_sketches": D.doc_sim_sketches,
         "multimodal_features": multimodal_features,
     }
 
@@ -152,6 +120,21 @@ def _ivf_topk_embeddings(sf_dir: str):
     from dataquality_ray.stages.clustering import ivf_topk
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     return ivf_topk(ds, ANN_QUERY_IDS, k=ANN_K)
+
+
+def _embedding_near_dup_lsh(sf_dir: str):
+    # Same 0.4 threshold as the exact triangle-join query, with a wide
+    # Hamming budget (pigeonhole recall is exact for signature Hamming
+    # <= 28; pairs at cosine 0.4 sit at ~23.6 expected Hamming, so
+    # recall is high but < 1 — bounded in tests/test_clustering.py).
+    # In the production near-dup regime (t >= 0.9, Hamming ~9) the
+    # default budget gives recall ~= 1 with far smaller band groups.
+    import os
+    import ray
+    from dataquality_ray.pipelines.documents import EMB_NEAR_DUP_COSINE
+    from dataquality_ray.stages.similarity import embedding_near_dup_lsh
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_near_dup_lsh(ds, EMB_NEAR_DUP_COSINE, max_hamming=28)
 
 
 def _transcript_simhash_pairs(sf_dir: str):
@@ -392,5 +375,26 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
   round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine_sim
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.emb, b.emb) >= {EMB_NEAR_DUP_COSINE}
+""",
+        # rolling fingerprint: same fold as spec.rolling_fingerprint —
+        # HUGEINT accumulator keeps h*FP_MULT (< 2^84) exact; % 2^64 each
+        # step == numpy uint64 wraparound on the Ray side
+        "doc_sketches": f"""
+WITH n AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(lower(text), '{spec.EDGE_WS_PATTERN}',
+                   '', 'g'), '{spec.WS_PLUS_PATTERN}', ' ', 'g') AS s
+  FROM documents)
+SELECT doc_id,
+  md5(s) AS content_hash,
+  CASE WHEN length(s) = 0 THEN CAST({spec.FP_OFFSET} AS UBIGINT)
+       ELSE CAST(list_reduce(
+         list_prepend(CAST({spec.FP_OFFSET} AS HUGEINT),
+           list_transform(string_split(s, ''),
+                          x -> CAST(ord(x) AS HUGEINT))),
+         (h, c) -> (h * {spec.FP_MULT} + c) % 18446744073709551616)
+       AS UBIGINT)
+  END AS fingerprint
+FROM n
 """,
     }

@@ -4,7 +4,8 @@
 Headline: the flagship transcript quality pipeline (scrub + heuristics +
 model actors + decision + exact-dedup shuffle + stable sort + parquet
 write) over a deterministic transcript fixture sized to $GRAFT_SF_DIR
-(default /root/testdata/sf0.1 → 200k turns). Prints ONE JSON line:
+(default /root/testdata/sf0.1 → 4,000,144 turns; see
+fixtures.scale_for_sf_dir). Prints ONE JSON line:
 
   {"metric": "...", "value": <headline sec>, "unit": "sec",
    "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
@@ -97,8 +98,9 @@ def main() -> None:
     finally:
         ray.shutdown()
     print(json.dumps({
-        "metric": ("turns/sec keep-drop+scrub throughput "
-                   "(transcript quality pipeline, F1=1.0 vs oracle)"),
+        "metric": ("transcript quality pipeline wall-time, sec "
+                   "(keep-drop+scrub, F1=1.0 vs oracle; derived "
+                   "throughput in the turns_per_sec field)"),
         "value": round(head["sec"], 3),
         "unit": "sec",
         "queries": queries,

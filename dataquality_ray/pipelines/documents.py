@@ -243,6 +243,60 @@ def quality_by_source(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
 
 
 # ---------------------------------------------------------------------------
+# sketches (content hash + rolling fingerprint; SimHash/MinHash variant)
+# ---------------------------------------------------------------------------
+
+def doc_sketches(sf_dir: str):
+    """doc_id, content_hash (md5 of normalized text), fingerprint
+    (vectorized polynomial rolling hash, spec.rolling_fingerprint) —
+    SQL-checked; single map_batches pass, one normalization, no shuffle.
+    Reference analog: the embed-text composition + content identity the
+    dedup gate keys on (metadata.py:318-347)."""
+    import hashlib
+
+    from dataquality_ray.spec import EDGE_WS_PATTERN, WS_PLUS_PATTERN
+    from dataquality_ray.stages.dedup import fingerprints_of_norm
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def sketch(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        norm = pc.replace_substring_regex(
+            pc.replace_substring_regex(
+                pc.utf8_lower(text), EDGE_WS_PATTERN, ""),
+            WS_PLUS_PATTERN, " ").to_pylist()
+        hashes = [hashlib.md5(s.encode("utf-8")).hexdigest() for s in norm]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "content_hash": pa.array(hashes, pa.string()),
+            "fingerprint": pa.array(fingerprints_of_norm(norm)),
+        })
+
+    return ds.map_batches(sketch, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def doc_sim_sketches(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """doc_id, simhash, minhash_sig — the similarity-sketch surface
+    (rows-only: SimHash/MinHash are not SQL-expressible; their pair
+    outputs are oracle-bounded in tests instead)."""
+    from dataquality_ray.stages.dedup import MinHashSimHash
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(
+        MinHashSimHash,
+        fn_constructor_kwargs={"cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=(1, cfg.actor_pool_size))
+    return ds.map_batches(
+        lambda t: t.select(["doc_id", "simhash", "minhash_sig"]),
+        batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
 # embeddings: ANN top-k + cosine near-dup pairs
 # ---------------------------------------------------------------------------
 

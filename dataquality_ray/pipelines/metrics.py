@@ -87,11 +87,14 @@ def top_users_by_value(sf_dir: str, k: int = 20):
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
-def latest_event_per_user(sf_dir: str):
+def latest_event_per_user(sf_dir: str, num_buckets: int = 16):
     """J3 analog (argmax join, reference routes.py:43-82): for each user,
     the event_type/value of their latest event (max ts; ties broken by
-    max event_id). Two-phase: per-batch argmax partials → per-user final
-    argmax — no full-row shuffle."""
+    max event_id). Two-phase: per-batch argmax partials → bucketed
+    groupby argmax over the (small) per-batch winners — no full-row
+    shuffle and no single-task ``repartition(1)`` reduce (the partials
+    grow with users × map tasks; a hashed-bucket reduce keeps every
+    stage parallel)."""
     ds = _events(sf_dir, columns=["event_id", "ts", "user_id",
                                   "event_type", "value"])
 
@@ -99,14 +102,19 @@ def latest_event_per_user(sf_dir: str):
         df = batch.to_pandas()
         df = df.sort_values(["user_id", "ts", "event_id"],
                             kind="mergesort")
-        top = df.groupby("user_id", sort=False).tail(1)
+        top = df.groupby("user_id", sort=False).tail(1).copy()
+        top["bucket"] = (top["user_id"].to_numpy() % num_buckets) \
+            .astype(np.int32)
         return pa.Table.from_pandas(top, preserve_index=False)
 
-    partials = ds.map_batches(partial_argmax, batch_format="pyarrow")
-    # final reduce over the (small) per-batch winners — one batch, whole
-    # block (batch_size=None) so the argmax is global
-    final = partials.repartition(1).map_batches(
-        partial_argmax, batch_format="pyarrow", batch_size=None)
+    def bucket_argmax(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts", "event_id"],
+                            kind="mergesort")
+        return df.groupby("user_id", sort=False).tail(1)
+
+    final = (ds.map_batches(partial_argmax, batch_format="pyarrow")
+             .groupby("bucket")
+             .map_groups(bucket_argmax, batch_format="pandas"))
 
     def project(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()

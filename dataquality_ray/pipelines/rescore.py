@@ -29,7 +29,11 @@ def rescore(scored_ds, cfg: PipelineConfig = DEFAULT_CONFIG,
     """
 
     def strip_and_rescore(batch: pa.Table) -> pa.Table:
-        drop = [c for c in ("overall_quality_score", "action", "keep")
+        # "dimensions" included: a checkpoint written with
+        # with_evidence=True must not keep stale {score, evidence}
+        # structs that contradict the recomputed decision
+        drop = [c for c in ("overall_quality_score", "action", "keep",
+                            "dimensions")
                 if c in batch.column_names]
         drop += [c for c in batch.column_names if c.startswith("dim_")]
         if drop:

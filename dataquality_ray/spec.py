@@ -296,11 +296,22 @@ def jaccard(set_a, set_b) -> float:
     return inter / (len(set_a) + len(set_b) - inter)
 
 
+# Rolling-fingerprint constants: multiplicative-accumulate (NOT FNV's
+# multiply-XOR) — chosen because h_n = OFF·p^n + Σ c_i·p^(n-1-i) (mod 2^64)
+# vectorizes as a polynomial over codepoint arrays (numpy uint64 wraparound
+# IS mod-2^64 arithmetic; see stages/dedup.fingerprint_batch) and is
+# SQL-expressible via DuckDB list_reduce with a HUGEINT accumulator
+# (p < 2^20 keeps h·p < 2^84 inside HUGEINT range).
+FP_MULT = 1000003
+FP_OFFSET = 1469598103934665603   # FNV offset basis, reused as init
+
+
 def rolling_fingerprint(text: str) -> int:
-    """64-bit polynomial rolling hash of the normalized text."""
-    h = 1469598103934665603  # FNV offset basis
+    """64-bit polynomial rolling hash of the normalized text:
+    h = OFFSET; per codepoint: h = (h * FP_MULT + cp) mod 2^64."""
+    h = FP_OFFSET
     for ch in normalize_for_hash(text):
-        h = ((h * 1099511628211) ^ ord(ch)) & 0xFFFFFFFFFFFFFFFF
+        h = (h * FP_MULT + ord(ch)) & 0xFFFFFFFFFFFFFFFF
     return h
 
 

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import functools
 import hashlib
+import logging
 from typing import Dict, List
 
 import numpy as np
@@ -40,6 +41,19 @@ from dataquality_ray.spec import (
     minhash_params,
     token_hash_u64,
 )
+
+logger = logging.getLogger("dataquality_ray.dedup")
+
+
+def _log_capped_groups(where: str, n_groups: int, max_size: int,
+                       largest: int) -> None:
+    """Counter/log for band groups truncated at cfg.max_lsh_bucket —
+    truncation trades recall for bounded work on hot bands (see the
+    simhash_near_dup docstring for the recall caveat)."""
+    logger.warning(
+        "%s: %d band group(s) exceeded max_lsh_bucket=%d (largest=%d); "
+        "members beyond the cap were dropped from pairing",
+        where, n_groups, max_size, largest)
 
 
 def _bucket_of(key: str, num_buckets: int) -> int:
@@ -98,6 +112,48 @@ def content_hash_batch(batch: pa.Table, text_col: str = "text",
     batch = batch.append_column("dedup_key", pa.array(dedup_keys, pa.string()))
     batch = batch.append_column("hash_bucket", pa.array(buckets))
     return batch
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text",
+                      out_col: str = "fingerprint") -> pa.Table:
+    """Vectorized ``spec.rolling_fingerprint`` over a batch: one numpy
+    polynomial-hash evaluation per row (codepoint array × powers of
+    FP_MULT, uint64 wraparound = mod 2^64) instead of a per-character
+    Python loop. Normalization (lower/trim/collapse) runs in Arrow RE2
+    kernels. Bit-identical to the scalar spec (tested)."""
+    from dataquality_ray.spec import EDGE_WS_PATTERN, WS_PLUS_PATTERN
+    text = batch[text_col]
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    norm = pc.replace_substring_regex(
+        pc.replace_substring_regex(pc.utf8_lower(text), EDGE_WS_PATTERN, ""),
+        WS_PLUS_PATTERN, " ")
+    return batch.append_column(
+        out_col, pa.array(fingerprints_of_norm(norm.to_pylist())))
+
+
+def fingerprints_of_norm(norm_texts: List[str]) -> np.ndarray:
+    """uint64 polynomial fingerprints of ALREADY-normalized strings."""
+    from dataquality_ray.spec import FP_MULT, FP_OFFSET
+    mult = np.uint64(FP_MULT)
+    off = np.uint64(FP_OFFSET)
+    out = np.empty(len(norm_texts), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, s in enumerate(norm_texts):
+            codes = np.frombuffer(s.encode("utf-32-le"),
+                                  dtype=np.uint32).astype(np.uint64)
+            n = len(codes)
+            if n == 0:
+                out[i] = off
+                continue
+            powers = np.empty(n, dtype=np.uint64)
+            powers[0] = 1
+            if n > 1:
+                np.cumprod(np.full(n - 1, mult, dtype=np.uint64),
+                           out=powers[1:])
+            out[i] = off * (powers[-1] * mult) \
+                + np.sum(codes * powers[::-1], dtype=np.uint64)
+    return out
 
 
 def _bucket_dedup(df: pd.DataFrame) -> pd.DataFrame:
@@ -327,48 +383,70 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 # LSH banding → candidate pairs → exact-Jaccard verification
 # ---------------------------------------------------------------------------
 
+_BAND_MIX_P1 = np.uint64(0x9E3779B97F4A7C15)   # splitmix64 constants
+_BAND_MIX_P2 = np.uint64(0xBF58476D1CE4E5B9)
+
+
+def _band_key_matrix(sig_mat: np.ndarray, bands: int, rows: int
+                     ) -> np.ndarray:
+    """(n, bands) uint64 band keys from an (n, bands·rows) signature
+    matrix — a vectorized splitmix-style fold over each band's ``rows``
+    values plus a per-band offset, so equal band slices always produce
+    equal keys (LSH correctness needs only that; a 64-bit mix makes
+    cross-band/accidental collisions ~2⁻⁶⁴, and any false candidate is
+    removed by the exact verification step)."""
+    seg = sig_mat.reshape(len(sig_mat), bands, rows)
+    with np.errstate(over="ignore"):
+        h = np.zeros((len(sig_mat), bands), dtype=np.uint64)
+        for ri in range(rows):                      # rows is small (4)
+            h = (h ^ seg[:, :, ri]) * _BAND_MIX_P1
+            h ^= h >> np.uint64(29)
+        h = h + np.arange(bands, dtype=np.uint64)[None, :] * _BAND_MIX_P2
+    return h
+
+
+def _sig_matrix(batch: pa.Table) -> np.ndarray:
+    sigs = batch["minhash_sig"]
+    if isinstance(sigs, pa.ChunkedArray):
+        sigs = sigs.combine_chunks()
+    flat = sigs.flatten().to_numpy(zero_copy_only=False)
+    return flat.reshape(batch.num_rows, -1).astype(np.uint64, copy=False)
+
+
+def _banded_indices(batch: pa.Table, cfg: PipelineConfig):
+    """Shared band-explosion core: (row_idx, band_key, band_bucket) for
+    all rows with ≥1 token, fully vectorized (no per-row Python loop)."""
+    toks = batch["token_hashes"]
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    tok_len = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+    keep = np.flatnonzero(tok_len > 0)
+    b, r = cfg.lsh_bands, cfg.lsh_rows
+    keys = _band_key_matrix(_sig_matrix(batch)[keep], b, r).ravel()
+    row_idx = np.repeat(keep, b)
+    with np.errstate(over="ignore"):
+        buckets = ((keys * _BAND_MIX_P2) >> np.uint64(33)) \
+            % np.uint64(cfg.num_buckets)
+    return row_idx, keys, buckets.astype(np.int32)
+
+
 def explode_bands(batch: pa.Table, cfg: PipelineConfig = DEFAULT_CONFIG
                   ) -> pa.Table:
-    """One row per (row × band): band_key = band_id ‖ md5(band slice).
+    """One row per (row × band): band_key = vectorized 64-bit fold of the
+    band's signature slice (+ band offset).
 
     Carries order_key + token_hashes for in-bucket exact verification.
     Rows with no tokens are dropped (they can never pair). Adds
-    band_bucket = hash(band_key) % num_buckets for the bucketed shuffle.
+    band_bucket = mix(band_key) % num_buckets for the bucketed shuffle.
     """
-    sigs = batch["minhash_sig"].combine_chunks() \
-        if isinstance(batch["minhash_sig"], pa.ChunkedArray) \
-        else batch["minhash_sig"]
-    keys = batch["order_key"].to_pylist()
-    toks = batch["token_hashes"].to_pylist()
-    chashes = batch["content_hash"].to_pylist()
-    sig_lists = sigs.to_pylist()
-    b, r = cfg.lsh_bands, cfg.lsh_rows
-
-    band_keys: List[str] = []
-    buckets: List[int] = []
-    out_keys: List[str] = []
-    out_toks: List[list] = []
-    out_ch: List[str] = []
-    for i in range(len(keys)):
-        if not toks[i]:
-            continue
-        row = np.asarray(sig_lists[i], dtype=np.uint64)
-        for bi in range(b):
-            seg = row[bi * r:(bi + 1) * r]
-            digest = hashlib.md5(bytes([bi]) + seg.tobytes()).digest()
-            bk = f"{bi}:{digest[:8].hex()}"
-            band_keys.append(bk)
-            buckets.append(int.from_bytes(digest[4:8], "little")
-                           % cfg.num_buckets)
-            out_keys.append(keys[i])
-            out_toks.append(toks[i])
-            out_ch.append(chashes[i])
+    row_idx, keys, buckets = _banded_indices(batch, cfg)
+    idx = pa.array(row_idx)
     return pa.table({
-        "band_key": pa.array(band_keys, pa.string()),
-        "band_bucket": pa.array(buckets, pa.int32()),
-        "order_key": pa.array(out_keys, pa.string()),
-        "token_hashes": pa.array(out_toks, pa.list_(pa.uint64())),
-        "content_hash": pa.array(out_ch, pa.string()),
+        "band_key": pa.array(keys),
+        "band_bucket": pa.array(buckets),
+        "order_key": pc.take(batch["order_key"], idx),
+        "token_hashes": pc.take(batch["token_hashes"], idx),
+        "content_hash": pc.take(batch["content_hash"], idx),
     })
 
 
@@ -383,8 +461,11 @@ def _bucket_pairs(df: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
     df = df.drop_duplicates(["band_key", "order_key"])
     sizes = df.groupby("band_key", sort=False)["order_key"].transform("size")
     multi = df[sizes > 1]
+    n_capped, largest = 0, 0
     for _, g in multi.groupby("band_key", sort=False):
         if len(g) > cfg.max_lsh_bucket:
+            n_capped += 1
+            largest = max(largest, len(g))
             g = g.sort_values("order_key").head(cfg.max_lsh_bucket)
         keys = g["order_key"].to_numpy()
         toks = [frozenset(t) for t in g["token_hashes"]]
@@ -404,6 +485,9 @@ def _bucket_pairs(df: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
                     out_a.append(a)
                     out_b.append(bkey)
                     out_j.append(jac)
+    if n_capped:
+        _log_capped_groups("_bucket_pairs", n_capped, cfg.max_lsh_bucket,
+                           largest)
     return pd.DataFrame({"key_a": out_a, "key_b": out_b, "jaccard": out_j})
 
 
@@ -416,31 +500,11 @@ def explode_bands_slim(batch: pa.Table,
     """Band rows WITHOUT payload: (band_key, band_bucket, order_key) only —
     ~25 bytes/row instead of the token list. Used by the join-based
     variant (the 100 TB path)."""
-    sigs = batch["minhash_sig"].combine_chunks() \
-        if isinstance(batch["minhash_sig"], pa.ChunkedArray) \
-        else batch["minhash_sig"]
-    keys = batch["order_key"].to_pylist()
-    toks = batch["token_hashes"].to_pylist()
-    sig_lists = sigs.to_pylist()
-    b, r = cfg.lsh_bands, cfg.lsh_rows
-    band_keys: List[str] = []
-    buckets: List[int] = []
-    out_keys: List[str] = []
-    for i in range(len(keys)):
-        if not toks[i]:
-            continue
-        row = np.asarray(sig_lists[i], dtype=np.uint64)
-        for bi in range(b):
-            seg = row[bi * r:(bi + 1) * r]
-            digest = hashlib.md5(bytes([bi]) + seg.tobytes()).digest()
-            band_keys.append(f"{bi}:{digest[:8].hex()}")
-            buckets.append(int.from_bytes(digest[4:8], "little")
-                           % cfg.num_buckets)
-            out_keys.append(keys[i])
+    row_idx, keys, buckets = _banded_indices(batch, cfg)
     return pa.table({
-        "band_key": pa.array(band_keys, pa.string()),
-        "band_bucket": pa.array(buckets, pa.int32()),
-        "order_key": pa.array(out_keys, pa.string()),
+        "band_key": pa.array(keys),
+        "band_bucket": pa.array(buckets),
+        "order_key": pc.take(batch["order_key"], pa.array(row_idx)),
     })
 
 
@@ -453,8 +517,11 @@ def _bucket_candidates(df: pd.DataFrame, cfg: PipelineConfig
     df = df.drop_duplicates(["band_key", "order_key"])
     sizes = df.groupby("band_key", sort=False)["order_key"].transform("size")
     multi = df[sizes > 1]
+    n_capped, largest = 0, 0
     for _, g in multi.groupby("band_key", sort=False):
         if len(g) > cfg.max_lsh_bucket:
+            n_capped += 1
+            largest = max(largest, len(g))
             g = g.sort_values("order_key").head(cfg.max_lsh_bucket)
         keys = sorted(g["order_key"])
         k = len(keys)
@@ -462,6 +529,9 @@ def _bucket_candidates(df: pd.DataFrame, cfg: PipelineConfig
             for j in range(i + 1, k):
                 out_a.append(keys[i])
                 out_b.append(keys[j])
+    if n_capped:
+        _log_capped_groups("_bucket_candidates", n_capped,
+                           cfg.max_lsh_bucket, largest)
     return pd.DataFrame({"key_a": out_a, "key_b": out_b}) \
         .drop_duplicates()
 
@@ -576,8 +646,15 @@ def simhash_near_dup(ds, cfg: PipelineConfig = DEFAULT_CONFIG):
     contiguous bit chunks — any pair within the Hamming budget must agree
     EXACTLY on at least one chunk — so candidate generation is a
     groupby on (chunk_id, chunk_value) and verification is a vectorized
-    Hamming check. Exact recall (pigeonhole guarantees it), exact
-    precision (verified).
+    Hamming check. Recall is exact by the pigeonhole argument EXCEPT for
+    members dropped from band groups larger than ``cfg.max_lsh_bucket``
+    (hot bands; logged when it happens); precision is exact (verified).
+
+    Empty rows are excluded by *emptiness*, not by the ``simhash == 0``
+    sentinel — a legitimate non-empty text can hash to 0 (every bit vote
+    <= 0). Emptiness comes from ``is_empty_norm`` when present (produced
+    by content_hash_batch), else a zero ``token_hashes`` length, else —
+    only as a last resort — the 0-sentinel.
 
     Input must carry order_key + simhash. Returns (key_a, key_b, hamming).
     """
@@ -586,25 +663,40 @@ def simhash_near_dup(ds, cfg: PipelineConfig = DEFAULT_CONFIG):
     # bits beyond n_chunks*bits are ignored by banding but still verified
 
     def explode(batch: pa.Table) -> pa.Table:
-        sims = batch["simhash"].to_numpy(zero_copy_only=False)
-        keys = batch["order_key"].to_pylist()
-        out_key, out_band, out_bucket, out_sim = [], [], [], []
-        for i in range(len(keys)):
-            s = int(sims[i])
-            if s == 0:
-                continue   # empty texts never pair
-            for c in range(n_chunks):
-                chunk = (s >> (c * bits)) & ((1 << bits) - 1)
-                band = f"{c}:{chunk:x}"
-                out_key.append(keys[i])
-                out_band.append(band)
-                out_bucket.append(_bucket_of(band, cfg.num_buckets))
-                out_sim.append(s)
+        sims = batch["simhash"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64, copy=False)
+        if "is_empty_norm" in batch.column_names:
+            col = batch["is_empty_norm"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            nonempty = ~col.to_numpy(zero_copy_only=False)
+        elif "token_hashes" in batch.column_names:
+            toks = batch["token_hashes"]
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            nonempty = pc.list_value_length(toks) \
+                .to_numpy(zero_copy_only=False) > 0
+        else:
+            nonempty = sims != 0
+        keep = np.flatnonzero(nonempty)
+        s = sims[keep]
+        # (k, n_chunks) chunk values, vectorized shifts — band key packs
+        # (chunk_id, chunk_value) into one uint64
+        mask = np.uint64((1 << bits) - 1)
+        shifts = (np.arange(n_chunks, dtype=np.uint64)
+                  * np.uint64(bits))[None, :]
+        chunks = (s[:, None] >> shifts) & mask
+        band = (np.arange(n_chunks, dtype=np.uint64)[None, :]
+                << np.uint64(bits)) | chunks
+        with np.errstate(over="ignore"):
+            bucket = ((band * _BAND_MIX_P2) >> np.uint64(33)) \
+                % np.uint64(cfg.num_buckets)
+        idx = pa.array(np.repeat(keep, n_chunks))
         return pa.table({
-            "band_key": pa.array(out_band, pa.string()),
-            "band_bucket": pa.array(out_bucket, pa.int32()),
-            "order_key": pa.array(out_key, pa.string()),
-            "simhash": pa.array(np.array(out_sim, dtype=np.uint64)),
+            "band_key": pa.array(band.ravel()),
+            "band_bucket": pa.array(bucket.ravel().astype(np.int32)),
+            "order_key": pc.take(batch["order_key"], idx),
+            "simhash": pa.array(np.repeat(s, n_chunks)),
         })
 
     def bucket_pairs_sim(df: pd.DataFrame) -> pd.DataFrame:
@@ -612,8 +704,11 @@ def simhash_near_dup(ds, cfg: PipelineConfig = DEFAULT_CONFIG):
         df = df.drop_duplicates(["band_key", "order_key"])
         sizes = df.groupby("band_key", sort=False)["order_key"] \
                   .transform("size")
+        n_capped, largest = 0, 0
         for _, g in df[sizes > 1].groupby("band_key", sort=False):
             if len(g) > cfg.max_lsh_bucket:
+                n_capped += 1
+                largest = max(largest, len(g))
                 g = g.sort_values("order_key").head(cfg.max_lsh_bucket)
             keys = g["order_key"].to_numpy()
             sims = g["simhash"].to_numpy().astype(np.uint64)
@@ -630,6 +725,9 @@ def simhash_near_dup(ds, cfg: PipelineConfig = DEFAULT_CONFIG):
                     out_a.append(a)
                     out_b.append(b)
                     out_h.append(int(d[j_off]))
+        if n_capped:
+            _log_capped_groups("bucket_pairs_sim", n_capped,
+                               cfg.max_lsh_bucket, largest)
         return pd.DataFrame({"key_a": out_a, "key_b": out_b,
                              "hamming": out_h}).drop_duplicates(
                                  ["key_a", "key_b"])

@@ -1,20 +1,19 @@
 """Similarity search stages: cosine top-k ANN and all-pairs similarity.
 
-Patterns (reference analog: the O(n²) cosine dedup loop and the
-one-vs-corpus ``find_duplicates``, metadata.py:182-211,514-624 — here
-re-expressed as broadcast + blocked matmul so each Ray task does a
-vectorized slice of the comparison matrix):
+Reference analog: the O(n²) cosine dedup loop and the one-vs-corpus
+``find_duplicates`` (metadata.py:182-211,514-624), re-expressed as
+distributed shuffle/broadcast shapes:
 
-- **broadcast-small-side**: the query matrix / corpus token matrix is
-  ``ray.put`` ONCE on the driver; every map_batches task reads the object
-  ref (zero re-shipping per batch) and matmuls its batch against it.
-- **blocked all-pairs**: each batch of rows × broadcast full matrix →
-  emits only pairs above threshold with id_a < id_b (no duplicate pairs,
-  no driver-side loop).
-
-Scale path: for corpora where the broadcast side no longer fits a worker
-(≳ millions of vectors), swap the broadcast for an IVF/LSH bucket
-join — same groupby-shuffle shape as stages/dedup.py near_dup_pairs.
+- ``cosine_topk``: **broadcast-small-side** — the (tiny) query matrix is
+  ``ray.put`` ONCE; every map_batches task matmuls its batch against it
+  and emits a partial top-k; the driver reduces k×|queries| rows.
+- ``embedding_near_dup_pairs``: **triangle partitioning** — exact
+  all-pairs without driver materialization; every unordered pair lands
+  in exactly one of C(C+1)/2 chunk-pair groups.
+- ``embedding_near_dup_lsh``: **random-hyperplane LSH** banding + exact
+  cosine verify — the probabilistic-recall path for web-scale corpora.
+- ``token_jaccard_pairs``: **MinHash-LSH candidates + exact verify** —
+  same banded-shuffle topology as stages/dedup.py, keyed on int ids.
 """
 
 from __future__ import annotations
@@ -23,6 +22,7 @@ from typing import List, Optional
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray
 
@@ -108,89 +108,277 @@ def cosine_topk(ds, query_ids: List[int], k: int = 10,
 
 def embedding_near_dup_pairs(ds, threshold: float,
                              id_col: str = "vec_id",
-                             emb_col: str = "embedding"):
-    """All pairs with cosine >= threshold (id_a < id_b), blocked matmul
-    against a broadcast normalized corpus matrix."""
-    full = ds.to_pandas()
-    ids = full[id_col].to_numpy().astype(np.int64)
-    mat = _normalize(np.stack(
-        [np.asarray(e, dtype=np.float64) for e in full[emb_col]]))
-    order = np.argsort(ids)
-    ids, mat = ids[order], mat[order]
-    ref = ray.put((ids, mat))
+                             emb_col: str = "embedding",
+                             num_chunks: int = 8):
+    """All pairs with cosine >= threshold (id_a < id_b) via distributed
+    *triangle partitioning* — EXACT (every pair is examined once) and
+    fully streaming: no driver materialization, no broadcast of the
+    corpus matrix.
 
-    def block_pairs(batch: pa.Table) -> pa.Table:
-        all_ids, all_mat = ray.get(ref)
-        bids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        bm = _normalize(_as_matrix(batch[emb_col]))
-        sims = bm @ all_mat.T                   # (batch, n_all)
-        ai, aj = np.where(sims >= threshold)
-        ia, ib = bids[ai], all_ids[aj]
-        keep = ia < ib                          # canonical ordering, no self
+    Each vector is assigned a chunk ``c = id % C`` and replicated into
+    the C pair-groups {(min(c,o), max(c,o)) : o < C}; every unordered
+    pair of vectors lands in exactly one group, where a vectorized
+    matmul scores it. Shuffle volume = C × corpus (C ≈ √#tasks). This is
+    the exactness-preserving shape; for web-scale corpora where C×corpus
+    is too much, use ``embedding_near_dup_lsh`` (random-hyperplane
+    banding + exact cosine verify — probabilistic recall).
+    """
+    C = num_chunks
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        n = len(ids)
+        chunk = ids % C
+        others = np.arange(C, dtype=np.int64)
+        a = np.minimum(chunk[:, None], others[None, :])
+        b = np.maximum(chunk[:, None], others[None, :])
+        gid = (a * C + b).ravel()              # (n*C,)
+        idx = pa.array(np.repeat(np.arange(n), C))
         return pa.table({
-            "id_a": pa.array(ia[keep], pa.int64()),
-            "id_b": pa.array(ib[keep], pa.int64()),
-            "cosine_sim": pa.array(np.round(sims[ai, aj][keep], 6),
-                                   pa.float64()),
+            "gid": pa.array(gid, pa.int64()),
+            "pid": pc.take(batch[id_col], idx),
+            "emb": pc.take(batch[emb_col], idx),
         })
 
-    return ds.map_batches(block_pairs, batch_format="pyarrow")
+    def group_pairs(df) -> "pd.DataFrame":
+        import pandas as pd
+        if len(df) == 0:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "cosine_sim": pd.Series(dtype="float64")})
+        gid = int(df["gid"].iloc[0])
+        ga, gb = divmod(gid, C)
+        ids = df["pid"].to_numpy().astype(np.int64)
+        mat = _normalize(np.stack(
+            [np.asarray(e, dtype=np.float64) for e in df["emb"]]))
+        chunk = ids % C
+        if ga == gb:
+            order = np.argsort(ids)
+            ids, mat = ids[order], mat[order]
+            sims = mat @ mat.T
+            iu = np.triu_indices(len(ids), k=1)
+            keep = sims[iu] >= threshold
+            id_a, id_b = ids[iu[0][keep]], ids[iu[1][keep]]
+            cs = sims[iu][keep]
+        else:
+            la, lb = chunk == ga, chunk == gb
+            ia_all, ib_all = ids[la], ids[lb]
+            if not len(ia_all) or not len(ib_all):
+                return group_pairs(df.iloc[:0])
+            sims = mat[la] @ mat[lb].T
+            ai, bj = np.where(sims >= threshold)
+            ia, ib = ia_all[ai], ib_all[bj]
+            id_a = np.minimum(ia, ib)
+            id_b = np.maximum(ia, ib)
+            cs = sims[ai, bj]
+        return pd.DataFrame({"id_a": id_a.astype(np.int64),
+                             "id_b": id_b.astype(np.int64),
+                             "cosine_sim": np.round(cs, 6)})
+
+    return (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby("gid")
+            .map_groups(group_pairs, batch_format="pandas")
+            .map_batches(lambda t: t, batch_format="pyarrow"))
+
+
+def rh_signatures(mat: np.ndarray, planes: np.ndarray) -> np.ndarray:
+    """64-bit random-hyperplane (SimHash) signatures of row vectors."""
+    bits = (mat @ planes.T > 0).astype(np.uint8)          # (n, 64)
+    return np.packbits(bits, axis=1, bitorder="little") \
+        .view(np.uint64).ravel()
+
+
+def hyperplanes(dim: int, n_bits: int = 64, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_bits, dim))
+
+
+def embedding_near_dup_lsh(ds, threshold: float,
+                           id_col: str = "vec_id",
+                           emb_col: str = "embedding",
+                           max_hamming: int = 24,
+                           num_buckets: int = 32,
+                           seed: int = 42):
+    """Scale path for cosine near-dup: random-hyperplane 64-bit
+    signatures → pigeonhole banding (``max_hamming + 1`` chunks; any pair
+    within the Hamming budget must agree exactly on >= 1 chunk) → exact
+    cosine verification inside each band group.
+
+    Recall is probabilistic: a pair at cosine t has expected signature
+    Hamming 64·arccos(t)/π, so choose ``max_hamming`` ≳ that + a few σ
+    (t=0.9 → ≈9 expected; the default 24 gives recall ≈ 1 for t ≥ 0.8).
+    Precision is exact (verified). Shuffle volume = (max_hamming+1) ×
+    slim rows + per-group payload; no driver materialization.
+    """
+    import pandas as pd
+
+    n_chunks = max_hamming + 1
+    bits = max(1, 64 // n_chunks)
+    planes_ref = {}
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        mat = _as_matrix(batch[emb_col])
+        if "p" not in planes_ref:   # built once per worker (seeded)
+            planes_ref["p"] = hyperplanes(mat.shape[1], seed=seed)
+        sig = rh_signatures(_normalize(mat), planes_ref["p"])
+        mask = np.uint64((1 << bits) - 1)
+        shifts = (np.arange(n_chunks, dtype=np.uint64)
+                  * np.uint64(bits))[None, :]
+        chunks = (sig[:, None] >> shifts) & mask
+        band = (np.arange(n_chunks, dtype=np.uint64)[None, :]
+                << np.uint64(bits)) | chunks
+        with np.errstate(over="ignore"):
+            bucket = ((band * np.uint64(0xBF58476D1CE4E5B9))
+                      >> np.uint64(33)) % np.uint64(num_buckets)
+        idx = pa.array(np.repeat(np.arange(len(ids)), n_chunks))
+        return pa.table({
+            "band_key": pa.array(band.ravel()),
+            "band_bucket": pa.array(bucket.ravel().astype(np.int32)),
+            "pid": pc.take(batch[id_col], idx),
+            "emb": pc.take(batch[emb_col], idx),
+        })
+
+    def bucket_pairs(df: "pd.DataFrame") -> "pd.DataFrame":
+        out_a, out_b, out_s = [], [], []
+        df = df.drop_duplicates(["band_key", "pid"])
+        sizes = df.groupby("band_key", sort=False)["pid"].transform("size")
+        for _, g in df[sizes > 1].groupby("band_key", sort=False):
+            ids = g["pid"].to_numpy().astype(np.int64)
+            order = np.argsort(ids)
+            ids = ids[order]
+            mat = _normalize(np.stack(
+                [np.asarray(e, dtype=np.float64) for e in g["emb"]]))[order]
+            sims = mat @ mat.T
+            iu = np.triu_indices(len(ids), k=1)
+            keep = sims[iu] >= threshold
+            out_a.extend(ids[iu[0][keep]].tolist())
+            out_b.extend(ids[iu[1][keep]].tolist())
+            out_s.extend(np.round(sims[iu][keep], 6).tolist())
+        return pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
+                             "id_b": pd.Series(out_b, dtype="int64"),
+                             "cosine_sim": pd.Series(out_s,
+                                                     dtype="float64")})
+
+    pairs = (ds.map_batches(explode, batch_format="pyarrow")
+             .groupby("band_bucket")
+             .map_groups(bucket_pairs, batch_format="pandas"))
+
+    def add_pb(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.copy()
+        a = df["id_a"].to_numpy().astype(np.uint64)
+        b = df["id_b"].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            df["pair_bucket"] = (((a * np.uint64(0x9E3779B97F4A7C15)) ^ b)
+                                 % np.uint64(num_buckets)).astype(np.int32)
+        return df
+
+    return (pairs.map_batches(add_pb, batch_format="pandas")
+            .groupby("pair_bucket")
+            .map_groups(lambda g: g.drop_duplicates(["id_a", "id_b"]),
+                        batch_format="pandas")
+            .map_batches(lambda t: t.drop_columns(["pair_bucket"]),
+                         batch_format="pyarrow"))
 
 
 def token_jaccard_pairs(ds, threshold: float,
-                        id_col: str, text_col: str = "text"):
-    """All pairs with distinct-token-set Jaccard >= threshold, via a
-    broadcast binary doc-term matrix and blocked integer matmul
-    (exact — matches a SQL list_intersect oracle bit-for-bit).
+                        id_col: str, text_col: str = "text",
+                        cfg=None):
+    """All pairs with distinct-token-set Jaccard >= threshold, via
+    MinHash-LSH candidate generation + EXACT token-set verification —
+    no driver materialization, no dense doc-term matrix.
 
-    |A∩B| = M @ M.T over the 0/1 doc-term matrix; |A∪B| = |A|+|B|−|A∩B|.
+    Topology (same shape as stages/dedup.py near_dup_pairs): per-row
+    token-hash sets + MinHash signatures (actor pool, built once per
+    actor) → vectorized banded keys → bucketed groupby → in-bucket exact
+    Jaccard over the token-hash sets → distinct pairs.
+
+    Exactness: the *verification* is exact set Jaccard, so reported
+    values match the SQL ``list_intersect`` oracle bit-for-bit (counts
+    divided in float64; 64-bit token hashes make a token collision
+    ~2⁻⁶⁴ per vocab pair). Recall: a pair at Jaccard j is missed iff it
+    collides in none of b bands of r rows — P = (1−j^r)^b ≈ 1.4e-15 at
+    j=0.9 with the default 32×4 banding. Identical token sets always
+    collide (P = 0 miss).
     """
-    from dataquality_ray.spec import tokenize
+    import pandas as pd
 
-    full = ds.to_pandas()
-    ids = full[id_col].to_numpy().astype(np.int64)
-    token_sets = [set(tokenize(t)) for t in full[text_col]]
-    vocab = {}
-    for s in token_sets:
-        for t in s:
-            if t not in vocab:
-                vocab[t] = len(vocab)
-    m = np.zeros((len(ids), len(vocab)), dtype=np.float32)
-    for i, s in enumerate(token_sets):
-        for t in s:
-            m[i, vocab[t]] = 1.0
-    sizes = m.sum(axis=1)
-    order = np.argsort(ids)
-    ids, m, sizes = ids[order], m[order], sizes[order]
-    ref = ray.put((ids, m, sizes, vocab))
+    from dataquality_ray.config import DEFAULT_CONFIG
+    from dataquality_ray.stages.dedup import (
+        MinHashSimHash,
+        _banded_indices,
+        _log_capped_groups,
+    )
 
-    def block(batch: pa.Table) -> pa.Table:
-        all_ids, all_m, all_sizes, voc = ray.get(ref)
-        bids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
-        bsets = [set(tokenize(t)) for t in batch[text_col].to_pylist()]
-        bm = np.zeros((len(bids), all_m.shape[1]), dtype=np.float32)
-        for i, s in enumerate(bsets):
-            for t in s:
-                j = voc.get(t)
-                if j is not None:
-                    bm[i, j] = 1.0
-        # counts are small ints, exactly representable in f32; divide in
-        # f64 so the result is bit-identical to SQL double division
-        inter = (bm @ all_m.T).astype(np.float64)
-        bsizes = bm.sum(axis=1, dtype=np.float64)
-        union = bsizes[:, None] + all_sizes.astype(np.float64)[None, :] - inter
-        with np.errstate(divide="ignore", invalid="ignore"):
-            jac = np.where(union > 0, inter / union, 1.0)
-        ai, aj = np.where(jac >= threshold)
-        ia, ib = bids[ai], all_ids[aj]
-        # canonical ordering + zero-token guard (SQL oracle excludes
-        # token-less rows from pairing)
-        keep = (ia < ib) & (bsizes[ai] > 0) & (all_sizes[aj] > 0)
+    cfg = cfg or DEFAULT_CONFIG
+
+    sketch = ds.map_batches(
+        MinHashSimHash,
+        fn_constructor_kwargs={"text_col": text_col, "cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=(1, cfg.actor_pool_size))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        row_idx, keys, buckets = _banded_indices(batch, cfg)
+        idx = pa.array(row_idx)
         return pa.table({
-            "id_a": pa.array(ia[keep], pa.int64()),
-            "id_b": pa.array(ib[keep], pa.int64()),
-            "jaccard": pa.array(jac[ai, aj][keep].astype(np.float64),
-                                pa.float64()),
+            "band_key": pa.array(keys),
+            "band_bucket": pa.array(buckets),
+            "pid": pc.take(batch[id_col], idx),
+            "token_hashes": pc.take(batch["token_hashes"], idx),
         })
 
-    return ds.map_batches(block, batch_format="pyarrow")
+    def bucket_pairs(df: "pd.DataFrame") -> "pd.DataFrame":
+        out_a, out_b, out_j = [], [], []
+        df = df.drop_duplicates(["band_key", "pid"])
+        sizes = df.groupby("band_key", sort=False)["pid"].transform("size")
+        n_capped, largest = 0, 0
+        for _, g in df[sizes > 1].groupby("band_key", sort=False):
+            if len(g) > cfg.max_lsh_bucket:
+                n_capped += 1
+                largest = max(largest, len(g))
+                g = g.sort_values("pid").head(cfg.max_lsh_bucket)
+            ids = g["pid"].to_numpy().astype(np.int64)
+            order = np.argsort(ids)
+            ids = ids[order]
+            toks = [frozenset(t) for t in g["token_hashes"].iloc[order]]
+            k = len(ids)
+            for i in range(k):
+                si = toks[i]
+                for j in range(i + 1, k):
+                    sj = toks[j]
+                    inter = len(si & sj)
+                    union = len(si) + len(sj) - inter
+                    jac = inter / union if union else 1.0
+                    if jac >= threshold:
+                        out_a.append(int(ids[i]))
+                        out_b.append(int(ids[j]))
+                        out_j.append(jac)
+        if n_capped:
+            _log_capped_groups("token_jaccard_pairs", n_capped,
+                               cfg.max_lsh_bucket, largest)
+        return pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
+                             "id_b": pd.Series(out_b, dtype="int64"),
+                             "jaccard": pd.Series(out_j, dtype="float64")})
+
+    pairs = (sketch.map_batches(explode, batch_format="pyarrow")
+             .groupby("band_bucket")
+             .map_groups(bucket_pairs, batch_format="pandas"))
+
+    def add_pb(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.copy()
+        a = df["id_a"].to_numpy().astype(np.uint64)
+        b = df["id_b"].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            df["pair_bucket"] = (((a * np.uint64(0x9E3779B97F4A7C15)) ^ b)
+                                 % np.uint64(cfg.num_buckets)) \
+                .astype(np.int32)
+        return df
+
+    return (pairs.map_batches(add_pb, batch_format="pandas")
+            .groupby("pair_bucket")
+            .map_groups(lambda g: g.drop_duplicates(["id_a", "id_b"]),
+                        batch_format="pandas")
+            .map_batches(lambda t: t.drop_columns(["pair_bucket"]),
+                         batch_format="pyarrow"))

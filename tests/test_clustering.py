@@ -79,3 +79,31 @@ class TestIVF:
         again = ivf_topk(rd.read_parquet(path), [0, 1, 2], k=10,
                          n_clusters=8, n_probe=4).to_pandas()
         assert approx.equals(again)
+
+
+class TestEmbeddingNearDupLSH:
+    def test_precision_exact_recall_bounded(self, ray_session):
+        """RH-LSH banded near-dup vs the exact triangle-join path:
+        precision must be exact (verified cosine); recall bounded below
+        (pigeonhole: exact for signature Hamming <= budget)."""
+        import ray.data as rd
+        from dataquality_ray.stages.similarity import (
+            embedding_near_dup_pairs,
+            embedding_near_dup_lsh,
+        )
+        path = "/root/testdata/sf0.01/embeddings.parquet"
+        exact = embedding_near_dup_pairs(
+            rd.read_parquet(path), 0.4).to_pandas()
+        approx = embedding_near_dup_lsh(
+            rd.read_parquet(path), 0.4, max_hamming=28).to_pandas()
+        eset = set(zip(exact.id_a, exact.id_b))
+        aset = set(zip(approx.id_a, approx.id_b))
+        assert eset, "fixture must contain near-dup pairs"
+        assert aset <= eset                      # exact precision
+        assert len(aset & eset) / len(eset) >= 0.8, (
+            f"LSH recall {len(aset & eset) / len(eset)}")
+        # verified cosine values agree with the exact path
+        ex = {(a, b): s for a, b, s in
+              zip(exact.id_a, exact.id_b, exact.cosine_sim)}
+        for a, b, s in zip(approx.id_a, approx.id_b, approx.cosine_sim):
+            assert abs(ex[(a, b)] - s) < 1e-9

@@ -168,19 +168,22 @@ class TestSimHashNearDup:
         got = simhash_near_dup(ds).to_pandas()
         got_set = set(zip(got.key_a, got.key_b))
 
-        # exact O(n²) oracle over the same simhashes
+        # exact O(n²) oracle over the same simhashes; empty rows excluded
+        # by normalized-emptiness (NOT the simhash==0 sentinel — matches
+        # the pipeline's guard)
         tab = ds.to_pandas()
         sims = tab["simhash"].to_numpy().astype(np.uint64)
         keys = tab["order_key"].to_numpy()
+        nonempty = ~tab["is_empty_norm"].to_numpy()
         want = set()
         for i in range(len(keys)):
-            if sims[i] == 0:
+            if not nonempty[i]:
                 continue
             rest = sims[i + 1:]
             d = hamming64(np.full(len(rest), sims[i], dtype=np.uint64),
                           rest)
             for j_off in np.flatnonzero(
-                    (d <= cfg.simhash_max_hamming) & (rest != 0)):
+                    (d <= cfg.simhash_max_hamming) & nonempty[i + 1:]):
                 j = i + 1 + j_off
                 if keys[i] != keys[j]:
                     want.add(tuple(sorted((keys[i], keys[j]))))

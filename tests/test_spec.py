@@ -138,3 +138,18 @@ class TestModels:
         junk = lm.log2_ppl("zzz qqq xxx www vvv")
         assert clean < junk
         assert lm.log2_ppl("") == 16.0
+
+
+class TestFingerprintVectorized:
+    def test_batch_matches_scalar(self):
+        import numpy as np
+        import pyarrow as pa
+        from dataquality_ray import spec
+        from dataquality_ray.stages.dedup import fingerprint_batch
+        texts = ["hello world", "", "  MiXeD   Case \t text ", "é ñ 日本語",
+                 "a", "x" * 500, "line\nbreaks\nand\ttabs"]
+        batch = pa.table({"text": pa.array(texts, pa.string())})
+        got = fingerprint_batch(batch)["fingerprint"].to_numpy()
+        want = np.array([spec.rolling_fingerprint(t) for t in texts],
+                        dtype=np.uint64)
+        assert (got == want).all()
