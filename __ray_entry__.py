@@ -74,9 +74,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from dataquality_ray.stages.multimodal import multimodal_demo
         return multimodal_demo(sf_dir)
 
+    def transcript_entities(sf_dir: str):
+        import functools
+        from dataquality_ray.pipelines.documents import entities_batch
+        return _transcript_ds(sf_dir).map_batches(
+            functools.partial(entities_batch,
+                              id_cols=["conv_id", "turn_idx"]),
+            batch_format="pyarrow")
+
     return {
         # --- documents: scrub / quality / dedup / langid (SQL-checked) ---
         "scrub_documents": D.scrub_documents,
+        "toxicity_documents": D.toxicity_documents,
         "quality_documents": D.quality_documents,
         "exact_dedup_documents": D.exact_dedup_documents,
         "near_dup_documents": D.near_dup_documents,
@@ -84,6 +93,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_dedup_documents": D.union_dedup_documents,
         "langid_documents": D.langid_documents,
         "quality_by_source": D.quality_by_source,
+        "doc_key_terms": D.doc_key_terms,
+        # --- transcripts: entity extraction (SQL-checked via a direct
+        #     read_parquet of the deterministic fixture) ---
+        "transcript_entities": transcript_entities,
         # --- events: metrics (SQL-checked) ---
         "daily_event_metrics": M.daily_event_metrics,
         "top_users_by_value": M.top_users_by_value,
@@ -236,6 +249,9 @@ SELECT doc_id, {case_sql} AS pred_lang FROM c
 
 
 def oracle_sql() -> dict[str, str]:
+    import os
+
+    from dataquality_ray.fixtures import transcripts_path
     from dataquality_ray.pipelines.documents import (
         ANN_K,
         ANN_QUERY_IDS,
@@ -243,13 +259,55 @@ def oracle_sql() -> dict[str, str]:
         NEAR_DUP_DOC_JACCARD,
     )
     ann_ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
+    # Transcript-table oracles read the deterministic fixture directly
+    # (the driver registers only the sf tables as views; the fixture is a
+    # pure function of (n_turns=20000 @ sf0.01, seed) so both sides see
+    # byte-identical input). transcripts_path() builds it if absent.
+    tr_glob = os.path.join(transcripts_path(20_000, seed=CFG.seed),
+                           "*.parquet")
+    stoplist = ", ".join(f"'{w}'" for w in spec.KEY_TERM_STOPWORDS)
     return {
+        "doc_key_terms": f"""
+WITH t AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(lower(text), '{_TOK}')) AS term
+  FROM documents),
+f AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM t WHERE term NOT IN ({stoplist})
+  GROUP BY 1, 2),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tf DESC, term) AS rank
+  FROM f)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {spec.KEY_TERMS_TOP_K}
+""",
+        "transcript_entities": f"""
+SELECT conv_id, turn_idx, entity,
+  CAST(COUNT(*) AS BIGINT) AS n_mentions
+FROM (SELECT conv_id, turn_idx,
+        unnest(regexp_extract_all(text, '{spec.ENTITY_PATTERN}')) AS entity
+      FROM read_parquet('{tr_glob}'))
+GROUP BY 1, 2, 3
+""",
         "scrub_documents": f"""
 SELECT doc_id,
   {_SCRUBBED} AS text,
   CAST(len(regexp_extract_all(text, '{_EMAIL}')) AS INTEGER) AS n_email,
   CAST(len(regexp_extract_all({_AFTER_SSN}, '{_PHONE}')) AS INTEGER) AS n_phone,
   CAST(len(regexp_extract_all({_AFTER_EMAIL}, '{_SSN}')) AS INTEGER) AS n_ssn
+FROM documents
+""",
+        "toxicity_documents": f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(lower(text), '{spec.TOXICITY_PATTERN}'))
+       AS INTEGER) AS n_toxic,
+  CAST(GREATEST(0, 100 - {CFG.toxicity_penalty_mult}
+       * len(regexp_extract_all(lower(text), '{spec.TOXICITY_PATTERN}')))
+       AS INTEGER) AS toxicity_score,
+  regexp_replace(lower(text), '{spec.TOXICITY_PATTERN}',
+                 '{spec.TOX_TOKEN}', 'g') AS text_masked
 FROM documents
 """,
         "quality_documents": _QUALITY_CTE + f"""

@@ -35,6 +35,7 @@ class PipelineConfig:
     # --- heuristic scoring knobs (see spec.py for the exact formulas) ---
     min_len_chars: int = 20              # full length score at >= 20 chars
     symbol_penalty_mult: int = 300       # 33% symbol chars -> score 0
+    toxicity_penalty_mult: int = 40      # per toxic-phrase hit; 3 hits -> 0
     target_lang: str = "en"
     lang_other_score: int = 30           # dim score for non-target language
     # perplexity -> score mapping: clamp(0, 100, round(a - b * log2_ppl))

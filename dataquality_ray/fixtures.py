@@ -25,19 +25,20 @@ import pyarrow.parquet as pq
 
 from dataquality_ray.config import DEFAULT_CONFIG, PipelineConfig
 from dataquality_ray.functions.corpora import LANG_CORPORA
-from dataquality_ray.spec import BOILERPLATE_PHRASES
+from dataquality_ray.spec import BOILERPLATE_PHRASES, TOXICITY_TERMS
 
-_FIXTURE_VERSION = "v2"   # bump when generator output changes
+_FIXTURE_VERSION = "v3"   # bump when generator output changes
 
 # generator class weights — must sum to 1.0
 _CLASSES = [
-    ("clean_en", 0.50),
+    ("clean_en", 0.47),
     ("clean_other", 0.12),
     ("pii", 0.08),
     ("short", 0.06),
     ("repetitive", 0.05),
     ("symbol", 0.05),
     ("boilerplate", 0.04),
+    ("toxic", 0.03),
     ("exact_dup", 0.04),
     ("near_dup", 0.03),
     ("empty", 0.03),
@@ -128,6 +129,12 @@ def _make_text(cls: str, fr: _FastRand, prev_clean: List[str]) -> str:
     if cls == "boilerplate":
         phrase = fr.pick(BOILERPLATE_PHRASES)
         return f"{_clean_text(fr, 'en')} {phrase.capitalize()}."
+    if cls == "toxic":
+        words = _clean_text(fr, "en").split(" ")
+        for _ in range(fr.randint(1, 3)):
+            words.insert(fr.randint(0, len(words) + 1),
+                         fr.pick(TOXICITY_TERMS))
+        return " ".join(words)
     if cls == "exact_dup" and prev_clean:
         return fr.pick(prev_clean)
     if cls == "near_dup" and prev_clean:

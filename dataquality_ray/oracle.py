@@ -50,9 +50,10 @@ def label_transcripts(table: pa.Table,
 
     n = len(raw_texts)
     out: Dict[str, list] = {k: [] for k in (
-        "text", "n_email", "n_phone", "n_ssn", "lang", "lang_conf",
-        "log2_ppl", "length_score", "repetition_score", "symbol_score",
-        "boilerplate_score", "lang_score", "ppl_score", "timeliness_score",
+        "text", "n_email", "n_phone", "n_ssn", "n_toxic", "lang",
+        "lang_conf", "log2_ppl", "length_score", "repetition_score",
+        "symbol_score", "boilerplate_score", "lang_score", "ppl_score",
+        "timeliness_score", "toxicity_score",
         "overall_quality_score", "action", "keep", "content_hash")}
 
     age_days = ((now - ts).astype("timedelta64[s]").astype(np.int64)
@@ -62,12 +63,14 @@ def label_transcripts(table: pa.Table,
         scrubbed, counts = spec.scrub_text(raw_texts[i])
         toks = spec.tokenize(scrubbed)
         n_chars = len(scrubbed)
+        n_toxic = spec.toxicity_count(scrubbed)
         sig = {
             "length": spec.length_score(n_chars, cfg),
             "repetition": spec.repetition_score(len(set(toks)), len(toks)),
             "symbol": spec.symbol_score(spec.count_symbols(scrubbed), n_chars, cfg),
             "boilerplate": spec.boilerplate_score(spec.is_boilerplate(scrubbed)),
             "timeliness": spec.timeliness_score(age_days[i], cfg),
+            "toxicity": spec.toxicity_score(n_toxic, cfg),
         }
         lang, conf = langid.predict(scrubbed)
         log2_ppl = lm.log2_ppl(scrubbed)
@@ -80,6 +83,8 @@ def label_transcripts(table: pa.Table,
         out["n_email"].append(counts["email"])
         out["n_phone"].append(counts["phone"])
         out["n_ssn"].append(counts["ssn"])
+        out["n_toxic"].append(n_toxic)
+        out["toxicity_score"].append(sig["toxicity"])
         out["lang"].append(lang)
         out["lang_conf"].append(conf)
         out["log2_ppl"].append(log2_ppl)
@@ -116,6 +121,7 @@ def label_transcripts(table: pa.Table,
         "n_email": pa.array(out["n_email"], pa.int32()),
         "n_phone": pa.array(out["n_phone"], pa.int32()),
         "n_ssn": pa.array(out["n_ssn"], pa.int32()),
+        "n_toxic": pa.array(out["n_toxic"], pa.int32()),
         "lang": pa.array(out["lang"], pa.string()),
         "lang_conf": pa.array(out["lang_conf"], pa.float32()),
         "log2_ppl": pa.array(out["log2_ppl"], pa.float32()),
@@ -126,6 +132,7 @@ def label_transcripts(table: pa.Table,
         "lang_score": pa.array(out["lang_score"], pa.int32()),
         "ppl_score": pa.array(out["ppl_score"], pa.int32()),
         "timeliness_score": pa.array(out["timeliness_score"], pa.int32()),
+        "toxicity_score": pa.array(out["toxicity_score"], pa.int32()),
         "overall_quality_score": pa.array(out["overall_quality_score"], pa.int32()),
         "action": pa.array(out["action"], pa.string()),
         "keep": pa.array(out["keep"], pa.bool_()),

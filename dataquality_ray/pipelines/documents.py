@@ -92,6 +92,39 @@ def quality_documents(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
     return ds.map_batches(finish, batch_format="pyarrow")
 
 
+def toxicity_documents(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """Toxicity scrub + score (north_rule "PII/toxicity-scrub"; reference
+    analog: LLM risk flagging, bedrock.py:211-214,250): doc_id, n_toxic
+    (lexicon hits), toxicity_score (max(0, 100 - mult·hits)), text_masked
+    (lowercased text with toxic phrases replaced by <TOX>). One zero-copy
+    Arrow map_batches — RE2 kernels, no shuffle; SQL-checked."""
+    from dataquality_ray.spec import TOX_TOKEN, TOXICITY_PATTERN
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        lower = pc.utf8_lower(text)
+        n_tox = pc.cast(pc.count_substring_regex(lower, TOXICITY_PATTERN),
+                        pa.int32())
+        tox_score = np.maximum(
+            0, 100 - cfg.toxicity_penalty_mult
+            * n_tox.to_numpy(zero_copy_only=False).astype(np.int64))
+        masked = pc.replace_substring_regex(lower, TOXICITY_PATTERN,
+                                            TOX_TOKEN)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_toxic": n_tox,
+            "toxicity_score": pa.array(tox_score.astype(np.int32)),
+            "text_masked": masked,
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
@@ -240,6 +273,68 @@ def quality_by_source(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
         })
 
     return agg.map_batches(int_mean, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# entity / key-term extraction (reference: bedrock.py:225-232 entity
+# metadata; metadata.py:218-243 consumes topics/key_terms in the dedup gate)
+# ---------------------------------------------------------------------------
+
+def key_terms_batch(batch: pa.Table, id_cols, text_col: str = "text",
+                    k: int | None = None) -> pa.Table:
+    """Vectorized spec.key_terms over a batch: polars tokenization +
+    explode, pandas per-doc rank — each document is one row, so the whole
+    computation is batch-local (no shuffle)."""
+    import pandas as pd
+
+    from dataquality_ray.spec import KEY_TERM_STOPWORDS, KEY_TERMS_TOP_K
+    k = k or KEY_TERMS_TOP_K
+    ids = {c: batch[c].to_pandas() for c in id_cols}
+    toks = (pl.from_arrow(batch[text_col])
+            .str.to_lowercase().str.extract_all(TOKEN_PATTERN))
+    df = pl.DataFrame(dict(**{c: pl.Series(v) for c, v in ids.items()},
+                           term=toks)) \
+        .explode("term").drop_nulls() \
+        .filter(~pl.col("term").is_in(list(KEY_TERM_STOPWORDS))) \
+        .group_by(list(id_cols) + ["term"]).len().rename({"len": "tf"}) \
+        .to_pandas()
+    df = df.sort_values(list(id_cols) + ["tf", "term"],
+                        ascending=[True] * len(id_cols) + [False, True],
+                        kind="mergesort")
+    df["rank"] = df.groupby(list(id_cols), sort=False).cumcount() + 1
+    df = df[df["rank"] <= k]
+    df["tf"] = df["tf"].astype("int64")
+    df["rank"] = df["rank"].astype("int64")
+    return pa.Table.from_pandas(df.reset_index(drop=True),
+                                preserve_index=False)
+
+
+def doc_key_terms(sf_dir: str):
+    """(doc_id, term, tf, rank): top-5 non-stopword tokens per document
+    by (tf desc, term asc) — SQL-checked."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return ds.map_batches(
+        functools.partial(key_terms_batch, id_cols=["doc_id"]),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def entities_batch(batch: pa.Table, id_cols, text_col: str = "text"
+                   ) -> pa.Table:
+    """Capitalized-span entity mentions per row with counts. Rust regex
+    needs the (?-u) prefix so \\b is ASCII like RE2/Python-ASCII (spec
+    comment at ENTITY_PATTERN)."""
+    from dataquality_ray.spec import ENTITY_PATTERN
+    ids = {c: batch[c].to_pandas() for c in id_cols}
+    ents = pl.from_arrow(batch[text_col]) \
+        .str.extract_all("(?-u)" + ENTITY_PATTERN)
+    df = pl.DataFrame(dict(**{c: pl.Series(v) for c, v in ids.items()},
+                           entity=ents)) \
+        .explode("entity").drop_nulls() \
+        .group_by(list(id_cols) + ["entity"]).len() \
+        .rename({"len": "n_mentions"}) \
+        .to_pandas()
+    df["n_mentions"] = df["n_mentions"].astype("int64")
+    return pa.Table.from_pandas(df, preserve_index=False)
 
 
 # ---------------------------------------------------------------------------

@@ -31,10 +31,10 @@ from dataquality_ray.stages.scrub import scrub_batch
 
 RESULT_COLUMNS = [
     "conv_id", "turn_idx", "role", "tool", "ts", "text",
-    "n_email", "n_phone", "n_ssn",
+    "n_email", "n_phone", "n_ssn", "n_toxic",
     "lang", "lang_conf", "log2_ppl",
     "length_score", "repetition_score", "symbol_score", "boilerplate_score",
-    "lang_score", "ppl_score", "timeliness_score",
+    "lang_score", "ppl_score", "timeliness_score", "toxicity_score",
     "overall_quality_score", "action", "keep",
     "content_hash", "dup_of",
 ]

@@ -97,6 +97,53 @@ def count_symbols(text: str) -> int:
 
 
 # ---------------------------------------------------------------------------
+# Toxicity scrub/score (north_rule "PII/toxicity-scrub"; reference analog:
+# the LLM rubric's risk flagging, bedrock.py:211-214,250 — re-expressed as
+# a deterministic lexicon so the score is reproducible and SQL-checkable)
+# ---------------------------------------------------------------------------
+# Frozen phrase lexicon. Entries are lowercase ASCII, mutually
+# non-overlapping (no entry is a substring of another), matched with \b
+# word boundaries on LOWERCASED text — lowercasing on both sides (Python
+# .lower() / pyarrow utf8_lower / DuckDB lower) sidesteps RE2-vs-re
+# case-folding divergence on exotic unicode.
+TOXICITY_TERMS: List[str] = [
+    "you idiot",
+    "you moron",
+    "shut up",
+    "total garbage",
+    "absolute trash",
+    "nobody cares",
+    "worthless",
+    "pathetic excuse",
+    "i hate you",
+    "dumbest thing",
+]
+
+TOXICITY_PATTERN = r"\b(?:" + "|".join(
+    re.escape(p) for p in TOXICITY_TERMS) + r")\b"
+_TOXICITY_RX = re.compile(TOXICITY_PATTERN, re.ASCII)
+
+TOX_TOKEN = "<TOX>"
+
+
+def toxicity_count(text: str) -> int:
+    """Number of toxic-phrase hits in the lowercased text."""
+    return len(_TOXICITY_RX.findall(text.lower()))
+
+
+def toxicity_score(n_hits: int, cfg: PipelineConfig = DEFAULT_CONFIG) -> int:
+    """max(0, 100 - toxicity_penalty_mult * n_hits) — integer, SQL-exact."""
+    return max(0, 100 - cfg.toxicity_penalty_mult * n_hits)
+
+
+def mask_toxicity(text: str) -> str:
+    """Replace toxic phrases with TOX_TOKEN in the LOWERCASED text (the
+    deterministic "toxicity scrub"; lowercasing is part of the contract —
+    same output from Python re, pyarrow RE2 and DuckDB regexp_replace)."""
+    return _TOXICITY_RX.sub(TOX_TOKEN, text.lower())
+
+
+# ---------------------------------------------------------------------------
 # Boilerplate phrases (lowercase substring match, any hit → score 0)
 # ---------------------------------------------------------------------------
 BOILERPLATE_PHRASES: List[str] = [
@@ -177,12 +224,14 @@ DIMENSION_NAMES: List[str] = [
 ]
 
 # signal keys available: length, repetition, symbol, boilerplate, lang, ppl,
-# timeliness. Each canonical dim maps to one deterministic expression.
+# timeliness, toxicity. Each canonical dim maps to one deterministic
+# expression. Any change here MUST be mirrored in
+# stages/decision.py::dimension_matrix (tests enforce agreement).
 def dimension_scores(sig: Dict[str, int]) -> Dict[str, int]:
     """Map computed signals onto the 17 canonical dimension names.
 
     ``sig`` holds integer scores for: length, repetition, symbol,
-    boilerplate, lang, ppl, timeliness.
+    boilerplate, lang, ppl, timeliness, toxicity.
     """
     heur_mean = (sig["length"] + sig["repetition"] + sig["symbol"]
                  + sig["boilerplate"]) // 4
@@ -202,7 +251,7 @@ def dimension_scores(sig: Dict[str, int]) -> Dict[str, int]:
         "Conformity": sig["boilerplate"],
         "Interpretability": sig["lang"],
         "Traceability": 100,   # conv_id/turn_idx lineage always present
-        "Credibility": sig["ppl"],
+        "Credibility": (sig["ppl"] + sig["toxicity"]) // 2,
         "Fitness_for_Use": heur_mean,
         "Value": model_mean,
     }
@@ -223,7 +272,7 @@ DIM_EVIDENCE_TEMPLATES: Dict[str, str] = {
     "Conformity": "boilerplate score {score}",
     "Interpretability": "language-id score {score}",
     "Traceability": "conv_id/turn_idx lineage present",
-    "Credibility": "n-gram LM perplexity score {score}",
+    "Credibility": "mean of perplexity and toxicity scores: {score}",
     "Fitness_for_Use": "mean of heuristic scores: {score}",
     "Value": "mean of model scores: {score}",
 }
@@ -321,6 +370,52 @@ def order_key(conv_id: str, turn_idx: int) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Entity / key-term extraction (reference analog: the LLM's entity
+# metadata {people, organizations, locations, topics, key_terms},
+# bedrock.py:225-232, consumed by the metadata-similarity dedup gate,
+# metadata.py:218-243 — re-expressed as deterministic extraction).
+# ---------------------------------------------------------------------------
+# Capitalized spans (Title-case runs) as entity mentions. ASCII classes;
+# \b is ASCII under Python re.ASCII / RE2 / DuckDB. Vectorized paths that
+# go through Rust's regex crate (polars) must prefix "(?-u)" to force the
+# same ASCII \b semantics (rust \b is unicode by default).
+ENTITY_PATTERN = r"\b[A-Z][a-z]+(?: [A-Z][a-z]+)*\b"
+_ENTITY_RX = re.compile(ENTITY_PATTERN, re.ASCII)
+
+
+def extract_entities(text: str) -> List[str]:
+    """All capitalized-span mentions, in document order (may repeat)."""
+    return _ENTITY_RX.findall(text)
+
+
+# Frozen key-term stoplist: every stopword-marker word (all languages)
+# plus common English fillers. Key terms = non-stop tokens ranked by
+# (term frequency desc, term asc), top KEY_TERMS_TOP_K.
+KEY_TERMS_TOP_K = 5
+
+
+def _build_stoplist() -> Tuple[str, ...]:
+    base = {m for _, markers in STOPWORD_MARKERS for m in markers}
+    base |= {"a", "an", "i", "it", "is", "are", "was", "be", "as", "at",
+             "by", "he", "she", "they", "we", "you", "of", "to", "in",
+             "and", "the", "that", "for", "with", "on", "this", "from",
+             "or", "but", "so", "if"}
+    return tuple(sorted(base))
+
+
+def key_terms(text: str, k: int = KEY_TERMS_TOP_K
+              ) -> List[Tuple[str, int, int]]:
+    """Top-k (term, tf, rank) non-stopword tokens, ties broken
+    alphabetically — deterministic and SQL-expressible (row_number over
+    tf desc, term asc)."""
+    from collections import Counter
+    counts = Counter(t for t in tokenize(text)
+                     if t not in _KEY_TERM_STOPSET)
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+    return [(t, n, i + 1) for i, (t, n) in enumerate(ranked)]
+
+
+# ---------------------------------------------------------------------------
 # Stopword-marker language ID — the SQL-expressible langid variant.
 # (The char-n-gram model in functions/langid.py is the engine's real
 # classifier; this pinned marker rule exists so a DuckDB oracle can verify
@@ -332,6 +427,11 @@ STOPWORD_MARKERS: List[Tuple[str, Tuple[str, ...]]] = [
     ("de", ("der", "die", "das", "und", "ist", "nicht", "ein", "mit")),
     ("fr", ("le", "les", "est", "dans", "une", "pour", "vous", "nous")),
 ]
+
+
+# Materialized after STOPWORD_MARKERS exists (used by key_terms above).
+KEY_TERM_STOPWORDS: Tuple[str, ...] = _build_stoplist()
+_KEY_TERM_STOPSET = frozenset(KEY_TERM_STOPWORDS)
 
 
 def stopword_langid(tokens: List[str]) -> str:

@@ -9,7 +9,7 @@ Vectorized re-expression of the reference's scoring tail:
 
 Expects the columns produced by scrub/heuristics/model stages:
 length_score, repetition_score, symbol_score, boilerplate_score,
-lang_score, ppl_score, timeliness_score.
+lang_score, ppl_score, timeliness_score, toxicity_score.
 """
 
 from __future__ import annotations
@@ -22,7 +22,7 @@ from dataquality_ray.spec import DIMENSION_NAMES, DIM_EVIDENCE_TEMPLATES
 
 _SIGNAL_COLS = ("length_score", "repetition_score", "symbol_score",
                 "boilerplate_score", "lang_score", "ppl_score",
-                "timeliness_score")
+                "timeliness_score", "toxicity_score")
 
 _ACTIONS = np.array(["DISCARD", "QUARANTINE", "REVIEW", "KEEP"])
 
@@ -63,7 +63,7 @@ def dimension_matrix(batch: pa.Table) -> np.ndarray:
         "Conformity": s["boilerplate"],
         "Interpretability": s["lang"],
         "Traceability": np.full(n, 100, dtype=np.int64),
-        "Credibility": s["ppl"],
+        "Credibility": (s["ppl"] + s["toxicity"]) // 2,
         "Fitness_for_Use": heur_mean,
         "Value": model_mean,
     }

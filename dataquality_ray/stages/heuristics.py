@@ -30,6 +30,7 @@ from dataquality_ray.spec import (
     BOILERPLATE_PATTERN,
     SYMBOL_PATTERN,
     TOKEN_PATTERN,
+    TOXICITY_PATTERN,
 )
 
 
@@ -81,14 +82,22 @@ def heuristics_batch(batch: pa.Table, text_col: str = "text",
     lower = pc.utf8_lower(text)
     bp_hit = pc.match_substring_regex(lower, BOILERPLATE_PATTERN)
     boilerplate = np.where(bp_hit.to_numpy(zero_copy_only=False), 0, 100)
+    # toxicity: spec.toxicity_score — lexicon hits on the lowered text
+    n_tox = pc.cast(pc.count_substring_regex(lower, TOXICITY_PATTERN),
+                    pa.int32())
+    toxicity = np.maximum(
+        0, 100 - cfg.toxicity_penalty_mult
+        * n_tox.to_numpy(zero_copy_only=False).astype(np.int64))
 
     batch = batch.append_column("n_chars", n_chars)
     batch = batch.append_column("n_tokens", n_tok)
     batch = batch.append_column("n_distinct", n_distinct)
+    batch = batch.append_column("n_toxic", n_tox)
     batch = batch.append_column("length_score", pa.array(length.astype(np.int32)))
     batch = batch.append_column("repetition_score", pa.array(repetition.astype(np.int32)))
     batch = batch.append_column("symbol_score", pa.array(symbol.astype(np.int32)))
     batch = batch.append_column("boilerplate_score", pa.array(boilerplate.astype(np.int32)))
+    batch = batch.append_column("toxicity_score", pa.array(toxicity.astype(np.int32)))
 
     if "ts" in batch.column_names:
         now_iso = now or cfg.reference_now

@@ -153,3 +153,30 @@ class TestFingerprintVectorized:
         want = np.array([spec.rolling_fingerprint(t) for t in texts],
                         dtype=np.uint64)
         assert (got == want).all()
+
+
+class TestToxicity:
+    def test_count_and_score(self):
+        from dataquality_ray import spec
+        assert spec.toxicity_count("a perfectly fine sentence") == 0
+        assert spec.toxicity_count("You Idiot, that was wrong") == 1
+        assert spec.toxicity_count("shut up. SHUT UP. worthless") == 3
+        # \b boundaries: no match inside words
+        assert spec.toxicity_count("worthlessness is a concept") == 0
+        assert spec.toxicity_score(0) == 100
+        assert spec.toxicity_score(1) == 60
+        assert spec.toxicity_score(3) == 0
+        assert spec.toxicity_score(9) == 0
+
+    def test_mask(self):
+        from dataquality_ray import spec
+        assert spec.mask_toxicity("You Idiot, listen") == "<TOX>, listen"
+        assert spec.mask_toxicity("Fine text.") == "fine text."
+
+    def test_credibility_dim_uses_toxicity(self):
+        from dataquality_ray import spec
+        base = {"length": 100, "repetition": 100, "symbol": 100,
+                "boilerplate": 100, "lang": 100, "ppl": 80,
+                "timeliness": 100, "toxicity": 20}
+        dims = spec.dimension_scores(base)
+        assert dims["Credibility"] == (80 + 20) // 2

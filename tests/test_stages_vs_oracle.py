@@ -41,7 +41,8 @@ def test_stages_match_oracle_columns(small_transcripts, small_oracle):
     got = _full_stage_pass(table)
     for col in ("length_score", "repetition_score", "symbol_score",
                 "boilerplate_score", "lang_score", "ppl_score",
-                "timeliness_score", "overall_quality_score", "action",
+                "timeliness_score", "toxicity_score", "n_toxic",
+                "overall_quality_score", "action",
                 "keep", "lang", "content_hash"):
         assert got[col].to_pylist() == small_oracle[col].to_pylist(), col
     # floats: close, not bitwise (float32 casts)
