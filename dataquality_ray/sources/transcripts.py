@@ -15,11 +15,37 @@ TRANSCRIPT_COLUMNS = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
 
 
 def list_transcript_files(path: str) -> List[str]:
-    """Deterministic sorted listing of parquet files under a path."""
+    """Deterministic sorted listing of parquet files under a path.
+
+    Accepts plain local paths AND filesystem URIs ("file://", "s3://",
+    …): URIs are resolved through ``pyarrow.fs.FileSystem.from_uri`` so
+    partition planning works against any pyarrow-supported filesystem
+    (reference analog: the S3 listing source, s3.py:130-167). Listed
+    entries keep the original scheme prefix so ``ray.data.read_parquet``
+    can consume them directly.
+    """
+    if "://" in path:
+        return _list_uri(path)
     if os.path.isfile(path):
         return [path]
     return sorted(glob.glob(os.path.join(path, "**", "*.parquet"),
                             recursive=True))
+
+
+def _list_uri(uri: str) -> List[str]:
+    from pyarrow import fs as pafs
+    filesystem, fs_path = pafs.FileSystem.from_uri(uri)
+    scheme = uri.split("://", 1)[0]
+    info = filesystem.get_file_info(fs_path)
+    if info.type == pafs.FileType.File:
+        return [uri]
+    selector = pafs.FileSelector(fs_path, recursive=True,
+                                 allow_not_found=True)
+    out = [f"{scheme}://{i.path}"
+           for i in filesystem.get_file_info(selector)
+           if i.type == pafs.FileType.File
+           and i.path.endswith(".parquet")]
+    return sorted(out)
 
 
 def read_transcripts(path, columns: Optional[List[str]] = None,

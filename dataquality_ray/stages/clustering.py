@@ -60,41 +60,150 @@ def dup_clusters(pairs_ds) -> pa.Table:
     })
 
 
-def label_propagation_round(labels_ds, pairs_ds):
-    """One distributed min-label propagation round (for pair sets too big
-    for the driver): labels (key, label) ⊕ edges → updated labels.
-    Iterate until a round changes nothing. Broadcasts the current label
-    table; swap the broadcast for a hash join when labels outgrow memory.
+def _join_partitions(default: int = 4) -> int:
+    try:
+        return max(2, int(ray.cluster_resources().get("CPU", default)) // 2)
+    except Exception:
+        return default
+
+
+def label_propagation_round(labels_ds, pairs_ds,
+                            num_partitions: int | None = None):
+    """One distributed min-label propagation round: labels (key, label)
+    hash-JOINED onto the edge endpoints (no broadcast label map — the
+    label table at dup scale is the same order as the pair set):
+
+    messages = edges ⋈ labels(key_a) → (key_b, label_a)
+             ∪ edges ⋈ labels(key_b) → (key_a, label_b)
+             ∪ own labels
+    new labels = groupby(key).min(candidate).
     """
-    import pandas as pd
+    num_partitions = num_partitions or _join_partitions()
     from ray.data.aggregate import Min
 
-    label_map = dict(zip(*[labels_ds.to_pandas()[c]
-                           for c in ("key", "label")]))
-    ref = ray.put(label_map)
+    edges = pairs_ds.map_batches(
+        lambda t: t.select(["key_a", "key_b"]), batch_format="pyarrow")
 
-    def messages(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        a = batch["key_a"].to_pylist()
-        b = batch["key_b"].to_pylist()
-        keys: List[str] = []
-        labs: List[str] = []
-        for x, y in zip(a, b):
-            lx, ly = m.get(x, x), m.get(y, y)
-            keys.append(x)
-            labs.append(ly)
-            keys.append(y)
-            labs.append(lx)
-        return pa.table({"key": pa.array(keys, pa.string()),
-                         "label": pa.array(labs, pa.string())})
+    def msg(side_from: str, side_to: str):
+        joined = edges.join(labels_ds, join_type="inner",
+                            num_partitions=num_partitions,
+                            on=(side_from,), right_on=("key",))
+        return joined.map_batches(
+            lambda t: pa.table({"key": t[side_to], "cand": t["label"]}),
+            batch_format="pyarrow")
 
-    own = pa.table({
-        "key": pa.array(list(label_map), pa.string()),
-        "label": pa.array([label_map[k] for k in label_map], pa.string()),
-    })
-    msgs = pairs_ds.map_batches(messages, batch_format="pyarrow") \
-        .union(ray.data.from_arrow(own))
-    return msgs.groupby("key").aggregate(Min("label", alias_name="label"))
+    own = labels_ds.map_batches(
+        lambda t: pa.table({"key": t["key"], "cand": t["label"]}),
+        batch_format="pyarrow")
+    msgs = msg("key_a", "key_b").union(msg("key_b", "key_a")).union(own)
+    return msgs.groupby("key").aggregate(Min("cand", alias_name="label"))
+
+
+def _labels_signature(labels_ds) -> int:
+    """Order-independent fingerprint of a (key, label) Dataset: sum of
+    per-row deterministic 64-bit hashes (mod 2^64). Two consecutive
+    rounds with equal signatures ⇒ fixpoint (labels only ever decrease,
+    so a no-op round is exactly 'unchanged'; collision odds ~2⁻⁶⁴)."""
+    import pandas as pd
+
+    def partial(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(
+            df["key"] + "\x1f" + df["label"], index=False).to_numpy()
+        return pd.DataFrame({"h": [int(h.sum()) & 0x7FFFFFFFFFFFFFFF]})
+
+    return int(labels_ds.map_batches(partial, batch_format="pandas")
+               .sum("h")) & 0x7FFFFFFFFFFFFFFF
+
+
+def dup_clusters_distributed(pairs_ds, num_partitions: int | None = None,
+                             max_rounds: int = 32):
+    """Connected components over a pair Dataset WITHOUT driver union-find:
+    iterated hash-join min-label propagation with POINTER JUMPING until
+    fixpoint. Label volume stays distributed (one row per key); each
+    round is two hash joins (neighbor messages; label-of-label) + a
+    groupby min. Pointer jumping (l(k) ← min(l(k), l(l(k)))) halves the
+    remaining chain depth each round, so convergence is O(log diameter)
+    — 2-4 rounds for dense LSH near-dup components. Convergence is
+    detected by an order-independent label-table signature (no extra
+    join).
+
+    Returns a Dataset (key, cluster) like ``dup_clusters`` (cluster =
+    lexicographic min key of the component).
+    """
+    num_partitions = num_partitions or _join_partitions()
+    from ray.data.aggregate import Min
+
+    def directed(t: pa.Table) -> pa.Table:
+        a = t["key_a"].combine_chunks() \
+            if isinstance(t["key_a"], pa.ChunkedArray) else t["key_a"]
+        b = t["key_b"].combine_chunks() \
+            if isinstance(t["key_b"], pa.ChunkedArray) else t["key_b"]
+        return pa.table({"src": pa.concat_arrays([a, b]),
+                         "dst": pa.concat_arrays([b, a])})
+
+    # directed edges once; initial labels = self
+    edges = pairs_ds.map_batches(directed,
+                                 batch_format="pyarrow").materialize()
+    labels = (edges.map_batches(
+        lambda t: pa.table({"key": t["src"], "cand": t["src"]}),
+        batch_format="pyarrow")
+        .groupby("key").aggregate(Min("cand", alias_name="label"))
+        .materialize())
+    sig = _labels_signature(labels)
+
+    for _ in range(max_rounds):
+        # neighbor messages: ONE join (edges are directed, both
+        # orientations present), then min over {neighbor labels, own}
+        nbr = edges.join(labels, join_type="inner",
+                         num_partitions=num_partitions,
+                         on=("src",), right_on=("key",)) \
+            .map_batches(lambda t: pa.table({"key": t["dst"],
+                                             "cand": t["label"]}),
+                         batch_format="pyarrow")
+        own = labels.map_batches(
+            lambda t: pa.table({"key": t["key"], "cand": t["label"]}),
+            batch_format="pyarrow")
+        # materialize between the two joins: each hash join holds
+        # ``num_partitions`` aggregator ACTORS — two joins live in one
+        # streaming DAG can starve a small cluster's map tasks
+        stepped = nbr.union(own).groupby("key") \
+            .aggregate(Min("cand", alias_name="label")).materialize()
+        # pointer jumping: l(k) <- min(l(k), l(l(k)))
+        lol = stepped.map_batches(
+            lambda t: pa.table({"k2": t["key"], "l2": t["label"]}),
+            batch_format="pyarrow")
+        jumped = stepped.join(lol, join_type="left_outer",
+                              num_partitions=num_partitions,
+                              on=("label",), right_on=("k2",)) \
+            .map_batches(_min_label_jump, batch_format="pyarrow")
+        labels = jumped.materialize()
+        new_sig = _labels_signature(labels)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    return labels.map_batches(
+        lambda t: pa.table({"key": t["key"], "cluster": t["label"]}),
+        batch_format="pyarrow")
+
+
+def _min_label_jump(t: pa.Table) -> pa.Table:
+    import pyarrow.compute as pc
+    lab = t["label"].combine_chunks() \
+        if isinstance(t["label"], pa.ChunkedArray) else t["label"]
+    l2 = t["l2"].combine_chunks() \
+        if isinstance(t["l2"], pa.ChunkedArray) else t["l2"]
+    take_l2 = pc.and_kleene(pc.is_valid(l2), pc.less(l2, lab))
+    jumped = pc.if_else(pc.fill_null(take_l2, False), l2, lab)
+    return pa.table({"key": t["key"], "label": jumped})
+
+
+def dup_clusters_auto(pairs_ds, max_driver_pairs: int = 2_000_000):
+    """Dispatch: driver union-find when the pair set is provably small
+    (one count()), else the distributed hash-join fixpoint."""
+    n = pairs_ds.count()
+    if n <= max_driver_pairs:
+        return dup_clusters(pairs_ds)
+    return dup_clusters_distributed(pairs_ds)
 
 
 # ---------------------------------------------------------------------------

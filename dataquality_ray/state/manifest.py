@@ -109,6 +109,51 @@ def write_run_manifest(out_dir: str, payload: Dict[str, Any]) -> None:
     os.rename(tmp, path)
 
 
+def plan_fingerprint(input_files: List[str], num_partitions: int) -> str:
+    """Stable hash of (sorted input set, partition count) — the identity
+    of a partition plan."""
+    import hashlib
+    h = hashlib.sha256()
+    h.update(str(int(num_partitions)).encode())
+    for f in sorted(input_files):
+        h.update(b"\x00" + f.encode())
+    return h.hexdigest()
+
+
+def ensure_run_plan(out_dir: str, input_files: List[str],
+                    num_partitions: int) -> None:
+    """Persist the partition plan identity on first run; on resume REFUSE
+    to proceed if the input set or --partitions changed — a silently
+    re-derived plan would mix stale committed partitions with a new
+    layout, duplicating or dropping rows in the final output."""
+    path = os.path.join(out_dir, "plan.json")
+    fp = plan_fingerprint(input_files, num_partitions)
+    if os.path.exists(path):
+        with open(path) as f:
+            saved = json.load(f)
+        if saved.get("fingerprint") != fp:
+            raise RuntimeError(
+                f"resume plan mismatch for {out_dir}: committed output was "
+                f"planned as {saved.get('num_partitions')} partitions over "
+                f"{saved.get('n_files')} input files "
+                f"(fingerprint {str(saved.get('fingerprint'))[:12]}…), but "
+                f"this invocation asks for {num_partitions} partitions over "
+                f"{len(input_files)} files. Re-run with the original "
+                "--input/--partitions, or use a fresh --output.")
+        return
+    os.makedirs(out_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"fingerprint": fp,
+                   "num_partitions": int(num_partitions),
+                   "n_files": len(input_files),
+                   "input_files": sorted(input_files),
+                   "created_at": time.time()}, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, path)
+
+
 def plan_partitions(input_files: List[str], num_partitions: int
                     ) -> Dict[str, List[str]]:
     """Deterministic partition plan: sorted input files round-robin'd into

@@ -47,6 +47,9 @@ def run_partitioned(input_path: str, out_dir: str, partitions: int = 16,
     files = list_transcript_files(input_path)
     if not files:
         raise FileNotFoundError(f"no parquet files under {input_path}")
+    # persist/validate the plan identity: resuming with a different
+    # --partitions or a changed input set is refused, not silently mixed
+    mf.ensure_run_plan(out_dir, files, partitions)
     plan = mf.plan_partitions(files, partitions)
     done = mf.committed_partitions(out_dir)
 

@@ -36,7 +36,9 @@ class TestDupClusters:
             "label": pa.array(keys, pa.string()),
         }))
         for _ in range(4):   # chain of length 4 needs ~log rounds
-            labels = label_propagation_round(labels, pairs_ds)
+            # materialize per round: chaining N join rounds lazily stacks
+            # N join actor pools into one DAG and starves a small cluster
+            labels = label_propagation_round(labels, pairs_ds).materialize()
         got = dict(zip(*[labels.to_pandas()[c] for c in ("key", "label")]))
         want_tbl = dup_clusters(pairs_ds).to_pydict()
         want = dict(zip(want_tbl["key"], want_tbl["cluster"]))
@@ -107,3 +109,37 @@ class TestEmbeddingNearDupLSH:
               zip(exact.id_a, exact.id_b, exact.cosine_sim)}
         for a, b, s in zip(approx.id_a, approx.id_b, approx.cosine_sim):
             assert abs(ex[(a, b)] - s) < 1e-9
+
+
+class TestDistributedClusters:
+    def test_fixpoint_matches_union_find(self, ray_session):
+        from dataquality_ray.stages.clustering import (
+            dup_clusters,
+            dup_clusters_distributed,
+        )
+        # chain (diameter 5, needs several rounds), one clique, one pair
+        pairs = [("b", "a"), ("c", "b"), ("d", "c"), ("e", "d"),
+                 ("f", "e"), ("p", "q"), ("p", "r"), ("q", "r"),
+                 ("x", "y")]
+        ds = _pairs_table(pairs)
+        got_tbl = dup_clusters_distributed(ds).to_pandas()
+        got = dict(zip(got_tbl["key"], got_tbl["cluster"]))
+        want_tbl = dup_clusters(_pairs_table(pairs)).to_pydict()
+        want = dict(zip(want_tbl["key"], want_tbl["cluster"]))
+        assert got == want
+
+    def test_auto_dispatch_beyond_driver_limit(self, ray_session):
+        """Pair sets above the driver limit route to the distributed
+        fixpoint and still match union-find."""
+        from dataquality_ray.stages.clustering import (
+            dup_clusters,
+            dup_clusters_auto,
+        )
+        pairs = [(f"k{i:03d}", f"k{i + 1:03d}") for i in range(0, 40, 2)]
+        pairs += [("k000", "k001")]  # join two chains' heads
+        ds = _pairs_table(pairs)
+        got_tbl = dup_clusters_auto(ds, max_driver_pairs=3).to_pandas()
+        got = dict(zip(got_tbl["key"], got_tbl["cluster"]))
+        want_tbl = dup_clusters(_pairs_table(pairs)).to_pydict()
+        want = dict(zip(want_tbl["key"], want_tbl["cluster"]))
+        assert got == want

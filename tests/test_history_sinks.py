@@ -64,3 +64,43 @@ class TestPartitionedSink:
         df = back.to_pandas()
         assert (df["ts"].dt.month.astype("int64")
                 == df["month"].astype("int64")).all()
+
+
+class TestRunPlanManifest:
+    def test_mismatch_refused(self, tmp_path):
+        from dataquality_ray.state import manifest as mf
+        out = str(tmp_path / "out")
+        files = ["/data/a.parquet", "/data/b.parquet"]
+        mf.ensure_run_plan(out, files, 4)
+        mf.ensure_run_plan(out, list(reversed(files)), 4)  # order-insensitive
+        import pytest
+        with pytest.raises(RuntimeError, match="plan mismatch"):
+            mf.ensure_run_plan(out, files, 8)      # different --partitions
+        with pytest.raises(RuntimeError, match="plan mismatch"):
+            mf.ensure_run_plan(out, files + ["/data/c.parquet"], 4)
+
+
+class TestUriListing:
+    def test_file_uri_listing(self, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        from dataquality_ray.sources.transcripts import list_transcript_files
+        d = tmp_path / "shards" / "nested"
+        d.mkdir(parents=True)
+        for i in range(3):
+            pq.write_table(pa.table({"x": [i]}),
+                           str(tmp_path / "shards" / f"p{i}.parquet"))
+        pq.write_table(pa.table({"x": [9]}), str(d / "deep.parquet"))
+        (tmp_path / "shards" / "notes.txt").write_text("skip me")
+        uri = f"file://{tmp_path}/shards"
+        got = list_transcript_files(uri)
+        assert len(got) == 4
+        assert all(g.startswith("file://") and g.endswith(".parquet")
+                   for g in got)
+        assert got == sorted(got)
+        # single-file URI
+        one = list_transcript_files(got[0])
+        assert one == [got[0]]
+        # plain local path unchanged
+        local = list_transcript_files(str(tmp_path / "shards"))
+        assert len(local) == 4 and local[0].startswith("/")
