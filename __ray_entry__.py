@@ -82,6 +82,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
                               id_cols=["conv_id", "turn_idx"]),
             batch_format="pyarrow")
 
+    def transcript_turn_quality(sf_dir: str):
+        """Per-turn scrub counts + heuristic scores + timeliness — the
+        SQL-expressible core of the flagship pipeline (everything except
+        the langid/LM model signals), under the driver's hard gate."""
+        import functools
+        import pyarrow as pa
+        from dataquality_ray.stages.heuristics import heuristics_batch
+        from dataquality_ray.stages.scrub import scrub_batch
+        ds = _transcript_ds(sf_dir)
+        ds = ds.map_batches(scrub_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
+        ds = ds.map_batches(functools.partial(heuristics_batch, cfg=CFG),
+                            batch_format="pyarrow", zero_copy_batch=True)
+        cols = ["conv_id", "turn_idx", "n_email", "n_phone", "n_ssn",
+                "n_toxic", "n_chars", "n_tokens", "n_distinct",
+                "length_score", "repetition_score", "symbol_score",
+                "boilerplate_score", "toxicity_score", "age_days",
+                "timeliness_score"]
+        return ds.map_batches(lambda t: t.select(cols),
+                              batch_format="pyarrow")
+
+    def transcript_conv_heuristics(sf_dir: str):
+        """Per-conversation aggregate through the SAME salted two-phase
+        conv_stats path the flagship uses, driven by the SQL-expressible
+        heuristic overall (integer mean of the four heuristic scores) so
+        the aggregation topology sits under the driver's hard gate."""
+        import functools
+        import numpy as np
+        import pyarrow as pa
+        from dataquality_ray.pipelines.conversations import conv_stats
+        from dataquality_ray.stages.heuristics import heuristics_batch
+        from dataquality_ray.stages.scrub import scrub_batch
+        ds = _transcript_ds(sf_dir)
+        ds = ds.map_batches(
+            functools.partial(scrub_batch, with_counts=False),
+            batch_format="pyarrow", zero_copy_batch=True)
+        ds = ds.map_batches(functools.partial(heuristics_batch, cfg=CFG),
+                            batch_format="pyarrow", zero_copy_batch=True)
+
+        def decide(t: pa.Table) -> pa.Table:
+            s = {c: t[c].to_numpy(zero_copy_only=False).astype(np.int64)
+                 for c in ("length_score", "repetition_score",
+                           "symbol_score", "boilerplate_score")}
+            overall = (s["length_score"] + s["repetition_score"]
+                       + s["symbol_score"] + s["boilerplate_score"]) // 4
+            return pa.table({
+                "conv_id": t["conv_id"],
+                "turn_idx": t["turn_idx"],
+                "overall_quality_score": pa.array(
+                    overall.astype(np.int32)),
+                "keep": pa.array(overall >= CFG.keep_min_overall),
+            })
+
+        return conv_stats(ds.map_batches(decide, batch_format="pyarrow"))
+
     return {
         # --- documents: scrub / quality / dedup / langid (SQL-checked) ---
         "scrub_documents": D.scrub_documents,
@@ -94,9 +149,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": D.langid_documents,
         "quality_by_source": D.quality_by_source,
         "doc_key_terms": D.doc_key_terms,
-        # --- transcripts: entity extraction (SQL-checked via a direct
-        #     read_parquet of the deterministic fixture) ---
+        # --- transcripts: entity extraction + per-turn heuristics
+        #     (SQL-checked via a direct read_parquet of the fixture) ---
         "transcript_entities": transcript_entities,
+        "transcript_turn_quality": transcript_turn_quality,
+        "transcript_conv_heuristics": transcript_conv_heuristics,
         # --- events: metrics (SQL-checked) ---
         "daily_event_metrics": M.daily_event_metrics,
         "top_users_by_value": M.top_users_by_value,
@@ -290,6 +347,92 @@ FROM (SELECT conv_id, turn_idx,
         unnest(regexp_extract_all(text, '{spec.ENTITY_PATTERN}')) AS entity
       FROM read_parquet('{tr_glob}'))
 GROUP BY 1, 2, 3
+""",
+        # floor division via positive-mod identity: DuckDB // truncates
+        # toward zero, numpy // floors — they differ on negative ages
+        # (turns time-stamped after reference_now)
+        "transcript_turn_quality": f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, ts, text FROM read_parquet('{tr_glob}')),
+s AS (
+  SELECT conv_id, turn_idx, ts,
+    {_SCRUBBED} AS text,
+    CAST(len(regexp_extract_all(text, '{_EMAIL}')) AS INTEGER) AS n_email,
+    CAST(len(regexp_extract_all({_AFTER_SSN}, '{_PHONE}')) AS INTEGER)
+      AS n_phone,
+    CAST(len(regexp_extract_all({_AFTER_EMAIL}, '{_SSN}')) AS INTEGER)
+      AS n_ssn
+  FROM raw),
+t AS (
+  SELECT *,
+    length(text) AS n_chars,
+    len(regexp_extract_all(lower(text), '{_TOK}')) AS n_tokens,
+    len(list_distinct(regexp_extract_all(lower(text), '{_TOK}')))
+      AS n_distinct,
+    len(regexp_extract_all(text, '{_SYM}')) AS n_sym,
+    CASE WHEN regexp_matches(lower(text), '{_BP}') THEN 1 ELSE 0 END AS bp,
+    len(regexp_extract_all(lower(text), '{spec.TOXICITY_PATTERN}'))
+      AS n_tox,
+    epoch_us(TIMESTAMP '{CFG.reference_now}') - epoch_us(ts) AS d_us
+  FROM s)
+SELECT conv_id, turn_idx,
+  n_email, n_phone, n_ssn,
+  CAST(n_tox AS INTEGER) AS n_toxic,
+  CAST(n_chars AS BIGINT) AS n_chars,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(n_distinct AS BIGINT) AS n_distinct,
+  CAST(LEAST(100, (100 * n_chars) // {CFG.min_len_chars}) AS INTEGER)
+    AS length_score,
+  CAST(CASE WHEN n_tokens = 0 THEN 100
+       ELSE (100 * n_distinct) // n_tokens END AS INTEGER)
+    AS repetition_score,
+  CAST(CASE WHEN n_chars = 0 THEN 100
+       ELSE 100 - LEAST(100, ({CFG.symbol_penalty_mult} * n_sym) // n_chars)
+       END AS INTEGER) AS symbol_score,
+  CAST(CASE WHEN bp = 1 THEN 0 ELSE 100 END AS INTEGER)
+    AS boilerplate_score,
+  CAST(GREATEST(0, 100 - {CFG.toxicity_penalty_mult} * n_tox) AS INTEGER)
+    AS toxicity_score,
+  CAST((d_us - ((d_us % 86400000000 + 86400000000) % 86400000000))
+       // 86400000000 AS BIGINT) AS age_days,
+  CAST(CASE WHEN (d_us - ((d_us % 86400000000 + 86400000000)
+                          % 86400000000)) // 86400000000
+              > {CFG.timeliness_max_age_days}
+       THEN {CFG.timeliness_cap} ELSE 100 END AS INTEGER)
+    AS timeliness_score
+FROM t
+""",
+        "transcript_conv_heuristics": f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, {_SCRUBBED} AS stext
+  FROM read_parquet('{tr_glob}')),
+t AS (
+  SELECT conv_id, turn_idx,
+    length(stext) AS n_chars,
+    len(regexp_extract_all(lower(stext), '{_TOK}')) AS n_tokens,
+    len(list_distinct(regexp_extract_all(lower(stext), '{_TOK}')))
+      AS n_distinct,
+    len(regexp_extract_all(stext, '{_SYM}')) AS n_sym,
+    CASE WHEN regexp_matches(lower(stext), '{_BP}') THEN 1 ELSE 0 END AS bp
+  FROM raw),
+q AS (
+  SELECT conv_id, turn_idx,
+    (LEAST(100, (100 * n_chars) // {CFG.min_len_chars})
+     + (CASE WHEN n_tokens = 0 THEN 100
+        ELSE (100 * n_distinct) // n_tokens END)
+     + (CASE WHEN n_chars = 0 THEN 100
+        ELSE 100 - LEAST(100, ({CFG.symbol_penalty_mult} * n_sym)
+                              // n_chars) END)
+     + (CASE WHEN bp = 1 THEN 0 ELSE 100 END)) // 4 AS overall
+  FROM t)
+SELECT conv_id,
+  CAST(COUNT(*) AS BIGINT) AS n_turns,
+  CAST(COUNT(*) FILTER (overall >= {CFG.keep_min_overall}) AS BIGINT)
+    AS n_keep,
+  CAST(SUM(overall) // COUNT(*) AS BIGINT) AS avg_quality,
+  CAST(MIN(turn_idx) AS INTEGER) AS first_turn,
+  CAST(MAX(turn_idx) AS INTEGER) AS last_turn
+FROM q GROUP BY conv_id
 """,
         "scrub_documents": f"""
 SELECT doc_id,
