@@ -43,7 +43,7 @@ RESULT_COLUMNS = [
 def quality_pipeline(ds, cfg: PipelineConfig = DEFAULT_CONFIG,
                      now: Optional[str] = None,
                      with_dedup: bool = True,
-                     dedup_mode: str = "broadcast",
+                     dedup_mode: str = "inline",
                      with_sketches: bool = False,
                      with_evidence: bool = False,
                      sort_output: bool = True,
@@ -51,10 +51,16 @@ def quality_pipeline(ds, cfg: PipelineConfig = DEFAULT_CONFIG,
     """Assemble the lazy quality DAG over a transcript Dataset.
 
     ``dedup_mode``:
-      - "broadcast" (default): duplicate map computed by a cheap narrow
-        side pipeline (scrub+hash only) and broadcast via ray.put — the
-        main pipeline stays shuffle-free until the final sort. Right when
-        the duplicated-hash set fits in worker memory.
+      - "inline" (default): the hash stage pushes per-batch dup-map
+        partials to zero-CPU aggregator actors as a SIDE CHANNEL of the
+        one scoring pass (awaited per batch, so the downstream full
+        barrier — the global sort, or a materialize when
+        ``sort_output=False`` — guarantees the map is complete before
+        ``dup_of`` is assigned). The whole pipeline is ONE streaming DAG:
+        no second pass over the corpus and no mid-pipeline materialize.
+      - "broadcast": score → materialize → narrow dup-map groupby over
+        the checkpointed stream → broadcast map (the shape quality_run
+        uses with a parquet checkpoint; keeps a reusable scored snapshot).
       - "shuffle": the general bucketed groupby shuffle (exact_dedup) —
         no size assumption; full rows move once.
     ``with_sketches`` additionally computes MinHash/SimHash columns
@@ -83,8 +89,23 @@ def quality_pipeline(ds, cfg: PipelineConfig = DEFAULT_CONFIG,
         functools.partial(decision_batch, cfg=cfg,
                           with_evidence=with_evidence),
         batch_format="pyarrow", zero_copy_batch=True)
-    ds = ds.map_batches(content_hash_batch, batch_format="pyarrow",
-                        zero_copy_batch=True)
+
+    inline = with_dedup and dedup_mode == "inline"
+    agg_handles = None
+    if inline:
+        from dataquality_ray.stages.dedup import (
+            content_hash_with_side_map,
+            make_dup_aggregators,
+        )
+        agg_handles = make_dup_aggregators()
+        ds = ds.map_batches(
+            functools.partial(content_hash_with_side_map,
+                              handles=agg_handles,
+                              num_buckets=cfg.num_buckets),
+            batch_format="pyarrow", zero_copy_batch=True)
+    else:
+        ds = ds.map_batches(content_hash_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
     if with_sketches:
         ds = ds.map_batches(
             MinHashSimHash,
@@ -92,47 +113,73 @@ def quality_pipeline(ds, cfg: PipelineConfig = DEFAULT_CONFIG,
             batch_format="pyarrow",
             batch_size=cfg.batch_size,
             concurrency=model_conc)
+
     if with_dedup and dedup_mode == "broadcast":
         import ray
         from dataquality_ray.stages.dedup import (
             assign_dup_from_map,
             compute_dup_map_from_hashed,
         )
-        # Checkpoint the scored stream in the object store (spills to disk
-        # under pressure), derive the dup map from its already-computed
-        # hash columns — no second scrub/hash pass over the corpus — then
-        # assign dup_of from the broadcast map. At cluster scale prefer
-        # quality_run(), which uses a parquet checkpoint instead.
         ds = ds.materialize()
         dup_map = compute_dup_map_from_hashed(ds, cfg)
         map_ref = ray.put(dup_map)
         ds = ds.map_batches(
             functools.partial(assign_dup_from_map, map_ref=map_ref),
             batch_format="pyarrow", zero_copy_batch=True)
-    elif with_dedup:
+    elif with_dedup and dedup_mode == "shuffle":
         ds = exact_dedup(ds, cfg)
-    else:
+    elif inline and not sort_output:
+        # no sort barrier downstream — materialize IS the barrier that
+        # makes the aggregator map complete before assignment
+        from dataquality_ray.stages.dedup import \
+            assign_dup_from_aggregators
+        ds = ds.materialize()
+        ds = ds.map_batches(
+            functools.partial(assign_dup_from_aggregators,
+                              handles=agg_handles),
+            batch_format="pyarrow", zero_copy_batch=True)
+    elif not with_dedup:
         ds = ds.map_batches(
             lambda t: t.append_column(
                 "dup_of", pa.nulls(t.num_rows, pa.string())),
             batch_format="pyarrow")
+
     if sort_output:
         # project away intermediates BEFORE the sort — the global sort is
-        # the one unavoidable all-to-all; don't shuffle helper columns
-        keep_cols = [c for c in RESULT_COLUMNS + (
-            ["token_hashes", "minhash_sig", "simhash"] if with_sketches
-            else [])
-            if c != "dup_of"] + (["dimensions"] if with_evidence else [])
+        # the one unavoidable all-to-all; don't shuffle helper columns.
+        # In inline mode dup_of does not exist yet: carry the two narrow
+        # helper keys through the sort and assign dup_of after it (the
+        # sort is the barrier that completes the aggregator map).
+        extra = (["token_hashes", "minhash_sig", "simhash"]
+                 if with_sketches else []) \
+            + (["dimensions"] if with_evidence else [])
+        if inline:
+            keep_cols = [c for c in RESULT_COLUMNS if c != "dup_of"] \
+                + extra + ["dedup_key", "order_key"]
+        else:
+            keep_cols = [c for c in RESULT_COLUMNS if c != "dup_of"] \
+                + extra + ["dup_of"]
         ds = ds.map_batches(
-            functools.partial(_project, cols=keep_cols + ["dup_of"]),
+            functools.partial(_project, cols=keep_cols),
             batch_format="pyarrow", zero_copy_batch=True)
         # Coalesce before the global sort: a sort shuffle creates
         # #map_tasks × #reduce_partitions objects — with many small blocks
         # the scheduling latency of that task² fan-out dominates the sort
-        # by 10×. Target ~num_cpus/2 partitions locally; at real scale
+        # by 10×. Target ~num_cpus partitions locally; at real scale
         # choose partitions ≈ total_bytes / 256 MB instead.
         ds = ds.repartition(_sort_partitions())
         ds = ds.sort(["conv_id", "turn_idx"])
+        if inline:
+            from dataquality_ray.stages.dedup import \
+                assign_dup_from_aggregators
+            ds = ds.map_batches(
+                functools.partial(assign_dup_from_aggregators,
+                                  handles=agg_handles),
+                batch_format="pyarrow", zero_copy_batch=True)
+            ds = ds.map_batches(
+                functools.partial(_project,
+                                  cols=RESULT_COLUMNS + extra),
+                batch_format="pyarrow", zero_copy_batch=True)
     return ds
 
 

@@ -272,6 +272,121 @@ def compute_dup_map(raw_ds, cfg: PipelineConfig = DEFAULT_CONFIG) -> dict:
     return dict(zip(dups["dedup_key"], dups["canonical"]))
 
 
+# ---------------------------------------------------------------------------
+# inline dup-map side channel (zero extra pass over the corpus)
+# ---------------------------------------------------------------------------
+# The scoring pipeline's hash stage pushes per-batch partial aggregates
+# (dedup_key → min order_key, count) to a small set of zero-CPU aggregator
+# actors and AWAITS the acks, so "hash stage complete" ⇒ "dup map
+# complete". Any full barrier downstream (the global sort, or an explicit
+# materialize) then makes it safe for a later stage to read the merged
+# map. Merges are min/sum — order-independent — and batches are
+# content-addressed so a retried task cannot double-count.
+
+
+def make_dup_aggregators(num: int = 8):
+    import ray
+
+    @ray.remote(num_cpus=0)
+    class DupMapAggregator:
+        """Holds a shard of the {dedup_key → (min order_key, count)} map."""
+
+        def __init__(self) -> None:
+            self.min_key: Dict[str, str] = {}
+            self.cnt: Dict[str, int] = {}
+            self.seen: set = set()
+
+        def add(self, batch_id: bytes, keys, order_keys, counts) -> None:
+            if batch_id in self.seen:      # task retry replayed this batch
+                return
+            self.seen.add(batch_id)
+            mk, ct = self.min_key, self.cnt
+            for k, ok, c in zip(keys, order_keys, counts):
+                prev = mk.get(k)
+                if prev is None or ok < prev:
+                    mk[k] = ok
+                ct[k] = ct.get(k, 0) + c
+
+        def dups(self) -> dict:
+            return {k: self.min_key[k]
+                    for k, c in self.cnt.items() if c >= 2}
+
+    return [DupMapAggregator.remote() for _ in range(num)]
+
+
+def content_hash_with_side_map(batch: pa.Table, handles,
+                               text_col: str = "text",
+                               num_buckets: int = DEFAULT_CONFIG.num_buckets
+                               ) -> pa.Table:
+    """content_hash_batch + push this batch's dup-map partial to the
+    aggregator shard actors (awaited, see module comment)."""
+    import hashlib as _hashlib
+
+    import ray
+
+    batch = content_hash_batch(batch, text_col=text_col,
+                               num_buckets=num_buckets)
+    tbl = pa.table({
+        "dedup_key": batch["dedup_key"],
+        "order_key": batch["order_key"],
+    }).filter(pc.invert(
+        batch["is_empty_norm"].combine_chunks()
+        if isinstance(batch["is_empty_norm"], pa.ChunkedArray)
+        else batch["is_empty_norm"]))
+    if tbl.num_rows:
+        g = tbl.group_by("dedup_key").aggregate(
+            [("order_key", "min"), ("order_key", "count")])
+        keys = g["dedup_key"].to_pylist()
+        mins = g["order_key_min"].to_pylist()
+        cnts = g["order_key_count"].to_pylist()
+        # content-addressed batch id (idempotent under task retry)
+        bid = _hashlib.blake2b(
+            "\x1f".join(tbl["order_key"].to_pylist()).encode(),
+            digest_size=16).digest()
+        n = len(handles)
+        shard: List[List[int]] = [[] for _ in range(n)]
+        for i, k in enumerate(keys):
+            shard[int(k[:4], 16) % n].append(i)
+        acks = []
+        for si, idxs in enumerate(shard):
+            if not idxs:
+                continue
+            acks.append(handles[si].add.remote(
+                bid, [keys[i] for i in idxs], [mins[i] for i in idxs],
+                [cnts[i] for i in idxs]))
+        ray.get(acks)
+    return batch
+
+
+_AGG_DUPS_CACHE: dict = {}
+
+
+def assign_dup_from_aggregators(batch: pa.Table, handles) -> pa.Table:
+    """dup_of from the aggregator shards' merged dup map (fetched once
+    per worker process). ONLY safe after a full barrier (sort /
+    materialize) downstream of content_hash_with_side_map."""
+    import ray
+
+    key = tuple(h._actor_id.hex() for h in handles)
+    m = _AGG_DUPS_CACHE.get(key)
+    if m is None:
+        m = {}
+        for part in ray.get([h.dups.remote() for h in handles]):
+            m.update(part)
+        _AGG_DUPS_CACHE.clear()
+        _AGG_DUPS_CACHE[key] = m
+    keys = batch["dedup_key"].to_pylist()
+    own = batch["order_key"].to_pylist()
+    dup = [None] * len(keys)
+    for i, k in enumerate(keys):
+        c = m.get(k)
+        if c is not None and c != own[i]:
+            dup[i] = c
+    if "dup_of" in batch.column_names:
+        batch = batch.drop_columns(["dup_of"])
+    return batch.append_column("dup_of", pa.array(dup, pa.string()))
+
+
 _DUP_MAP_CACHE: dict = {}
 
 

@@ -281,6 +281,63 @@ def embedding_near_dup_lsh(ds, threshold: float,
                          batch_format="pyarrow"))
 
 
+def _group_pairs_matmul(ids: np.ndarray, toks, threshold: float,
+                        tile: int = 2000):
+    """Exact pairwise token-set Jaccard within one LSH band group, as
+    dense 0/1 doc×local-vocab matmuls: intersections = Ma @ Mb.T in one
+    BLAS call per tile pair (counts < 2^24 are exact in f32; union and
+    division in f64 → bit-identical to the SQL double division).
+
+    ``tile`` bounds MEMORY, not coverage: groups larger than the tile are
+    processed block-by-block over the (upper-triangular) pair space, so
+    no member is ever dropped — the verified pair output is the answer
+    itself, and its size is inherent to the corpus. ``ids`` must be
+    ascending (pairs come out id_a < id_b).
+    """
+    k = len(ids)
+    lens = np.fromiter((len(t) for t in toks), dtype=np.int64, count=k)
+    out_a, out_b, out_j = [], [], []
+
+    def block(lo_i, hi_i, lo_j, hi_j):
+        sub_i = toks[lo_i:hi_i]
+        sub_j = toks[lo_j:hi_j]
+        vocab, inv = np.unique(np.concatenate(sub_i + sub_j),
+                               return_inverse=True)
+        ni, nj = hi_i - lo_i, hi_j - lo_j
+        li = lens[lo_i:hi_i]
+        lj = lens[lo_j:hi_j]
+        split = int(li.sum())
+        mi = np.zeros((ni, len(vocab)), dtype=np.float32)
+        mi[np.repeat(np.arange(ni), li), inv[:split]] = 1.0
+        mj = np.zeros((nj, len(vocab)), dtype=np.float32)
+        mj[np.repeat(np.arange(nj), lj), inv[split:]] = 1.0
+        inter = (mi @ mj.T).astype(np.float64)
+        union = li[:, None] + lj[None, :] - inter
+        if lo_i == lo_j:
+            iu, ju = np.triu_indices(ni, k=1)
+            jac = inter[iu, ju] / union[iu, ju]
+            keep = jac >= threshold
+            out_a.append(ids[lo_i + iu[keep]])
+            out_b.append(ids[lo_j + ju[keep]])
+            out_j.append(jac[keep])
+        else:
+            jac = inter / union
+            ai, bj = np.where(jac >= threshold)
+            out_a.append(ids[lo_i + ai])
+            out_b.append(ids[lo_j + bj])
+            out_j.append(jac[ai, bj])
+
+    for lo_i in range(0, k, tile):
+        hi_i = min(k, lo_i + tile)
+        for lo_j in range(lo_i, k, tile):
+            block(lo_i, hi_i, lo_j, min(k, lo_j + tile))
+    if not out_a:
+        e = np.array([], dtype=np.int64)
+        return e, e.copy(), np.array([], dtype=np.float64)
+    return (np.concatenate(out_a), np.concatenate(out_b),
+            np.concatenate(out_j))
+
+
 def token_jaccard_pairs(ds, threshold: float,
                         id_col: str, text_col: str = "text",
                         cfg=None):
@@ -304,13 +361,18 @@ def token_jaccard_pairs(ds, threshold: float,
     import pandas as pd
 
     from dataquality_ray.config import DEFAULT_CONFIG
-    from dataquality_ray.stages.dedup import (
-        MinHashSimHash,
-        _banded_indices,
-        _log_capped_groups,
-    )
+    from dataquality_ray.stages.dedup import MinHashSimHash, _banded_indices
+
+    import dataclasses
 
     cfg = cfg or DEFAULT_CONFIG
+    # Fewer band buckets than cfg.num_buckets: a near-identical cluster's
+    # 32 band groups then co-locate ~4 per bucket, so the member-set
+    # dedup below (seen_groups) kills the redundant copies BEFORE the
+    # matmul and before pair emission — on dup-heavy corpora this cuts
+    # both compute and the distinct-shuffle volume ~4x.
+    band_cfg = dataclasses.replace(cfg, num_buckets=max(
+        8, cfg.num_buckets // 4))
 
     sketch = ds.map_batches(
         MinHashSimHash,
@@ -320,7 +382,7 @@ def token_jaccard_pairs(ds, threshold: float,
         concurrency=(1, cfg.actor_pool_size))
 
     def explode(batch: pa.Table) -> pa.Table:
-        row_idx, keys, buckets = _banded_indices(batch, cfg)
+        row_idx, keys, buckets = _banded_indices(batch, band_cfg)
         idx = pa.array(row_idx)
         return pa.table({
             "band_key": pa.array(keys),
@@ -333,34 +395,36 @@ def token_jaccard_pairs(ds, threshold: float,
         out_a, out_b, out_j = [], [], []
         df = df.drop_duplicates(["band_key", "pid"])
         sizes = df.groupby("band_key", sort=False)["pid"].transform("size")
-        n_capped, largest = 0, 0
+        seen_groups: set = set()
         for _, g in df[sizes > 1].groupby("band_key", sort=False):
-            if len(g) > cfg.max_lsh_bucket:
-                n_capped += 1
-                largest = max(largest, len(g))
-                g = g.sort_values("pid").head(cfg.max_lsh_bucket)
             ids = g["pid"].to_numpy().astype(np.int64)
             order = np.argsort(ids)
             ids = ids[order]
-            toks = [frozenset(t) for t in g["token_hashes"].iloc[order]]
-            k = len(ids)
-            for i in range(k):
-                si = toks[i]
-                for j in range(i + 1, k):
-                    sj = toks[j]
-                    inter = len(si & sj)
-                    union = len(si) + len(sj) - inter
-                    jac = inter / union if union else 1.0
-                    if jac >= threshold:
-                        out_a.append(int(ids[i]))
-                        out_b.append(int(ids[j]))
-                        out_j.append(jac)
-        if n_capped:
-            _log_capped_groups("token_jaccard_pairs", n_capped,
-                               cfg.max_lsh_bucket, largest)
-        return pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
-                             "id_b": pd.Series(out_b, dtype="int64"),
-                             "jaccard": pd.Series(out_j, dtype="float64")})
+            # different bands often yield the SAME member set (near-
+            # identical docs agree on most bands) — skip exact repeats
+            gkey = ids.tobytes()
+            if gkey in seen_groups:
+                continue
+            seen_groups.add(gkey)
+            toks = [np.asarray(t, dtype=np.uint64)
+                    for t in g["token_hashes"].iloc[order]]
+            a, b, j = _group_pairs_matmul(ids, toks, threshold,
+                                          tile=cfg.max_lsh_bucket)
+            out_a.append(a)
+            out_b.append(b)
+            out_j.append(j)
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64"),
+                                 "jaccard": pd.Series(dtype="float64")})
+        # local pre-dedup: overlapping band groups in this bucket emit
+        # mostly the same pairs — shrink them here so the global
+        # distinct shuffle moves ~1x the answer, not ~bands x
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+            "jaccard": np.concatenate(out_j),
+        }).drop_duplicates(["id_a", "id_b"])
 
     pairs = (sketch.map_batches(explode, batch_format="pyarrow")
              .groupby("band_bucket")
