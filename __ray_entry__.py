@@ -168,6 +168,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # asserted in tests/test_clustering.py)
         "ivf_topk_embeddings": _ivf_topk_embeddings,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
+        # embedding GENERATION (actor-pool feature-hash projection;
+        # reference analog bedrock.py:415-453) + ANN over the generated
+        # vectors (rows-only: float embeddings aren't SQL-expressible)
+        "doc_embeddings": _doc_embeddings,
+        "doc_embedding_ann": _doc_embedding_ann,
         # --- transcripts: flagship pipeline (rows-only; pytest-verified
         #     against the single-process oracle labeler) ---
         "transcript_pipeline": transcript_pipeline,
@@ -190,6 +195,23 @@ def _ivf_topk_embeddings(sf_dir: str):
     from dataquality_ray.stages.clustering import ivf_topk
     ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
     return ivf_topk(ds, ANN_QUERY_IDS, k=ANN_K)
+
+
+def _doc_embeddings(sf_dir: str):
+    import os
+    import ray
+    from dataquality_ray.stages.embeddings import embed_texts
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
+                               columns=["doc_id", "text"])
+    return embed_texts(ds).map_batches(
+        lambda t: t.select(["doc_id", "embedding"]),
+        batch_format="pyarrow")
+
+
+def _doc_embedding_ann(sf_dir: str):
+    from dataquality_ray.stages.similarity import cosine_topk
+    return cosine_topk(_doc_embeddings(sf_dir), [0, 1, 2, 3, 4], k=5,
+                       id_col="doc_id")
 
 
 def _embedding_near_dup_lsh(sf_dir: str):

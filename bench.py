@@ -94,7 +94,11 @@ def main() -> None:
     logging.getLogger("ray.data").setLevel(logging.ERROR)
     try:
         head = _headline(SF_DIR)
-        queries = _query_benches(SF_DIR)
+        # --scaling children measure the headline only: the per-query
+        # sweep is reported once by the plain run, and re-running it 4x
+        # (2 levels x best-of-2) would dominate the scaling measurement
+        queries = {} if os.environ.get("BENCH_HEADLINE_ONLY") \
+            else _query_benches(SF_DIR)
     finally:
         ray.shutdown()
     print(json.dumps({
@@ -122,6 +126,7 @@ def scaling() -> None:
     def run_once(ncpu: int) -> dict:
         env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu),
                    GRAFT_SF_DIR=SF_DIR,
+                   BENCH_HEADLINE_ONLY="1",
                    PYTHONPATH=os.path.dirname(os.path.abspath(__file__)))
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)], env=env,

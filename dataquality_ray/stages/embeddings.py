@@ -1,0 +1,105 @@
+"""Deterministic text-embedding generation (actor-pool stage).
+
+Reference analog: the Titan embedding call per document
+(/root/reference/backend/app/services/bedrock.py:415-453 — a network
+model invoked sequentially per record, truncating input at 8000 chars).
+Re-expressed Ray-Data-first: a feature-hashing random-projection
+embedder whose projection matrix is derived from a frozen seed ONCE PER
+ACTOR (``__init__``), applied to whole Arrow batches in ``__call__`` —
+the same actor-pool shape a real encoder (sentence-transformers, ONNX)
+would use; swap ``_embed_rows`` for a model forward pass and nothing
+else changes.
+
+The embedding is L2-normalized tf-weighted sum of per-token projection
+rows (token → bucket via the frozen 64-bit token hash). Deterministic,
+order-independent, and meaningful for similarity: texts sharing most
+tokens land close in cosine — so the output feeds the ANN / cosine
+near-dup operators (stages/similarity.py) directly.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict
+
+import numpy as np
+import pyarrow as pa
+
+from dataquality_ray.config import DEFAULT_CONFIG, PipelineConfig
+from dataquality_ray.spec import TOKEN_PATTERN, token_hash_u64
+
+EMBED_DIM = 64
+HASH_BUCKETS = 4096
+
+
+class HashedProjectionEmbedder:
+    """map_batches actor: append ``embedding`` (list<float32>, unit L2).
+
+    State (projection matrix, compiled tokenizer, token-hash cache) is
+    built once per actor — the lesson from the reference constructing a
+    fresh client per call (bedrock.py:26-31).
+    """
+
+    def __init__(self, text_col: str = "text",
+                 out_col: str = "embedding",
+                 dim: int = EMBED_DIM,
+                 buckets: int = HASH_BUCKETS,
+                 max_chars: int = 8000,
+                 cfg: PipelineConfig = DEFAULT_CONFIG) -> None:
+        self.text_col = text_col
+        self.out_col = out_col
+        self.dim = dim
+        self.buckets = buckets
+        self.max_chars = max_chars   # reference truncates at 8000 chars
+        rng = np.random.default_rng(cfg.seed)
+        self.proj = rng.standard_normal((buckets, dim)) \
+            .astype(np.float32)
+        self.token_rx = re.compile(TOKEN_PATTERN, re.ASCII)
+        self._cache: Dict[str, int] = {}
+
+    def _bucket(self, tok: str) -> int:
+        b = self._cache.get(tok)
+        if b is None:
+            b = int(token_hash_u64(tok) % self.buckets)
+            if len(self._cache) < 1_000_000:
+                self._cache[tok] = b
+        return b
+
+    def _embed_rows(self, texts) -> np.ndarray:
+        out = np.zeros((len(texts), self.dim), dtype=np.float32)
+        for i, t in enumerate(texts):
+            toks = self.token_rx.findall((t or "")[: self.max_chars]
+                                         .lower())
+            if not toks:
+                continue
+            idx = np.fromiter((self._bucket(tok) for tok in toks),
+                              dtype=np.int64, count=len(toks))
+            buckets, tf = np.unique(idx, return_counts=True)
+            v = tf.astype(np.float32) @ self.proj[buckets]
+            n = float(np.linalg.norm(v))
+            if n > 0:
+                out[i] = v / n
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        emb = self._embed_rows(texts.to_pylist())
+        return batch.append_column(
+            self.out_col,
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(emb.ravel(), pa.float32()), self.dim).cast(
+                pa.list_(pa.float32())))
+
+
+def embed_texts(ds, text_col: str = "text",
+                cfg: PipelineConfig = DEFAULT_CONFIG,
+                concurrency=None):
+    """Attach an ``embedding`` column via the actor-pool embedder."""
+    return ds.map_batches(
+        HashedProjectionEmbedder,
+        fn_constructor_kwargs={"text_col": text_col, "cfg": cfg},
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=concurrency or (1, cfg.actor_pool_size))
