@@ -149,6 +149,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": D.langid_documents,
         "quality_by_source": D.quality_by_source,
         "doc_key_terms": D.doc_key_terms,
+        "doc_metadata_gate": D.doc_metadata_gate,
         # --- transcripts: entity extraction + per-turn heuristics
         #     (SQL-checked via a direct read_parquet of the fixture) ---
         "transcript_entities": transcript_entities,
@@ -335,6 +336,7 @@ def oracle_sql() -> dict[str, str]:
         ANN_K,
         ANN_QUERY_IDS,
         EMB_NEAR_DUP_COSINE,
+        METADATA_GATE_THRESHOLD as D_METADATA_GATE,
         NEAR_DUP_DOC_JACCARD,
     )
     ann_ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
@@ -361,6 +363,38 @@ r AS (
   FROM f)
 SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {spec.KEY_TERMS_TOP_K}
+""",
+        # gate arithmetic ordered exactly like the Ray side:
+        # (0.5|0.0) + 0.5*(inter/union) in doubles → bit-identical
+        "doc_metadata_gate": f"""
+WITH tok AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(lower(text), '{_TOK}')) AS term
+  FROM documents),
+f AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM tok WHERE term NOT IN ({stoplist})
+  GROUP BY 1, 2),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tf DESC, term) AS rank
+  FROM f),
+s AS (
+  SELECT doc_id, list(term) AS terms
+  FROM r WHERE rank <= {spec.KEY_TERMS_TOP_K}
+  GROUP BY doc_id),
+g AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    (CASE WHEN da.source = db.source THEN 0.5 ELSE 0.0 END)
+      + 0.5 * (CAST(len(list_intersect(a.terms, b.terms)) AS DOUBLE)
+               / (len(a.terms) + len(b.terms)
+                  - len(list_intersect(a.terms, b.terms)))) AS gate
+  FROM s a
+  JOIN s b ON a.doc_id < b.doc_id
+  JOIN documents da ON da.doc_id = a.doc_id
+  JOIN documents db ON db.doc_id = b.doc_id)
+SELECT id_a, id_b, gate FROM g
+WHERE gate >= {D_METADATA_GATE}
 """,
         "transcript_entities": f"""
 SELECT conv_id, turn_idx, entity,

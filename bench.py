@@ -133,23 +133,30 @@ def scaling() -> None:
             capture_output=True, text=True, check=True).stdout
         return json.loads(out.strip().splitlines()[-1])
 
-    def run(ncpu: int) -> dict:
-        a, b = run_once(ncpu), run_once(ncpu)
-        return a if a["turns_per_sec"] >= b["turns_per_sec"] else b
-
+    # ALTERNATE the levels (8,32,8,32,...) so co-tenant load drift
+    # during the measurement biases both levels equally instead of
+    # penalizing whichever ran last; keep the best run per level.
+    reps = int(os.environ.get("BENCH_SCALING_REPS", "2"))
     lo_cpus, hi_cpus = 8, 32
-    lo = run(lo_cpus)
-    hi = run(hi_cpus)
+    lo_runs, hi_runs = [], []
+    for _ in range(reps):
+        lo_runs.append(run_once(lo_cpus))
+        hi_runs.append(run_once(hi_cpus))
+    lo = max(lo_runs, key=lambda r: r["turns_per_sec"])
+    hi = max(hi_runs, key=lambda r: r["turns_per_sec"])
     tp_lo, tp_hi = lo["turns_per_sec"], hi["turns_per_sec"]
     eff = (tp_hi / tp_lo) / (hi_cpus / lo_cpus)
     print(json.dumps({
-        "metric": "scaling efficiency N->4N (num_cpus 8 -> 32, best of 2)",
+        "metric": (f"scaling efficiency N->4N (num_cpus 8 -> 32, "
+                   f"alternating, best of {reps})"),
         "sf": lo["sf"],
         "rows": lo["rows"],
         "sec_8": lo["value"],
         "sec_32": hi["value"],
         "turns_per_sec_8": tp_lo,
         "turns_per_sec_32": tp_hi,
+        "all_turns_per_sec_8": [r["turns_per_sec"] for r in lo_runs],
+        "all_turns_per_sec_32": [r["turns_per_sec"] for r in hi_runs],
         "scaling_efficiency": round(eff, 3),
     }))
 

@@ -337,6 +337,106 @@ def entities_batch(batch: pa.Table, id_cols, text_col: str = "text"
     return pa.Table.from_pandas(df, preserve_index=False)
 
 
+METADATA_GATE_THRESHOLD = 0.7   # reference: metadata_similarity >= 0.7
+
+
+def doc_metadata_gate(sf_dir: str):
+    """Metadata-similarity dedup gate (reference metadata.py:213-243,
+    524-536): gate = 0.5·[same source] + 0.5·Jaccard(key-term sets),
+    pairs kept at gate >= 0.7 — the pre-filter the reference applies
+    before its expensive pairwise cosine check.
+
+    Shape: inverted-index candidate join — key-term posting lists
+    (groupby term) generate candidate pairs (a pair passing the gate
+    must share >= 1 key term, since 0.5 + 0.5·j >= 0.7 needs j >= 0.4 >
+    0), then exact per-pair verification. No O(n²) scan; hot terms are
+    the skew knob (posting lists capped by the same max_lsh_bucket
+    logic as the LSH buckets).
+    """
+    import pandas as pd
+
+    from dataquality_ray.config import DEFAULT_CONFIG as cfg
+
+    terms = doc_key_terms(sf_dir)           # (doc_id, term, tf, rank)
+    docs = _docs(sf_dir, columns=["doc_id", "source"])
+
+    # per-doc key-term set + source, broadcast as the (small) side table:
+    # one row per doc with <= 5 terms. At corpus scale this side stays
+    # proportional to #docs × 5 short strings; swap for a hash join when
+    # it outgrows worker memory (same shape as near_dup_pairs_join).
+    side = terms.to_pandas().groupby("doc_id")["term"].agg(frozenset)
+    src = docs.to_pandas().set_index("doc_id")["source"]
+    import ray as _ray
+    side_ref = _ray.put((side.to_dict(), src.to_dict()))
+
+    def candidates(batch: pa.Table) -> pa.Table:
+        # posting rows: one per (term, doc) — grouped by term below
+        return pa.table({
+            "term": batch["term"],
+            "doc_id": batch["doc_id"],
+        })
+
+    def term_pairs(df: "pd.DataFrame") -> "pd.DataFrame":
+        out_a, out_b = [], []
+        for _, g in df.groupby("term", sort=False):
+            ids = np.sort(g["doc_id"].to_numpy().astype(np.int64))
+            if len(ids) < 2:
+                continue
+            if len(ids) > cfg.max_lsh_bucket:
+                ids = ids[: cfg.max_lsh_bucket]
+            iu, ju = np.triu_indices(len(ids), k=1)
+            out_a.append(ids[iu])
+            out_b.append(ids[ju])
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
+                                 "id_b": pd.Series(dtype="int64")})
+        return pd.DataFrame({
+            "id_a": np.concatenate(out_a),
+            "id_b": np.concatenate(out_b),
+        }).drop_duplicates()
+
+    def verify(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.drop_duplicates(["id_a", "id_b"])
+        term_sets, sources = _ray.get(side_ref)
+        out_a, out_b, out_g = [], [], []
+        for a, b in zip(df["id_a"], df["id_b"]):
+            sa, sb = term_sets.get(a), term_sets.get(b)
+            if not sa or not sb:
+                continue
+            inter = len(sa & sb)
+            j = inter / (len(sa) + len(sb) - inter)
+            gate = (0.5 if sources.get(a) == sources.get(b) else 0.0) \
+                + 0.5 * j
+            if gate >= METADATA_GATE_THRESHOLD:
+                out_a.append(int(a))
+                out_b.append(int(b))
+                out_g.append(gate)
+        return pd.DataFrame({
+            "id_a": pd.Series(out_a, dtype="int64"),
+            "id_b": pd.Series(out_b, dtype="int64"),
+            "gate": pd.Series(out_g, dtype="float64"),
+        })
+
+    def add_tb(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.copy()
+        a = df["id_a"].to_numpy().astype(np.uint64)
+        b = df["id_b"].to_numpy().astype(np.uint64)
+        with np.errstate(over="ignore"):
+            df["pb"] = (((a * np.uint64(0x9E3779B97F4A7C15)) ^ b)
+                        % np.uint64(cfg.num_buckets)).astype(np.int32)
+        return df
+
+    cand = (terms.map_batches(candidates, batch_format="pyarrow")
+            .groupby("term")
+            .map_groups(term_pairs, batch_format="pandas"))
+    return (cand.map_batches(add_tb, batch_format="pandas")
+            .groupby("pb")
+            .map_groups(verify, batch_format="pandas")
+            .map_batches(lambda t: t.drop_columns(["pb"])
+                         if "pb" in t.column_names else t,
+                         batch_format="pyarrow"))
+
+
 # ---------------------------------------------------------------------------
 # sketches (content hash + rolling fingerprint; SimHash/MinHash variant)
 # ---------------------------------------------------------------------------
