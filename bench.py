@@ -47,10 +47,12 @@ def _headline(sf_dir: str) -> dict:
     for f in files:
         with open(os.path.join(path, f), "rb") as fh:
             fh.read()
-    # untimed prewarm: spawn worker processes + import the package in them
-    # so the timed run measures steady-state throughput, not cold start
+    # untimed prewarm: spawn worker processes + import the package + build
+    # the per-process model singletons, at the SAME actor-pool width as
+    # the timed run — otherwise part of the pool constructs its models
+    # cold inside the timed window
     warm = ray.data.read_parquet(os.path.join(path, files[0]))
-    quality_pipeline(warm, concurrency=max(2, NUM_CPUS // 2),
+    quality_pipeline(warm, concurrency=max(2, int(NUM_CPUS * 0.75)),
                      sort_output=False).count()
 
     out_dir = "/tmp/dq_bench_out"
@@ -115,6 +117,40 @@ def main() -> None:
     }))
 
 
+def _burn(n_iters: int) -> int:
+    """Pure-Python CPU burn (no I/O, no numpy release of the GIL —
+    separate processes) for measuring the VM's effective parallelism."""
+    x = 0
+    for _ in range(n_iters):
+        x = (x * 1103515245 + 12345) & 0xFFFFFFFF
+    return x
+
+
+def machine_ceiling(iters: int = 15_000_000) -> dict:
+    """Effective parallelism at 8 and 32 worker processes, measured NOW.
+
+    This sandbox is a shared/throttled VM: a perfectly parallel job can
+    scale 8→32 procs only by (eff32/eff8), so the achievable N→4N
+    efficiency ceiling is (eff32/eff8)/4 — report it alongside the
+    pipeline's raw number, measured in the same window.
+    """
+    import time
+    from concurrent.futures import ProcessPoolExecutor
+
+    def wall(workers: int) -> float:
+        t0 = time.time()
+        with ProcessPoolExecutor(workers) as ex:
+            list(ex.map(_burn, [iters] * workers))
+        return time.time() - t0
+
+    t1 = wall(1)
+    eff = {w: round(w * t1 / wall(w), 2) for w in (8, 32)}
+    return {"single_proc_sec": round(t1, 2),
+            "effective_parallelism_8": eff[8],
+            "effective_parallelism_32": eff[32],
+            "ceiling_8_to_32": round((eff[32] / eff[8]) / 4, 3)}
+
+
 def scaling() -> None:
     """Same headline job at num_cpus=8 and 32 in fresh processes.
 
@@ -146,6 +182,9 @@ def scaling() -> None:
     hi = max(hi_runs, key=lambda r: r["turns_per_sec"])
     tp_lo, tp_hi = lo["turns_per_sec"], hi["turns_per_sec"]
     eff = (tp_hi / tp_lo) / (hi_cpus / lo_cpus)
+    # machine ceiling measured in the SAME window (co-tenant load moves
+    # it hour to hour — see BASELINE.md)
+    ceil = machine_ceiling()
     print(json.dumps({
         "metric": (f"scaling efficiency N->4N (num_cpus 8 -> 32, "
                    f"alternating, best of {reps})"),
@@ -158,6 +197,10 @@ def scaling() -> None:
         "all_turns_per_sec_8": [r["turns_per_sec"] for r in lo_runs],
         "all_turns_per_sec_32": [r["turns_per_sec"] for r in hi_runs],
         "scaling_efficiency": round(eff, 3),
+        "machine_ceiling": ceil,
+        "efficiency_vs_ceiling": round(
+            eff / ceil["ceiling_8_to_32"], 3)
+        if ceil["ceiling_8_to_32"] else None,
     }))
 
 

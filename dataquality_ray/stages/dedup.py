@@ -311,6 +311,15 @@ def make_dup_aggregators(num: int = 8):
             return {k: self.min_key[k]
                     for k, c in self.cnt.items() if c >= 2}
 
+        def dups_ref(self):
+            """Shard placed in the object store ONCE; every worker then
+            reads the same plasma object instead of pulling a fresh
+            copy through an actor RPC (32 workers × N shards adds up)."""
+            import ray as _ray
+            if not hasattr(self, "_ref"):
+                self._ref = _ray.put(self.dups())
+            return self._ref
+
     return [DupMapAggregator.remote() for _ in range(num)]
 
 
@@ -370,8 +379,9 @@ def assign_dup_from_aggregators(batch: pa.Table, handles) -> pa.Table:
     key = tuple(h._actor_id.hex() for h in handles)
     m = _AGG_DUPS_CACHE.get(key)
     if m is None:
+        refs = ray.get([h.dups_ref.remote() for h in handles])
         m = {}
-        for part in ray.get([h.dups.remote() for h in handles]):
+        for part in ray.get(refs):
             m.update(part)
         _AGG_DUPS_CACHE.clear()
         _AGG_DUPS_CACHE[key] = m
