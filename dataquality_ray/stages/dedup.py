@@ -311,14 +311,29 @@ def make_dup_aggregators(num: int = 8):
             return {k: self.min_key[k]
                     for k, c in self.cnt.items() if c >= 2}
 
-        def dups_ref(self):
-            """Shard placed in the object store ONCE; every worker then
-            reads the same plasma object instead of pulling a fresh
-            copy through an actor RPC (32 workers × N shards adds up)."""
+        def merged_ref(self, others):
+            """Merge every shard ONCE (first caller pays; actor call
+            serialization makes later callers hit the cache) and publish
+            the map as two SORTED numpy byte arrays in plasma — workers
+            read them zero-copy and look keys up with searchsorted, so
+            there is no per-worker dict deserialization/merge (profiled
+            at ~2-4 s × #workers on the post-sort assign stage)."""
+            import numpy as _np
+
             import ray as _ray
-            if not hasattr(self, "_ref"):
-                self._ref = _ray.put(self.dups())
-            return self._ref
+            if not hasattr(self, "_merged"):
+                m = self.dups()
+                for part in _ray.get([h.dups.remote() for h in others]):
+                    m.update(part)
+                if m:
+                    ks = sorted(m)          # ASCII: str order == S order
+                    keys = _np.array(ks, dtype="S")
+                    vals = _np.array([m[k] for k in ks], dtype="S")
+                else:
+                    keys = _np.array([], dtype="S1")
+                    vals = _np.array([], dtype="S1")
+                self._merged = _ray.put((keys, vals))
+            return self._merged
 
     return [DupMapAggregator.remote() for _ in range(num)]
 
@@ -371,27 +386,39 @@ _AGG_DUPS_CACHE: dict = {}
 
 
 def assign_dup_from_aggregators(batch: pa.Table, handles) -> pa.Table:
-    """dup_of from the aggregator shards' merged dup map (fetched once
-    per worker process). ONLY safe after a full barrier (sort /
-    materialize) downstream of content_hash_with_side_map."""
+    """dup_of from the aggregators' merged (sorted-array) dup map:
+    zero-copy plasma read + vectorized searchsorted lookup per batch.
+    ONLY safe after a full barrier (sort / materialize) downstream of
+    content_hash_with_side_map."""
     import ray
 
-    key = tuple(h._actor_id.hex() for h in handles)
-    m = _AGG_DUPS_CACHE.get(key)
-    if m is None:
-        refs = ray.get([h.dups_ref.remote() for h in handles])
-        m = {}
-        for part in ray.get(refs):
-            m.update(part)
+    cache_key = tuple(h._actor_id.hex() for h in handles)
+    arrs = _AGG_DUPS_CACHE.get(cache_key)
+    if arrs is None:
+        ref = ray.get(handles[0].merged_ref.remote(handles[1:]))
+        arrs = ray.get(ref)
         _AGG_DUPS_CACHE.clear()
-        _AGG_DUPS_CACHE[key] = m
-    keys = batch["dedup_key"].to_pylist()
-    own = batch["order_key"].to_pylist()
-    dup = [None] * len(keys)
-    for i, k in enumerate(keys):
-        c = m.get(k)
-        if c is not None and c != own[i]:
-            dup[i] = c
+        _AGG_DUPS_CACHE[cache_key] = arrs
+    keys_arr, vals_arr = arrs
+
+    n = batch.num_rows
+    dup = np.full(n, None, dtype=object)
+    if len(keys_arr):
+        bkeys = np.asarray(batch["dedup_key"].to_pylist(),
+                           dtype=keys_arr.dtype)
+        idx = np.searchsorted(keys_arr, bkeys)
+        idx_c = np.minimum(idx, len(keys_arr) - 1)
+        found = keys_arr[idx_c] == bkeys
+        if found.any():
+            canon = vals_arr[idx_c[found]]
+            ok_list = batch["order_key"].to_pylist()
+            # auto-width bytes dtype: numpy compares S<m> vs S<n>
+            # element-wise without truncating longer own keys
+            own = np.asarray([ok_list[i] for i in np.flatnonzero(found)],
+                             dtype="S")
+            is_dup = canon != own
+            rows = np.flatnonzero(found)[is_dup]
+            dup[rows] = [c.decode() for c in canon[is_dup]]
     if "dup_of" in batch.column_names:
         batch = batch.drop_columns(["dup_of"])
     return batch.append_column("dup_of", pa.array(dup, pa.string()))
