@@ -207,5 +207,7 @@ def scaling() -> None:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         scaling()
+    elif "--ceiling" in sys.argv:
+        print(json.dumps(machine_ceiling()))
     else:
         main()
