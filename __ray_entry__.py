@@ -245,9 +245,11 @@ def _transcript_simhash_pairs(sf_dir: str):
 
 
 def _transcript_dup_clusters(sf_dir: str):
+    # auto dispatch: driver union-find for provably-small pair sets,
+    # hash-join label-propagation fixpoint beyond the driver limit
     from dataquality_ray.pipelines.quality import transcript_near_dup_pairs
-    from dataquality_ray.stages.clustering import dup_clusters
-    return dup_clusters(transcript_near_dup_pairs(_transcript_ds(sf_dir)))
+    from dataquality_ray.stages.clustering import dup_clusters_auto
+    return dup_clusters_auto(transcript_near_dup_pairs(_transcript_ds(sf_dir)))
 
 
 # ---------------------------------------------------------------------------
