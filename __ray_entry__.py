@@ -74,6 +74,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from dataquality_ray.stages.multimodal import multimodal_demo
         return multimodal_demo(sf_dir)
 
+    def multimodal_frame_samples(sf_dir: str):
+        from dataquality_ray.stages.multimodal import multimodal_frames
+        return multimodal_frames(sf_dir)
+
     def transcript_entities(sf_dir: str):
         import functools
         from dataquality_ray.pipelines.documents import entities_batch
@@ -186,6 +190,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sketches": D.doc_sketches,
         "doc_sim_sketches": D.doc_sim_sketches,
         "multimodal_features": multimodal_features,
+        "multimodal_frame_samples": multimodal_frame_samples,
     }
 
 

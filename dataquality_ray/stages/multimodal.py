@@ -103,6 +103,65 @@ def decode_features(ds, concurrency=(1, 4)):
         concurrency=concurrency)
 
 
+class FrameSampler:
+    """Actor-pool stage: deterministic frame sampling from a binary
+    payload — the video-frame-sample analog (every ``stride``-th
+    fixed-size window becomes one "frame" row with its own feature
+    vector). One input row expands to ``<= max_frames`` output rows
+    (flat-map shape), payload dropped immediately.
+    """
+
+    def __init__(self, frame_bytes: int = 64, stride: int = 2,
+                 max_frames: int = 8,
+                 n_features: int = N_FEATURES) -> None:
+        self.frame_bytes = frame_bytes
+        self.stride = stride
+        self.max_frames = max_frames
+        self.extractor = FakeFeatureExtractor(n_features)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"]
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        ids = batch["doc_id"].to_pylist()
+        out_id, out_frame, out_feat = [], [], []
+        fb, proj = self.frame_bytes, self.extractor.proj
+        for doc_id, p in zip(ids, payloads.to_pylist()):
+            buf = np.frombuffer(p or b"", dtype=np.uint8)
+            n_windows = len(buf) // fb
+            for fi, w in enumerate(range(0, n_windows, self.stride)):
+                if fi >= self.max_frames:
+                    break
+                frame = buf[w * fb:(w + 1) * fb]
+                hist = np.bincount(frame, minlength=256) \
+                    .astype(np.float32)
+                out_id.append(doc_id)
+                out_frame.append(fi)
+                out_feat.append((hist / fb) @ proj)
+        feats = np.asarray(out_feat, dtype=np.float32) if out_feat \
+            else np.zeros((0, self.extractor.n_features), dtype=np.float32)
+        return pa.table({
+            "doc_id": pa.array(out_id, pa.int64()),
+            "frame_idx": pa.array(out_frame, pa.int32()),
+            "features": pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.reshape(-1)), self.extractor.n_features),
+        })
+
+
+def sample_frames(ds, concurrency=(1, 4)):
+    """Actor-pool frame-sampling stage over a binary-payload dataset."""
+    return ds.map_batches(
+        FrameSampler,
+        batch_format="pyarrow",
+        batch_size=BINARY_BATCH_SIZE,
+        concurrency=concurrency)
+
+
 def multimodal_demo(sf_dir: str):
     """End-to-end multimodal plumbing: synthesize → decode → features."""
     return decode_features(synthesize_binary_table(sf_dir))
+
+
+def multimodal_frames(sf_dir: str):
+    """End-to-end frame-sampling plumbing: synthesize → sample frames."""
+    return sample_frames(synthesize_binary_table(sf_dir))

@@ -109,3 +109,29 @@ class TestSimilarityKernels:
         t = pa.table({"payload": pa.array([b"xyz", b"xyz"], pa.binary())})
         f = fx(t)["features"].to_pylist()
         assert f[0] == f[1]
+
+
+class TestFrameSampling:
+    def test_frame_sampler_expands_rows(self, ray_session):
+        from dataquality_ray.stages.multimodal import multimodal_frames
+        out = multimodal_frames("/root/testdata/sf0.001").to_pandas()
+        assert len(out) > 0
+        assert set(out.columns) == {"doc_id", "frame_idx", "features"}
+        # one input row expands to multiple frame rows, capped at 8
+        per_doc = out.groupby("doc_id").size()
+        assert per_doc.max() <= 8
+        assert (out["frame_idx"] >= 0).all()
+        assert len(out["features"].iloc[0]) == 16
+
+    def test_frame_sampler_deterministic(self):
+        import pyarrow as pa
+        from dataquality_ray.stages.multimodal import FrameSampler
+        t = pa.table({
+            "doc_id": pa.array([7], pa.int64()),
+            "payload": pa.array([bytes(range(256)) * 4], pa.binary()),
+        })
+        a = FrameSampler()(t).to_pydict()
+        b = FrameSampler()(t).to_pydict()
+        assert a == b
+        # stride 2 over 16 windows of 64B -> 8 frames
+        assert a["frame_idx"] == list(range(8))
