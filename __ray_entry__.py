@@ -60,6 +60,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def transcript_near_dups(sf_dir: str):
         return transcript_near_dup_pairs(_transcript_ds(sf_dir))
 
+    def transcript_near_dups_join(sf_dir: str):
+        # the 100 TB shape: slim band rows + two hash joins instead of
+        # carrying token payloads bands× through the shuffle (identical
+        # output to the carry variant — tested)
+        return transcript_near_dup_pairs(_transcript_ds(sf_dir),
+                                         strategy="join")
+
     def transcript_run_summary(sf_dir: str):
         return run_summary(
             quality_pipeline(_transcript_ds(sf_dir), sort_output=False))
@@ -182,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     against the single-process oracle labeler) ---
         "transcript_pipeline": transcript_pipeline,
         "transcript_near_dup_pairs": transcript_near_dups,
+        "transcript_near_dup_pairs_join": transcript_near_dups_join,
         "transcript_run_summary": transcript_run_summary,
         "transcript_conv_stats": transcript_conv_stats,
         "transcript_dup_clusters": _transcript_dup_clusters,

@@ -216,3 +216,26 @@ class TestRunSummary:
         want = collections.Counter(small_oracle["action"].to_pylist())
         got = dict(zip(out["action"], out["n"]))
         assert got == dict(want)
+
+
+class TestDedupModeEquivalence:
+    def test_three_modes_identical(self, small_transcripts):
+        """inline (side-channel), broadcast (materialize + map) and
+        shuffle (bucketed groupby) dedup modes must produce identical
+        final tables — same dup_of assignments, same everything."""
+        import pandas as pd
+
+        def run(mode):
+            ds = ray.data.from_arrow(small_transcripts)
+            df = quality_pipeline(ds, dedup_mode=mode).to_pandas()
+            return df.sort_values(["conv_id", "turn_idx"]) \
+                     .reset_index(drop=True)
+
+        inline = run("inline")
+        broadcast = run("broadcast")
+        shuffle = run("shuffle")
+        cols = sorted(inline.columns)
+        assert sorted(broadcast.columns) == cols
+        assert set(cols) <= set(shuffle.columns)  # shuffle keeps helpers
+        pd.testing.assert_frame_equal(inline[cols], broadcast[cols])
+        pd.testing.assert_frame_equal(inline[cols], shuffle[cols])
