@@ -36,12 +36,17 @@ def _list_uri(uri: str) -> List[str]:
     from pyarrow import fs as pafs
     filesystem, fs_path = pafs.FileSystem.from_uri(uri)
     scheme = uri.split("://", 1)[0]
+    # local URIs resolve to plain paths: ray.data.read_parquet rejects
+    # the file:// scheme ("Expected a local filesystem path, got a URI")
+    # while remote schemes (s3://, gcs://, ...) must stay prefixed
+    prefix = "" if isinstance(filesystem, pafs.LocalFileSystem) \
+        else f"{scheme}://"
     info = filesystem.get_file_info(fs_path)
     if info.type == pafs.FileType.File:
-        return [uri]
+        return [prefix + fs_path if prefix == "" else uri]
     selector = pafs.FileSelector(fs_path, recursive=True,
                                  allow_not_found=True)
-    out = [f"{scheme}://{i.path}"
+    out = [prefix + i.path
            for i in filesystem.get_file_info(selector)
            if i.type == pafs.FileType.File
            and i.path.endswith(".parquet")]

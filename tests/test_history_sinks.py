@@ -95,12 +95,14 @@ class TestUriListing:
         uri = f"file://{tmp_path}/shards"
         got = list_transcript_files(uri)
         assert len(got) == 4
-        assert all(g.startswith("file://") and g.endswith(".parquet")
+        # local URIs resolve to PLAIN paths (ray.data.read_parquet
+        # rejects the file:// scheme); remote schemes stay prefixed
+        assert all(g.startswith("/") and g.endswith(".parquet")
                    for g in got)
         assert got == sorted(got)
-        # single-file URI
-        one = list_transcript_files(got[0])
+        # single-file file:// URI → plain path
+        one = list_transcript_files(f"file://{got[0]}")
         assert one == [got[0]]
         # plain local path unchanged
         local = list_transcript_files(str(tmp_path / "shards"))
-        assert len(local) == 4 and local[0].startswith("/")
+        assert local == got
