@@ -101,3 +101,61 @@ def test_langid_deterministic(a, b):
     m = get_model()
     # batched and scalar paths agree (shared summation order)
     assert m.predict_batch([a, b]) == [m.predict(a), m.predict(b)]
+
+
+# toxic phrases woven into arbitrary unicode text — stresses \b semantics
+_toxic_mix = st.lists(
+    st.one_of(_text,
+              st.sampled_from(list(spec.TOXICITY_TERMS)),
+              st.sampled_from(["Worthless", "SHUT UP", "you Idiot"])),
+    min_size=0, max_size=6,
+).map(" ".join)
+
+
+@settings(max_examples=200, deadline=None)
+@given(_toxic_mix)
+def test_toxicity_python_matches_duckdb_and_arrow(t):
+    """Python re.ASCII, pyarrow RE2 and DuckDB RE2 must agree on
+    toxicity counts + masking for arbitrary unicode-adjacent text."""
+    import duckdb
+    import pyarrow.compute as pc
+
+    want_n = spec.toxicity_count(t)
+    want_mask = spec.mask_toxicity(t)
+    # pyarrow (RE2)
+    lower = pc.utf8_lower(pa.array([t]))
+    got_n = pc.count_substring_regex(lower, spec.TOXICITY_PATTERN)[0].as_py()
+    got_mask = pc.replace_substring_regex(
+        lower, spec.TOXICITY_PATTERN, spec.TOX_TOKEN)[0].as_py()
+    assert got_n == want_n
+    assert got_mask == want_mask
+    # DuckDB (RE2)
+    con = duckdb.connect()
+    dn, dm = con.execute(
+        f"SELECT len(regexp_extract_all(lower(?), '{spec.TOXICITY_PATTERN}')),"
+        f" regexp_replace(lower(?), '{spec.TOXICITY_PATTERN}',"
+        f" '{spec.TOX_TOKEN}', 'g')", [t, t]).fetchone()
+    assert dn == want_n
+    assert dm == want_mask
+
+
+@settings(max_examples=200, deadline=None)
+@given(_text)
+def test_entities_python_matches_duckdb(t):
+    """ENTITY_PATTERN (\\b-anchored capitalized spans) must extract the
+    same mentions under Python re.ASCII and DuckDB RE2."""
+    import duckdb
+    want = spec.extract_entities(t)
+    con = duckdb.connect()
+    got = con.execute(
+        f"SELECT regexp_extract_all(?, '{spec.ENTITY_PATTERN}')",
+        [t]).fetchone()[0]
+    assert got == want
+
+
+@settings(max_examples=100, deadline=None)
+@given(_text)
+def test_fingerprint_batch_matches_scalar_property(t):
+    from dataquality_ray.stages.dedup import fingerprint_batch
+    out = fingerprint_batch(pa.table({"text": pa.array([t], pa.string())}))
+    assert out["fingerprint"][0].as_py() == spec.rolling_fingerprint(t)
