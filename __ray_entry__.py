@@ -85,6 +85,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from dataquality_ray.stages.multimodal import multimodal_frames
         return multimodal_frames(sf_dir)
 
+    def multimodal_resized(sf_dir: str):
+        from dataquality_ray.stages.multimodal import (
+            resize_payloads,
+            synthesize_binary_table,
+        )
+        return resize_payloads(synthesize_binary_table(sf_dir))
+
     def transcript_entities(sf_dir: str):
         import functools
         from dataquality_ray.pipelines.documents import entities_batch
@@ -199,6 +206,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sim_sketches": D.doc_sim_sketches,
         "multimodal_features": multimodal_features,
         "multimodal_frame_samples": multimodal_frame_samples,
+        "multimodal_resized": multimodal_resized,
     }
 
 

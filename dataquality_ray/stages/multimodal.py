@@ -148,6 +148,56 @@ class FrameSampler:
         })
 
 
+class PayloadResizer:
+    """Actor-pool stage: deterministic payload "resize" — the image-
+    resize analog over opaque bytes (real decode is stubbed in this
+    environment). Down-samples the byte stream to exactly
+    ``target_bytes`` by averaging equal-width windows (area
+    interpolation over 1-D bytes); shorter payloads are zero-padded.
+    Emits a fixed-width ``resized`` binary column + original size,
+    dropping the input payload.
+    """
+
+    def __init__(self, target_bytes: int = 128) -> None:
+        self.target = target_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"]
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        t = self.target
+        out = np.zeros((batch.num_rows, t), dtype=np.uint8)
+        sizes = np.zeros(batch.num_rows, dtype=np.int64)
+        for i, p in enumerate(payloads.to_pylist()):
+            buf = np.frombuffer(p or b"", dtype=np.uint8)
+            sizes[i] = len(buf)
+            if not len(buf):
+                continue
+            if len(buf) <= t:
+                out[i, :len(buf)] = buf
+            else:
+                # area interpolation: mean over t equal windows
+                edges = np.linspace(0, len(buf), t + 1).astype(np.int64)
+                sums = np.add.reduceat(buf.astype(np.int64), edges[:-1])
+                widths = np.maximum(np.diff(edges), 1)
+                out[i] = (sums // widths).astype(np.uint8)
+        res = batch.drop_columns(["payload"])
+        res = res.append_column("n_bytes", pa.array(sizes))
+        res = res.append_column(
+            "resized", pa.array([r.tobytes() for r in out], pa.binary()))
+        return res
+
+
+def resize_payloads(ds, target_bytes: int = 128, concurrency=(1, 4)):
+    """Actor-pool resize stage over a binary-payload dataset."""
+    return ds.map_batches(
+        PayloadResizer,
+        fn_constructor_kwargs={"target_bytes": target_bytes},
+        batch_format="pyarrow",
+        batch_size=BINARY_BATCH_SIZE,
+        concurrency=concurrency)
+
+
 def sample_frames(ds, concurrency=(1, 4)):
     """Actor-pool frame-sampling stage over a binary-payload dataset."""
     return ds.map_batches(

@@ -135,3 +135,30 @@ class TestFrameSampling:
         assert a == b
         # stride 2 over 16 windows of 64B -> 8 frames
         assert a["frame_idx"] == list(range(8))
+
+
+class TestPayloadResize:
+    def test_resize_deterministic_and_fixed_width(self, ray_session):
+        import pyarrow as pa
+        from dataquality_ray.stages.multimodal import (
+            PayloadResizer,
+            resize_payloads,
+            synthesize_binary_table,
+        )
+        t = pa.table({
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "payload": pa.array(
+                [bytes(range(256)) * 3, b"short", b""], pa.binary()),
+        })
+        a = PayloadResizer(target_bytes=64)(t)
+        b = PayloadResizer(target_bytes=64)(t)
+        assert a.to_pydict() == b.to_pydict()
+        assert all(len(r) == 64 for r in a["resized"].to_pylist())
+        assert "payload" not in a.column_names
+        assert a["n_bytes"].to_pylist() == [768, 5, 0]
+        # short payload zero-padded, not interpolated
+        assert a["resized"][1].as_py()[:5] == b"short"
+        # end-to-end over the synthetic table
+        out = resize_payloads(
+            synthesize_binary_table("/root/testdata/sf0.001")).to_pandas()
+        assert len(out) > 0 and "resized" in out.columns
