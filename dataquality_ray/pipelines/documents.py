@@ -160,7 +160,15 @@ def exact_dedup_documents(sf_dir: str,
 
 
 def near_dup_documents(sf_dir: str):
-    """(id_a, id_b, jaccard) pairs with distinct-token Jaccard >= 0.9."""
+    """(id_a, id_b, jaccard) pairs with distinct-token Jaccard >= 0.9.
+
+    SQL-oracle-checked against an EXACT all-pairs join; the pipeline's
+    LSH candidate recall is threshold-dependent — P[miss] = (1-j^4)^32 ≈
+    1.4e-15 at the configured 0.9, but ~1.5e-4 at j = 0.7. If
+    NEAR_DUP_DOC_JACCARD is ever lowered, re-derive the banding (fewer
+    rows per band) or the oracle comparison can mismatch on boundary
+    pairs with no diagnostic pointing at LSH recall.
+    """
     ds = _docs(sf_dir, columns=["doc_id", "text"])
     return token_jaccard_pairs(ds, NEAR_DUP_DOC_JACCARD, id_col="doc_id")
 
@@ -350,14 +358,21 @@ def doc_metadata_gate(sf_dir: str):
     (groupby term) generate candidate pairs (a pair passing the gate
     must share >= 1 key term, since 0.5 + 0.5·j >= 0.7 needs j >= 0.4 >
     0), then exact per-pair verification. No O(n²) scan; hot terms are
-    the skew knob (posting lists capped by the same max_lsh_bucket
-    logic as the LSH buckets).
+    the skew knob: posting lists beyond max_lsh_bucket are truncated
+    (LOGGED when it happens — a pair of high-id docs whose shared terms
+    are ALL hot can then be missed, diverging from the uncapped SQL
+    oracle; the sf-scale check never hits the cap, and the gate's ≥0.4
+    set-Jaccard means real pairs share ≥3 of 5 terms, so all three
+    would need to be hot).
     """
     import pandas as pd
 
     from dataquality_ray.config import DEFAULT_CONFIG as cfg
 
-    terms = doc_key_terms(sf_dir)           # (doc_id, term, tf, rank)
+    # materialize: the key-term table is consumed twice (broadcast side
+    # + candidate stream) — without it the tokenize/rank lineage would
+    # re-execute for each consumer
+    terms = doc_key_terms(sf_dir).materialize()   # (doc_id, term, tf, rank)
     docs = _docs(sf_dir, columns=["doc_id", "source"])
 
     # per-doc key-term set + source, broadcast as the (small) side table:
@@ -377,16 +392,23 @@ def doc_metadata_gate(sf_dir: str):
         })
 
     def term_pairs(df: "pd.DataFrame") -> "pd.DataFrame":
+        from dataquality_ray.stages.dedup import _log_capped_groups
         out_a, out_b = [], []
+        n_capped, largest = 0, 0
         for _, g in df.groupby("term", sort=False):
             ids = np.sort(g["doc_id"].to_numpy().astype(np.int64))
             if len(ids) < 2:
                 continue
             if len(ids) > cfg.max_lsh_bucket:
+                n_capped += 1
+                largest = max(largest, len(ids))
                 ids = ids[: cfg.max_lsh_bucket]
             iu, ju = np.triu_indices(len(ids), k=1)
             out_a.append(ids[iu])
             out_b.append(ids[ju])
+        if n_capped:
+            _log_capped_groups("doc_metadata_gate.term_pairs", n_capped,
+                               cfg.max_lsh_bucket, largest)
         if not out_a:
             return pd.DataFrame({"id_a": pd.Series(dtype="int64"),
                                  "id_b": pd.Series(dtype="int64")})
@@ -396,7 +418,6 @@ def doc_metadata_gate(sf_dir: str):
         }).drop_duplicates()
 
     def verify(df: "pd.DataFrame") -> "pd.DataFrame":
-        df = df.drop_duplicates(["id_a", "id_b"])
         term_sets, sources = _ray.get(side_ref)
         out_a, out_b, out_g = [], [], []
         for a, b in zip(df["id_a"], df["id_b"]):
@@ -417,24 +438,13 @@ def doc_metadata_gate(sf_dir: str):
             "gate": pd.Series(out_g, dtype="float64"),
         })
 
-    def add_tb(df: "pd.DataFrame") -> "pd.DataFrame":
-        df = df.copy()
-        a = df["id_a"].to_numpy().astype(np.uint64)
-        b = df["id_b"].to_numpy().astype(np.uint64)
-        with np.errstate(over="ignore"):
-            df["pb"] = (((a * np.uint64(0x9E3779B97F4A7C15)) ^ b)
-                        % np.uint64(cfg.num_buckets)).astype(np.int32)
-        return df
+    from dataquality_ray.stages.dedup import distinct_pairs
 
     cand = (terms.map_batches(candidates, batch_format="pyarrow")
             .groupby("term")
             .map_groups(term_pairs, batch_format="pandas"))
-    return (cand.map_batches(add_tb, batch_format="pandas")
-            .groupby("pb")
-            .map_groups(verify, batch_format="pandas")
-            .map_batches(lambda t: t.drop_columns(["pb"])
-                         if "pb" in t.column_names else t,
-                         batch_format="pyarrow"))
+    cand = distinct_pairs(cand, "id_a", "id_b", cfg.num_buckets)
+    return cand.map_batches(verify, batch_format="pandas")
 
 
 # ---------------------------------------------------------------------------

@@ -199,7 +199,12 @@ def _min_label_jump(t: pa.Table) -> pa.Table:
 
 def dup_clusters_auto(pairs_ds, max_driver_pairs: int = 2_000_000):
     """Dispatch: driver union-find when the pair set is provably small
-    (one count()), else the distributed hash-join fixpoint."""
+    (one count()), else the distributed hash-join fixpoint.
+
+    The input is materialized first — count() would otherwise execute
+    the (expensive) upstream near-dup lineage once and the dispatched
+    clustering path a second time."""
+    pairs_ds = pairs_ds.materialize()
     n = pairs_ds.count()
     if n <= max_driver_pairs:
         return dup_clusters(pairs_ds)

@@ -61,6 +61,37 @@ def _bucket_of(key: str, num_buckets: int) -> int:
         % num_buckets
 
 
+def distinct_pairs(ds, col_a: str = "key_a", col_b: str = "key_b",
+                   num_buckets: int = DEFAULT_CONFIG.num_buckets):
+    """Global distinct over a pair Dataset: bucket each pair by a hash
+    of its two keys (string keys → md5; integer keys → splitmix mix),
+    drop duplicates per bucket. The shared tail of every LSH/candidate
+    pair pipeline (a pair can surface from multiple bands/terms)."""
+
+    def add_pb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        a, b = df[col_a], df[col_b]
+        if pd.api.types.is_integer_dtype(a):
+            ua = a.to_numpy().astype(np.uint64)
+            ub = b.to_numpy().astype(np.uint64)
+            with np.errstate(over="ignore"):
+                df["pair_bucket"] = (((ua * _BAND_MIX_P1) ^ ub)
+                                     % np.uint64(num_buckets)) \
+                    .astype(np.int32)
+        else:
+            df["pair_bucket"] = [
+                _bucket_of(f"{x}|{y}", num_buckets)
+                for x, y in zip(a, b)]
+        return df
+
+    return (ds.map_batches(add_pb, batch_format="pandas")
+            .groupby("pair_bucket")
+            .map_groups(lambda g: g.drop_duplicates([col_a, col_b]),
+                        batch_format="pandas")
+            .map_batches(lambda t: t.drop_columns(["pair_bucket"]),
+                         batch_format="pyarrow"))
+
+
 # ---------------------------------------------------------------------------
 # content hash (exact dedup key)
 # ---------------------------------------------------------------------------
@@ -643,10 +674,6 @@ def _bucket_pairs(df: pd.DataFrame, cfg: PipelineConfig) -> pd.DataFrame:
     return pd.DataFrame({"key_a": out_a, "key_b": out_b, "jaccard": out_j})
 
 
-def _dedup_pairs(df: pd.DataFrame) -> pd.DataFrame:
-    return df.drop_duplicates(["key_a", "key_b"])
-
-
 def explode_bands_slim(batch: pa.Table,
                        cfg: PipelineConfig = DEFAULT_CONFIG) -> pa.Table:
     """Band rows WITHOUT payload: (band_key, band_bucket, order_key) only —
@@ -730,16 +757,7 @@ def near_dup_pairs_join(ds, cfg: PipelineConfig = DEFAULT_CONFIG,
                          batch_format="pandas")
              .map_batches(lambda t: t, batch_format="pyarrow"))
     # distinct pairs across bands (bucketed drop_duplicates)
-    cands = (cands.map_batches(
-                lambda df: df.assign(
-                    pair_bucket=[_bucket_of(f"{a}|{b}", cfg.num_buckets)
-                                 for a, b in zip(df["key_a"], df["key_b"])]),
-                batch_format="pandas")
-             .groupby("pair_bucket")
-             .map_groups(lambda g: g.drop_duplicates(["key_a", "key_b"]),
-                         batch_format="pandas")
-             .map_batches(lambda t: t.drop_columns(["pair_bucket"]),
-                          batch_format="pyarrow"))
+    cands = distinct_pairs(cands, "key_a", "key_b", cfg.num_buckets)
 
     a_joined = cands.join(sketch, join_type="inner",
                           num_partitions=num_partitions,
@@ -802,11 +820,13 @@ def simhash_near_dup(ds, cfg: PipelineConfig = DEFAULT_CONFIG):
     members dropped from band groups larger than ``cfg.max_lsh_bucket``
     (hot bands; logged when it happens); precision is exact (verified).
 
-    Empty rows are excluded by *emptiness*, not by the ``simhash == 0``
-    sentinel — a legitimate non-empty text can hash to 0 (every bit vote
-    <= 0). Emptiness comes from ``is_empty_norm`` when present (produced
-    by content_hash_batch), else a zero ``token_hashes`` length, else —
-    only as a last resort — the 0-sentinel.
+    Rows with NO TOKENS are excluded (they have no sketchable content —
+    a zero SimHash from zero tokens would otherwise pair every token-
+    less text with every other: symbol-only rows, and any text outside
+    the ASCII token alphabet). The check is the ``token_hashes`` length
+    when present, else ``is_empty_norm``, else — only as a last resort —
+    the ``simhash == 0`` sentinel. A legitimately all-zero SimHash from
+    a NON-empty token set (every bit vote <= 0) is still included.
 
     Input must carry order_key + simhash. Returns (key_a, key_b, hamming).
     """
@@ -817,17 +837,17 @@ def simhash_near_dup(ds, cfg: PipelineConfig = DEFAULT_CONFIG):
     def explode(batch: pa.Table) -> pa.Table:
         sims = batch["simhash"].to_numpy(zero_copy_only=False) \
             .astype(np.uint64, copy=False)
-        if "is_empty_norm" in batch.column_names:
-            col = batch["is_empty_norm"]
-            if isinstance(col, pa.ChunkedArray):
-                col = col.combine_chunks()
-            nonempty = ~col.to_numpy(zero_copy_only=False)
-        elif "token_hashes" in batch.column_names:
+        if "token_hashes" in batch.column_names:
             toks = batch["token_hashes"]
             if isinstance(toks, pa.ChunkedArray):
                 toks = toks.combine_chunks()
             nonempty = pc.list_value_length(toks) \
                 .to_numpy(zero_copy_only=False) > 0
+        elif "is_empty_norm" in batch.column_names:
+            col = batch["is_empty_norm"]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            nonempty = ~col.to_numpy(zero_copy_only=False)
         else:
             nonempty = sims != 0
         keep = np.flatnonzero(nonempty)
@@ -887,20 +907,7 @@ def simhash_near_dup(ds, cfg: PipelineConfig = DEFAULT_CONFIG):
     pairs = (ds.map_batches(explode, batch_format="pyarrow")
              .groupby("band_bucket")
              .map_groups(bucket_pairs_sim, batch_format="pandas"))
-
-    def add_pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["pair_bucket"] = [
-            _bucket_of(f"{a}|{b}", cfg.num_buckets)
-            for a, b in zip(df["key_a"], df["key_b"])]
-        return df
-
-    return (pairs.map_batches(add_pair_bucket, batch_format="pandas")
-            .groupby("pair_bucket")
-            .map_groups(lambda g: g.drop_duplicates(["key_a", "key_b"]),
-                        batch_format="pandas")
-            .map_batches(lambda t: t.drop_columns(["pair_bucket"]),
-                         batch_format="pyarrow"))
+    return distinct_pairs(pairs, "key_a", "key_b", cfg.num_buckets)
 
 
 def near_dup_pairs(ds, cfg: PipelineConfig = DEFAULT_CONFIG):
@@ -911,18 +918,4 @@ def near_dup_pairs(ds, cfg: PipelineConfig = DEFAULT_CONFIG):
         functools.partial(explode_bands, cfg=cfg), batch_format="pyarrow")
     pairs = bands.groupby("band_bucket").map_groups(
         functools.partial(_bucket_pairs, cfg=cfg), batch_format="pandas")
-
-    def add_pair_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.copy()
-        df["pair_bucket"] = [
-            _bucket_of(f"{a}|{b}", cfg.num_buckets)
-            for a, b in zip(df["key_a"], df["key_b"])]
-        return df
-
-    distinct = (pairs
-                .map_batches(add_pair_bucket, batch_format="pandas")
-                .groupby("pair_bucket")
-                .map_groups(_dedup_pairs, batch_format="pandas")
-                .map_batches(lambda t: t.drop_columns(["pair_bucket"]),
-                             batch_format="pyarrow"))
-    return distinct
+    return distinct_pairs(pairs, "key_a", "key_b", cfg.num_buckets)

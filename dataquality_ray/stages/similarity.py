@@ -207,10 +207,18 @@ def embedding_near_dup_lsh(ds, threshold: float,
     Recall is probabilistic: a pair at cosine t has expected signature
     Hamming 64·arccos(t)/π, so choose ``max_hamming`` ≳ that + a few σ
     (t=0.9 → ≈9 expected; the default 24 gives recall ≈ 1 for t ≥ 0.8).
-    Precision is exact (verified). Shuffle volume = (max_hamming+1) ×
-    slim rows + per-group payload; no driver materialization.
+    Precision is exact (verified). No driver materialization. Carrying
+    cost: the embedding payload ships once per band ((max_hamming+1)×)
+    — for heavy payloads at corpus scale, reshape to slim band rows +
+    hash joins as in stages/dedup.near_dup_pairs_join. Band groups are
+    width-capped (max_lsh_bucket, logged — recall caveat applies to
+    dropped members), identical member sets are verified once, and
+    pairs are pre-deduped per bucket before the global distinct.
     """
     import pandas as pd
+
+    from dataquality_ray.config import DEFAULT_CONFIG as _cfg
+    from dataquality_ray.stages.dedup import _log_capped_groups
 
     n_chunks = max_hamming + 1
     bits = max(1, 64 // n_chunks)
@@ -243,10 +251,20 @@ def embedding_near_dup_lsh(ds, threshold: float,
         out_a, out_b, out_s = [], [], []
         df = df.drop_duplicates(["band_key", "pid"])
         sizes = df.groupby("band_key", sort=False)["pid"].transform("size")
+        n_capped, largest = 0, 0
+        seen_groups: set = set()
         for _, g in df[sizes > 1].groupby("band_key", sort=False):
+            if len(g) > _cfg.max_lsh_bucket:
+                n_capped += 1
+                largest = max(largest, len(g))
+                g = g.sort_values("pid").head(_cfg.max_lsh_bucket)
             ids = g["pid"].to_numpy().astype(np.int64)
             order = np.argsort(ids)
             ids = ids[order]
+            gkey = ids.tobytes()
+            if gkey in seen_groups:   # identical member set: same pairs
+                continue
+            seen_groups.add(gkey)
             mat = _normalize(np.stack(
                 [np.asarray(e, dtype=np.float64) for e in g["emb"]]))[order]
             sims = mat @ mat.T
@@ -255,30 +273,20 @@ def embedding_near_dup_lsh(ds, threshold: float,
             out_a.extend(ids[iu[0][keep]].tolist())
             out_b.extend(ids[iu[1][keep]].tolist())
             out_s.extend(np.round(sims[iu][keep], 6).tolist())
+        if n_capped:
+            _log_capped_groups("embedding_near_dup_lsh", n_capped,
+                               _cfg.max_lsh_bucket, largest)
         return pd.DataFrame({"id_a": pd.Series(out_a, dtype="int64"),
                              "id_b": pd.Series(out_b, dtype="int64"),
                              "cosine_sim": pd.Series(out_s,
-                                                     dtype="float64")})
+                                                     dtype="float64")}) \
+            .drop_duplicates(["id_a", "id_b"])
 
+    from dataquality_ray.stages.dedup import distinct_pairs
     pairs = (ds.map_batches(explode, batch_format="pyarrow")
              .groupby("band_bucket")
              .map_groups(bucket_pairs, batch_format="pandas"))
-
-    def add_pb(df: "pd.DataFrame") -> "pd.DataFrame":
-        df = df.copy()
-        a = df["id_a"].to_numpy().astype(np.uint64)
-        b = df["id_b"].to_numpy().astype(np.uint64)
-        with np.errstate(over="ignore"):
-            df["pair_bucket"] = (((a * np.uint64(0x9E3779B97F4A7C15)) ^ b)
-                                 % np.uint64(num_buckets)).astype(np.int32)
-        return df
-
-    return (pairs.map_batches(add_pb, batch_format="pandas")
-            .groupby("pair_bucket")
-            .map_groups(lambda g: g.drop_duplicates(["id_a", "id_b"]),
-                        batch_format="pandas")
-            .map_batches(lambda t: t.drop_columns(["pair_bucket"]),
-                         batch_format="pyarrow"))
+    return distinct_pairs(pairs, "id_a", "id_b", num_buckets)
 
 
 def _group_pairs_matmul(ids: np.ndarray, toks, threshold: float,
@@ -426,23 +434,8 @@ def token_jaccard_pairs(ds, threshold: float,
             "jaccard": np.concatenate(out_j),
         }).drop_duplicates(["id_a", "id_b"])
 
+    from dataquality_ray.stages.dedup import distinct_pairs
     pairs = (sketch.map_batches(explode, batch_format="pyarrow")
              .groupby("band_bucket")
              .map_groups(bucket_pairs, batch_format="pandas"))
-
-    def add_pb(df: "pd.DataFrame") -> "pd.DataFrame":
-        df = df.copy()
-        a = df["id_a"].to_numpy().astype(np.uint64)
-        b = df["id_b"].to_numpy().astype(np.uint64)
-        with np.errstate(over="ignore"):
-            df["pair_bucket"] = (((a * np.uint64(0x9E3779B97F4A7C15)) ^ b)
-                                 % np.uint64(cfg.num_buckets)) \
-                .astype(np.int32)
-        return df
-
-    return (pairs.map_batches(add_pb, batch_format="pandas")
-            .groupby("pair_bucket")
-            .map_groups(lambda g: g.drop_duplicates(["id_a", "id_b"]),
-                        batch_format="pandas")
-            .map_batches(lambda t: t.drop_columns(["pair_bucket"]),
-                         batch_format="pyarrow"))
+    return distinct_pairs(pairs, "id_a", "id_b", cfg.num_buckets)

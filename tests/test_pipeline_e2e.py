@@ -168,13 +168,14 @@ class TestSimHashNearDup:
         got = simhash_near_dup(ds).to_pandas()
         got_set = set(zip(got.key_a, got.key_b))
 
-        # exact O(n²) oracle over the same simhashes; empty rows excluded
-        # by normalized-emptiness (NOT the simhash==0 sentinel — matches
-        # the pipeline's guard)
+        # exact O(n²) oracle over the same simhashes; token-LESS rows
+        # excluded (NOT the simhash==0 sentinel, NOT just normalized
+        # emptiness — matches the pipeline's guard: a symbol-only or
+        # non-ASCII-token text has no sketchable content)
         tab = ds.to_pandas()
         sims = tab["simhash"].to_numpy().astype(np.uint64)
         keys = tab["order_key"].to_numpy()
-        nonempty = ~tab["is_empty_norm"].to_numpy()
+        nonempty = np.array([len(t) > 0 for t in tab["token_hashes"]])
         want = set()
         for i in range(len(keys)):
             if not nonempty[i]:
@@ -239,3 +240,29 @@ class TestDedupModeEquivalence:
         assert set(cols) <= set(shuffle.columns)  # shuffle keeps helpers
         pd.testing.assert_frame_equal(inline[cols], broadcast[cols])
         pd.testing.assert_frame_equal(inline[cols], shuffle[cols])
+
+
+class TestSimHashTokenlessGuard:
+    def test_tokenless_texts_never_pair(self, ray_session):
+        """Texts with no ASCII tokens (zh prose, symbol-only) all get
+        simhash 0 — they must be EXCLUDED from banding, not paired with
+        each other as hamming-0 'near-dups' (regression test)."""
+        import functools
+        from dataquality_ray.stages.dedup import (
+            MinHashSimHash,
+            content_hash_batch,
+            simhash_near_dup,
+        )
+        from dataquality_ray.functions.corpora import LANG_CORPORA
+        texts = LANG_CORPORA["zh"][:5] + ["!!! ###", "", "the quick fox"]
+        tab = pa.table({
+            "conv_id": pa.array([f"c{i}" for i in range(len(texts))]),
+            "turn_idx": pa.array([0] * len(texts), pa.int32()),
+            "text": pa.array(texts, pa.string()),
+        })
+        ds = ray.data.from_arrow(tab)
+        ds = ds.map_batches(content_hash_batch, batch_format="pyarrow")
+        ds = ds.map_batches(MinHashSimHash, batch_format="pyarrow",
+                            concurrency=(1, 2))
+        pairs = simhash_near_dup(ds).to_pandas()
+        assert len(pairs) == 0, pairs
