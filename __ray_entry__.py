@@ -215,7 +215,10 @@ def _ivf_topk_embeddings(sf_dir: str):
     import ray
     from dataquality_ray.pipelines.documents import ANN_K, ANN_QUERY_IDS
     from dataquality_ray.stages.clustering import ivf_topk
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    from dataquality_ray.arrowutil import strip_meta
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet")) \
+        .map_batches(strip_meta, batch_format="pyarrow",
+                     zero_copy_batch=True)
     return ivf_topk(ds, ANN_QUERY_IDS, k=ANN_K)
 
 
@@ -223,8 +226,11 @@ def _doc_embeddings(sf_dir: str):
     import os
     import ray
     from dataquality_ray.stages.embeddings import embed_texts
+    from dataquality_ray.arrowutil import strip_meta
     ds = ray.data.read_parquet(os.path.join(sf_dir, "documents.parquet"),
-                               columns=["doc_id", "text"])
+                               columns=["doc_id", "text"]) \
+        .map_batches(strip_meta, batch_format="pyarrow",
+                     zero_copy_batch=True)
     return embed_texts(ds).map_batches(
         lambda t: t.select(["doc_id", "embedding"]),
         batch_format="pyarrow")
@@ -247,7 +253,10 @@ def _embedding_near_dup_lsh(sf_dir: str):
     import ray
     from dataquality_ray.pipelines.documents import EMB_NEAR_DUP_COSINE
     from dataquality_ray.stages.similarity import embedding_near_dup_lsh
-    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    from dataquality_ray.arrowutil import strip_meta
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet")) \
+        .map_batches(strip_meta, batch_format="pyarrow",
+                     zero_copy_batch=True)
     return embedding_near_dup_lsh(ds, EMB_NEAR_DUP_COSINE, max_hamming=28)
 
 

@@ -24,6 +24,10 @@ import os
 # must precede any polars import anywhere (workers inherit this env):
 # concurrent Ray actors each spinning a full-width polars pool thrash CPUs
 os.environ.setdefault("POLARS_MAX_THREADS", "1")
+# silence the core-worker "constructor arguments in the object store"
+# advisory (ray#53727) that every actor-pool map emits — pure log
+# noise in bench/driver tails
+os.environ.setdefault("RAY_BACKEND_LOG_LEVEL", "FATAL")
 
 import shutil
 import subprocess

@@ -21,6 +21,7 @@ import pandas as pd
 import pyarrow as pa
 
 from dataquality_ray.config import DEFAULT_CONFIG, PipelineConfig
+from dataquality_ray.arrowutil import from_pandas_clean
 
 
 def conv_stats(scored_ds, cfg: PipelineConfig = DEFAULT_CONFIG):
@@ -46,7 +47,7 @@ def conv_stats(scored_ds, cfg: PipelineConfig = DEFAULT_CONFIG):
                   min_turn=("turn_idx", "min"),
                   max_turn=("turn_idx", "max"))
              .reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g)
 
     # phase 1: salted partials (hot conversations split across reducers)
     salted = scored_ds.map_batches(partial, batch_format="pyarrow") \

@@ -40,12 +40,22 @@ ANN_K = 10
 
 
 def _docs(sf_dir: str, columns=None):
+    # strip the b'pandas' schema metadata the driver's writer attaches —
+    # metadata-carrying schemas are unhashable and defeat Ray Data's
+    # schema-dedup fast path (see arrowutil.strip_meta)
+    from dataquality_ray.arrowutil import strip_meta
     return ray.data.read_parquet(
-        os.path.join(sf_dir, "documents.parquet"), columns=columns)
+        os.path.join(sf_dir, "documents.parquet"), columns=columns) \
+        .map_batches(strip_meta, batch_format="pyarrow",
+                     zero_copy_batch=True)
 
 
 def _emb(sf_dir: str):
-    return ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    from dataquality_ray.arrowutil import strip_meta
+    return ray.data.read_parquet(
+        os.path.join(sf_dir, "embeddings.parquet")) \
+        .map_batches(strip_meta, batch_format="pyarrow",
+                     zero_copy_batch=True)
 
 
 # ---------------------------------------------------------------------------
@@ -313,8 +323,8 @@ def key_terms_batch(batch: pa.Table, id_cols, text_col: str = "text",
     df = df[df["rank"] <= k]
     df["tf"] = df["tf"].astype("int64")
     df["rank"] = df["rank"].astype("int64")
-    return pa.Table.from_pandas(df.reset_index(drop=True),
-                                preserve_index=False)
+    from dataquality_ray.arrowutil import from_pandas_clean
+    return from_pandas_clean(df.reset_index(drop=True))
 
 
 def doc_key_terms(sf_dir: str):
@@ -342,7 +352,8 @@ def entities_batch(batch: pa.Table, id_cols, text_col: str = "text"
         .rename({"len": "n_mentions"}) \
         .to_pandas()
     df["n_mentions"] = df["n_mentions"].astype("int64")
-    return pa.Table.from_pandas(df, preserve_index=False)
+    from dataquality_ray.arrowutil import from_pandas_clean
+    return from_pandas_clean(df)
 
 
 METADATA_GATE_THRESHOLD = 0.7   # reference: metadata_similarity >= 0.7
@@ -357,32 +368,25 @@ def doc_metadata_gate(sf_dir: str):
     Shape: inverted-index candidate join — key-term posting lists
     (groupby term) generate candidate pairs (a pair passing the gate
     must share >= 1 key term, since 0.5 + 0.5·j >= 0.7 needs j >= 0.4 >
-    0), then exact per-pair verification. No O(n²) scan; hot terms are
-    the skew knob: posting lists beyond max_lsh_bucket are truncated
-    (LOGGED when it happens — a pair of high-id docs whose shared terms
-    are ALL hot can then be missed, diverging from the uncapped SQL
-    oracle; the sf-scale check never hits the cap, and the gate's ≥0.4
-    set-Jaccard means real pairs share ≥3 of 5 terms, so all three
-    would need to be hot).
+    0), then exact per-pair verification with the per-doc key-term sets
+    + source ATTACHED VIA TWO HASH JOINS (the near_dup_pairs_join shape,
+    stages/dedup.py) — nothing corpus-proportional touches the driver
+    or any single worker's heap. Hot terms are the skew knob: posting
+    lists beyond max_lsh_bucket are truncated (LOGGED when it happens —
+    a pair of high-id docs whose shared terms are ALL hot can then be
+    missed, diverging from the uncapped SQL oracle; the sf-scale check
+    never hits the cap, and the gate's ≥0.4 set-Jaccard means real
+    pairs share ≥3 of 5 terms, so all three would need to be hot).
     """
     import pandas as pd
 
     from dataquality_ray.config import DEFAULT_CONFIG as cfg
 
-    # materialize: the key-term table is consumed twice (broadcast side
+    # materialize: the key-term table is consumed twice (join side
     # + candidate stream) — without it the tokenize/rank lineage would
     # re-execute for each consumer
     terms = doc_key_terms(sf_dir).materialize()   # (doc_id, term, tf, rank)
     docs = _docs(sf_dir, columns=["doc_id", "source"])
-
-    # per-doc key-term set + source, broadcast as the (small) side table:
-    # one row per doc with <= 5 terms. At corpus scale this side stays
-    # proportional to #docs × 5 short strings; swap for a hash join when
-    # it outgrows worker memory (same shape as near_dup_pairs_join).
-    side = terms.to_pandas().groupby("doc_id")["term"].agg(frozenset)
-    src = docs.to_pandas().set_index("doc_id")["source"]
-    import ray as _ray
-    side_ref = _ray.put((side.to_dict(), src.to_dict()))
 
     def candidates(batch: pa.Table) -> pa.Table:
         # posting rows: one per (term, doc) — grouped by term below
@@ -417,25 +421,60 @@ def doc_metadata_gate(sf_dir: str):
             "id_b": np.concatenate(out_b),
         }).drop_duplicates()
 
-    def verify(df: "pd.DataFrame") -> "pd.DataFrame":
-        term_sets, sources = _ray.get(side_ref)
+    # per-doc join side: key-term set packed into one \x1f-joined string
+    # (Acero joins reject list<> non-key payloads) + source attached by
+    # one hash join against the docs table
+    def pack_terms(df: "pd.DataFrame") -> "pd.DataFrame":
+        from dataquality_ray.arrowutil import from_pandas_clean
+        g = (df.sort_values(["doc_id", "term"], kind="mergesort")
+             .groupby("doc_id", sort=False)["term"]
+             .agg(lambda s: "\x1f".join(s)).reset_index()
+             .rename(columns={"term": "term_pack"}))
+        return from_pandas_clean(g)
+
+    import ray as _ray
+
+    def _n_parts() -> int:
+        try:
+            return max(2, int(
+                _ray.cluster_resources().get("CPU", 4)) // 2)
+        except Exception:
+            return 4
+
+    n_parts = _n_parts()
+    side = (terms.map_batches(
+                lambda t: t.select(["doc_id", "term"]),
+                batch_format="pyarrow")
+            .groupby("doc_id")
+            .map_groups(pack_terms, batch_format="pandas")
+            .join(docs, join_type="inner", num_partitions=n_parts,
+                  on=("doc_id",))
+            .materialize())          # consumed by two joins below
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ta = batch["term_pack_a"].to_pylist()
+        tb = batch["term_pack"].to_pylist()
+        src_a = batch["source_a"].to_pylist()
+        src_b = batch["source"].to_pylist()
+        ia = batch["id_a"].to_pylist()
+        ib = batch["id_b"].to_pylist()
         out_a, out_b, out_g = [], [], []
-        for a, b in zip(df["id_a"], df["id_b"]):
-            sa, sb = term_sets.get(a), term_sets.get(b)
+        for i in range(len(ia)):
+            sa = set(ta[i].split("\x1f")) if ta[i] else None
+            sb = set(tb[i].split("\x1f")) if tb[i] else None
             if not sa or not sb:
                 continue
             inter = len(sa & sb)
             j = inter / (len(sa) + len(sb) - inter)
-            gate = (0.5 if sources.get(a) == sources.get(b) else 0.0) \
-                + 0.5 * j
+            gate = (0.5 if src_a[i] == src_b[i] else 0.0) + 0.5 * j
             if gate >= METADATA_GATE_THRESHOLD:
-                out_a.append(int(a))
-                out_b.append(int(b))
+                out_a.append(int(ia[i]))
+                out_b.append(int(ib[i]))
                 out_g.append(gate)
-        return pd.DataFrame({
-            "id_a": pd.Series(out_a, dtype="int64"),
-            "id_b": pd.Series(out_b, dtype="int64"),
-            "gate": pd.Series(out_g, dtype="float64"),
+        return pa.table({
+            "id_a": pa.array(out_a, pa.int64()),
+            "id_b": pa.array(out_b, pa.int64()),
+            "gate": pa.array(out_g, pa.float64()),
         })
 
     from dataquality_ray.stages.dedup import distinct_pairs
@@ -444,7 +483,27 @@ def doc_metadata_gate(sf_dir: str):
             .groupby("term")
             .map_groups(term_pairs, batch_format="pandas"))
     cand = distinct_pairs(cand, "id_a", "id_b", cfg.num_buckets)
-    return cand.map_batches(verify, batch_format="pandas")
+
+    # attach each side's (term_pack, source) via hash joins; materialize
+    # between the two joins (CLAUDE.md invariant: two lazy joins in one
+    # DAG starve map tasks on small clusters)
+    a_joined = cand.join(side, join_type="inner",
+                         num_partitions=n_parts,
+                         on=("id_a",), right_on=("doc_id",))
+
+    def rename_a(t: pa.Table) -> pa.Table:
+        cols = {c: (c + "_a" if c in ("term_pack", "source") else c)
+                for c in t.column_names}
+        t = t.rename_columns([cols[c] for c in t.column_names])
+        if "doc_id" in t.column_names:
+            t = t.drop_columns(["doc_id"])
+        return t
+
+    b_joined = (a_joined.map_batches(rename_a, batch_format="pyarrow")
+                .materialize()
+                .join(side, join_type="inner", num_partitions=n_parts,
+                      on=("id_b",), right_on=("doc_id",)))
+    return b_joined.map_batches(verify, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -17,11 +17,15 @@ import pyarrow as pa
 import ray
 
 from dataquality_ray.config import DEFAULT_CONFIG, PipelineConfig
+from dataquality_ray.arrowutil import from_pandas_clean
 
 
 def _events(sf_dir: str, columns=None):
+    from dataquality_ray.arrowutil import strip_meta
     return ray.data.read_parquet(os.path.join(sf_dir, "events.parquet"),
-                                 columns=columns)
+                                 columns=columns) \
+        .map_batches(strip_meta, batch_format="pyarrow",
+                     zero_copy_batch=True)
 
 
 def daily_event_metrics(sf_dir: str):
@@ -43,7 +47,7 @@ def daily_event_metrics(sf_dir: str):
         g = (df.groupby(["day", "event_type"], sort=False)
              .agg(n=("v", "size"), s=("v", "sum"))
              .reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g)
 
     partials = ds.map_batches(partial, batch_format="pyarrow")
     agg = partials.groupby(["day", "event_type"]).aggregate(
@@ -84,7 +88,7 @@ def top_users_by_value(sf_dir: str, k: int = 20):
     df = top.to_pandas()
     df["total_value_milli"] = df["total_value_milli"].astype("int64")
     df["n_events"] = df["n_events"].astype("int64")
-    return pa.Table.from_pandas(df, preserve_index=False)
+    return from_pandas_clean(df)
 
 
 def latest_event_per_user(sf_dir: str, num_buckets: int = 16):
@@ -105,7 +109,7 @@ def latest_event_per_user(sf_dir: str, num_buckets: int = 16):
         top = df.groupby("user_id", sort=False).tail(1).copy()
         top["bucket"] = (top["user_id"].to_numpy() % num_buckets) \
             .astype(np.int32)
-        return pa.Table.from_pandas(top, preserve_index=False)
+        return from_pandas_clean(top)
 
     def bucket_argmax(df: pd.DataFrame) -> pd.DataFrame:
         df = df.sort_values(["user_id", "ts", "event_id"],
@@ -152,7 +156,7 @@ def event_windows(sf_dir: str):
         })
         g = (df.groupby(["window_hour", "event_type"], sort=False)
              .agg(n=("n", "sum"), v=("v", "sum")).reset_index())
-        return pa.Table.from_pandas(g, preserve_index=False)
+        return from_pandas_clean(g)
 
     agg = ds.map_batches(partial, batch_format="pyarrow") \
             .groupby(["window_hour", "event_type"]).aggregate(

@@ -301,12 +301,5 @@ def ivf_topk(ds, query_ids: List[int], k: int = 10,
             "cosine_sim": pa.array(out_s, pa.float64()),
         })
 
-    partials = ds.map_batches(partial, batch_format="pyarrow").to_pandas()
-    partials = partials.sort_values(
-        ["query_id", "cosine_sim", "vec_id"],
-        ascending=[True, False, True], kind="mergesort")
-    topk = partials.groupby("query_id", sort=True).head(k) \
-        .reset_index(drop=True)
-    topk["rank"] = topk.groupby("query_id", sort=True).cumcount() + 1
-    topk["cosine_sim"] = topk["cosine_sim"].round(6)
-    return pa.Table.from_pandas(topk, preserve_index=False)
+    from dataquality_ray.stages.similarity import reduce_topk
+    return reduce_topk(ds.map_batches(partial, batch_format="pyarrow"), k)

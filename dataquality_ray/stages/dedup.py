@@ -56,6 +56,14 @@ def _log_capped_groups(where: str, n_groups: int, max_size: int,
         where, n_groups, max_size, largest)
 
 
+def _drop_bucket_strip(t: pa.Table) -> pa.Table:
+    """Drop the pair_bucket helper AND any schema metadata picked up by
+    the pandas->arrow conversion (metadata-carrying schemas are
+    unhashable — see arrowutil.strip_meta)."""
+    from dataquality_ray.arrowutil import strip_meta
+    return strip_meta(t.drop_columns(["pair_bucket"]))
+
+
 def _bucket_of(key: str, num_buckets: int) -> int:
     return int.from_bytes(hashlib.md5(key.encode()).digest()[:4], "little") \
         % num_buckets
@@ -88,8 +96,7 @@ def distinct_pairs(ds, col_a: str = "key_a", col_b: str = "key_b",
             .groupby("pair_bucket")
             .map_groups(lambda g: g.drop_duplicates([col_a, col_b]),
                         batch_format="pandas")
-            .map_batches(lambda t: t.drop_columns(["pair_bucket"]),
-                         batch_format="pyarrow"))
+            .map_batches(_drop_bucket_strip, batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------
@@ -489,22 +496,28 @@ class MinHashSimHash:
     Permutation parameters are derived from frozen seeds in __init__ (once
     per actor). Appends: token_hashes (list<uint64>), minhash_sig
     (list<uint64>, cfg.minhash_perms entries), simhash (uint64).
+
+    Fully vectorized (no per-row Python loop): polars tokenization +
+    per-row distinct, blake2b only on the batch's UNIQUE tokens (dict
+    cache across batches), then segmented numpy reductions over the
+    flattened token-hash array (``np.minimum.reduceat`` for MinHash,
+    ``np.add.reduceat`` over unpacked bits for SimHash) — the
+    langid/LM pattern (functions/langid.py:92). Bit-identical to the
+    scalar per-row formulation (tests pin signatures).
     """
 
     def __init__(self, text_col: str = "text",
                  cfg: PipelineConfig = DEFAULT_CONFIG) -> None:
-        import re
         self.text_col = text_col
         self.cfg = cfg
         self.a, self.b = minhash_params(cfg.minhash_perms, cfg.seed)
-        self.token_rx = re.compile(TOKEN_PATTERN, re.ASCII)
         self.token_cache: Dict[str, int] = {}
 
-    def _token_hashes(self, text: str) -> np.ndarray:
-        toks = set(self.token_rx.findall(text.lower()))
+    def _hash_unique(self, uniq_tokens: np.ndarray) -> np.ndarray:
+        """blake2b-8 per UNIQUE token (cache hit skips the digest)."""
         cache = self.token_cache
-        out = np.empty(len(toks), dtype=np.uint64)
-        for i, t in enumerate(toks):
+        out = np.empty(len(uniq_tokens), dtype=np.uint64)
+        for i, t in enumerate(uniq_tokens):
             h = cache.get(t)
             if h is None:
                 h = token_hash_u64(t)
@@ -514,34 +527,82 @@ class MinHashSimHash:
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import polars as pl
         texts = batch[self.text_col]
         if isinstance(texts, pa.ChunkedArray):
             texts = texts.combine_chunks()
+        n = len(texts)
         n_perm = self.cfg.minhash_perms
         a, b = self.a, self.b
 
-        tok_lists: List[np.ndarray] = []
-        sigs = np.empty((len(texts), n_perm), dtype=np.uint64)
-        simhashes = np.empty(len(texts), dtype=np.uint64)
-        for i, t in enumerate(texts.to_pylist()):
-            h = self._token_hashes(t or "")
-            tok_lists.append(np.sort(h))
-            if len(h) == 0:
-                sigs[i, :] = np.uint64(0xFFFFFFFFFFFFFFFF)
-                simhashes[i] = 0
-                continue
-            # min over tokens of a*h + b (uint64 wrap-around, a odd) —
-            # standard multiplicative MinHash family; exact, vectorized
-            # across the 128 permutations.
-            sigs[i, :] = (a[:, None] * h[None, :] + b[:, None]).min(axis=1)
-            simhashes[i] = _simhash_from_hashes(h)
+        # per-row DISTINCT tokens, flattened: one polars pass, no loop
+        s = pl.Series(texts).fill_null("")
+        toks = s.str.to_lowercase().str.extract_all(TOKEN_PATTERN) \
+            .list.unique()
+        lens = toks.list.len().to_numpy().astype(np.int64)
+        flat_tokens = toks.explode(empty_as_null=False).to_numpy()
+        # empty lists contribute no rows, so offsets from `lens` line up
+        # with the flat array
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
 
+        uniq, inv = (np.unique(flat_tokens, return_inverse=True)
+                     if len(flat_tokens) else
+                     (np.array([], dtype=object), np.array([], dtype=np.int64)))
+        flat = self._hash_unique(uniq)[inv] if len(uniq) \
+            else np.array([], dtype=np.uint64)
+
+        # per-row sorted hash lists in one lexsort (row-major, hash asc)
+        row_idx = np.repeat(np.arange(n), lens)
+        order = np.lexsort((flat, row_idx))
+        sorted_flat = flat[order]
+        tok_col = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()).cast(pa.int32()),
+            pa.array(sorted_flat, pa.uint64()))
+
+        nonempty = np.flatnonzero(lens > 0)
+        starts = offsets[nonempty]           # segment starts, non-empty rows
+        sigs = np.full((n, n_perm), np.uint64(0xFFFFFFFFFFFFFFFF),
+                       dtype=np.uint64)
+        simhashes = np.zeros(n, dtype=np.uint64)
+        if len(nonempty):
+            # MinHash: a*h + b (mod 2^64) per permutation, then a
+            # segmented min. Arithmetic runs in int64 — same wraparound
+            # bits, but numpy's int64 kernels are SIMD (uint64 mul is a
+            # ~20x slower scalar loop on this target) — with the sign
+            # bit XORed in so int64 ordering == uint64 ordering. The
+            # permutation axis is chunked to bound memory at ~4M i8
+            # elements per chunk.
+            T = len(flat)
+            SIGN = np.int64(-0x8000000000000000)
+            flat_i = flat.view(np.int64)
+            a_i, b_i = a.view(np.int64), b.view(np.int64)
+            chunk = max(1, min(n_perm, 4_000_000 // max(T, 1) or 1))
+            with np.errstate(over="ignore"):
+                for lo in range(0, n_perm, chunk):
+                    hi = min(n_perm, lo + chunk)
+                    vals = flat_i[:, None] * a_i[None, lo:hi] \
+                        + b_i[None, lo:hi]
+                    vals ^= SIGN
+                    red = np.minimum.reduceat(vals, starts, axis=0)
+                    red ^= SIGN
+                    sigs[nonempty, lo:hi] = red.view(np.uint64)
+            # SimHash: unpack bits once, segmented sum of votes
+            bits = np.unpackbits(flat.view(np.uint8).reshape(-1, 8),
+                                 axis=1, bitorder="little")   # (T, 64)
+            votes = np.add.reduceat(bits.astype(np.int64), starts, axis=0)
+            votes = votes * 2 - lens[nonempty][:, None]
+            out_bits = (votes > 0).astype(np.uint8)
+            simhashes[nonempty] = np.packbits(
+                out_bits, axis=1, bitorder="little").view(np.uint64).ravel()
+
+        batch = batch.append_column("token_hashes", tok_col)
         batch = batch.append_column(
-            "token_hashes",
-            pa.array([tl.tolist() for tl in tok_lists],
-                     pa.list_(pa.uint64())))
-        batch = batch.append_column(
-            "minhash_sig", pa.array(sigs.tolist(), pa.list_(pa.uint64())))
+            "minhash_sig",
+            pa.ListArray.from_arrays(
+                pa.array(np.arange(0, (n + 1) * n_perm, n_perm,
+                                   dtype=np.int32)),
+                pa.array(sigs.ravel(), pa.uint64())))
         batch = batch.append_column("simhash", pa.array(simhashes))
         return batch
 

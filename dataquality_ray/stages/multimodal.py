@@ -79,9 +79,12 @@ def synthesize_binary_table(sf_dir: str):
     (stand-in for an image/audio column; no external data)."""
     import ray
 
+    from dataquality_ray.arrowutil import strip_meta
     ds = ray.data.read_parquet(
         os.path.join(sf_dir, "documents.parquet"),
-        columns=["doc_id", "text"])
+        columns=["doc_id", "text"]) \
+        .map_batches(strip_meta, batch_format="pyarrow",
+                     zero_copy_batch=True)
 
     def to_binary(batch: pa.Table) -> pa.Table:
         payloads = [t.encode("utf-8") * 3 for t in batch["text"].to_pylist()]

@@ -95,15 +95,35 @@ def cosine_topk(ds, query_ids: List[int], k: int = 10,
             "cosine_sim": pa.array(out_s, pa.float64()),
         })
 
-    partials = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
-    # final reduce: global top-k per query with deterministic tie-break
-    partials = partials.sort_values(
+    return reduce_topk(ds.map_batches(partial_topk, batch_format="pyarrow"),
+                       k)
+
+
+def reduce_topk(partials_ds, k: int) -> pa.Table:
+    """Distributed final reduce for per-batch partial top-k streams:
+    ``groupby(query_id)`` + per-group top-k BEFORE anything reaches the
+    driver, so driver volume is O(|queries| × k) — not
+    O(#batches × |queries| × k), which grows linearly with corpus size.
+    Deterministic tie-break (sim desc, vec_id asc); cosine rounded to 6
+    for the bit-deterministic oracle comparison."""
+    import pandas as pd
+
+    def group_topk(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["cosine_sim", "vec_id"],
+                            ascending=[False, True], kind="mergesort")
+        return df.head(k)
+
+    topk = (partials_ds.groupby("query_id")
+            .map_groups(group_topk, batch_format="pandas")
+            .to_pandas())                      # |queries| × k rows only
+    topk = topk.sort_values(
         ["query_id", "cosine_sim", "vec_id"],
-        ascending=[True, False, True], kind="mergesort")
-    topk = partials.groupby("query_id", sort=True).head(k).reset_index(drop=True)
+        ascending=[True, False, True], kind="mergesort") \
+        .reset_index(drop=True)
     topk["rank"] = topk.groupby("query_id", sort=True).cumcount() + 1
     topk["cosine_sim"] = topk["cosine_sim"].round(6)
-    return pa.Table.from_pandas(topk, preserve_index=False)
+    from dataquality_ray.arrowutil import from_pandas_clean
+    return from_pandas_clean(topk)
 
 
 def embedding_near_dup_pairs(ds, threshold: float,

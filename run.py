@@ -27,7 +27,11 @@ from __future__ import annotations
 import argparse
 import os
 
-os.environ.setdefault("POLARS_MAX_THREADS", "1")  # see bench.py
+os.environ.setdefault("POLARS_MAX_THREADS", "1")
+# silence the core-worker "constructor arguments in the object store"
+# advisory (ray#53727) that every actor-pool map emits — pure log
+# noise in bench/driver tails
+os.environ.setdefault("RAY_BACKEND_LOG_LEVEL", "FATAL")  # see bench.py
 
 import time
 
