@@ -41,7 +41,6 @@ from dataquality_ray.config import DEFAULT_CONFIG, PipelineConfig
 from dataquality_ray.pipelines.quality import quality_pipeline
 from dataquality_ray.sources.transcripts import list_transcript_files
 from dataquality_ray.state import manifest as mf
-from dataquality_ray.stages.dedup import exact_dedup
 
 
 def run_partitioned(input_path: str, out_dir: str, partitions: int = 16,
@@ -82,10 +81,33 @@ def run_partitioned(input_path: str, out_dir: str, partitions: int = 16,
                 f"injected failure after {fail_after} partitions")
 
     # ---- phase 2: global dedup + stable ordered final output ----
+    # The phase-1 checkpoint already carries dedup_key/order_key/
+    # hash_bucket/is_empty_norm, so dedup needs only a NARROW
+    # column-pruned pass (two short strings + an int + a bool per row)
+    # to build the duplicate map, then a broadcast assign — instead of
+    # the full-row exact_dedup groupby shuffle (the quality_run shape,
+    # pipelines/quality.py). Full rows move exactly once: in the sort.
+    import functools
+
+    from dataquality_ray.pipelines.quality import _sort_partitions
+    from dataquality_ray.stages.dedup import (
+        assign_dup_from_map,
+        compute_dup_map_from_hashed,
+    )
+
     started = time.time()
     part_root = os.path.join(out_dir, "partitions")
+    narrow = ray.data.read_parquet(
+        part_root,
+        columns=["dedup_key", "order_key", "hash_bucket", "is_empty_norm"])
+    dup_map = compute_dup_map_from_hashed(narrow, cfg)
+    map_ref = ray.put(dup_map)
     scored = ray.data.read_parquet(part_root)
-    final = exact_dedup(scored, cfg).sort(["conv_id", "turn_idx"])
+    final = scored.map_batches(
+        functools.partial(assign_dup_from_map, map_ref=map_ref),
+        batch_format="pyarrow", zero_copy_batch=True)
+    final = final.repartition(_sort_partitions()) \
+                 .sort(["conv_id", "turn_idx"])
     final_dir = os.path.join(out_dir, "final")
     tmp_final = final_dir + ".tmp"
     if os.path.isdir(tmp_final):
