@@ -65,7 +65,8 @@ def _headline(sf_dir: str) -> dict:
     t0 = time.time()
     ds = ray.data.read_parquet(path)
     result = quality_pipeline(
-        ds, concurrency=max(2, int(NUM_CPUS * 0.75)))
+        ds, concurrency=max(2, int(NUM_CPUS * 0.75)),
+        sort_mode="bucketed")
     result.write_parquet(out_dir)
     elapsed = time.time() - t0
     import pyarrow.dataset as pads

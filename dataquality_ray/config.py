@@ -54,6 +54,12 @@ class PipelineConfig:
     # --- partitioning / layout ---
     num_buckets: int = 32                # conv-hash output buckets (resume granularity)
     salt_buckets: int = 8                # salt for hot-conversation partial aggregates
+    # inline dedup_mode only: hard cap on TOTAL distinct dedup_keys the
+    # aggregator shards may hold (the map is corpus-proportional — one
+    # entry per unique text). Past the cap the hash stage fails LOUDLY
+    # with instructions to use dedup_mode="shuffle" (bucketed groupby,
+    # no size assumption) instead of OOMing an actor.
+    max_inline_map_keys: int = 50_000_000
 
     # --- execution sizing ---
     batch_size: int = 4096               # rows per batch for text stages

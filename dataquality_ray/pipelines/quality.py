@@ -47,6 +47,7 @@ def quality_pipeline(ds, cfg: PipelineConfig = DEFAULT_CONFIG,
                      with_sketches: bool = False,
                      with_evidence: bool = False,
                      sort_output: bool = True,
+                     sort_mode: str = "global",
                      concurrency: Optional[int] = None):
     """Assemble the lazy quality DAG over a transcript Dataset.
 
@@ -66,6 +67,21 @@ def quality_pipeline(ds, cfg: PipelineConfig = DEFAULT_CONFIG,
     ``with_sketches`` additionally computes MinHash/SimHash columns
     (needed when a near-dup pass follows). ``concurrency`` sizes the model
     actor pool (defaults to cfg.actor_pool_size).
+
+    ``sort_mode`` (when ``sort_output=True``):
+      - "global": single range-partitioned sort on (conv_id, turn_idx) —
+        total order, but the range boundaries come from a quantile-
+        SAMPLING pass over every block's key column (a serial barrier
+        that needs data statistics).
+      - "bucketed" (the production/bench path): ``bucketed_sort`` —
+        conv_bucket = md5(conv_id) % K as the primary key with EXPLICIT
+        ``boundaries``, so the sampling pass disappears and partition i
+        holds exactly bucket i (the layout is a pure function of conv_id
+        and K: deterministic, resumable, no data statistics). Secondary
+        keys keep (conv_id, turn_idx) order within each partition —
+        a deterministic total order (conv_bucket, conv_id, turn_idx)
+        with every conversation intact inside one partition, carried in
+        an explicit ``conv_bucket`` output column.
     """
     ds = ds.map_batches(
         functools.partial(scrub_batch),
@@ -159,6 +175,24 @@ def quality_pipeline(ds, cfg: PipelineConfig = DEFAULT_CONFIG,
         else:
             keep_cols = [c for c in RESULT_COLUMNS if c != "dup_of"] \
                 + extra + ["dup_of"]
+        if sort_mode == "bucketed":
+            ds = ds.map_batches(
+                functools.partial(_project, cols=keep_cols),
+                batch_format="pyarrow", zero_copy_batch=True)
+            ds = bucketed_sort(ds)
+            if inline:
+                from dataquality_ray.stages.dedup import \
+                    assign_dup_from_aggregators
+                ds = ds.map_batches(
+                    functools.partial(assign_dup_from_aggregators,
+                                      handles=agg_handles),
+                    batch_format="pyarrow", zero_copy_batch=True)
+            ds = ds.map_batches(
+                functools.partial(_project,
+                                  cols=RESULT_COLUMNS + extra
+                                  + ["conv_bucket"]),
+                batch_format="pyarrow", zero_copy_batch=True)
+            return ds
         ds = ds.map_batches(
             functools.partial(_project, cols=keep_cols),
             batch_format="pyarrow", zero_copy_batch=True)
@@ -181,6 +215,56 @@ def quality_pipeline(ds, cfg: PipelineConfig = DEFAULT_CONFIG,
                                   cols=RESULT_COLUMNS + extra),
                 batch_format="pyarrow", zero_copy_batch=True)
     return ds
+
+
+def bucketed_sort(ds, num_buckets: Optional[int] = None):
+    """Deterministic bucketed ordered exchange over any dataset carrying
+    (conv_id, turn_idx): append conv_bucket = md5(conv_id) % K, coalesce,
+    then ONE range exchange with EXPLICIT boundaries on the int bucket
+    key — the sort's quantile-sampling pass (a serial barrier over every
+    block's key column) disappears, partition i = bucket i
+    deterministically (resumable layout, no data statistics), and the
+    secondary keys give (conv_id, turn_idx) order within each partition:
+    a total order on (conv_bucket, conv_id, turn_idx) with every
+    conversation intact inside one partition. At 100 TB pick K ≈
+    total_bytes / 256 MB."""
+    nb = num_buckets or _sort_partitions()
+    ds = ds.map_batches(
+        functools.partial(_append_conv_bucket, num_buckets=nb),
+        batch_format="pyarrow", zero_copy_batch=True)
+    # coalesce before the exchange — a sort shuffle creates #map ×
+    # #reduce objects; many small blocks turn that into pure
+    # scheduling latency (see the global path note below)
+    ds = ds.repartition(nb)
+    return ds.sort(["conv_bucket", "conv_id", "turn_idx"],
+                   boundaries=list(range(1, nb)))
+
+
+def conv_bucket_of(conv_ids, num_buckets: int) -> "pa.Array":
+    """Deterministic conv_id → bucket: md5(conv_id)[:4] % K, vectorized
+    over the batch's (few) unique conversations via dictionary encoding.
+    Pure function of (conv_id, K) — the partition layout is reproducible
+    across runs, which is what makes the bucketed output resumable."""
+    import hashlib
+    import numpy as np
+    if isinstance(conv_ids, pa.ChunkedArray):
+        conv_ids = conv_ids.combine_chunks()
+    enc = conv_ids.dictionary_encode()
+    md5 = hashlib.md5
+    lut = np.fromiter(
+        (int.from_bytes(md5(u.encode("utf-8")).digest()[:4], "little")
+         % num_buckets
+         for u in enc.dictionary.to_pylist()),
+        dtype=np.int32, count=len(enc.dictionary))
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    return pa.array(lut[idx], pa.int32())
+
+
+def _append_conv_bucket(batch: pa.Table, num_buckets: int) -> pa.Table:
+    return batch.append_column(
+        "conv_bucket", conv_bucket_of(batch["conv_id"], num_buckets))
+
+
 
 
 def _sort_partitions() -> int:

@@ -28,7 +28,7 @@ from __future__ import annotations
 import functools
 import hashlib
 import logging
-from typing import Dict, List
+from typing import Dict, List, Optional
 
 import numpy as np
 import pandas as pd
@@ -322,14 +322,31 @@ def compute_dup_map(raw_ds, cfg: PipelineConfig = DEFAULT_CONFIG) -> dict:
 # content-addressed so a retried task cannot double-count.
 
 
-def make_dup_aggregators(num: int = 8):
+def make_dup_aggregators(num: Optional[int] = None,
+                         max_total_keys: int =
+                         DEFAULT_CONFIG.max_inline_map_keys):
+    """Zero-CPU dup-map shard actors. ``num`` defaults to cluster_CPUs/4
+    (min 4) so the shard fan-in scales with the cluster instead of a
+    fixed 8. ``max_total_keys`` caps the TOTAL distinct keys across all
+    shards — the map is corpus-proportional, so past the cap the hash
+    stage fails loudly (pointing at dedup_mode="shuffle") instead of
+    letting a shard actor OOM."""
     import ray
+
+    if num is None:
+        try:
+            cpus = int(ray.cluster_resources().get("CPU", 8))
+        except Exception:
+            cpus = 8
+        num = max(4, cpus // 4)
+    cap_per_shard = max(1, max_total_keys // num)
 
     @ray.remote(num_cpus=0)
     class DupMapAggregator:
         """Holds a shard of the {dedup_key → (min order_key, count)} map."""
 
-        def __init__(self) -> None:
+        def __init__(self, cap: int) -> None:
+            self.cap = cap
             self.min_key: Dict[str, str] = {}
             self.cnt: Dict[str, int] = {}
             self.seen: set = set()
@@ -337,8 +354,18 @@ def make_dup_aggregators(num: int = 8):
         def add(self, batch_id: bytes, keys, order_keys, counts) -> None:
             if batch_id in self.seen:      # task retry replayed this batch
                 return
-            self.seen.add(batch_id)
             mk, ct = self.min_key, self.cnt
+            # check BEFORE recording the batch: a raise must stay a
+            # raise on retry, not a silent seen-set no-op
+            if len(mk) + len(keys) > self.cap:
+                raise RuntimeError(
+                    f"inline dup-map shard would exceed its key cap "
+                    f"({self.cap} keys/shard; cfg.max_inline_map_keys "
+                    f"total): the corpus has more unique texts than the "
+                    f"inline side-channel can hold in actor memory. Use "
+                    f"dedup_mode='shuffle' (bucketed groupby, no size "
+                    f"assumption) or raise cfg.max_inline_map_keys.")
+            self.seen.add(batch_id)
             for k, ok, c in zip(keys, order_keys, counts):
                 prev = mk.get(k)
                 if prev is None or ok < prev:
@@ -349,20 +376,19 @@ def make_dup_aggregators(num: int = 8):
             return {k: self.min_key[k]
                     for k, c in self.cnt.items() if c >= 2}
 
-        def merged_ref(self, others):
-            """Merge every shard ONCE (first caller pays; actor call
-            serialization makes later callers hit the cache) and publish
-            the map as two SORTED numpy byte arrays in plasma — workers
-            read them zero-copy and look keys up with searchsorted, so
-            there is no per-worker dict deserialization/merge (profiled
-            at ~2-4 s × #workers on the post-sort assign stage)."""
+        def own_ref(self):
+            """Publish THIS shard's dup map as two SORTED numpy byte
+            arrays in plasma (computed once). Shards build their arrays
+            CONCURRENTLY — there is no single serial whole-map merge
+            (the old design's first caller paid an all-shard merge, a
+            fixed serial cost that scaled with the corpus); workers read
+            every shard's arrays zero-copy and route lookups by the same
+            key-hash the push side shards on."""
             import numpy as _np
 
             import ray as _ray
-            if not hasattr(self, "_merged"):
+            if not hasattr(self, "_own"):
                 m = self.dups()
-                for part in _ray.get([h.dups.remote() for h in others]):
-                    m.update(part)
                 if m:
                     ks = sorted(m)          # ASCII: str order == S order
                     keys = _np.array(ks, dtype="S")
@@ -370,10 +396,10 @@ def make_dup_aggregators(num: int = 8):
                 else:
                     keys = _np.array([], dtype="S1")
                     vals = _np.array([], dtype="S1")
-                self._merged = _ray.put((keys, vals))
-            return self._merged
+                self._own = _ray.put((keys, vals))
+            return self._own
 
-    return [DupMapAggregator.remote() for _ in range(num)]
+    return [DupMapAggregator.remote(cap_per_shard) for _ in range(num)]
 
 
 def content_hash_with_side_map(batch: pa.Table, handles,
@@ -423,39 +449,75 @@ def content_hash_with_side_map(batch: pa.Table, handles,
 _AGG_DUPS_CACHE: dict = {}
 
 
+_HEX_LUT = np.zeros(256, dtype=np.uint32)
+for _c in b"0123456789":
+    _HEX_LUT[_c] = _c - ord("0")
+for _c in b"abcdef":
+    _HEX_LUT[_c] = _c - ord("a") + 10
+
+
+def _shards_of_keys(bkeys: np.ndarray, n_shards: int) -> np.ndarray:
+    """Vectorized twin of the push side's ``int(k[:4], 16) % n`` shard
+    routing, over an S<width> byte array. Non-hex keys (the
+    'e:<order_key>' empty-row sentinels) map to SOME shard and simply
+    miss the lookup — they are never pushed."""
+    if bkeys.dtype.itemsize < 4:          # degenerate short keys: pad
+        bkeys = bkeys.astype("S4")
+    m = bkeys.dtype.itemsize
+    chars = bkeys.view(np.uint8).reshape(len(bkeys), m)[:, :4]
+    v = _HEX_LUT[chars]
+    return (((v[:, 0] * 16 + v[:, 1]) * 16 + v[:, 2]) * 16 + v[:, 3]) \
+        % np.uint32(n_shards)
+
+
 def assign_dup_from_aggregators(batch: pa.Table, handles) -> pa.Table:
-    """dup_of from the aggregators' merged (sorted-array) dup map:
-    zero-copy plasma read + vectorized searchsorted lookup per batch.
+    """dup_of from the aggregators' PER-SHARD (sorted-array) dup maps:
+    zero-copy plasma reads + lookups routed to each shard by the same
+    key-hash the push side used — no whole-map merge anywhere (shards
+    build their arrays concurrently on first request).
     ONLY safe after a full barrier (sort / materialize) downstream of
     content_hash_with_side_map."""
     import ray
 
     cache_key = tuple(h._actor_id.hex() for h in handles)
-    arrs = _AGG_DUPS_CACHE.get(cache_key)
-    if arrs is None:
-        ref = ray.get(handles[0].merged_ref.remote(handles[1:]))
-        arrs = ray.get(ref)
+    shard_arrs = _AGG_DUPS_CACHE.get(cache_key)
+    if shard_arrs is None:
+        refs = ray.get([h.own_ref.remote() for h in handles])
+        shard_arrs = ray.get(refs)
         _AGG_DUPS_CACHE.clear()
-        _AGG_DUPS_CACHE[cache_key] = arrs
-    keys_arr, vals_arr = arrs
+        _AGG_DUPS_CACHE[cache_key] = shard_arrs
 
     n = batch.num_rows
     dup = np.full(n, None, dtype=object)
-    if len(keys_arr):
-        bkeys = np.asarray(batch["dedup_key"].to_pylist(),
-                           dtype=keys_arr.dtype)
-        idx = np.searchsorted(keys_arr, bkeys)
-        idx_c = np.minimum(idx, len(keys_arr) - 1)
-        found = keys_arr[idx_c] == bkeys
-        if found.any():
+    if n and any(len(k) for k, _ in shard_arrs):
+        # auto-width bytes dtype: the map's keys are fixed-width md5 hex,
+        # but batch keys include the longer 'e:<order_key>' empty-row
+        # sentinels — a cast to a fixed S<width> would silently truncate
+        # them (and a future dedup_key format change could turn that
+        # into false dup_of assignments); numpy compares mixed widths
+        # correctly
+        bkeys = np.asarray(batch["dedup_key"].to_pylist(), dtype="S")
+        shard_ids = _shards_of_keys(bkeys, len(handles))
+        ok_arr = None
+        for si, (keys_arr, vals_arr) in enumerate(shard_arrs):
+            if not len(keys_arr):
+                continue
+            rows_s = np.flatnonzero(shard_ids == si)
+            if not len(rows_s):
+                continue
+            sub = bkeys[rows_s]
+            idx = np.searchsorted(keys_arr, sub)
+            idx_c = np.minimum(idx, len(keys_arr) - 1)
+            found = keys_arr[idx_c] == sub
+            if not found.any():
+                continue
+            if ok_arr is None:
+                ok_arr = np.asarray(batch["order_key"].to_pylist(),
+                                    dtype="S")
+            rows_f = rows_s[found]
             canon = vals_arr[idx_c[found]]
-            ok_list = batch["order_key"].to_pylist()
-            # auto-width bytes dtype: numpy compares S<m> vs S<n>
-            # element-wise without truncating longer own keys
-            own = np.asarray([ok_list[i] for i in np.flatnonzero(found)],
-                             dtype="S")
-            is_dup = canon != own
-            rows = np.flatnonzero(found)[is_dup]
+            is_dup = canon != ok_arr[rows_f]
+            rows = rows_f[is_dup]
             dup[rows] = [c.decode() for c in canon[is_dup]]
     if "dup_of" in batch.column_names:
         batch = batch.drop_columns(["dup_of"])
@@ -498,7 +560,7 @@ class MinHashSimHash:
     (list<uint64>, cfg.minhash_perms entries), simhash (uint64).
 
     Fully vectorized (no per-row Python loop): polars tokenization +
-    per-row distinct, blake2b only on the batch's UNIQUE tokens (dict
+    per-row distinct, md5 only on the batch's UNIQUE tokens (dict
     cache across batches), then segmented numpy reductions over the
     flattened token-hash array (``np.minimum.reduceat`` for MinHash,
     ``np.add.reduceat`` over unpacked bits for SimHash) — the
@@ -514,7 +576,7 @@ class MinHashSimHash:
         self.token_cache: Dict[str, int] = {}
 
     def _hash_unique(self, uniq_tokens: np.ndarray) -> np.ndarray:
-        """blake2b-8 per UNIQUE token (cache hit skips the digest)."""
+        """md5-8 per UNIQUE token (cache hit skips the digest)."""
         cache = self.token_cache
         out = np.empty(len(uniq_tokens), dtype=np.uint64)
         for i, t in enumerate(uniq_tokens):

@@ -89,7 +89,7 @@ def run_partitioned(input_path: str, out_dir: str, partitions: int = 16,
     # pipelines/quality.py). Full rows move exactly once: in the sort.
     import functools
 
-    from dataquality_ray.pipelines.quality import _sort_partitions
+    from dataquality_ray.pipelines.quality import bucketed_sort
     from dataquality_ray.stages.dedup import (
         assign_dup_from_map,
         compute_dup_map_from_hashed,
@@ -106,8 +106,9 @@ def run_partitioned(input_path: str, out_dir: str, partitions: int = 16,
     final = scored.map_batches(
         functools.partial(assign_dup_from_map, map_ref=map_ref),
         batch_format="pyarrow", zero_copy_batch=True)
-    final = final.repartition(_sort_partitions()) \
-                 .sort(["conv_id", "turn_idx"])
+    # deterministic bucketed ordered exchange (no sampling pass; output
+    # partition i = conv bucket i, (conv_id, turn_idx)-sorted within)
+    final = bucketed_sort(final)
     final_dir = os.path.join(out_dir, "final")
     tmp_final = final_dir + ".tmp"
     if os.path.isdir(tmp_final):

@@ -66,6 +66,26 @@ class TestEndToEnd:
         keys = list(zip(out["conv_id"], out["turn_idx"]))
         assert keys == sorted(keys)
 
+    def test_bucketed_mode_matches_and_orders(self, small_transcripts,
+                                              small_oracle):
+        """sort_mode='bucketed' (the bench/run.py path): same rows as
+        the oracle, a deterministic (conv_bucket, conv_id, turn_idx)
+        total order, and a bucket column that is a pure function of
+        conv_id (the resumable-layout contract)."""
+        from dataquality_ray.pipelines.quality import conv_bucket_of
+        got = _run_pipeline(small_transcripts, sort_mode="bucketed")
+        for col in ("text", "keep", "dup_of", "overall_quality_score"):
+            assert got[col].to_pylist() == small_oracle[col].to_pylist(), col
+        raw = quality_pipeline(ray.data.from_arrow(small_transcripts),
+                               sort_mode="bucketed").to_pandas()
+        keys = list(zip(raw["conv_bucket"], raw["conv_id"],
+                        raw["turn_idx"]))
+        assert keys == sorted(keys)
+        expect = conv_bucket_of(
+            pa.array(raw["conv_id"].tolist()),
+            int(raw["conv_bucket"].max()) + 1).to_pylist()
+        assert raw["conv_bucket"].tolist() == expect
+
     def test_dup_of_points_to_canonical(self, small_oracle):
         # every dup_of target exists and is not itself a dup
         keys = {f"{c}#{t:08d}"
@@ -240,6 +260,34 @@ class TestDedupModeEquivalence:
         assert set(cols) <= set(shuffle.columns)  # shuffle keeps helpers
         pd.testing.assert_frame_equal(inline[cols], broadcast[cols])
         pd.testing.assert_frame_equal(inline[cols], shuffle[cols])
+
+
+class TestInlineDupMapGuard:
+    def test_cap_exceeded_fails_loudly(self, ray_session):
+        """Pushing more distinct dedup_keys than cfg.max_inline_map_keys
+        allows must raise a clear error (pointing at dedup_mode=
+        'shuffle'), not OOM an aggregator actor."""
+        from dataquality_ray.stages.dedup import make_dup_aggregators
+        handles = make_dup_aggregators(num=2, max_total_keys=4)
+        # 2 keys/shard cap; first add fits, second overflows its shard
+        ray.get(handles[0].add.remote(b"b1", ["k1", "k2"],
+                                      ["o1", "o2"], [1, 1]))
+        with pytest.raises(ray.exceptions.RayTaskError,
+                           match="dedup_mode='shuffle'"):
+            ray.get(handles[0].add.remote(b"b2", ["k3", "k4", "k5"],
+                                          ["o3", "o4", "o5"], [1, 1, 1]))
+        # the failed batch is NOT marked seen: a retry raises again
+        # rather than silently no-opping into a partial map
+        with pytest.raises(ray.exceptions.RayTaskError):
+            ray.get(handles[0].add.remote(b"b2", ["k3", "k4", "k5"],
+                                          ["o3", "o4", "o5"], [1, 1, 1]))
+
+    def test_shard_count_scales_with_cluster(self, ray_session):
+        from dataquality_ray.stages.dedup import make_dup_aggregators
+        handles = make_dup_aggregators()
+        import ray as _ray
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+        assert len(handles) == max(4, cpus // 4)
 
 
 class TestSimHashTokenlessGuard:
