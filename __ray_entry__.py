@@ -81,6 +81,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from dataquality_ray.stages.multimodal import multimodal_demo
         return multimodal_demo(sf_dir)
 
+    def multimodal_png_features(sf_dir: str):
+        # REAL decode: synthesized PNGs → pure-Python/PIL decoder →
+        # pixel-histogram features (rows-only check; decode correctness
+        # is pinned by the codec round-trip tests)
+        from dataquality_ray.stages.multimodal import \
+            multimodal_png_features as _mpf
+        return _mpf(sf_dir)
+
     def multimodal_frame_samples(sf_dir: str):
         from dataquality_ray.stages.multimodal import multimodal_frames
         return multimodal_frames(sf_dir)
@@ -205,6 +213,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sketches": D.doc_sketches,
         "doc_sim_sketches": D.doc_sim_sketches,
         "multimodal_features": multimodal_features,
+        "multimodal_png_features": multimodal_png_features,
         "multimodal_frame_samples": multimodal_frame_samples,
         "multimodal_resized": multimodal_resized,
     }
@@ -379,6 +388,21 @@ def oracle_sql() -> dict[str, str]:
     tr_glob = os.path.join(transcripts_path(20_000, seed=CFG.seed),
                            "*.parquet")
     stoplist = ", ".join(f"'{w}'" for w in spec.KEY_TERM_STOPWORDS)
+    # SimHash entirely in SQL: DuckDB's md5_number_upper(token) equals
+    # spec.token_hash_u64 (first 8 md5 bytes, little-endian — verified
+    # byte order), per-bit votes are 64 SUM aggregates over the distinct
+    # token hashes (votes > 0  <=>  2*ones > n_tokens), and candidate
+    # generation uses the SAME pigeonhole chunk join as
+    # stages/dedup.simhash_near_dup — so the oracle replicates the
+    # pipeline's banding exactly, not an O(n²) cross join.
+    sh_chunks = CFG.simhash_max_hamming + 1
+    sh_bits = 64 // sh_chunks
+    sh_mask = (1 << sh_bits) - 1
+    sh_bit_sums = ",\n    ".join(
+        f"SUM(CAST((h >> {b}) & 1 AS BIGINT)) AS s{b}" for b in range(64))
+    sh_sim_expr = "\n    | ".join(
+        f"(CASE WHEN 2*s{b} > cnt THEN CAST({1 << b} AS UBIGINT) "
+        f"ELSE CAST(0 AS UBIGINT) END)" for b in range(64))
     return {
         "doc_key_terms": f"""
 WITH t AS (
@@ -521,6 +545,36 @@ SELECT conv_id,
   CAST(MIN(turn_idx) AS INTEGER) AS first_turn,
   CAST(MAX(turn_idx) AS INTEGER) AS last_turn
 FROM q GROUP BY conv_id
+""",
+        "transcript_simhash_pairs": f"""
+WITH raw AS (
+  SELECT concat(conv_id, '#', lpad(CAST(turn_idx AS VARCHAR), 8, '0'))
+           AS order_key,
+         {_SCRUBBED} AS stext
+  FROM read_parquet('{tr_glob}')),
+tok AS (
+  SELECT order_key,
+    unnest(list_distinct(regexp_extract_all(lower(stext), '{_TOK}'))) AS t
+  FROM raw),
+th AS (SELECT order_key, md5_number_upper(t) AS h FROM tok),
+v AS (
+  SELECT order_key, COUNT(*) AS cnt,
+    {sh_bit_sums}
+  FROM th GROUP BY order_key),
+sim AS (
+  SELECT order_key,
+    {sh_sim_expr} AS simhash
+  FROM v),
+ch AS (
+  SELECT order_key, simhash, c.range AS chunk_id,
+    (simhash >> (c.range * {sh_bits})) & {sh_mask} AS val
+  FROM sim CROSS JOIN range(0, {sh_chunks}) c)
+SELECT DISTINCT a.order_key AS key_a, b.order_key AS key_b,
+  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM ch a JOIN ch b
+  ON a.chunk_id = b.chunk_id AND a.val = b.val
+ AND a.order_key < b.order_key
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {CFG.simhash_max_hamming}
 """,
         "scrub_documents": f"""
 SELECT doc_id,

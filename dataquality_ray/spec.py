@@ -318,11 +318,12 @@ def content_hash(text: str) -> str:
 
 
 def token_hash_u64(token: str) -> int:
-    """Stable 64-bit token hash (blake2b-8; PYTHONHASHSEED-independent)."""
+    """Stable 64-bit token hash: first 8 md5 bytes, little-endian
+    (PYTHONHASHSEED-independent). md5 so the DuckDB oracle can compute
+    the IDENTICAL value as ``md5_number_upper(token)`` — which makes the
+    whole sketch stack (MinHash, SimHash, LSH bands) SQL-derivable."""
     return int.from_bytes(
-        hashlib.blake2b(token.encode("utf-8"), digest_size=8).digest(),
-        "little",
-    )
+        hashlib.md5(token.encode("utf-8")).digest()[:8], "little")
 
 
 def minhash_params(n_perms: int, seed: int):
