@@ -1,11 +1,13 @@
 """Multimodal column plumbing — opaque binary payloads + actor-pool decode.
 
-The image/audio decode libraries are not available in this environment, so
-the decode step is STUBBED: ``RealImageDecoder.decode`` raises
-NotImplementedError, and ``FakeFeatureExtractor`` computes a deterministic
-byte-level feature vector instead. Everything Ray-side is real and tested:
-the binary column schema, the actor-pool stage signature (model "loaded"
-once per actor), small batch sizing for wide binary rows, and the output
+The decode step is REAL for PNG: ``RealImageDecoder`` prefers PIL when it
+is importable and otherwise falls back to a pure-Python/numpy PNG decoder
+built on stdlib zlib (8-bit gray/gray+alpha/RGB/RGBA, all five scanline
+filters, non-interlaced — the subset every common encoder emits).
+``FakeFeatureExtractor`` remains the codec-free byte-level path for
+arbitrary binary payloads. Everything Ray-side is real and tested: the
+binary column schema, the actor-pool stage signature (model "loaded" once
+per actor), small batch sizing for wide binary rows, and the output
 layout (fixed-size list<float> feature column + typed metadata).
 
 At scale: binary payloads make rows wide — keep ``batch_size`` small
@@ -17,6 +19,8 @@ them away immediately, as ``extract`` does).
 from __future__ import annotations
 
 import os
+import struct
+import zlib
 
 import numpy as np
 import pyarrow as pa
@@ -24,18 +28,116 @@ import pyarrow as pa
 N_FEATURES = 16
 BINARY_BATCH_SIZE = 256
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# color type -> channels (8-bit, non-interlaced)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Minimal deterministic PNG encoder (filter 0, one IDAT) — lets the
+    decode path be exercised end-to-end without any codec library.
+    Accepts (H, W), (H, W, 1|2|3|4) uint8 arrays."""
+    arr = np.ascontiguousarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, c = arr.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (_PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Pure-Python/numpy PNG decode (stdlib zlib): 8-bit depth, color
+    types 0/2/4/6, filters 0-4, non-interlaced. Returns (H, W, C) uint8.
+    Raises ValueError on anything else (palette, 16-bit, Adam7)."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG")
+    pos, idat = 8, []
+    w = h = bd = ct = interlace = None
+    while pos + 8 <= len(data):
+        (ln,) = struct.unpack(">I", data[pos:pos + 4])
+        tag = data[pos + 4:pos + 8]
+        body = data[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, bd, ct, _comp, _filt, interlace = \
+                struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.append(body)
+        elif tag == b"IEND":
+            break
+    if w is None or bd != 8 or interlace != 0 or ct not in _PNG_CHANNELS:
+        raise ValueError(
+            f"unsupported PNG (bit depth {bd}, color type {ct}, "
+            f"interlace {interlace}); only 8-bit non-interlaced "
+            "gray/GA/RGB/RGBA")
+    c = _PNG_CHANNELS[ct]
+    stride = w * c
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("corrupt PNG: bad decompressed length")
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    p = 0
+    with np.errstate(over="ignore"):
+        for y in range(h):
+            f = raw[p]
+            line = np.frombuffer(raw, np.uint8, stride, p + 1).copy()
+            p += 1 + stride
+            if f == 0:                      # None
+                cur = line
+            elif f == 2:                    # Up (vectorized, mod-256)
+                cur = line + prev
+            elif f == 1:                    # Sub: prefix sum per channel
+                cur = line.reshape(w, c).cumsum(
+                    axis=0, dtype=np.uint8).reshape(stride)
+            else:                           # Average / Paeth: sequential
+                cur = line
+                for i in range(stride):
+                    a = int(cur[i - c]) if i >= c else 0
+                    b = int(prev[i])
+                    if f == 3:
+                        cur[i] = (int(line[i]) + ((a + b) >> 1)) & 0xFF
+                    elif f == 4:
+                        cc = int(prev[i - c]) if i >= c else 0
+                        pp = a + b - cc
+                        pa_, pb, pc_ = abs(pp - a), abs(pp - b), abs(pp - cc)
+                        pred = a if (pa_ <= pb and pa_ <= pc_) \
+                            else (b if pb <= pc_ else cc)
+                        cur[i] = (int(line[i]) + pred) & 0xFF
+                    else:
+                        raise ValueError(f"bad PNG filter {f}")
+            out[y] = cur
+            prev = cur
+    return out.reshape(h, w, c)
+
 
 class RealImageDecoder:
-    """Placeholder for a real decoder (PIL / torchvision / ffmpeg).
+    """Real image decoder: PIL when importable, else the pure-Python PNG
+    path above. Construct once per actor (the backend probe is an
+    import attempt); ``decode`` returns (H, W, C) uint8."""
 
-    Kept as the documented extension point: swap this class into
-    ``decode_features`` when the codec libraries exist.
-    """
+    def __init__(self) -> None:
+        try:
+            from PIL import Image  # noqa: F401
+            self._pil = Image
+        except ImportError:
+            self._pil = None
+        self.backend = "pil" if self._pil is not None else "png-pure"
 
-    def decode(self, payload: bytes) -> "np.ndarray":
-        raise NotImplementedError(
-            "image/audio codecs are not available in this environment; "
-            "use FakeFeatureExtractor for the plumbing path")
+    def decode(self, payload: bytes) -> np.ndarray:
+        if self._pil is not None:
+            import io
+            arr = np.asarray(self._pil.open(io.BytesIO(payload)))
+            return arr[:, :, None] if arr.ndim == 2 else arr
+        return decode_png(payload)
 
 
 class FakeFeatureExtractor:
@@ -210,9 +312,96 @@ def sample_frames(ds, concurrency=(1, 4)):
         concurrency=concurrency)
 
 
+class ImageFeatureExtractor:
+    """Actor-pool stage with REAL decode: PNG payload → pixel array →
+    deterministic feature vector (pixel-intensity histogram × frozen
+    projection + width/height/channels). Decoder and projection built
+    once per actor; rows that fail to decode get null features and the
+    error message in ``decode_error`` (error routing, never a crash).
+    Payload dropped at extract."""
+
+    def __init__(self, n_features: int = N_FEATURES) -> None:
+        self.decoder = RealImageDecoder()
+        self.n_features = n_features
+        rng = np.random.default_rng(1234)
+        self.proj = rng.standard_normal((256, n_features)).astype(np.float32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        feats = np.zeros((n, self.n_features), dtype=np.float32)
+        dims = np.zeros((n, 3), dtype=np.int32)
+        errs: list = [None] * n
+        payloads = batch["payload"]
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        for i, p in enumerate(payloads.to_pylist()):
+            try:
+                img = self.decoder.decode(p or b"")
+                h, w, c = img.shape
+                dims[i] = (h, w, c)
+                hist = np.bincount(img.reshape(-1), minlength=256) \
+                    .astype(np.float32)
+                feats[i] = (hist / max(img.size, 1)) @ self.proj
+            except (ValueError, OSError) as e:
+                errs[i] = str(e)[:200]
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("height", pa.array(dims[:, 0]))
+        out = out.append_column("width", pa.array(dims[:, 1]))
+        out = out.append_column("channels", pa.array(dims[:, 2]))
+        out = out.append_column(
+            "features",
+            pa.FixedSizeListArray.from_arrays(
+                pa.array(feats.reshape(-1)), self.n_features))
+        out = out.append_column("decode_error", pa.array(errs, pa.string()))
+        return out
+
+
+def synthesize_png_table(sf_dir: str):
+    """Deterministic small REAL PNGs derived from documents.parquet (no
+    external data): each doc's utf-8 bytes tile an (h, w, 3) array that
+    is encoded with the minimal PNG encoder above."""
+    import ray
+
+    from dataquality_ray.arrowutil import strip_meta
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"]) \
+        .map_batches(strip_meta, batch_format="pyarrow",
+                     zero_copy_batch=True)
+
+    def to_png(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for t in batch["text"].to_pylist():
+            buf = np.frombuffer((t or " ").encode("utf-8"), dtype=np.uint8)
+            h = w = 16
+            arr = np.resize(buf, h * w * 3).reshape(h, w, 3)
+            payloads.append(encode_png(arr))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "media_type": pa.array(["image/png"] * batch.num_rows),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    return ds.map_batches(to_png, batch_format="pyarrow")
+
+
+def decode_image_features(ds, concurrency=(1, 4)):
+    """Actor-pool REAL-decode feature stage over a PNG-payload dataset."""
+    return ds.map_batches(
+        ImageFeatureExtractor,
+        batch_format="pyarrow",
+        batch_size=BINARY_BATCH_SIZE,
+        concurrency=concurrency)
+
+
 def multimodal_demo(sf_dir: str):
     """End-to-end multimodal plumbing: synthesize → decode → features."""
     return decode_features(synthesize_binary_table(sf_dir))
+
+
+def multimodal_png_features(sf_dir: str):
+    """End-to-end REAL decode: synthesize PNGs → decode → features."""
+    return decode_image_features(synthesize_png_table(sf_dir))
 
 
 def multimodal_frames(sf_dir: str):

@@ -98,8 +98,8 @@ class TestSimilarityKernels:
             RealImageDecoder,
             multimodal_demo,
         )
-        with pytest.raises(NotImplementedError):
-            RealImageDecoder().decode(b"abc")
+        with pytest.raises((ValueError, OSError)):
+            RealImageDecoder().decode(b"abc")  # not an image
         out = multimodal_demo("/root/testdata/sf0.001").to_pandas()
         assert len(out) > 0
         assert "payload" not in out.columns  # bytes never leave the stage
@@ -109,6 +109,96 @@ class TestSimilarityKernels:
         t = pa.table({"payload": pa.array([b"xyz", b"xyz"], pa.binary())})
         f = fx(t)["features"].to_pylist()
         assert f[0] == f[1]
+
+
+class TestPngCodec:
+    def test_roundtrip_all_channel_counts(self):
+        from dataquality_ray.stages.multimodal import decode_png, encode_png
+        rng = np.random.default_rng(5)
+        for c in (1, 2, 3, 4):
+            arr = rng.integers(0, 256, size=(11, 7, c), dtype=np.uint8)
+            out = decode_png(encode_png(arr))
+            assert out.shape == (11, 7, c)
+            assert (out == arr).all()
+
+    def test_decode_all_filters(self):
+        """Hand-build a PNG using every scanline filter (0-4) and check
+        the decoder reconstructs the reference image."""
+        import struct
+        import zlib
+        from dataquality_ray.stages.multimodal import _PNG_SIG, decode_png
+        rng = np.random.default_rng(9)
+        img = rng.integers(0, 256, size=(5, 6, 3), dtype=np.uint8)
+        h, w, c = img.shape
+        # filter each scanline per the PNG spec (encoder side)
+        lines = []
+        prev = np.zeros(w * c, dtype=np.int64)
+        for y, f in enumerate([0, 1, 2, 3, 4]):
+            cur = img[y].reshape(-1).astype(np.int64)
+            flt = np.empty_like(cur)
+            for i in range(w * c):
+                a = cur[i - c] if i >= c else 0
+                b = prev[i]
+                cc = prev[i - c] if i >= c else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) >> 1
+                else:
+                    p = a + b - cc
+                    pa_, pb, pc_ = abs(p - a), abs(p - b), abs(p - cc)
+                    pred = a if (pa_ <= pb and pa_ <= pc_) \
+                        else (b if pb <= pc_ else cc)
+                flt[i] = (cur[i] - pred) & 0xFF
+            lines.append(bytes([f]) + flt.astype(np.uint8).tobytes())
+            prev = cur
+
+        def chunk(tag, body):
+            return (struct.pack(">I", len(body)) + tag + body
+                    + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+        png = (_PNG_SIG
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+               + chunk(b"IEND", b""))
+        assert (decode_png(png) == img).all()
+
+    def test_matches_pil_when_available(self):
+        pytest.importorskip("PIL")
+        import io
+        from PIL import Image
+        from dataquality_ray.stages.multimodal import decode_png
+        rng = np.random.default_rng(3)
+        arr = rng.integers(0, 256, size=(9, 13, 3), dtype=np.uint8)
+        buf = io.BytesIO()
+        Image.fromarray(arr).save(buf, format="PNG")
+        assert (decode_png(buf.getvalue()) == arr).all()
+
+    def test_real_decode_stage(self, ray_session):
+        from dataquality_ray.stages.multimodal import (
+            multimodal_png_features,
+        )
+        out = multimodal_png_features("/root/testdata/sf0.001").to_pandas()
+        assert len(out) > 0
+        assert "payload" not in out.columns
+        assert out["decode_error"].isna().all()
+        assert (out["height"] == 16).all() and (out["channels"] == 3).all()
+        assert len(out["features"].iloc[0]) == 16
+
+    def test_decode_error_routed_not_raised(self):
+        import pyarrow as pa
+        from dataquality_ray.stages.multimodal import ImageFeatureExtractor
+        t = pa.table({
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "payload": pa.array([b"garbage", b""], pa.binary()),
+        })
+        out = ImageFeatureExtractor()(t)
+        errs = out["decode_error"].to_pylist()
+        assert all(e is not None for e in errs)
 
 
 class TestFrameSampling:
