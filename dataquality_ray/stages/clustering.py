@@ -95,7 +95,12 @@ def label_propagation_round(labels_ds, pairs_ds,
     own = labels_ds.map_batches(
         lambda t: pa.table({"key": t["key"], "cand": t["label"]}),
         batch_format="pyarrow")
-    msgs = msg("key_a", "key_b").union(msg("key_b", "key_a")).union(own)
+    # materialize the first join before building the second: each hash
+    # join holds ``num_partitions`` aggregator actors, and two joins
+    # live in one streaming DAG starve a small cluster's map tasks (the
+    # CLAUDE.md invariant) — this keeps at most ONE join in flight
+    m1 = msg("key_a", "key_b").materialize()
+    msgs = m1.union(msg("key_b", "key_a")).union(own)
     return msgs.groupby("key").aggregate(Min("cand", alias_name="label"))
 
 
@@ -104,15 +109,24 @@ def _labels_signature(labels_ds) -> int:
     per-row deterministic 64-bit hashes (mod 2^64). Two consecutive
     rounds with equal signatures ⇒ fixpoint (labels only ever decrease,
     so a no-op round is exactly 'unchanged'; collision odds ~2⁻⁶⁴)."""
+    import numpy as np
     import pandas as pd
 
     def partial(df: pd.DataFrame) -> pd.DataFrame:
         h = pd.util.hash_pandas_object(
             df["key"] + "\x1f" + df["label"], index=False).to_numpy()
-        return pd.DataFrame({"h": [int(h.sum()) & 0x7FFFFFFFFFFFFFFF]})
+        # exact uint64 wraparound sum, reinterpreted as int64 two's
+        # complement — NO per-batch mask: masking before the cross-batch
+        # sum would make the signature depend on batch boundaries
+        # (silently defeating fixpoint detection); int64 addition of the
+        # partials wraps mod 2^64 identically, so the total is
+        # partition-independent
+        s = np.array([h.sum(dtype=np.uint64)], dtype=np.uint64)
+        return pd.DataFrame({"h": s.view(np.int64)})
 
-    return int(labels_ds.map_batches(partial, batch_format="pandas")
-               .sum("h")) & 0x7FFFFFFFFFFFFFFF
+    total = int(labels_ds.map_batches(partial, batch_format="pandas")
+                .sum("h"))
+    return total & 0xFFFFFFFFFFFFFFFF
 
 
 def dup_clusters_distributed(pairs_ds, num_partitions: int | None = None,

@@ -394,6 +394,20 @@ def token_jaccard_pairs(ds, threshold: float,
     import dataclasses
 
     cfg = cfg or DEFAULT_CONFIG
+    # LSH recall guard: a pair at exactly `threshold` is missed with
+    # P = (1-t^r)^b. The SQL oracle is exact, so a threshold low enough
+    # to make that probability non-negligible would produce
+    # hard-to-diagnose oracle mismatches — warn loudly instead of
+    # leaving the hazard in a docstring.
+    miss_p = (1.0 - threshold ** cfg.lsh_rows) ** cfg.lsh_bands
+    if miss_p > 1e-6:
+        import warnings
+        warnings.warn(
+            f"token_jaccard_pairs: threshold={threshold} gives LSH miss "
+            f"probability {miss_p:.2e} per boundary pair with "
+            f"{cfg.lsh_bands}x{cfg.lsh_rows} banding — results may drop "
+            "pairs an exact oracle finds; raise the threshold or use "
+            "more bands/fewer rows", stacklevel=2)
     # Fewer band buckets than cfg.num_buckets: a near-identical cluster's
     # 32 band groups then co-locate ~4 per bucket, so the member-set
     # dedup below (seen_groups) kills the redundant copies BEFORE the

@@ -110,14 +110,32 @@ def write_run_manifest(out_dir: str, payload: Dict[str, Any]) -> None:
 
 
 def plan_fingerprint(input_files: List[str], num_partitions: int) -> str:
-    """Stable hash of (sorted input set, partition count) — the identity
-    of a partition plan."""
+    """Stable hash of (sorted input set + per-file sizes, partition
+    count) — the identity of a partition plan. File sizes are folded in
+    so a resume after an input file was REWRITTEN IN PLACE (same name,
+    different rows) is refused instead of silently mixing stale
+    committed partitions with new data; size comes from the filesystem
+    when the path is readable (local or any pyarrow.fs URI) and falls
+    back to 0 for schemes we cannot stat."""
     import hashlib
     h = hashlib.sha256()
     h.update(str(int(num_partitions)).encode())
     for f in sorted(input_files):
         h.update(b"\x00" + f.encode())
+        h.update(b"\x01" + str(_file_size(f)).encode())
     return h.hexdigest()
+
+
+def _file_size(path: str) -> int:
+    try:
+        if "://" in path:
+            from pyarrow import fs as pafs
+            fsys, rel = pafs.FileSystem.from_uri(path)
+            info = fsys.get_file_info(rel)
+            return int(info.size or 0)
+        return int(os.path.getsize(path))
+    except Exception:
+        return 0
 
 
 def ensure_run_plan(out_dir: str, input_files: List[str],
