@@ -188,6 +188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event_per_user": M.latest_event_per_user,
         "event_windows": M.event_windows,
         "user_sessions": M.user_sessions,
+        "asof_latest_error_per_event": _asof_latest_error_per_event,
         # --- embeddings: similarity search (SQL-checked) ---
         "ann_topk_embeddings": D.ann_topk_embeddings,
         "embedding_near_dup": D.embedding_near_dup,
@@ -267,6 +268,52 @@ def _embedding_near_dup_lsh(sf_dir: str):
         .map_batches(strip_meta, batch_format="pyarrow",
                      zero_copy_batch=True)
     return embedding_near_dup_lsh(ds, EMB_NEAR_DUP_COSINE, max_hamming=28)
+
+
+def _asof_latest_error_per_event(sf_dir: str):
+    """For every non-error event, the SAME USER's latest error event at
+    or before its timestamp (backward as-of join — the custom temporal
+    operator Ray Data lacks; SQL-checked against DuckDB's native ASOF
+    LEFT JOIN). Ties on (user, ts) break to max event_id on both
+    sides."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    import ray
+    from dataquality_ray.arrowutil import strip_meta
+    from dataquality_ray.stages.joins import asof_join_backward
+
+    def read(pred):
+        def f(batch):
+            batch = strip_meta(batch)
+            return batch.filter(pred(batch))
+        return ray.data.read_parquet(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["event_id", "ts", "user_id", "event_type"]) \
+            .map_batches(f, batch_format="pyarrow", zero_copy_batch=True)
+
+    left = read(lambda b: _pc.not_equal(b["event_type"], "error"))
+    right = read(lambda b: _pc.equal(b["event_type"], "error"))
+    joined = asof_join_backward(
+        left, right, by="user_id", on="ts",
+        left_cols=["event_id"], right_cols=["event_id", "ts"],
+        tiebreak_col="event_id")
+
+    def finish(batch):
+        gap = _pc.cast(
+            _pc.cast(_pc.subtract(batch["ts"], batch["ts_r"]),
+                     pa.duration("us")),
+            pa.int64())
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "error_event_id": batch["event_id_r"],
+            "us_since_error": gap,
+        })
+    return joined.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
 
 def _transcript_simhash_pairs(sf_dir: str):
@@ -545,6 +592,20 @@ SELECT conv_id,
   CAST(MIN(turn_idx) AS INTEGER) AS first_turn,
   CAST(MAX(turn_idx) AS INTEGER) AS last_turn
 FROM q GROUP BY conv_id
+""",
+        # DuckDB's native ASOF LEFT JOIN is the oracle for the custom
+        # backward as-of operator; right side pre-aggregated to
+        # max(event_id) per (user, ts) = the operator's tiebreak rule
+        "asof_latest_error_per_event": """
+WITH l AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type <> 'error'),
+r AS (
+  SELECT user_id, ts, max(event_id) AS error_event_id
+  FROM events WHERE event_type = 'error' GROUP BY user_id, ts)
+SELECT l.event_id, l.user_id, r.error_event_id,
+  CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS us_since_error
+FROM l ASOF LEFT JOIN r
+  ON l.user_id = r.user_id AND r.ts <= l.ts
 """,
         "transcript_simhash_pairs": f"""
 WITH raw AS (
