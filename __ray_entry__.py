@@ -187,6 +187,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "timeliness_events": M.timeliness_events,
         "latest_event_per_user": M.latest_event_per_user,
         "event_windows": M.event_windows,
+        "sliding_event_windows": M.sliding_event_windows,
         "user_sessions": M.user_sessions,
         "asof_latest_error_per_event": _asof_latest_error_per_event,
         # --- embeddings: similarity search (SQL-checked) ---
@@ -740,6 +741,17 @@ SELECT epoch_us(ts) // 3600000000 AS window_hour, event_type,
   CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
     AS sum_value_milli
 FROM events GROUP BY 1, 2
+""",
+        # sliding windows: each event expands to the 4 hop-aligned
+        # window starts covering it (window 1 h, hop 15 min)
+        "sliding_event_windows": """
+SELECT (epoch_us(ts) // 900000000) - r.range AS window_start_q,
+  event_type,
+  CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT)
+    AS sum_value_milli
+FROM events CROSS JOIN range(0, 4) r
+GROUP BY 1, 2
 """,
         "user_sessions": """
 WITH o AS (SELECT event_id, user_id, epoch_us(ts) AS tus,

@@ -180,6 +180,65 @@ def event_windows(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+SLIDE_HOP_US = 15 * 60 * 1_000_000        # 15-minute hop
+SLIDE_WINDOWS_PER_EVENT = 4               # 1-hour window / 15-min hop
+
+
+def sliding_event_windows(sf_dir: str):
+    """SLIDING 1-hour windows hopping every 15 minutes (each event lands
+    in exactly 4 overlapping windows — the tumbling variant above covers
+    hop == size). Expansion happens INSIDE the per-batch partial
+    aggregate: the batch is pre-reduced to (window, event_type) partials
+    BEFORE the shuffle, so the exchange carries one row per distinct
+    (window, type) per batch, not 4× the event stream. Fixed-point milli
+    sums keep the aggregate bit-deterministic (CLAUDE.md invariant).
+    Output: window_start_q (epoch // 15 min), event_type, n_events,
+    sum_value_milli."""
+    from ray.data.aggregate import Sum
+    ds = _events(sf_dir, columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        ts_us = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        tq = ts_us // SLIDE_HOP_US
+        v = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                     * 1000).astype(np.int64)
+        k = np.arange(SLIDE_WINDOWS_PER_EVENT, dtype=np.int64)
+        df = pd.DataFrame({
+            "window_start_q": (tq[:, None] - k[None, :]).reshape(-1),
+            "event_type": np.repeat(
+                np.asarray(batch["event_type"].to_pylist(), dtype=object),
+                SLIDE_WINDOWS_PER_EVENT),
+            "n": 1,
+            "v": np.repeat(v, SLIDE_WINDOWS_PER_EVENT),
+        })
+        g = (df.groupby(["window_start_q", "event_type"], sort=False)
+             .agg(n=("n", "sum"), v=("v", "sum")).reset_index())
+        return from_pandas_clean(g)
+
+    agg = ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby(["window_start_q", "event_type"]).aggregate(
+                Sum("n", alias_name="n_events"),
+                Sum("v", alias_name="sum_value_milli"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "window_start_q": pa.array(
+                batch["window_start_q"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)),
+            "event_type": batch["event_type"],
+            "n_events": pa.array(
+                batch["n_events"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)),
+            "sum_value_milli": pa.array(
+                batch["sum_value_milli"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 SESSION_GAP_US = 30 * 60 * 1_000_000   # 30-minute inactivity gap
 
 
