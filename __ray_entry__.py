@@ -417,7 +417,7 @@ SELECT doc_id, {case_sql} AS pred_lang FROM c
 """
 
 
-def oracle_sql() -> dict[str, str]:
+def _oracle_sql_impl() -> dict[str, str]:
     import os
 
     from dataquality_ray.fixtures import transcripts_path
@@ -451,6 +451,30 @@ def oracle_sql() -> dict[str, str]:
     sh_sim_expr = "\n    | ".join(
         f"(CASE WHEN 2*s{b} > cnt THEN CAST({1 << b} AS UBIGINT) "
         f"ELSE CAST(0 AS UBIGINT) END)" for b in range(64))
+    # MinHash entirely in SQL: (a*h + b) mod 2^64 via 32-bit limbs in
+    # HUGEINT (UBIGINT multiply would overflow loudly in DuckDB), the
+    # frozen (a, b) permutation constants inlined as a VALUES table, and
+    # candidate generation joining on the RAW 4-value band slices — the
+    # splitmix band-key fold is an optimization the oracle doesn't need
+    # (equal slices <=> equal band keys up to 2^-64 collisions, and the
+    # pipeline verifies exactly anyway).
+    mh_a, mh_b = spec.minhash_params(CFG.minhash_perms, CFG.seed)
+    mh_perms = ",\n    ".join(
+        f"({p}, CAST({int(mh_a[p])} AS UBIGINT), "
+        f"CAST({int(mh_b[p])} AS UBIGINT))"
+        for p in range(CFG.minhash_perms))
+    _M32, _M64 = 4294967296, 18446744073709551616
+    mh_mulmod = (
+        f"(CAST((a % {_M32}) * (h % {_M32}) AS HUGEINT)"
+        f" + ((CAST((a % {_M32}) * (h // {_M32}) AS HUGEINT)"
+        f"     + CAST((a // {_M32}) * (h % {_M32}) AS HUGEINT))"
+        f"    % {_M32}) * {_M32}"
+        f" + b) % {_M64}")
+    mh_band_vals = ",\n    ".join(
+        f"MAX(CASE WHEN p % {CFG.lsh_rows} = {r} THEN m END) AS v{r}"
+        for r in range(CFG.lsh_rows))
+    mh_band_eq = " AND ".join(
+        f"a.v{r} = b.v{r}" for r in range(CFG.lsh_rows))
     return {
         "doc_key_terms": f"""
 WITH t AS (
@@ -593,6 +617,70 @@ SELECT conv_id,
   CAST(MIN(turn_idx) AS INTEGER) AS first_turn,
   CAST(MAX(turn_idx) AS INTEGER) AS last_turn
 FROM q GROUP BY conv_id
+""",
+        # The flagship near-dup surface, fully SQL-derived: tokens →
+        # md5 hashes → 128 MinHash mins (limb-arithmetic mulmod) →
+        # 32×4 band-slice self-join candidates → exact token-set
+        # Jaccard verify at the same threshold, exact-dup pairs
+        # excluded by content hash — mirroring stages/dedup.py
+        # near_dup_pairs step for step. The "join" strategy variant is
+        # output-identical (tested), so it shares the oracle — see the
+        # post-dict aliasing below.
+        "transcript_near_dup_pairs": f"""
+WITH raw AS (
+  SELECT concat(conv_id, '#', lpad(CAST(turn_idx AS VARCHAR), 8, '0'))
+           AS order_key,
+         {_SCRUBBED} AS stext
+  FROM read_parquet('{tr_glob}')),
+chash AS (
+  SELECT order_key,
+    md5(regexp_replace(
+      regexp_replace(lower(stext), '{spec.EDGE_WS_PATTERN}', '', 'g'),
+      '{spec.WS_PLUS_PATTERN}', ' ', 'g')) AS content_hash
+  FROM raw),
+tok AS (
+  SELECT order_key,
+    unnest(list_distinct(regexp_extract_all(lower(stext), '{_TOK}'))) AS t
+  FROM raw),
+th AS (SELECT order_key, md5_number_upper(t) AS h FROM tok),
+cnt AS (SELECT order_key, COUNT(*) AS n FROM th GROUP BY 1),
+perm(p, a, b) AS (VALUES
+    {mh_perms}),
+hu AS (SELECT DISTINCT h FROM th),
+hperm AS (
+  -- limb-arithmetic mulmod ONCE per (unique hash, perm) — the min
+  -- aggregation below then only moves precomputed values
+  SELECT h, p, {mh_mulmod} AS pv
+  FROM hu CROSS JOIN perm),
+mh AS (
+  SELECT t.order_key, hp.p, MIN(hp.pv) AS m
+  FROM th t JOIN hperm hp ON hp.h = t.h GROUP BY 1, 2),
+band AS (
+  SELECT order_key, p // {CFG.lsh_rows} AS band_id,
+    {mh_band_vals}
+  FROM mh GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT a.order_key AS key_a, b.order_key AS key_b
+  FROM band a JOIN band b
+    ON a.band_id = b.band_id AND {mh_band_eq}
+   AND a.order_key < b.order_key),
+inter AS (
+  SELECT c.key_a, c.key_b, COUNT(*) AS i
+  FROM cand c
+  JOIN th x ON x.order_key = c.key_a
+  JOIN th y ON y.order_key = c.key_b AND y.h = x.h
+  GROUP BY 1, 2),
+scored AS (
+  SELECT i.key_a, i.key_b,
+    CAST(i.i AS DOUBLE) / (ca.n + cb.n - i.i) AS jaccard
+  FROM inter i
+  JOIN cnt ca ON ca.order_key = i.key_a
+  JOIN cnt cb ON cb.order_key = i.key_b
+  JOIN chash ha ON ha.order_key = i.key_a
+  JOIN chash hb ON hb.order_key = i.key_b
+  WHERE ha.content_hash <> hb.content_hash)
+SELECT key_a, key_b, jaccard FROM scored
+WHERE jaccard >= {CFG.near_dup_jaccard}
 """,
         # DuckDB's native ASOF LEFT JOIN is the oracle for the custom
         # backward as-of operator; right side pre-aggregated to
@@ -814,3 +902,11 @@ SELECT doc_id,
 FROM n
 """,
     }
+
+
+def oracle_sql() -> dict[str, str]:
+    sql = _oracle_sql_impl()
+    # the join-strategy LSH variant is output-identical to the carry
+    # variant (tested in tests/test_pipeline_e2e.py) — same oracle
+    sql["transcript_near_dup_pairs_join"] = sql["transcript_near_dup_pairs"]
+    return sql

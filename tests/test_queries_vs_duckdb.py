@@ -69,10 +69,18 @@ _SQL = entrymod.oracle_sql()
 _QUERIES = entrymod.queries()
 
 
+_ORACLE_CACHE: dict = {}
+
+
 @pytest.mark.parametrize("name", sorted(_SQL))
 def test_query_matches_oracle(name):
-    con = _duck(SF_DIR)
-    want = con.execute(_SQL[name]).df()
+    # memoize by SQL string: aliased oracles (e.g. the two near-dup
+    # strategies share one heavy MinHash-in-SQL query) run DuckDB once
+    want = _ORACLE_CACHE.get(_SQL[name])
+    if want is None:
+        con = _duck(SF_DIR)
+        want = con.execute(_SQL[name]).df()
+        _ORACLE_CACHE[_SQL[name]] = want
     got = _to_df(_QUERIES[name](SF_DIR))
     _compare(name, got, want)
 
