@@ -909,4 +909,20 @@ def oracle_sql() -> dict[str, str]:
     # the join-strategy LSH variant is output-identical to the carry
     # variant (tested in tests/test_pipeline_e2e.py) — same oracle
     sql["transcript_near_dup_pairs_join"] = sql["transcript_near_dup_pairs"]
+    # connected components over the SAME SQL-derived edge set: directed
+    # edges + recursive min-label reachability, cluster = min key of
+    # the component — the oracle for dup_clusters_auto's output
+    sql["transcript_dup_clusters"] = f"""
+WITH RECURSIVE
+p AS MATERIALIZED (
+  SELECT key_a, key_b FROM ({sql['transcript_near_dup_pairs']})),
+e(src, dst) AS MATERIALIZED (
+  SELECT key_a, key_b FROM p
+  UNION ALL SELECT key_b, key_a FROM p),
+r(key, lab) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.dst, r.lab FROM r JOIN e ON e.src = r.key)
+SELECT key, MIN(lab) AS cluster FROM r GROUP BY key
+"""
     return sql
