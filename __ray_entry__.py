@@ -211,9 +211,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_conv_stats": transcript_conv_stats,
         "transcript_dup_clusters": _transcript_dup_clusters,
         "transcript_simhash_pairs": _transcript_simhash_pairs,
-        # --- sketches (doc_sketches SQL-checked) + multimodal (rows-only) ---
+        # --- sketches (all three SQL-checked: content hash/fingerprint,
+        #     SimHash signature, MinHash-band signature) + multimodal ---
         "doc_sketches": D.doc_sketches,
         "doc_sim_sketches": D.doc_sim_sketches,
+        "doc_minhash_bands": D.doc_minhash_bands,
         "multimodal_features": multimodal_features,
         "multimodal_png_features": multimodal_png_features,
         "multimodal_frame_samples": multimodal_frame_samples,
@@ -475,6 +477,9 @@ def _oracle_sql_impl() -> dict[str, str]:
         for r in range(CFG.lsh_rows))
     mh_band_eq = " AND ".join(
         f"a.v{r} = b.v{r}" for r in range(CFG.lsh_rows))
+    mh_band_sel = ",\n  ".join(
+        f"CAST(COALESCE(b.v{r}, CAST(18446744073709551615 AS HUGEINT)) "
+        f"AS UBIGINT) AS v{r}" for r in range(CFG.lsh_rows))
     return {
         "doc_key_terms": f"""
 WITH t AS (
@@ -900,6 +905,55 @@ SELECT doc_id,
        AS UBIGINT)
   END AS fingerprint
 FROM n
+""",
+        # per-document SimHash signature entirely in SQL (same kernel as
+        # the transcript_simhash_pairs oracle: md5_number_upper == the
+        # frozen token hash, 64 per-bit vote sums); token-less docs get
+        # the all-zero signature via the LEFT JOIN
+        "doc_sim_sketches": f"""
+WITH tok AS (
+  SELECT doc_id,
+    unnest(list_distinct(regexp_extract_all(lower(text), '{_TOK}'))) AS t
+  FROM documents),
+th AS (SELECT doc_id, md5_number_upper(t) AS h FROM tok),
+v AS (
+  SELECT doc_id, COUNT(*) AS cnt,
+    {sh_bit_sums}
+  FROM th GROUP BY doc_id),
+sim AS (
+  SELECT doc_id,
+    {sh_sim_expr} AS simhash
+  FROM v)
+SELECT d.doc_id,
+  COALESCE(s.simhash, CAST(0 AS UBIGINT)) AS simhash
+FROM documents d LEFT JOIN sim s ON s.doc_id = d.doc_id
+""",
+        # MinHash signature in LSH band layout entirely in SQL (same
+        # limb-arithmetic mulmod as the transcript_near_dup_pairs
+        # oracle); token-less docs get the all-max signature
+        "doc_minhash_bands": f"""
+WITH tok AS (
+  SELECT doc_id,
+    unnest(list_distinct(regexp_extract_all(lower(text), '{_TOK}'))) AS t
+  FROM documents),
+th AS (SELECT doc_id, md5_number_upper(t) AS h FROM tok),
+perm(p, a, b) AS (VALUES
+    {mh_perms}),
+hu AS (SELECT DISTINCT h FROM th),
+hperm AS (
+  SELECT h, p, {mh_mulmod} AS pv
+  FROM hu CROSS JOIN perm),
+mh AS (
+  SELECT t.doc_id, hp.p, MIN(hp.pv) AS m
+  FROM th t JOIN hperm hp ON hp.h = t.h GROUP BY 1, 2),
+band AS (
+  SELECT doc_id, p // {CFG.lsh_rows} AS band_id,
+    {mh_band_vals}
+  FROM mh GROUP BY 1, 2)
+SELECT d.doc_id, CAST(r.range AS BIGINT) AS band_id,
+  {mh_band_sel}
+FROM documents d CROSS JOIN range(0, {CFG.lsh_bands}) r
+LEFT JOIN band b ON b.doc_id = d.doc_id AND b.band_id = r.range
 """,
     }
 

@@ -542,22 +542,54 @@ def doc_sketches(sf_dir: str):
                           zero_copy_batch=True)
 
 
-def doc_sim_sketches(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
-    """doc_id, simhash, minhash_sig — the similarity-sketch surface
-    (rows-only: SimHash/MinHash are not SQL-expressible; their pair
-    outputs are oracle-bounded in tests instead)."""
+def _sketch_ds(sf_dir: str, cfg: PipelineConfig):
     from dataquality_ray.stages.dedup import MinHashSimHash
 
     ds = _docs(sf_dir, columns=["doc_id", "text"])
-    ds = ds.map_batches(
+    return ds.map_batches(
         MinHashSimHash,
         fn_constructor_kwargs={"cfg": cfg},
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         concurrency=(1, cfg.actor_pool_size))
-    return ds.map_batches(
-        lambda t: t.select(["doc_id", "simhash", "minhash_sig"]),
+
+
+def doc_sim_sketches(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """doc_id, simhash — the per-document SimHash signature, SQL-checked:
+    DuckDB derives the identical signature from md5_number_upper(token)
+    (== spec.token_hash_u64) with 64 per-bit vote sums. Token-less
+    documents carry the all-zero signature on both sides."""
+    return _sketch_ds(sf_dir, cfg).map_batches(
+        lambda t: t.select(["doc_id", "simhash"]),
         batch_format="pyarrow")
+
+
+def doc_minhash_bands(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """doc_id, band_id, v0..v{rows-1} — the MinHash signature in LSH band
+    layout (lsh_bands rows per doc), SQL-checked: DuckDB recomputes every
+    permutation min via limb-arithmetic mulmod over md5 token hashes.
+    Token-less documents carry the all-max (2^64-1) signature."""
+    bands, rows = cfg.lsh_bands, cfg.lsh_rows
+
+    def reshape(t: pa.Table) -> pa.Table:
+        n = len(t)
+        sig_col = t["minhash_sig"]
+        if isinstance(sig_col, pa.ChunkedArray):
+            sig_col = sig_col.combine_chunks()
+        sig = sig_col.flatten().to_numpy(zero_copy_only=False) \
+            .reshape(n * bands, rows)
+        doc = t["doc_id"].to_numpy(zero_copy_only=False)
+        cols = {
+            "doc_id": pa.array(np.repeat(doc, bands)),
+            "band_id": pa.array(np.tile(np.arange(bands, dtype=np.int64),
+                                        n)),
+        }
+        for r in range(rows):
+            cols[f"v{r}"] = pa.array(sig[:, r], pa.uint64())
+        return pa.table(cols)
+
+    return _sketch_ds(sf_dir, cfg).map_batches(
+        reshape, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------
