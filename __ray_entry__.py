@@ -170,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_documents": D.quality_documents,
         "exact_dedup_documents": D.exact_dedup_documents,
         "near_dup_documents": D.near_dup_documents,
+        "shingle_near_dup_documents": D.shingle_near_dup_documents,
         "max_similarity_per_doc": D.max_similarity_per_doc,
         "union_dedup_documents": D.union_dedup_documents,
         "langid_documents": D.langid_documents,
@@ -429,7 +430,11 @@ def _oracle_sql_impl() -> dict[str, str]:
         EMB_NEAR_DUP_COSINE,
         METADATA_GATE_THRESHOLD as D_METADATA_GATE,
         NEAR_DUP_DOC_JACCARD,
+        SHINGLE_NEAR_DUP_JACCARD,
+        SHINGLE_NGRAM,
     )
+    shingle_expr = " || ' ' || ".join(
+        f"ts[i+{k}]" if k else "ts[i]" for k in range(SHINGLE_NGRAM))
     ann_ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
     # Transcript-table oracles read the deterministic fixture directly
     # (the driver registers only the sf tables as views; the fixture is a
@@ -776,6 +781,28 @@ FROM documents GROUP BY 1
 """,
         "near_dup_documents": _PAIR_CTE + f"""
 SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= {NEAR_DUP_DOC_JACCARD}
+""",
+        # order-sensitive n-gram (word-shingle) Jaccard: shingles built
+        # in SQL exactly as the Ray side joins them (single spaces,
+        # overlapping windows, then distinct)
+        "shingle_near_dup_documents": f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS ts
+  FROM documents),
+sh AS (
+  SELECT doc_id, list_distinct(list_transform(
+      generate_series(1, len(ts) - {SHINGLE_NGRAM - 1}),
+      i -> {shingle_expr})) AS sset
+  FROM tok),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+    CAST(len(list_intersect(a.sset, b.sset)) AS DOUBLE)
+      / (len(a.sset) + len(b.sset) - len(list_intersect(a.sset, b.sset)))
+      AS jaccard
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(a.sset) > 0 AND len(b.sset) > 0)
+SELECT id_a, id_b, jaccard FROM p
+WHERE jaccard >= {SHINGLE_NEAR_DUP_JACCARD}
 """,
         "max_similarity_per_doc": _PAIR_CTE + f"""
 , nd AS (SELECT * FROM p WHERE jaccard >= {NEAR_DUP_DOC_JACCARD}),

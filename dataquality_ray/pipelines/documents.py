@@ -183,6 +183,24 @@ def near_dup_documents(sf_dir: str):
     return token_jaccard_pairs(ds, NEAR_DUP_DOC_JACCARD, id_col="doc_id")
 
 
+SHINGLE_NGRAM = 3            # word-ngram size for shingle near-dup
+SHINGLE_NEAR_DUP_JACCARD = 0.8
+
+
+def shingle_near_dup_documents(sf_dir: str):
+    """(id_a, id_b, jaccard) pairs with 3-word-SHINGLE-set Jaccard >=
+    0.8 — the order-sensitive n-gram Jaccard dedup (token-set Jaccard
+    is permissive to word reorderings; shingles are not). Same
+    MinHash-LSH + exact-verify topology as near_dup_documents, with
+    shingle hashes as the unit; SQL-oracle-checked against an exact
+    all-pairs list_intersect join over DuckDB-built shingles. LSH miss
+    P at the 0.8 boundary = (1-0.8^4)^32 ~= 4.8e-8.
+    """
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    return token_jaccard_pairs(ds, SHINGLE_NEAR_DUP_JACCARD,
+                               id_col="doc_id", ngram=SHINGLE_NGRAM)
+
+
 def max_similarity_per_doc(sf_dir: str):
     """Per doc appearing in near-dup pairs: its max Jaccard (A6 analog,
     reference routes.py:378)."""

@@ -566,12 +566,21 @@ class MinHashSimHash:
     ``np.add.reduceat`` over unpacked bits for SimHash) — the
     langid/LM pattern (functions/langid.py:92). Bit-identical to the
     scalar per-row formulation (tests pin signatures).
+
+    ``ngram > 1`` switches the unit from single tokens to overlapping
+    word-ngram shingles (space-joined, order-preserving, then made
+    per-row distinct) — the classic MinHash shingling for documents
+    where token-set similarity is too permissive.
     """
 
     def __init__(self, text_col: str = "text",
-                 cfg: PipelineConfig = DEFAULT_CONFIG) -> None:
+                 cfg: PipelineConfig = DEFAULT_CONFIG,
+                 ngram: int = 1) -> None:
+        if ngram < 1:
+            raise ValueError(f"ngram must be >= 1, got {ngram}")
         self.text_col = text_col
         self.cfg = cfg
+        self.ngram = ngram   # >1: word-ngram shingles instead of tokens
         self.a, self.b = minhash_params(cfg.minhash_perms, cfg.seed)
         self.token_cache: Dict[str, int] = {}
 
@@ -597,27 +606,60 @@ class MinHashSimHash:
         n_perm = self.cfg.minhash_perms
         a, b = self.a, self.b
 
-        # per-row DISTINCT tokens, flattened: one polars pass, no loop
         s = pl.Series(texts).fill_null("")
-        toks = s.str.to_lowercase().str.extract_all(TOKEN_PATTERN) \
-            .list.unique()
-        lens = toks.list.len().to_numpy().astype(np.int64)
-        flat_tokens = toks.explode(empty_as_null=False).to_numpy()
+        if self.ngram == 1:
+            # per-row DISTINCT tokens, flattened: one polars pass, no loop
+            toks = s.str.to_lowercase().str.extract_all(TOKEN_PATTERN) \
+                .list.unique()
+            lens = toks.list.len().to_numpy().astype(np.int64)
+            flat_tokens = toks.explode(empty_as_null=False).to_numpy()
+            uniq, inv = (np.unique(flat_tokens, return_inverse=True)
+                         if len(flat_tokens) else
+                         (np.array([], dtype=object),
+                          np.array([], dtype=np.int64)))
+            flat = self._hash_unique(uniq)[inv] if len(uniq) \
+                else np.array([], dtype=np.uint64)
+            # per-row sorted hash lists in one lexsort (row-major, asc)
+            row_idx = np.repeat(np.arange(n), lens)
+            order = np.lexsort((flat, row_idx))
+            sorted_flat = flat[order]
+        else:
+            # ORDERED tokens (dups kept) → overlapping ngram shingles
+            # joined by one space (matching the SQL oracle's
+            # ``ts[i] || ' ' || ts[i+1] || ...``), hashed once per
+            # UNIQUE shingle, per-row DISTINCT via one lexsort+mask
+            g = self.ngram
+            toks = s.str.to_lowercase().str.extract_all(TOKEN_PATTERN)
+            lens0 = toks.list.len().to_numpy().astype(np.int64)
+            flat0 = toks.explode(empty_as_null=False).to_numpy()
+            row0 = np.repeat(np.arange(n), lens0)
+            T0 = len(flat0)
+            valid = (np.flatnonzero(row0[: T0 - g + 1] == row0[g - 1:])
+                     if T0 >= g else np.array([], dtype=np.int64))
+            if len(valid):
+                sh = flat0[valid].astype(object)
+                for k in range(1, g):
+                    sh = sh + " "
+                    sh = sh + flat0[valid + k].astype(object)
+                uniq, inv = np.unique(sh, return_inverse=True)
+                hashes = self._hash_unique(uniq)[inv]
+                rows_v = row0[valid]
+                order = np.lexsort((hashes, rows_v))
+                hs, rs = hashes[order], rows_v[order]
+                keep = np.ones(len(hs), dtype=bool)
+                keep[1:] = (hs[1:] != hs[:-1]) | (rs[1:] != rs[:-1])
+                sorted_flat, rows_kept = hs[keep], rs[keep]
+                lens = np.bincount(rows_kept, minlength=n) \
+                    .astype(np.int64)
+            else:
+                sorted_flat = np.array([], dtype=np.uint64)
+                lens = np.zeros(n, dtype=np.int64)
         # empty lists contribute no rows, so offsets from `lens` line up
-        # with the flat array
+        # with the flat array; reductions below are order-independent
+        # integer min/add, so the sorted layout is bit-identical
         offsets = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(lens, out=offsets[1:])
-
-        uniq, inv = (np.unique(flat_tokens, return_inverse=True)
-                     if len(flat_tokens) else
-                     (np.array([], dtype=object), np.array([], dtype=np.int64)))
-        flat = self._hash_unique(uniq)[inv] if len(uniq) \
-            else np.array([], dtype=np.uint64)
-
-        # per-row sorted hash lists in one lexsort (row-major, hash asc)
-        row_idx = np.repeat(np.arange(n), lens)
-        order = np.lexsort((flat, row_idx))
-        sorted_flat = flat[order]
+        flat = sorted_flat
         tok_col = pa.ListArray.from_arrays(
             pa.array(offsets, pa.int32()).cast(pa.int32()),
             pa.array(sorted_flat, pa.uint64()))

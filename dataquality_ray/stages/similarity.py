@@ -368,10 +368,15 @@ def _group_pairs_matmul(ids: np.ndarray, toks, threshold: float,
 
 def token_jaccard_pairs(ds, threshold: float,
                         id_col: str, text_col: str = "text",
-                        cfg=None):
+                        cfg=None, ngram: int = 1):
     """All pairs with distinct-token-set Jaccard >= threshold, via
     MinHash-LSH candidate generation + EXACT token-set verification —
     no driver materialization, no dense doc-term matrix.
+
+    ``ngram > 1`` switches the similarity unit from single tokens to
+    overlapping word-ngram shingles (the classic document-shingling
+    MinHash); candidates, verification and the reported Jaccard are
+    then all over the per-row distinct SHINGLE sets.
 
     Topology (same shape as stages/dedup.py near_dup_pairs): per-row
     token-hash sets + MinHash signatures (actor pool, built once per
@@ -418,7 +423,8 @@ def token_jaccard_pairs(ds, threshold: float,
 
     sketch = ds.map_batches(
         MinHashSimHash,
-        fn_constructor_kwargs={"text_col": text_col, "cfg": cfg},
+        fn_constructor_kwargs={"text_col": text_col, "cfg": cfg,
+                               "ngram": ngram},
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         concurrency=(1, cfg.actor_pool_size))

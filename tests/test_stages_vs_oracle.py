@@ -85,3 +85,25 @@ def test_content_hash_batch_matches_scalar():
     assert out["content_hash"].to_pylist() == [spec.content_hash(t) for t in texts]
     assert out["is_empty_norm"].to_pylist() == [False, False, True, True, False]
     assert out["order_key"].to_pylist()[0] == spec.order_key("c", 0)
+
+
+def test_minhash_shingle_ngram_edges():
+    """ngram=3 shingling: rows shorter than the ngram get the empty
+    (all-max minhash, zero simhash) signature; shingle hashes equal the
+    md5-u64 of the space-joined lowercased token windows (distinct)."""
+    texts = ["", "one", "one two", "one two three",
+             "a b c d", "A  b C d", "x x x x"]
+    table = pa.table({"text": texts})
+    out = MinHashSimHash(ngram=3)(table)
+    toks = out["token_hashes"].to_pylist()
+    assert [len(t) for t in toks] == [0, 0, 0, 1, 2, 2, 1]
+    maxu = (1 << 64) - 1
+    sigs = out["minhash_sig"].to_pylist()
+    sims = out["simhash"].to_pylist()
+    for i in range(3):
+        assert set(sigs[i]) == {maxu} and sims[i] == 0
+    assert toks[3] == [spec.token_hash_u64("one two three")]
+    assert set(toks[4]) == {spec.token_hash_u64("a b c"),
+                            spec.token_hash_u64("b c d")}
+    assert toks[4] == toks[5]                    # case/ws-insensitive
+    assert toks[6] == [spec.token_hash_u64("x x x")]  # distinct shingles
