@@ -176,6 +176,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": D.langid_documents,
         "quality_by_source": D.quality_by_source,
         "doc_key_terms": D.doc_key_terms,
+        "doc_tfidf_terms": D.doc_tfidf_terms,
+        "dataset_split_documents": D.dataset_split_documents,
+        "corpus_vocab_stats": D.corpus_vocab_stats,
         "doc_metadata_gate": D.doc_metadata_gate,
         # --- transcripts: entity extraction + per-turn heuristics
         #     (SQL-checked via a direct read_parquet of the fixture) ---
@@ -191,6 +194,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_event_windows": M.sliding_event_windows,
         "user_sessions": M.user_sessions,
         "asof_latest_error_per_event": _asof_latest_error_per_event,
+        "events_near_errors": M.events_near_errors,
+        "event_value_percentiles": M.event_value_percentiles,
         # --- embeddings: similarity search (SQL-checked) ---
         "ann_topk_embeddings": D.ann_topk_embeddings,
         "embedding_near_dup": D.embedding_near_dup,
@@ -432,9 +437,18 @@ def _oracle_sql_impl() -> dict[str, str]:
         NEAR_DUP_DOC_JACCARD,
         SHINGLE_NEAR_DUP_JACCARD,
         SHINGLE_NGRAM,
+        SPLIT_BUCKETS,
+        SPLIT_TRAIN_LT,
+        SPLIT_VAL_LT,
+        TFIDF_IDF_SCALE,
+        TFIDF_TOP_K,
+        VOCAB_TOP_K,
     )
     shingle_expr = " || ' ' || ".join(
         f"ts[i+{k}]" if k else "ts[i]" for k in range(SHINGLE_NGRAM))
+    from dataquality_ray.pipelines.metrics import (
+        RANGE_JOIN_WINDOW_US as M_RANGE_WINDOW_US,
+    )
     ann_ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
     # Transcript-table oracles read the deterministic fixture directly
     # (the driver registers only the sf tables as views; the fixture is a
@@ -501,6 +515,56 @@ r AS (
   FROM f)
 SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {spec.KEY_TERMS_TOP_K}
+""",
+        # integer tf-idf: score = tf * ((N*scale) // df) — same integer
+        # formula as the Ray side, so rank ties resolve identically
+        "doc_tfidf_terms": f"""
+WITH t AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(lower(text), '{_TOK}')) AS term
+  FROM documents),
+f AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM t WHERE term NOT IN ({stoplist})
+  GROUP BY 1, 2),
+d AS (SELECT term, COUNT(*) AS df FROM f GROUP BY term),
+n AS (SELECT COUNT(*) AS nd FROM documents),
+s AS (
+  SELECT f.doc_id, f.term, f.tf,
+    f.tf * ((n.nd * {TFIDF_IDF_SCALE}) // d.df) AS score
+  FROM f JOIN d USING (term) CROSS JOIN n),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rank
+  FROM s)
+SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+  CAST(score AS BIGINT) AS score, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {TFIDF_TOP_K}
+""",
+        # note LIMIT is deterministic: (cf DESC, term ASC) is a total
+        # order over distinct terms
+        "corpus_vocab_stats": f"""
+WITH t AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(lower(text), '{_TOK}')) AS term
+  FROM documents),
+f AS (
+  SELECT term, COUNT(*) AS cf, COUNT(DISTINCT doc_id) AS df
+  FROM t GROUP BY term)
+SELECT term, CAST(cf AS BIGINT) AS cf, CAST(df AS BIGINT) AS df
+FROM f ORDER BY cf DESC, term LIMIT {VOCAB_TOP_K}
+""",
+        # md5_number_upper(CAST(id AS VARCHAR)) == spec.token_hash_u64
+        # of str(id) — the shared frozen hash, so both engines bucket
+        # identically
+        "dataset_split_documents": f"""
+SELECT doc_id,
+  CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR))
+            % {SPLIT_BUCKETS} < {SPLIT_TRAIN_LT} THEN 'train'
+       WHEN md5_number_upper(CAST(doc_id AS VARCHAR))
+            % {SPLIT_BUCKETS} < {SPLIT_VAL_LT} THEN 'val'
+       ELSE 'test' END AS split
+FROM documents
 """,
         # gate arithmetic ordered exactly like the Ray side:
         # (0.5|0.0) + 0.5*(inter/union) in doubles → bit-identical
@@ -705,6 +769,38 @@ SELECT l.event_id, l.user_id, r.error_event_id,
   CAST(epoch_us(l.ts) - epoch_us(r.ts) AS BIGINT) AS us_since_error
 FROM l ASOF LEFT JOIN r
   ON l.user_id = r.user_id AND r.ts <= l.ts
+""",
+        # windowed range join: count/sum of the same user's non-error
+        # events in the 5 minutes up to each error (boundary t-W
+        # exclusive, t inclusive)
+        "events_near_errors": f"""
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t
+  FROM events WHERE event_type = 'error'),
+x AS (
+  SELECT user_id, epoch_us(ts) AS t,
+    CAST(floor(value * 1000) AS BIGINT) AS v
+  FROM events WHERE event_type <> 'error')
+SELECT e.event_id AS error_event_id, e.user_id,
+  CAST(COUNT(x.t) AS BIGINT) AS n_prior_events,
+  CAST(COALESCE(SUM(x.v), 0) AS BIGINT) AS sum_value_milli
+FROM e LEFT JOIN x
+  ON x.user_id = e.user_id
+ AND x.t > e.t - {M_RANGE_WINDOW_US} AND x.t <= e.t
+GROUP BY 1, 2
+""",
+        # exact discrete quantiles over the fixed-point value: DuckDB
+        # quantile_disc picks index ceil(p*n)-1 of the ascending sort —
+        # the Ray side uses the same integer index with np.partition
+        "event_value_percentiles": """
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS vm
+  FROM events)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+  quantile_disc(vm, 0.50) AS p50_milli,
+  quantile_disc(vm, 0.90) AS p90_milli,
+  quantile_disc(vm, 0.99) AS p99_milli
+FROM v GROUP BY event_type
 """,
         "transcript_simhash_pairs": f"""
 WITH raw AS (

@@ -374,6 +374,150 @@ def entities_batch(batch: pa.Table, id_cols, text_col: str = "text"
     return from_pandas_clean(df)
 
 
+TFIDF_TOP_K = 5
+TFIDF_IDF_SCALE = 1000
+
+
+def doc_tfidf_terms(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """(doc_id, term, tf, score, rank): top-5 non-stopword terms per doc
+    by integer tf-idf — score = tf * ((N*{scale}) // df), df = the
+    term's document frequency, N = corpus size. Integer idf keeps the
+    ranking bit-deterministic across engines (no float log ordering).
+
+    Topology (the 100-TB shape): batch-local tf → corpus df via a
+    term-keyed groupby (vocab-sized, never on the driver) → df attached
+    back with a hash join on term → per-doc top-k via a doc_id-keyed
+    groupby. Two shuffles, both hash-partitioned; nothing
+    corpus-proportional is materialized.
+    """
+    import pandas as pd
+
+    from dataquality_ray.arrowutil import from_pandas_clean
+    from dataquality_ray.spec import KEY_TERM_STOPWORDS
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    n_docs = docs.count()   # parquet metadata count — no scan
+
+    def tf_batch(batch: pa.Table) -> pa.Table:
+        toks = (pl.from_arrow(batch["text"])
+                .str.to_lowercase().str.extract_all(TOKEN_PATTERN))
+        df = pl.DataFrame({"doc_id": pl.Series(batch["doc_id"]
+                                               .to_pandas()),
+                           "term": toks}) \
+            .explode("term").drop_nulls() \
+            .filter(~pl.col("term").is_in(list(KEY_TERM_STOPWORDS))) \
+            .group_by(["doc_id", "term"]).len().rename({"len": "tf"}) \
+            .to_pandas()
+        df["tf"] = df["tf"].astype("int64")
+        return from_pandas_clean(df)
+
+    # materialize: consumed twice (df aggregation + join probe side)
+    tf = docs.map_batches(tf_batch, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    df_tbl = tf.groupby("term").count()
+
+    scored = tf.join(df_tbl, join_type="inner",
+                     num_partitions=max(4, cfg.num_buckets // 4),
+                     on=("term",), right_on=("term",))
+
+    def score(batch: pa.Table) -> pa.Table:
+        tfv = batch["tf"].to_numpy(zero_copy_only=False)
+        dfv = batch["count()"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = tfv * ((n_docs * TFIDF_IDF_SCALE) // dfv)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "term": batch["term"],
+            "tf": batch["tf"],
+            "score": pa.array(s, pa.int64()),
+        })
+
+    def topk(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["score", "term"], ascending=[False, True],
+                          kind="mergesort").head(TFIDF_TOP_K).copy()
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (scored.map_batches(score, batch_format="pyarrow")
+            .groupby("doc_id")
+            .map_groups(topk, batch_format="pandas"))
+
+
+VOCAB_TOP_K = 100
+
+
+def corpus_vocab_stats(sf_dir: str):
+    """(term, cf, df): the corpus's top-100 terms by collection
+    frequency (ties → term asc), with document frequency. Two-phase:
+    per-batch partial (cf, df) combine — each document lives in exactly
+    one batch, so per-batch distinct-doc counts sum exactly — then a
+    vocab-keyed groupby of the small partials and a tiny top-k sort.
+    Nothing document-proportional crosses the shuffle.
+    """
+    from ray.data.aggregate import Sum
+    from dataquality_ray.arrowutil import from_pandas_clean
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = (pl.from_arrow(batch["text"])
+                .str.to_lowercase().str.extract_all(TOKEN_PATTERN))
+        g = pl.DataFrame({"doc_id": pl.Series(batch["doc_id"]
+                                              .to_pandas()),
+                          "term": toks}) \
+            .explode("term").drop_nulls() \
+            .group_by("term") \
+            .agg(cf=pl.len(), df=pl.col("doc_id").n_unique()) \
+            .to_pandas()
+        g["cf"] = g["cf"].astype("int64")
+        g["df"] = g["df"].astype("int64")
+        return from_pandas_clean(g)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("term").aggregate(Sum("cf", alias_name="cf"),
+                                      Sum("df", alias_name="df")))
+    top = agg.sort(["cf", "term"], descending=[True, False]) \
+        .limit(VOCAB_TOP_K)
+
+    def clean(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "term": t["term"],
+            "cf": pc.cast(t["cf"], pa.int64()),
+            "df": pc.cast(t["df"], pa.int64()),
+        })
+
+    return top.map_batches(clean, batch_format="pyarrow")
+
+
+SPLIT_BUCKETS = 100          # md5(doc_id) % 100 → deterministic split
+SPLIT_TRAIN_LT = 80          # [0, 80) train
+SPLIT_VAL_LT = 90            # [80, 90) val; [90, 100) test
+
+
+def dataset_split_documents(sf_dir: str):
+    """(doc_id, split): deterministic 80/10/10 train/val/test assignment
+    by md5 of the stringified doc_id — stable under any re-partitioning
+    or re-run (no RNG state), embarrassingly parallel, SQL-checked via
+    DuckDB md5_number_upper on the same key string.
+    """
+    from dataquality_ray.spec import token_hash_u64
+
+    ds = _docs(sf_dir, columns=["doc_id"])
+
+    def assign(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        b = np.fromiter((token_hash_u64(str(i)) % SPLIT_BUCKETS
+                         for i in ids), dtype=np.int64, count=len(ids))
+        split = np.where(b < SPLIT_TRAIN_LT, "train",
+                         np.where(b < SPLIT_VAL_LT, "val", "test"))
+        return pa.table({"doc_id": batch["doc_id"],
+                         "split": pa.array(split.tolist(), pa.string())})
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 METADATA_GATE_THRESHOLD = 0.7   # reference: metadata_similarity >= 0.7
 
 

@@ -318,3 +318,118 @@ def timeliness_events(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+RANGE_JOIN_WINDOW_US = 5 * 60 * 1_000_000   # 5-minute lookback window
+
+
+def events_near_errors(sf_dir: str, num_buckets: int = 16):
+    """Windowed range join: for every ERROR event, the count and
+    value-sum of the SAME USER's non-error events with
+    ts in (error_ts - 5 min, error_ts] — the interval-join operator Ray
+    Data lacks (an as-of join returns one row; this aggregates a range).
+
+    Shuffle shape: ONE hash shuffle on user-bucket (same bounded-group
+    topology as user_sessions); inside each bucket, exact window bounds
+    come from two ``pd.merge_asof`` lookups against per-user cumulative
+    count/sum arrays — count(ts <= t) - count(ts <= t - W) — all
+    vectorized, ties on ts included regardless of event order. Skew
+    knob: a single pathological user stays in one bucket; salt the
+    bucket key by time-range if a user exceeds a reducer's heap.
+    Output: error_event_id, user_id, n_prior_events, sum_value_milli.
+    """
+    ds = _events(sf_dir,
+                 columns=["event_id", "ts", "user_id", "event_type",
+                          "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        v = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                     * 1000).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array((u % num_buckets).astype(np.int32)),
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "is_err": pc.equal(batch["event_type"], "error"),
+            "v": pa.array(v),
+        })
+
+    def window_agg(df: pd.DataFrame) -> pd.DataFrame:
+        err = df[df["is_err"]][["event_id", "user_id", "ts_us"]] \
+            .reset_index(drop=True)
+        x = df[~df["is_err"]][["user_id", "ts_us", "v"]] \
+            .sort_values(["user_id", "ts_us"], kind="mergesort")
+        x["c"] = x.groupby("user_id").cumcount() + 1
+        x["cv"] = x.groupby("user_id")["v"].cumsum()
+        # merge_asof needs BOTH frames globally sorted by the on-key;
+        # the stable re-sort keeps each user's rows ts-ascending, so
+        # the backward match still lands on the max cumulative row
+        right = x.rename(columns={"ts_us": "q"})[
+            ["user_id", "q", "c", "cv"]] \
+            .sort_values("q", kind="mergesort")
+
+        def at_or_before(bound: pd.Series) -> pd.DataFrame:
+            q = pd.DataFrame({"user_id": err["user_id"], "q": bound,
+                              "i": np.arange(len(err))})
+            q = q.sort_values("q", kind="mergesort")
+            m = pd.merge_asof(q, right, on="q", by="user_id",
+                              direction="backward")
+            m = m.sort_values("i", kind="mergesort")
+            return m[["c", "cv"]].fillna(0).reset_index(drop=True)
+
+        hi = at_or_before(err["ts_us"])
+        lo = at_or_before(err["ts_us"] - RANGE_JOIN_WINDOW_US)
+        return pd.DataFrame({
+            "error_event_id": err["event_id"],
+            "user_id": err["user_id"],
+            "n_prior_events": (hi["c"] - lo["c"]).astype(np.int64),
+            "sum_value_milli": (hi["cv"] - lo["cv"]).astype(np.int64),
+        })
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(window_agg, batch_format="pandas"))
+
+
+PCT_POINTS = (50, 90, 99)    # integer percents — exact index math
+
+
+def event_value_percentiles(sf_dir: str):
+    """Per event_type: exact p50/p90/p99 of the fixed-point value
+    (value_milli) + count. Discrete quantile with DuckDB's
+    quantile_disc rule — index ceil(p*n) - 1 of the ascending sort,
+    computed with pure integer math so both engines pick the identical
+    element (no interpolation, no float index).
+
+    Shuffle shape: ONE groupby on event_type (small key domain; each
+    group reduces with O(n) np.partition selection, not a full sort).
+    At corpus scale a per-type group is a single reducer — if a type
+    outgrows one worker's heap, swap in a two-pass fixed-point
+    histogram refine; the query contract (exact discrete quantile)
+    is unchanged.
+    """
+    ds = _events(sf_dir, columns=["event_type", "value"])
+
+    def fixed(batch: pa.Table) -> pa.Table:
+        vm = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                      * 1000).astype(np.int64)
+        return pa.table({"event_type": batch["event_type"],
+                         "vm": pa.array(vm)})
+
+    def pcts(df: pd.DataFrame) -> pd.DataFrame:
+        vm = df["vm"].to_numpy()
+        n = len(vm)
+        out = {"event_type": [df["event_type"].iloc[0]],
+               "n_events": np.array([n], dtype=np.int64)}
+        for p in PCT_POINTS:
+            idx = (p * n + 99) // 100 - 1          # ceil(p*n/100) - 1
+            out[f"p{p}_milli"] = np.array(
+                [np.partition(vm, idx)[idx]], dtype=np.int64)
+        return pd.DataFrame(out)
+
+    return (ds.map_batches(fixed, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("event_type")
+            .map_groups(pcts, batch_format="pandas"))
