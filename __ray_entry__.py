@@ -171,6 +171,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_documents": D.exact_dedup_documents,
         "near_dup_documents": D.near_dup_documents,
         "shingle_near_dup_documents": D.shingle_near_dup_documents,
+        "near_dup_kept_documents": D.near_dup_kept_documents,
+        "stratified_sample_documents": D.stratified_sample_documents,
         "max_similarity_per_doc": D.max_similarity_per_doc,
         "union_dedup_documents": D.union_dedup_documents,
         "langid_documents": D.langid_documents,
@@ -440,6 +442,7 @@ def _oracle_sql_impl() -> dict[str, str]:
         SPLIT_BUCKETS,
         SPLIT_TRAIN_LT,
         SPLIT_VAL_LT,
+        SAMPLE_PER_SOURCE,
         TFIDF_IDF_SCALE,
         TFIDF_TOP_K,
         VOCAB_TOP_K,
@@ -877,6 +880,42 @@ FROM documents GROUP BY 1
 """,
         "near_dup_documents": _PAIR_CTE + f"""
 SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= {NEAR_DUP_DOC_JACCARD}
+""",
+        # dedup APPLICATION: connected components over the near-dup
+        # graph (recursive min-label CTE), keep the min doc_id per
+        # cluster — the removal surface, not just pair detection
+        "near_dup_kept_documents": f"""
+WITH RECURSIVE t AS MATERIALIZED (
+  SELECT doc_id,
+    list_distinct(regexp_extract_all(lower(text), '{_TOK}')) AS toks
+  FROM documents),
+p AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE len(a.toks) > 0 AND len(b.toks) > 0
+    AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+      >= {NEAR_DUP_DOC_JACCARD}),
+e(src, dst) AS MATERIALIZED (
+  SELECT id_a, id_b FROM p UNION ALL SELECT id_b, id_a FROM p),
+r(key, lab) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.dst, r.lab FROM r JOIN e ON e.src = r.key),
+c AS (SELECT key, MIN(lab) AS cluster FROM r GROUP BY key)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT key FROM c WHERE key <> cluster)
+""",
+        # deterministic stratified sample: per source, the n docs with
+        # the smallest frozen hash of str(doc_id)
+        "stratified_sample_documents": f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+    row_number() OVER (
+      PARTITION BY source
+      ORDER BY md5_number_upper(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents)
+WHERE rn <= {SAMPLE_PER_SOURCE}
 """,
         # order-sensitive n-gram (word-shingle) Jaccard: shingles built
         # in SQL exactly as the Ray side joins them (single spaces,

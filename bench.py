@@ -80,7 +80,10 @@ def _query_benches(sf_dir: str) -> dict:
     q = entrymod.queries()
     names = ["scrub_documents", "quality_documents", "exact_dedup_documents",
              "near_dup_documents", "langid_documents", "daily_event_metrics",
-             "top_users_by_value", "ann_topk_embeddings", "doc_sketches"]
+             "top_users_by_value", "ann_topk_embeddings", "doc_sketches",
+             "shingle_near_dup_documents", "doc_tfidf_terms",
+             "events_near_errors", "event_value_percentiles",
+             "dataset_split_documents"]
     out = {}
     for name in names:
         t0 = time.time()

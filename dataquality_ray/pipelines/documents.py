@@ -443,6 +443,76 @@ def doc_tfidf_terms(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
             .map_groups(topk, batch_format="pandas"))
 
 
+def near_dup_kept_documents(sf_dir: str, num_partitions: int = 8):
+    """(doc_id,): the documents that SURVIVE near-dup removal —
+    connected components over the near-dup pair graph (same
+    dup_clusters_auto dispatch as the transcript path: driver
+    union-find under a provable pair limit, hash-join label
+    propagation beyond it), keeping the min doc_id of each cluster.
+    The removal side of the dedup story — pair detection alone isn't a
+    pipeline a user can run. SQL-checked against a recursive-CTE
+    component oracle + anti-join.
+    """
+    from dataquality_ray.stages.clustering import dup_clusters_auto
+
+    pairs = near_dup_documents(sf_dir).map_batches(
+        lambda t: pa.table({"key_a": t["id_a"], "key_b": t["id_b"]}),
+        batch_format="pyarrow")
+    clusters = dup_clusters_auto(pairs)          # (key, cluster)
+    if isinstance(clusters, pa.Table):           # driver union-find path
+        clusters = ray.data.from_arrow(clusters)
+
+    def non_canonical(t: pa.Table) -> pa.Table:
+        mask = pc.not_equal(t["key"], t["cluster"])
+        return pa.table({
+            "doc_id": t.filter(mask)["key"],
+            "dropped": pa.array([True] * int(pc.sum(mask).as_py() or 0)),
+        })
+
+    drop = clusters.map_batches(non_canonical, batch_format="pyarrow")
+    joined = _docs(sf_dir, columns=["doc_id"]).join(
+        drop, join_type="left_outer", num_partitions=num_partitions,
+        on=("doc_id",), right_on=("doc_id",))
+    return joined.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.filter(pc.is_null(t["dropped"]))["doc_id"]}),
+        batch_format="pyarrow")
+
+
+SAMPLE_PER_SOURCE = 10
+
+
+def stratified_sample_documents(sf_dir: str):
+    """(doc_id, source): deterministic stratified sample — per source,
+    the SAMPLE_PER_SOURCE docs with the smallest frozen hash of
+    str(doc_id) (ties impossible: doc_id unique). Hash-rank sampling is
+    stable under re-partitioning and re-runs, and two-phase: per-batch
+    partial top-n, then a groupby over the (tiny) per-batch winners —
+    the latest_event_per_user argmax shape, nothing full-corpus moves.
+    """
+    from dataquality_ray.arrowutil import from_pandas_clean
+    from dataquality_ray.spec import token_hash_u64
+    import pandas as pd
+
+    ds = _docs(sf_dir, columns=["doc_id", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["h"] = [token_hash_u64(str(i)) for i in df["doc_id"]]
+        df = df.sort_values(["source", "h"], kind="mergesort")
+        return from_pandas_clean(
+            df.groupby("source", sort=False).head(SAMPLE_PER_SOURCE))
+
+    def final(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values("h", kind="mergesort") \
+            .head(SAMPLE_PER_SOURCE)
+        return df[["doc_id", "source"]]
+
+    return (ds.map_batches(partial, batch_format="pyarrow")
+            .groupby("source")
+            .map_groups(final, batch_format="pandas"))
+
+
 VOCAB_TOP_K = 100
 
 

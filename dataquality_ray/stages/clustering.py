@@ -54,9 +54,13 @@ def dup_clusters(pairs_ds) -> pa.Table:
         union(a, b)
 
     keys = sorted(parent)
+    # key type follows the input (string order_keys, int64 doc_ids);
+    # empty input keeps the legacy string schema
+    ktype = (pa.int64() if keys and isinstance(keys[0], (int, np.integer))
+             else pa.string())
     return pa.table({
-        "key": pa.array(keys, pa.string()),
-        "cluster": pa.array([find(k) for k in keys], pa.string()),
+        "key": pa.array(keys, ktype),
+        "cluster": pa.array([find(k) for k in keys], ktype),
     })
 
 
