@@ -181,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_tfidf_terms": D.doc_tfidf_terms,
         "dataset_split_documents": D.dataset_split_documents,
         "corpus_vocab_stats": D.corpus_vocab_stats,
+        "token_count_documents": D.token_count_documents,
         "doc_metadata_gate": D.doc_metadata_gate,
         # --- transcripts: entity extraction + per-turn heuristics
         #     (SQL-checked via a direct read_parquet of the fixture) ---
@@ -543,6 +544,17 @@ r AS (
 SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
   CAST(score AS BIGINT) AS score, CAST(rank AS BIGINT) AS rank
 FROM r WHERE rank <= {TFIDF_TOP_K}
+""",
+        # token budgeting: whitespace + BPE-ish GPT-style pre-tokenizer
+        # counts — the same quote-free ASCII regex in both engines
+        "token_count_documents": f"""
+SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '{spec.WS_TOKEN_PATTERN}'))
+       AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(lower(text), '{spec.BPE_TOKEN_PATTERN}'))
+       AS BIGINT) AS n_bpe_tokens,
+  CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
 """,
         # note LIMIT is deterministic: (cf DESC, term ASC) is a total
         # order over distinct terms

@@ -443,6 +443,36 @@ def doc_tfidf_terms(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
             .map_groups(topk, batch_format="pandas"))
 
 
+def token_count_documents(sf_dir: str):
+    """(doc_id, n_ws_tokens, n_bpe_tokens, n_chars): token counting the
+    way a training-data pipeline budgets text — whitespace tokens plus
+    a BPE-ish GPT-style pre-tokenizer count (spec.BPE_TOKEN_PATTERN;
+    the same regex runs in polars and DuckDB with identical
+    leftmost-first semantics). One zero-copy vectorized map, no
+    shuffle."""
+    from dataquality_ray.spec import BPE_TOKEN_PATTERN, WS_TOKEN_PATTERN
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def count(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch["text"])
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_ws_tokens": pa.array(
+                s.str.count_matches(WS_TOKEN_PATTERN)
+                .cast(pl.Int64).to_numpy(), pa.int64()),
+            "n_bpe_tokens": pa.array(
+                s.str.to_lowercase()
+                .str.count_matches(BPE_TOKEN_PATTERN)
+                .cast(pl.Int64).to_numpy(), pa.int64()),
+            "n_chars": pc.cast(pc.utf8_length(batch["text"]),
+                               pa.int64()),
+        })
+
+    return ds.map_batches(count, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 def near_dup_kept_documents(sf_dir: str, num_partitions: int = 8):
     """(doc_id,): the documents that SURVIVE near-dup removal —
     connected components over the near-dup pair graph (same

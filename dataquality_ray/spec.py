@@ -75,6 +75,14 @@ def scrub_text(text: str) -> Tuple[str, Dict[str, int]]:
 TOKEN_PATTERN = r"[a-z0-9]+"
 _TOKEN_RX = re.compile(TOKEN_PATTERN, re.ASCII)
 
+# GPT-style pre-tokenizer, simplified to ASCII and quote-free so the
+# IDENTICAL pattern runs in Python re, polars (Rust regex) and DuckDB
+# (RE2) — all three use leftmost-first alternation, so counts agree
+# exactly. Applied to lowercased text; whitespace tokens are the \S+
+# runs counted separately.
+BPE_TOKEN_PATTERN = r" ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+"
+WS_TOKEN_PATTERN = r"\S+"
+
 
 def tokenize(text: str) -> List[str]:
     return _TOKEN_RX.findall(text.lower())
