@@ -199,6 +199,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_latest_error_per_event": _asof_latest_error_per_event,
         "events_near_errors": M.events_near_errors,
         "event_value_percentiles": M.event_value_percentiles,
+        # --- relational: multi-table hash joins (SQL-checked) ---
+        "orders_by_nation": _orders_by_nation,
+        "revenue_by_brand": _revenue_by_brand,
         # --- embeddings: similarity search (SQL-checked) ---
         "ann_topk_embeddings": D.ann_topk_embeddings,
         "embedding_near_dup": D.embedding_near_dup,
@@ -326,6 +329,16 @@ def _asof_latest_error_per_event(sf_dir: str):
         })
     return joined.map_batches(finish, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def _orders_by_nation(sf_dir: str):
+    from dataquality_ray.pipelines.relational import orders_by_nation
+    return orders_by_nation(sf_dir)
+
+
+def _revenue_by_brand(sf_dir: str):
+    from dataquality_ray.pipelines.relational import revenue_by_brand
+    return revenue_by_brand(sf_dir)
 
 
 def _transcript_simhash_pairs(sf_dir: str):
@@ -803,6 +816,25 @@ FROM e LEFT JOIN x
   ON x.user_id = e.user_id
  AND x.t > e.t - {M_RANGE_WINDOW_US} AND x.t <= e.t
 GROUP BY 1, 2
+""",
+        # relational joins: money fixed-pointed to cents BEFORE the sum
+        "orders_by_nation": """
+SELECT n.n_name AS nation,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS total_price_cents
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY 1
+""",
+        "revenue_by_brand": """
+SELECT p.p_brand AS brand,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY 1
 """,
         # exact discrete quantiles over the fixed-point value: DuckDB
         # quantile_disc picks index ceil(p*n)-1 of the ascending sort —
