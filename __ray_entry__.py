@@ -89,6 +89,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             multimodal_png_features as _mpf
         return _mpf(sf_dir)
 
+    def multimodal_wav_features(sf_dir: str):
+        # REAL audio decode: synthesized PCM-16 WAVs → stdlib wave
+        # decoder → integer features (rows-only; codec round-trip is
+        # pinned by tests)
+        from dataquality_ray.stages.multimodal import \
+            multimodal_wav_features as _mwf
+        return _mwf(sf_dir)
+
     def multimodal_frame_samples(sf_dir: str):
         from dataquality_ray.stages.multimodal import multimodal_frames
         return multimodal_frames(sf_dir)
@@ -230,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_bands": D.doc_minhash_bands,
         "multimodal_features": multimodal_features,
         "multimodal_png_features": multimodal_png_features,
+        "multimodal_wav_features": multimodal_wav_features,
         "multimodal_frame_samples": multimodal_frame_samples,
         "multimodal_resized": multimodal_resized,
     }

@@ -407,3 +407,123 @@ def multimodal_png_features(sf_dir: str):
 def multimodal_frames(sf_dir: str):
     """End-to-end frame-sampling plumbing: synthesize → sample frames."""
     return sample_frames(synthesize_binary_table(sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# REAL audio decode path: PCM-16 WAV via the stdlib ``wave`` module —
+# like the PNG path, the codec is real (no fake), dependency-free, and
+# the actor/batch/error-routing plumbing is identical to what a
+# soundfile/librosa-backed extractor would use at scale.
+# ---------------------------------------------------------------------------
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """Minimal mono PCM-16 WAV from an int16 sample array."""
+    import io
+    import wave
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.asarray(samples, dtype="<i2").tobytes())
+    return buf.getvalue()
+
+
+def decode_wav(data: bytes):
+    """(samples[int16 (n, ch)], rate) from a PCM-16 WAV payload."""
+    import io
+    import wave
+    with wave.open(io.BytesIO(data), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError(
+                f"unsupported sample width {w.getsampwidth()}")
+        rate = w.getframerate()
+        ch = w.getnchannels()
+        raw = w.readframes(w.getnframes())
+    arr = np.frombuffer(raw, dtype="<i2")
+    return arr.reshape(-1, ch), rate
+
+
+class AudioFeatureExtractor:
+    """Actor-pool stage with REAL decode: WAV payload → PCM samples →
+    deterministic integer features (duration_ms, rms_milli via exact
+    int64 square sums, zero_crossings, peak_abs). Decode failures route
+    to ``decode_error`` (never a crash); payload dropped at extract."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        dur = np.zeros(n, dtype=np.int64)
+        rms = np.zeros(n, dtype=np.int64)
+        zc = np.zeros(n, dtype=np.int64)
+        peak = np.zeros(n, dtype=np.int64)
+        errs: list = [None] * n
+        payloads = batch["payload"]
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        for i, p in enumerate(payloads.to_pylist()):
+            try:
+                samples, rate = decode_wav(p or b"")
+                x = samples[:, 0].astype(np.int64)
+                if not len(x) or rate <= 0:
+                    raise ValueError("empty audio")
+                dur[i] = len(x) * 1000 // rate
+                rms[i] = np.int64(
+                    np.floor(np.sqrt((x * x).sum() / len(x)) * 1000))
+                s = np.sign(x)
+                s = s[s != 0]
+                zc[i] = int((s[1:] != s[:-1]).sum()) if len(s) else 0
+                peak[i] = int(np.abs(x).max())
+            except Exception as e:  # noqa: BLE001 — error routing:
+                # wave.Error/ValueError/EOFError all land here, never crash
+                errs[i] = str(e)[:200]
+        out = batch.drop_columns(["payload"])
+        out = out.append_column("duration_ms", pa.array(dur))
+        out = out.append_column("rms_milli", pa.array(rms))
+        out = out.append_column("zero_crossings", pa.array(zc))
+        out = out.append_column("peak_abs", pa.array(peak))
+        out = out.append_column("decode_error", pa.array(errs, pa.string()))
+        return out
+
+
+def synthesize_wav_table(sf_dir: str):
+    """Deterministic small REAL WAVs derived from documents.parquet: each
+    doc's utf-8 bytes tile an 800-sample int16 waveform (centered,
+    scaled) encoded with the stdlib codec above."""
+    import ray
+
+    from dataquality_ray.arrowutil import strip_meta
+    ds = ray.data.read_parquet(
+        os.path.join(sf_dir, "documents.parquet"),
+        columns=["doc_id", "text"]) \
+        .map_batches(strip_meta, batch_format="pyarrow",
+                     zero_copy_batch=True)
+
+    def to_wav(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for t in batch["text"].to_pylist():
+            buf = np.frombuffer((t or " ").encode("utf-8"),
+                                dtype=np.uint8)
+            samples = (np.resize(buf, 800).astype(np.int16) - 128) * 256
+            payloads.append(encode_wav(samples))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "media_type": pa.array(["audio/wav"] * batch.num_rows),
+            "payload": pa.array(payloads, pa.binary()),
+        })
+
+    return ds.map_batches(to_wav, batch_format="pyarrow")
+
+
+def decode_audio_features(ds, concurrency=(1, 4)):
+    """Actor-pool REAL-decode feature stage over a WAV-payload dataset."""
+    return ds.map_batches(
+        AudioFeatureExtractor,
+        batch_format="pyarrow",
+        batch_size=BINARY_BATCH_SIZE,
+        concurrency=concurrency)
+
+
+def multimodal_wav_features(sf_dir: str):
+    """End-to-end REAL audio decode: synthesize WAVs → decode →
+    integer features."""
+    return decode_audio_features(synthesize_wav_table(sf_dir))

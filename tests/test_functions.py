@@ -252,3 +252,41 @@ class TestPayloadResize:
         out = resize_payloads(
             synthesize_binary_table("/root/testdata/sf0.001")).to_pandas()
         assert len(out) > 0 and "resized" in out.columns
+
+
+class TestWavCodec:
+    def test_roundtrip(self):
+        from dataquality_ray.stages.multimodal import decode_wav, encode_wav
+        rng = np.random.default_rng(7)
+        samples = rng.integers(-32768, 32767, size=500, dtype=np.int16)
+        out, rate = decode_wav(encode_wav(samples, rate=8000))
+        assert rate == 8000
+        assert out.shape == (500, 1)
+        assert (out[:, 0] == samples).all()
+
+    def test_features_known_signal(self):
+        from dataquality_ray.stages.multimodal import (
+            AudioFeatureExtractor,
+            encode_wav,
+        )
+        # alternating +/-1000: 99 sign changes over 100 samples,
+        # rms = 1000 exactly, peak 1000, duration 100/8000 s = 12 ms
+        samples = np.tile([1000, -1000], 50).astype(np.int16)
+        t = pa.table({"payload": pa.array(
+            [encode_wav(samples), b"not a wav"], pa.binary())})
+        out = AudioFeatureExtractor()(t)
+        assert out["duration_ms"].to_pylist()[0] == 12
+        assert out["rms_milli"].to_pylist()[0] == 1000 * 1000
+        assert out["zero_crossings"].to_pylist()[0] == 99
+        assert out["peak_abs"].to_pylist()[0] == 1000
+        assert out["decode_error"].to_pylist()[0] is None
+        assert out["decode_error"].to_pylist()[1] is not None
+
+    def test_e2e_wav_pipeline(self, ray_session):
+        from dataquality_ray.stages.multimodal import \
+            multimodal_wav_features
+        out = multimodal_wav_features("/root/testdata/sf0.001").to_pandas()
+        assert len(out) > 0
+        assert "payload" not in out.columns
+        assert (out["decode_error"].isna()).all()
+        assert (out["duration_ms"] == 100).all()   # 800 samples @ 8 kHz
