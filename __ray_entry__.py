@@ -137,6 +137,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.map_batches(lambda t: t.select(cols),
                               batch_format="pyarrow")
 
+    def transcript_sentence_dedup(sf_dir: str):
+        """Per-turn intra-document repetition counts (C4-style sentence
+        dedup signal) — SQL-checked."""
+        from dataquality_ray.stages.heuristics import sentence_stats_batch
+        return _transcript_ds(sf_dir).map_batches(
+            sentence_stats_batch, batch_format="pyarrow",
+            zero_copy_batch=True)
+
     def transcript_conv_heuristics(sf_dir: str):
         """Per-conversation aggregate through the SAME salted two-phase
         conv_stats path the flagship uses, driven by the SQL-expressible
@@ -195,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     (SQL-checked via a direct read_parquet of the fixture) ---
         "transcript_entities": transcript_entities,
         "transcript_turn_quality": transcript_turn_quality,
+        "transcript_sentence_dedup": transcript_sentence_dedup,
         "transcript_conv_heuristics": transcript_conv_heuristics,
         # --- events: metrics (SQL-checked) ---
         "daily_event_metrics": M.daily_event_metrics,
@@ -696,6 +705,20 @@ SELECT conv_id, turn_idx,
        THEN {CFG.timeliness_cap} ELSE 100 END AS INTEGER)
     AS timeliness_score
 FROM t
+""",
+        # C4-style intra-document (sentence) repetition counts; the
+        # trim charset matches polars strip_chars(" \\t\\r\\n") exactly
+        "transcript_sentence_dedup": f"""
+SELECT conv_id, turn_idx,
+  CAST(len(segs) AS BIGINT) AS n_sentences,
+  CAST(len(list_distinct(segs)) AS BIGINT) AS n_unique_sentences
+FROM (
+  SELECT conv_id, turn_idx,
+    list_filter(list_transform(string_split(text, '.'),
+                               x -> trim(x, ' ' || chr(9) || chr(13)
+                                            || chr(10))),
+                x -> x <> '') AS segs
+  FROM read_parquet('{tr_glob}'))
 """,
         "transcript_conv_heuristics": f"""
 WITH raw AS (

@@ -111,3 +111,27 @@ def heuristics_batch(batch: pa.Table, text_col: str = "text",
                                     pa.array(age_days.astype(np.int64)))
         batch = batch.append_column("timeliness_score", pa.array(timeliness))
     return batch
+
+
+def sentence_stats_batch(batch, id_cols=("conv_id", "turn_idx"),
+                         text_col: str = "text"):
+    """Intra-document repetition signal (C4-style line/sentence dedup,
+    reduced to counts so the surface stays integer-deterministic):
+    segments = '.'-split, whitespace-trimmed, empties dropped — the
+    IDENTICAL rule as the DuckDB oracle's
+    list_filter(list_transform(string_split(...))) chain.
+    Emits n_sentences, n_unique_sentences per row; zero shuffle."""
+    import polars as pl
+    import pyarrow as pa
+
+    s = pl.from_arrow(batch[text_col]).fill_null("")
+    segs = (s.str.split(".")
+            .list.eval(pl.element().str.strip_chars(" \t\r\n"))
+            .list.eval(pl.element().filter(pl.element() != "")))
+    cols = {c: batch[c] for c in id_cols}
+    cols["n_sentences"] = pa.array(
+        segs.list.len().cast(pl.Int64).to_numpy(), pa.int64())
+    cols["n_unique_sentences"] = pa.array(
+        segs.list.unique().list.len().cast(pl.Int64).to_numpy(),
+        pa.int64())
+    return pa.table(cols)
