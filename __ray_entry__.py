@@ -145,6 +145,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sentence_stats_batch, batch_format="pyarrow",
             zero_copy_batch=True)
 
+    def conv_length_histogram(sf_dir: str):
+        """Nested aggregation: conversation length distribution —
+        groupby conv (salted two-phase partials) → groupby n_turns
+        count. SQL-checked."""
+        import pyarrow as pa
+        import pyarrow.compute as _pc
+        from ray.data.aggregate import Count, Sum
+
+        ds = _transcript_ds(sf_dir).map_batches(
+            lambda t: t.select(["conv_id"]), batch_format="pyarrow")
+
+        def partial(t):
+            import pandas as _pd
+            g = (_pd.DataFrame({"conv_id": t["conv_id"].to_pylist()})
+                 .groupby("conv_id", sort=False).size()
+                 .rename("n").reset_index())
+            from dataquality_ray.arrowutil import from_pandas_clean
+            return from_pandas_clean(g)
+
+        per_conv = ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby("conv_id").aggregate(Sum("n", alias_name="n_turns"))
+        hist = per_conv.map_batches(
+            lambda t: pa.table(
+                {"n_turns": _pc.cast(t["n_turns"], pa.int64())}),
+            batch_format="pyarrow") \
+            .groupby("n_turns").aggregate(Count(alias_name="n_convs"))
+        return hist.map_batches(
+            lambda t: pa.table({
+                "n_turns": t["n_turns"],
+                "n_convs": _pc.cast(t["n_convs"], pa.int64())}),
+            batch_format="pyarrow")
+
     def transcript_conv_heuristics(sf_dir: str):
         """Per-conversation aggregate through the SAME salted two-phase
         conv_stats path the flagship uses, driven by the SQL-expressible
@@ -194,6 +226,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_documents": D.langid_documents,
         "quality_by_source": D.quality_by_source,
         "doc_key_terms": D.doc_key_terms,
+        "key_term_cooccurrence": D.key_term_cooccurrence,
         "doc_tfidf_terms": D.doc_tfidf_terms,
         "dataset_split_documents": D.dataset_split_documents,
         "corpus_vocab_stats": D.corpus_vocab_stats,
@@ -205,6 +238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_turn_quality": transcript_turn_quality,
         "transcript_sentence_dedup": transcript_sentence_dedup,
         "transcript_conv_heuristics": transcript_conv_heuristics,
+        "conv_length_histogram": conv_length_histogram,
         # --- events: metrics (SQL-checked) ---
         "daily_event_metrics": M.daily_event_metrics,
         "top_users_by_value": M.top_users_by_value,
@@ -466,6 +500,7 @@ def _oracle_sql_impl() -> dict[str, str]:
     from dataquality_ray.pipelines.documents import (
         ANN_K,
         ANN_QUERY_IDS,
+        COOC_TOP_K,
         EMB_NEAR_DUP_COSINE,
         METADATA_GATE_THRESHOLD as D_METADATA_GATE,
         NEAR_DUP_DOC_JACCARD,
@@ -611,6 +646,34 @@ SELECT doc_id,
             % {SPLIT_BUCKETS} < {SPLIT_VAL_LT} THEN 'val'
        ELSE 'test' END AS split
 FROM documents
+""",
+        # co-occurrence of per-doc top-5 key terms; (n desc, a, b) is a
+        # total order so LIMIT is deterministic
+        "key_term_cooccurrence": f"""
+WITH tok AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(lower(text), '{_TOK}')) AS term
+  FROM documents),
+f AS (
+  SELECT doc_id, term, COUNT(*) AS tf
+  FROM tok WHERE term NOT IN ({stoplist})
+  GROUP BY 1, 2),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tf DESC, term) AS rank
+  FROM f),
+s AS (SELECT doc_id, term FROM r WHERE rank <= {spec.KEY_TERMS_TOP_K})
+SELECT a.term AS term_a, b.term AS term_b,
+  CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM s a JOIN s b ON a.doc_id = b.doc_id AND a.term < b.term
+GROUP BY 1, 2
+ORDER BY n_docs DESC, term_a, term_b LIMIT {COOC_TOP_K}
+""",
+        "conv_length_histogram": f"""
+SELECT n_turns, CAST(COUNT(*) AS BIGINT) AS n_convs
+FROM (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns
+      FROM read_parquet('{tr_glob}') GROUP BY conv_id)
+GROUP BY n_turns
 """,
         # gate arithmetic ordered exactly like the Ray side:
         # (0.5|0.0) + 0.5*(inter/union) in doubles → bit-identical

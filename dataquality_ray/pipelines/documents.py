@@ -374,6 +374,47 @@ def entities_batch(batch: pa.Table, id_cols, text_col: str = "text"
     return from_pandas_clean(df)
 
 
+COOC_TOP_K = 50
+
+
+def key_term_cooccurrence(sf_dir: str):
+    """(term_a, term_b, n_docs): global co-occurrence of each doc's
+    top-5 key terms (term_a < term_b), top-50 by (count desc, terms
+    asc). Pair explosion is bounded by the per-doc key-term cap (k·(k-1)/2
+    = 10 pairs/doc), built batch-locally with a vectorized self-merge;
+    the only shuffle is the pair-keyed count groupby + tiny top-k sort.
+    SQL-checked."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+    from dataquality_ray.arrowutil import from_pandas_clean
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        # key-term extraction AND pair building in ONE map: a doc's
+        # terms never cross a block boundary (Ray may re-chunk between
+        # operators, which would silently drop pairs)
+        kt = key_terms_batch(batch, id_cols=["doc_id"])
+        df = kt.select(["doc_id", "term"]).to_pandas()
+        m = df.merge(df, on="doc_id", suffixes=("_a", "_b"))
+        m = m[m["term_a"] < m["term_b"]]
+        g = (m.groupby(["term_a", "term_b"], sort=False).size()
+             .rename("n").reset_index())
+        return from_pandas_clean(g)
+
+    agg = ds.map_batches(pairs, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby(["term_a", "term_b"]) \
+        .aggregate(Sum("n", alias_name="n_docs"))
+    top = agg.sort(["n_docs", "term_a", "term_b"],
+                   descending=[True, False, False]).limit(COOC_TOP_K)
+    return top.map_batches(
+        lambda t: pa.table({"term_a": t["term_a"],
+                            "term_b": t["term_b"],
+                            "n_docs": pc.cast(t["n_docs"], pa.int64())}),
+        batch_format="pyarrow")
+
+
 TFIDF_TOP_K = 5
 TFIDF_IDF_SCALE = 1000
 
