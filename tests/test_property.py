@@ -159,3 +159,86 @@ def test_fingerprint_batch_matches_scalar_property(t):
     from dataquality_ray.stages.dedup import fingerprint_batch
     out = fingerprint_batch(pa.table({"text": pa.array([t], pa.string())}))
     assert out["fingerprint"][0].as_py() == spec.rolling_fingerprint(t)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_text, min_size=1, max_size=8))
+def test_shingle_minhash_matches_scalar(texts):
+    """MinHashSimHash(ngram=3) == scalar per-row recomputation from
+    spec primitives (shingles = space-joined 3-token windows, distinct,
+    md5-u64, per-perm a*h+b mod 2^64 min)."""
+    import numpy as np
+
+    from dataquality_ray.config import DEFAULT_CONFIG
+    from dataquality_ray.stages.dedup import MinHashSimHash
+
+    out = MinHashSimHash(ngram=3)(pa.table({"text": texts}))
+    a, b = spec.minhash_params(DEFAULT_CONFIG.minhash_perms,
+                               DEFAULT_CONFIG.seed)
+    maxu = np.uint64(0xFFFFFFFFFFFFFFFF)
+    for i, t in enumerate(texts):
+        toks = spec.tokenize(t)
+        sh = {" ".join(toks[j:j + 3]) for j in range(len(toks) - 2)}
+        hs = sorted(spec.token_hash_u64(s) for s in sh)
+        assert out["token_hashes"][i].as_py() == hs
+        sig = out["minhash_sig"][i].as_py()
+        if not hs:
+            assert set(sig) == {int(maxu)}
+            assert out["simhash"][i].as_py() == 0
+            continue
+        h = np.array(hs, dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            expect = (a[:, None] * h[None, :] + b[:, None]).min(axis=1)
+        assert sig == expect.tolist()
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(
+    st.tuples(st.integers(0, 4),                      # user
+              st.integers(0, 3_000_000_000),          # ts offset us
+              st.booleans(),                          # is error
+              st.integers(-5000, 5000)),              # value milli-ish
+    min_size=1, max_size=60))
+def test_range_join_cumulative_matches_bruteforce(rows):
+    """The merge_asof cumulative-bounds kernel == O(n^2) brute force on
+    arbitrary event layouts (ties, duplicates, empty sides)."""
+    import numpy as np
+    import pandas as pd
+
+    from dataquality_ray.pipelines.metrics import RANGE_JOIN_WINDOW_US
+
+    df = pd.DataFrame(rows, columns=["user_id", "ts_us", "is_err", "v"])
+    df["event_id"] = np.arange(len(df))
+    df["bucket"] = 0
+
+    # replicate window_agg's kernel (module-private closure → inline)
+    err = df[df["is_err"]][["event_id", "user_id", "ts_us"]] \
+        .reset_index(drop=True)
+    x = df[~df["is_err"]][["user_id", "ts_us", "v"]] \
+        .sort_values(["user_id", "ts_us"], kind="mergesort")
+    x["c"] = x.groupby("user_id").cumcount() + 1
+    x["cv"] = x.groupby("user_id")["v"].cumsum()
+    right = x.rename(columns={"ts_us": "q"})[
+        ["user_id", "q", "c", "cv"]].sort_values("q", kind="mergesort")
+
+    def at_or_before(bound):
+        q = pd.DataFrame({"user_id": err["user_id"], "q": bound,
+                          "i": np.arange(len(err))})
+        q = q.sort_values("q", kind="mergesort")
+        m = pd.merge_asof(q, right, on="q", by="user_id",
+                          direction="backward")
+        m = m.sort_values("i", kind="mergesort")
+        return m[["c", "cv"]].fillna(0).reset_index(drop=True)
+
+    hi = at_or_before(err["ts_us"])
+    lo = at_or_before(err["ts_us"] - RANGE_JOIN_WINDOW_US)
+    got_n = (hi["c"] - lo["c"]).astype(int).to_numpy()
+    got_s = (hi["cv"] - lo["cv"]).astype(int).to_numpy()
+
+    for k in range(len(err)):
+        u, t = err["user_id"].iloc[k], err["ts_us"].iloc[k]
+        w = df[(~df["is_err"]) & (df["user_id"] == u)
+               & (df["ts_us"] > t - RANGE_JOIN_WINDOW_US)
+               & (df["ts_us"] <= t)]
+        assert got_n[k] == len(w)
+        assert got_s[k] == int(w["v"].sum())
