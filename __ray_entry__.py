@@ -250,6 +250,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_latest_error_per_event": _asof_latest_error_per_event,
         "events_near_errors": M.events_near_errors,
         "event_value_percentiles": M.event_value_percentiles,
+        "user_running_totals": M.user_running_totals,
+        "docs_from_top_sources": D.docs_from_top_sources,
         # --- relational: multi-table hash joins (SQL-checked) ---
         "orders_by_nation": _orders_by_nation,
         "revenue_by_brand": _revenue_by_brand,
@@ -512,6 +514,7 @@ def _oracle_sql_impl() -> dict[str, str]:
         SAMPLE_PER_SOURCE,
         TFIDF_IDF_SCALE,
         TFIDF_TOP_K,
+        TOP_SOURCES_K as D_TOP_SOURCES_K,
         VOCAB_TOP_K,
     )
     shingle_expr = " || ' ' || ".join(
@@ -911,6 +914,24 @@ FROM e LEFT JOIN x
   ON x.user_id = e.user_id
  AND x.t > e.t - {M_RANGE_WINDOW_US} AND x.t <= e.t
 GROUP BY 1, 2
+""",
+        # window-function operator: running per-user cumulatives in
+        # (ts, event_id) order
+        "user_running_totals": """
+SELECT event_id, user_id,
+  CAST(row_number() OVER w AS BIGINT) AS cum_n,
+  CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) OVER
+       (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_milli
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+        # broadcast semi-join: docs from the top-3 sources by count
+        "docs_from_top_sources": f"""
+SELECT doc_id, source FROM documents
+WHERE source IN (
+  SELECT source FROM documents GROUP BY source
+  ORDER BY COUNT(*) DESC, source LIMIT {D_TOP_SOURCES_K})
 """,
         # relational joins: money fixed-pointed to cents BEFORE the sum
         "orders_by_nation": """

@@ -905,3 +905,42 @@ def ann_topk_embeddings(sf_dir: str):
 
 def embedding_near_dup(sf_dir: str):
     return embedding_near_dup_pairs(_emb(sf_dir), EMB_NEAR_DUP_COSINE)
+
+
+TOP_SOURCES_K = 3
+
+
+def docs_from_top_sources(sf_dir: str):
+    """(doc_id, source): broadcast semi-join — documents whose source is
+    among the top-3 sources by doc count (ties → source asc). The
+    aggregate side is tiny (source domain), so it is computed with a
+    two-phase groupby and BROADCAST via ray.put into the filter map —
+    the canonical small-side pattern; no shuffle of the fact table."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, columns=["doc_id", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        g = (pd.DataFrame({"source": batch["source"].to_pylist(), "n": 1})
+             .groupby("source", sort=False).agg(n=("n", "sum"))
+             .reset_index())
+        from dataquality_ray.arrowutil import from_pandas_clean
+        return from_pandas_clean(g)
+
+    counts = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("source").aggregate(Sum("n", alias_name="n")) \
+        .to_pandas()
+    counts = counts.sort_values(["n", "source"],
+                                ascending=[False, True],
+                                kind="mergesort")
+    top = set(counts["source"].head(TOP_SOURCES_K))
+    top_ref = ray.put(top)
+
+    def keep(batch: pa.Table) -> pa.Table:
+        t = ray.get(top_ref)
+        mask = pa.array([s in t for s in batch["source"].to_pylist()])
+        return batch.filter(mask)
+
+    return ds.map_batches(keep, batch_format="pyarrow",
+                          zero_copy_batch=True)

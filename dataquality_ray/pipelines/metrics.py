@@ -433,3 +433,42 @@ def event_value_percentiles(sf_dir: str):
                            zero_copy_batch=True)
             .groupby("event_type")
             .map_groups(pcts, batch_format="pandas"))
+
+
+def user_running_totals(sf_dir: str, num_buckets: int = 16):
+    """Window-function operator: per event, the user's RUNNING count and
+    fixed-point value sum in (ts, event_id) order — SQL's
+    SUM() OVER (PARTITION BY user ORDER BY ts, event_id ROWS UNBOUNDED
+    PRECEDING), expressed as the bucketed per-user ordered scan (the
+    user_sessions shape): one hash shuffle on user-bucket, vectorized
+    pandas cumulatives inside each bucket. Output: event_id, user_id,
+    cum_n, cum_value_milli."""
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        v = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                     * 1000).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array((u % num_buckets).astype(np.int32)),
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "v": pa.array(v),
+        })
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "event_id"],
+                            kind="mergesort")
+        g = df.groupby("user_id", sort=False)
+        return pd.DataFrame({
+            "event_id": df["event_id"],
+            "user_id": df["user_id"],
+            "cum_n": (g.cumcount() + 1).astype(np.int64),
+            "cum_value_milli": g["v"].cumsum().astype(np.int64),
+        })
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(scan, batch_format="pandas"))
