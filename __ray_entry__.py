@@ -255,6 +255,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- relational: multi-table hash joins (SQL-checked) ---
         "orders_by_nation": _orders_by_nation,
         "revenue_by_brand": _revenue_by_brand,
+        "lineitem_pricing_summary": _lineitem_pricing_summary,
+        "top_orders_per_customer": _top_orders_per_customer,
+        "regional_revenue": _regional_revenue,
         # --- embeddings: similarity search (SQL-checked) ---
         "ann_topk_embeddings": D.ann_topk_embeddings,
         "embedding_near_dup": D.embedding_near_dup,
@@ -395,6 +398,21 @@ def _revenue_by_brand(sf_dir: str):
     return revenue_by_brand(sf_dir)
 
 
+def _lineitem_pricing_summary(sf_dir: str):
+    from dataquality_ray.pipelines.relational import lineitem_pricing_summary
+    return lineitem_pricing_summary(sf_dir)
+
+
+def _top_orders_per_customer(sf_dir: str):
+    from dataquality_ray.pipelines.relational import top_orders_per_customer
+    return top_orders_per_customer(sf_dir)
+
+
+def _regional_revenue(sf_dir: str):
+    from dataquality_ray.pipelines.relational import regional_revenue
+    return regional_revenue(sf_dir)
+
+
 def _transcript_simhash_pairs(sf_dir: str):
     import functools
     from dataquality_ray.stages.dedup import (
@@ -521,6 +539,10 @@ def _oracle_sql_impl() -> dict[str, str]:
         f"ts[i+{k}]" if k else "ts[i]" for k in range(SHINGLE_NGRAM))
     from dataquality_ray.pipelines.metrics import (
         RANGE_JOIN_WINDOW_US as M_RANGE_WINDOW_US,
+    )
+    from dataquality_ray.pipelines.relational import (
+        Q1_SHIP_CUTOFF as REL_Q1_CUTOFF,
+        TOP_ORDERS_PER_CUSTOMER_K as REL_TOP_ORDERS_K,
     )
     ann_ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
     # Transcript-table oracles read the deterministic fixture directly
@@ -950,6 +972,54 @@ SELECT p.p_brand AS brand,
   CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
                 AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+GROUP BY 1
+""",
+        # TPC-H Q1 analog: predicate pushed to the scan on the Ray side;
+        # all money/qty fixed-pointed per row before summation
+        "lineitem_pricing_summary": f"""
+WITH s AS (
+  SELECT l_returnflag AS returnflag, l_linestatus AS linestatus,
+    CAST(COUNT(*) AS BIGINT) AS n_items,
+    CAST(SUM(CAST(floor(l_quantity * 1000) AS BIGINT)) AS BIGINT)
+      AS sum_qty_milli,
+    CAST(SUM(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+      AS sum_base_cents,
+    CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 100)
+                  AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+    CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                        * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT)
+      AS sum_charge_cents
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '{REL_Q1_CUTOFF}'
+  GROUP BY 1, 2)
+SELECT *, sum_qty_milli // n_items AS avg_qty_milli,
+  sum_base_cents // n_items AS avg_price_cents
+FROM s
+""",
+        # per-group windowed rank (row_number over partition)
+        "top_orders_per_customer": f"""
+SELECT o_custkey, o_orderkey, totalprice_cents,
+  CAST(rn AS BIGINT) AS rank
+FROM (
+  SELECT o_custkey, o_orderkey,
+    CAST(floor(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+    row_number() OVER (
+      PARTITION BY o_custkey
+      ORDER BY floor(o_totalprice * 100) DESC, o_orderkey) AS rn
+  FROM orders)
+WHERE rn <= {REL_TOP_ORDERS_K}
+""",
+        # deepest join chain: lineitem→orders→customer→nation→region
+        "regional_revenue": """
+SELECT r.r_name AS region,
+  CAST(COUNT(*) AS BIGINT) AS n_items,
+  CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                AS BIGINT)) AS BIGINT) AS revenue_cents
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
 GROUP BY 1
 """,
         # exact discrete quantiles over the fixed-point value: DuckDB

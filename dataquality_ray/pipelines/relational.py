@@ -134,3 +134,193 @@ def revenue_by_brand(sf_dir: str, num_partitions: int = 8):
         })
 
     return agg.map_batches(clean, batch_format="pyarrow")
+
+
+# TPC-H Q1-style predicate cutoff (pinned; mirrored into the oracle SQL)
+Q1_SHIP_CUTOFF = "1999-01-01"
+# per-customer windowed-rank fanout (top-K orders per customer)
+TOP_ORDERS_PER_CUSTOMER_K = 3
+
+
+def lineitem_pricing_summary(sf_dir: str):
+    """TPC-H Q1 analog: per (returnflag, linestatus) fixed-point pricing
+    sums over lineitem rows with l_shipdate <= Q1_SHIP_CUTOFF.
+
+    Scale shape: the predicate is pushed into the parquet read (row-group
+    pruning at the scan — nothing past the cutoff leaves storage); per-row
+    money/quantity fixed-pointed to integers BEFORE summation (exact under
+    any accumulation order); per-batch pandas partials combine into a
+    ~6-group final groupby, so the all-to-all moves a handful of rows.
+    Integer averages use // (bit-deterministic vs DuckDB's //).
+    """
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Sum
+
+    cutoff = np.datetime64(Q1_SHIP_CUTOFF, "us")
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_returnflag", "l_linestatus", "l_quantity",
+                 "l_extendedprice", "l_discount", "l_tax", "l_shipdate"],
+        filter=(_pc.field("l_shipdate") <= cutoff)) \
+        .map_batches(strip_meta, batch_format="pyarrow",
+                     zero_copy_batch=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        qty = batch["l_quantity"].to_numpy(zero_copy_only=False)
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        tx = batch["l_tax"].to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({
+            "returnflag": batch["l_returnflag"].to_pylist(),
+            "linestatus": batch["l_linestatus"].to_pylist(),
+            "n": 1,
+            "q": np.floor(qty * 1000).astype(np.int64),
+            "b": np.floor(ep * 100).astype(np.int64),
+            "d": np.floor(ep * (1 - dc) * 100).astype(np.int64),
+            "c": np.floor(ep * (1 - dc) * (1 + tx) * 100).astype(np.int64),
+        }).groupby(["returnflag", "linestatus"], sort=False)
+          .agg(n=("n", "sum"), q=("q", "sum"), b=("b", "sum"),
+               d=("d", "sum"), c=("c", "sum")).reset_index())
+        return from_pandas_clean(g)
+
+    agg = li.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["returnflag", "linestatus"]).aggregate(
+            Sum("n", alias_name="n_items"),
+            Sum("q", alias_name="sum_qty_milli"),
+            Sum("b", alias_name="sum_base_cents"),
+            Sum("d", alias_name="sum_disc_cents"),
+            Sum("c", alias_name="sum_charge_cents"))
+
+    def clean(t: pa.Table) -> pa.Table:
+        n = t["n_items"].to_numpy(zero_copy_only=False).astype(np.int64)
+        q = t["sum_qty_milli"].to_numpy(zero_copy_only=False).astype(np.int64)
+        b = t["sum_base_cents"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "returnflag": t["returnflag"],
+            "linestatus": t["linestatus"],
+            "n_items": pa.array(n),
+            "sum_qty_milli": pa.array(q),
+            "sum_base_cents": pa.array(b),
+            "sum_disc_cents": pc.cast(t["sum_disc_cents"], pa.int64()),
+            "sum_charge_cents": pc.cast(t["sum_charge_cents"], pa.int64()),
+            "avg_qty_milli": pa.array(q // np.maximum(n, 1)),
+            "avg_price_cents": pa.array(b // np.maximum(n, 1)),
+        })
+
+    return agg.map_batches(clean, batch_format="pyarrow")
+
+
+def top_orders_per_customer(sf_dir: str,
+                            k: int = TOP_ORDERS_PER_CUSTOMER_K):
+    """Per-group windowed rank: the top-k orders of every customer by
+    (totalprice desc, orderkey asc), with the rank emitted — the SQL
+    ``row_number() OVER (PARTITION BY custkey ORDER BY ...)`` shape.
+
+    Scale shape: two-phase — per-batch partial top-k per customer (the
+    global top-k per key is always a subset of the union of per-batch
+    top-ks), then a per-customer final top-k in ``map_groups``; only
+    k rows per customer cross the shuffle. Money fixed-pointed to cents
+    so ordering/tie-breaks are integer-deterministic.
+    """
+    orders = _table(sf_dir, "orders",
+                    columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "o_custkey": batch["o_custkey"].to_numpy(zero_copy_only=False),
+            "o_orderkey": batch["o_orderkey"].to_numpy(zero_copy_only=False),
+            "totalprice_cents": np.floor(
+                batch["o_totalprice"].to_numpy(zero_copy_only=False)
+                * 100).astype(np.int64),
+        })
+        df = df.sort_values(
+            ["o_custkey", "totalprice_cents", "o_orderkey"],
+            ascending=[True, False, True], kind="mergesort")
+        df = df.groupby("o_custkey", sort=False).head(k)
+        return from_pandas_clean(df.reset_index(drop=True))
+
+    def final(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["totalprice_cents", "o_orderkey"],
+            ascending=[False, True], kind="mergesort").head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return orders.map_batches(partial, batch_format="pyarrow") \
+        .groupby("o_custkey").map_groups(final, batch_format="pandas")
+
+
+def regional_revenue(sf_dir: str, num_partitions: int = 8):
+    """(region, n_items, revenue_cents): lineitem revenue rolled up
+    through orders → customer → nation → region — the deepest join chain
+    in the repo (two hash joins + one broadcast dim lookup).
+
+    Scale shape: revenue is pre-aggregated per orderkey INSIDE
+    map_batches before any shuffle (the combiner halves the join
+    payload); lineitem⋈orders and orders⋈customer are bucketed hash
+    joins with a materialize between them (CLAUDE.md invariant: never
+    chain two Ray joins lazily on a small cluster); nation+region
+    (25+5 rows) are a driver broadcast via ``ray.put``.
+    """
+    from ray.data.aggregate import Sum
+
+    nation = _table(sf_dir, "nation",
+                    columns=["n_nationkey", "n_regionkey"]).to_pandas()
+    region = _table(sf_dir, "region",
+                    columns=["r_regionkey", "r_name"]).to_pandas()
+    r_name = dict(zip(region["r_regionkey"].astype(int), region["r_name"]))
+    n2r_ref = ray.put({int(nk): r_name[int(rk)]
+                       for nk, rk in zip(nation["n_nationkey"],
+                                         nation["n_regionkey"])})
+
+    li = _table(sf_dir, "lineitem",
+                columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({
+            "l_orderkey": batch["l_orderkey"].to_numpy(
+                zero_copy_only=False),
+            "n": 1,
+            "c": np.floor(ep * (1 - dc) * 100).astype(np.int64),
+        }).groupby("l_orderkey", sort=False)
+          .agg(n=("n", "sum"), c=("c", "sum")).reset_index())
+        return from_pandas_clean(g)
+
+    per_order = li.map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(Sum("n", alias_name="n"),
+                                         Sum("c", alias_name="c"))
+    orders = _table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey"])
+    j1 = per_order.join(orders, join_type="inner",
+                        num_partitions=num_partitions,
+                        on=("l_orderkey",), right_on=("o_orderkey",)) \
+        .materialize()
+    cust = _table(sf_dir, "customer",
+                  columns=["c_custkey", "c_nationkey"])
+    j2 = j1.join(cust, join_type="inner",
+                 num_partitions=num_partitions,
+                 on=("o_custkey",), right_on=("c_custkey",))
+
+    def attach_region(batch: pa.Table) -> pa.Table:
+        m = ray.get(n2r_ref)
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "region": pa.array([m[int(x)] for x in nk], pa.string()),
+            "n": batch["n"], "c": batch["c"],
+        })
+
+    agg = j2.map_batches(attach_region, batch_format="pyarrow") \
+        .groupby("region").aggregate(Sum("n", alias_name="n_items"),
+                                     Sum("c", alias_name="revenue_cents"))
+
+    def clean(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "region": t["region"],
+            "n_items": pc.cast(t["n_items"], pa.int64()),
+            "revenue_cents": pc.cast(t["revenue_cents"], pa.int64()),
+        })
+
+    return agg.map_batches(clean, batch_format="pyarrow")
