@@ -232,6 +232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_vocab_stats": D.corpus_vocab_stats,
         "token_count_documents": D.token_count_documents,
         "doc_metadata_gate": D.doc_metadata_gate,
+        "global_sentence_dedup": D.global_sentence_dedup,
         # --- transcripts: entity extraction + per-turn heuristics
         #     (SQL-checked via a direct read_parquet of the fixture) ---
         "transcript_entities": transcript_entities,
@@ -543,6 +544,9 @@ def _oracle_sql_impl() -> dict[str, str]:
     from dataquality_ray.pipelines.relational import (
         Q1_SHIP_CUTOFF as REL_Q1_CUTOFF,
         TOP_ORDERS_PER_CUSTOMER_K as REL_TOP_ORDERS_K,
+    )
+    from dataquality_ray.pipelines.documents import (
+        _SENT_IDX_BITS as SENT_IDX_BITS,
     )
     ann_ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
     # Transcript-table oracles read the deterministic fixture directly
@@ -973,6 +977,43 @@ SELECT p.p_brand AS brand,
                 AS BIGINT)) AS BIGINT) AS revenue_cents
 FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
 GROUP BY 1
+""",
+        # C4-style GLOBAL sentence dedup: a sentence occurrence survives
+        # iff it is the corpus-wide first (min (doc_id, sent_idx)) of
+        # that trimmed sentence; grouping is by the md5-u64 sentence
+        # hash on BOTH sides (identical semantics by construction)
+        "global_sentence_dedup": f"""
+WITH segs AS (
+  SELECT doc_id,
+    list_filter(list_transform(string_split(text, '.'),
+                               x -> trim(x, ' ' || chr(9) || chr(13)
+                                            || chr(10))),
+                x -> x <> '') AS L
+  FROM documents),
+s AS (
+  SELECT doc_id, unnest(L) AS sentence,
+         generate_subscripts(L, 1) - 1 AS sent_idx
+  FROM segs),
+h AS (
+  SELECT doc_id, sent_idx, sentence,
+    md5_number_upper(sentence) AS hh,
+    doc_id * {1 << SENT_IDX_BITS} + sent_idx AS packed
+  FROM s),
+w AS (SELECT hh, MIN(packed) AS win FROM h GROUP BY hh),
+agg AS (
+  SELECT h.doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_sents,
+    CAST(SUM(CASE WHEN h.packed = w.win THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_kept,
+    COALESCE(string_agg(CASE WHEN h.packed = w.win THEN h.sentence END,
+                        '. ' ORDER BY h.sent_idx), '') AS kept_text
+  FROM h JOIN w ON w.hh = h.hh
+  GROUP BY h.doc_id)
+SELECT d.doc_id,
+  COALESCE(a.n_sents, 0) AS n_sents,
+  COALESCE(a.n_kept, 0) AS n_kept,
+  COALESCE(a.kept_text, '') AS kept_text
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 """,
         # TPC-H Q1 analog: predicate pushed to the scan on the Ray side;
         # all money/qty fixed-pointed per row before summation

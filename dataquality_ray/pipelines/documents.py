@@ -944,3 +944,132 @@ def docs_from_top_sources(sf_dir: str):
 
     return ds.map_batches(keep, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+# global sentence dedup: packed (doc_id, sent_idx) ordinal — sent_idx
+# must fit in 20 bits so MIN over the packed int is lexicographic min
+_SENT_IDX_BITS = 20
+
+
+def global_sentence_dedup(sf_dir: str, num_partitions: int = 8):
+    """(doc_id, n_sents, n_kept, kept_text): C4-style CROSS-document
+    sentence dedup — a sentence occurrence survives iff it is the
+    corpus-global first occurrence (min (doc_id, sent_idx)) of that
+    trimmed sentence; docs are reassembled from their surviving
+    sentences joined with '. '.
+
+    The complement of transcript_sentence_dedup (intra-doc counts):
+    this is the global variant real pretraining pipelines run (C4
+    removed any three-sentence span occurring more than once).
+
+    Scale shape: sentences explode in ONE fused map (split/trim/filter
+    identical to the DuckDB oracle's chain); the shuffle is keyed by the
+    64-bit md5 sentence hash, carrying only (hash, packed-ordinal) into
+    a two-phase MIN — winner assignment then flows back over a bucketed
+    hash join against the (slim) winner table, never a driver
+    materialize. Reassembly is a per-doc map_groups (bounded group =
+    one document). Empty docs are preserved via a left-outer join
+    against the doc-id spine.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Min
+
+    from dataquality_ray.arrowutil import from_pandas_clean
+    from dataquality_ray.spec import token_hash_u64
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def extract(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch["text"])
+        if isinstance(s, pl.DataFrame):
+            s = s.to_series()
+        segs = (s.fill_null("").str.split(".")
+                .list.eval(pl.element().str.strip_chars(" \t\r\n"))
+                .list.eval(pl.element().filter(pl.element() != "")))
+        df = pl.DataFrame({
+            "doc_id": pl.Series(batch["doc_id"].to_numpy(
+                zero_copy_only=False)),
+            "sentence": segs,
+        }).with_columns(
+            sent_idx=pl.int_ranges(0, pl.col("sentence").list.len(),
+                                   dtype=pl.Int64)
+        ).explode(["sentence", "sent_idx"]) \
+         .filter(pl.col("sentence").is_not_null())
+        doc_id = df["doc_id"].to_numpy()
+        sent_idx = df["sent_idx"].to_numpy()
+        if len(doc_id):
+            assert int(sent_idx.max()) < (1 << _SENT_IDX_BITS), \
+                "sent_idx overflows the packed ordinal"
+        cache: dict = {}
+
+        def _h(sent: str) -> int:
+            v = cache.get(sent)
+            if v is None:
+                v = token_hash_u64(sent)
+                cache[sent] = v
+            return v
+
+        h = np.fromiter((_h(x) for x in df["sentence"]),
+                        dtype=np.uint64, count=len(df))
+        return pa.table({
+            "doc_id": pa.array(doc_id, pa.int64()),
+            "sent_idx": pa.array(sent_idx, pa.int64()),
+            "sentence": pa.array(df["sentence"].to_list(), pa.string()),
+            # signed REINTERPRET of the u64 hash: the column is only an
+            # equality key (groupby + join) and int64 survives the
+            # pandas-backed shuffle blocks where uint64 degrades to a
+            # pickled-object column
+            "h": pa.array(h.view(np.int64), pa.int64()),
+            "packed": pa.array(
+                (doc_id.astype(np.int64) << _SENT_IDX_BITS) + sent_idx,
+                pa.int64()),
+        })
+
+    sents = docs.map_batches(extract, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def partial_min(t: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({
+            "h": t["h"].to_numpy(zero_copy_only=False),
+            "packed": t["packed"].to_numpy(zero_copy_only=False)})
+            .groupby("h", sort=False)["packed"].min().reset_index())
+        return from_pandas_clean(g)
+
+    winners = sents.select_columns(["h", "packed"]) \
+        .map_batches(partial_min, batch_format="pyarrow") \
+        .groupby("h").aggregate(Min("packed", alias_name="win"))
+
+    joined = sents.join(winners, join_type="inner",
+                        num_partitions=num_partitions, on=("h",))
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("sent_idx", kind="mergesort")
+        keep = (g["packed"].to_numpy() == g["win"].to_numpy())
+        return pd.DataFrame({
+            "doc_id": [int(g["doc_id"].iloc[0])],
+            "n_sents": [np.int64(len(g))],
+            "n_kept": [np.int64(keep.sum())],
+            "kept_text": [". ".join(g["sentence"].to_numpy()[keep])],
+        })
+
+    # materialize between the hash join above and the spine join below
+    # (CLAUDE.md: never chain two Ray joins lazily on a small cluster)
+    agg = joined.groupby("doc_id") \
+        .map_groups(per_doc, batch_format="pandas").materialize()
+
+    spine = _docs(sf_dir, columns=["doc_id"])
+    out = spine.join(agg, join_type="left_outer",
+                     num_partitions=num_partitions,
+                     on=("doc_id",), right_on=("doc_id",))
+
+    def clean(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_sents": pc.coalesce(pc.cast(t["n_sents"], pa.int64()),
+                                   pa.scalar(0, pa.int64())),
+            "n_kept": pc.coalesce(pc.cast(t["n_kept"], pa.int64()),
+                                  pa.scalar(0, pa.int64())),
+            "kept_text": pc.coalesce(t["kept_text"], pa.scalar("")),
+        })
+
+    return out.map_batches(clean, batch_format="pyarrow")
