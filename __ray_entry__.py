@@ -233,6 +233,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_count_documents": D.token_count_documents,
         "doc_metadata_gate": D.doc_metadata_gate,
         "global_sentence_dedup": D.global_sentence_dedup,
+        "dup_ngram_stats": D.dup_ngram_stats,
+        "contaminated_documents": D.contaminated_documents,
         # --- transcripts: entity extraction + per-turn heuristics
         #     (SQL-checked via a direct read_parquet of the fixture) ---
         "transcript_entities": transcript_entities,
@@ -547,7 +549,11 @@ def _oracle_sql_impl() -> dict[str, str]:
     )
     from dataquality_ray.pipelines.documents import (
         _SENT_IDX_BITS as SENT_IDX_BITS,
+        CONTAM_BENCH_MOD,
+        CONTAM_NGRAM,
     )
+    contam_shingle = " || ' ' || ".join(
+        f"ts[i+{k}]" if k else "ts[i]" for k in range(CONTAM_NGRAM))
     ann_ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
     # Transcript-table oracles read the deterministic fixture directly
     # (the driver registers only the sf tables as views; the fixture is a
@@ -1014,6 +1020,51 @@ SELECT d.doc_id,
   COALESCE(a.n_kept, 0) AS n_kept,
   COALESCE(a.kept_text, '') AS kept_text
 FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+""",
+        # Gopher-style duplicate-bigram repetition signals, integer
+        # fixed-point; generate_series(1, len-1) is empty for len<2 so
+        # token-poor docs fall out of the LEFT JOIN with zeros
+        "dup_ngram_stats": f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS ts
+  FROM documents),
+b AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, len(ts) - 1),
+                   i -> ts[i] || ' ' || ts[i+1]) AS bg
+  FROM t),
+c AS (
+  SELECT doc_id, g, COUNT(*) AS c
+  FROM (SELECT doc_id, unnest(bg) AS g FROM b) GROUP BY 1, 2),
+agg AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+    CAST(COUNT(*) AS BIGINT) AS d, CAST(MAX(c) AS BIGINT) AS mx
+  FROM c GROUP BY doc_id)
+SELECT t.doc_id,
+  COALESCE(a.n, 0) AS n_bigrams,
+  COALESCE(a.d, 0) AS n_distinct_bigrams,
+  CASE WHEN COALESCE(a.n, 0) > 0
+       THEN (1000 * (a.n - a.d)) // a.n ELSE 0 END AS dup_frac_milli,
+  COALESCE(a.mx, 0) AS max_bigram_count
+FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id
+""",
+        # benchmark decontamination: word-n-gram shingle collision with
+        # the deterministic pseudo-benchmark (doc_id % MOD == 0)
+        "contaminated_documents": f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS ts
+  FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, len(ts) - {CONTAM_NGRAM - 1}),
+                   i -> {contam_shingle}))) AS g
+  FROM t),
+bset AS (
+  SELECT DISTINCT g FROM sh WHERE doc_id % {CONTAM_BENCH_MOD} = 0)
+SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM sh s JOIN bset b ON b.g = s.g
+WHERE s.doc_id % {CONTAM_BENCH_MOD} <> 0
+GROUP BY 1
 """,
         # TPC-H Q1 analog: predicate pushed to the scan on the Ray side;
         # all money/qty fixed-pointed per row before summation

@@ -1073,3 +1073,105 @@ def global_sentence_dedup(sf_dir: str, num_partitions: int = 8):
         })
 
     return out.map_batches(clean, batch_format="pyarrow")
+
+
+def dup_ngram_stats(sf_dir: str):
+    """(doc_id, n_bigrams, n_distinct_bigrams, dup_frac_milli,
+    max_bigram_count): Gopher-style intra-document repetition signals
+    over word 2-grams — the "fraction of duplicate n-grams" family of
+    pretraining quality filters, reduced to integer fixed-point
+    (dup_frac_milli = 1000*(n-distinct)//n) so the surface is
+    bit-deterministic vs the SQL oracle.
+
+    Zero shuffle: tokenization (the pinned cross-engine TOKEN_PATTERN on
+    lowered text), adjacent-pair construction, per-row distinct and
+    value counts all run as polars list kernels inside one map_batches.
+    """
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def stats(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch["text"])
+        if isinstance(s, pl.DataFrame):
+            s = s.to_series()
+        toks = s.fill_null("").str.to_lowercase() \
+            .str.extract_all(TOKEN_PATTERN)
+        bigrams = toks.list.eval(
+            (pl.element() + " " + pl.element().shift(-1)).drop_nulls())
+        n = bigrams.list.len().cast(pl.Int64).to_numpy()
+        d = bigrams.list.n_unique().cast(pl.Int64).to_numpy()
+        mx = (bigrams.list.eval(pl.element().unique_counts().max())
+              .list.first().fill_null(0).cast(pl.Int64).to_numpy())
+        dup = np.where(n > 0, (1000 * (n - d)) // np.maximum(n, 1), 0)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_bigrams": pa.array(n, pa.int64()),
+            "n_distinct_bigrams": pa.array(d, pa.int64()),
+            "dup_frac_milli": pa.array(dup.astype(np.int64)),
+            "max_bigram_count": pa.array(mx, pa.int64()),
+        })
+
+    return docs.map_batches(stats, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+CONTAM_NGRAM = 4          # decontamination shingle width (word 4-grams)
+CONTAM_BENCH_MOD = 97     # benchmark membership: doc_id % MOD == 0
+
+
+def contaminated_documents(sf_dir: str):
+    """(doc_id, n_hits): benchmark decontamination — flag every
+    non-benchmark document sharing at least one word-4-gram shingle
+    with the benchmark suite (here: the deterministic pseudo-benchmark
+    doc_id % 97 == 0), n_hits = number of its DISTINCT shingles that
+    collide. The drop-side filter every pretraining pipeline runs
+    before training (benchmark leakage removal).
+
+    Scale shape: the benchmark suite is small BY CONSTRUCTION (a test
+    set, not the corpus), so its distinct-shingle set is a driver
+    broadcast — `ray.put` once, set-membership probed inside one
+    map_batches over the corpus; the corpus itself never shuffles.
+    """
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def shingles_of(batch: pa.Table, bench: bool):
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mask = (ids % CONTAM_BENCH_MOD == 0) if bench \
+            else (ids % CONTAM_BENCH_MOD != 0)
+        t = batch.filter(pa.array(mask))
+        s = pl.from_arrow(t["text"])
+        if isinstance(s, pl.DataFrame):
+            s = s.to_series()
+        toks = s.fill_null("").str.to_lowercase() \
+            .str.extract_all(TOKEN_PATTERN)
+        expr = pl.element()
+        for k in range(1, CONTAM_NGRAM):
+            expr = expr + " " + pl.element().shift(-k)
+        sh = toks.list.eval(expr.drop_nulls()).list.unique()
+        return t["doc_id"].to_numpy(zero_copy_only=False), sh
+
+    def bench_shingles(batch: pa.Table) -> pa.Table:
+        _, sh = shingles_of(batch, bench=True)
+        return pa.table({"g": pa.array(
+            sorted({g for row in sh.to_list() for g in row}),
+            pa.string())})
+
+    # the benchmark side is small by construction: distinct shingles of
+    # the suite fit on the driver (this is the point of the operator)
+    bench = docs.map_batches(bench_shingles, batch_format="pyarrow") \
+        .to_pandas()
+    bset_ref = ray.put(frozenset(bench["g"]))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bset = ray.get(bset_ref)
+        ids, sh = shingles_of(batch, bench=False)
+        hits = np.fromiter(
+            (sum(1 for g in row if g in bset) for row in sh.to_list()),
+            dtype=np.int64, count=len(ids))
+        keep = hits > 0
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "n_hits": pa.array(hits[keep], pa.int64()),
+        })
+
+    return docs.map_batches(flag, batch_format="pyarrow",
+                            zero_copy_batch=True)
