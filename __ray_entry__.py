@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_sentence_dedup": transcript_sentence_dedup,
         "transcript_conv_heuristics": transcript_conv_heuristics,
         "conv_length_histogram": conv_length_histogram,
+        "conv_turn_gaps": _conv_turn_gaps_q,
         # --- events: metrics (SQL-checked) ---
         "daily_event_metrics": M.daily_event_metrics,
         "top_users_by_value": M.top_users_by_value,
@@ -273,6 +274,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vectors (rows-only: float embeddings aren't SQL-expressible)
         "doc_embeddings": _doc_embeddings,
         "doc_embedding_ann": _doc_embedding_ann,
+        # the embedder's deterministic tokenize->hash->bucket->tf front
+        # half, hard-checked in SQL (everything up to the projection)
+        "doc_token_buckets": D.doc_token_buckets,
         # --- transcripts: flagship pipeline (rows-only; pytest-verified
         #     against the single-process oracle labeler) ---
         "transcript_pipeline": transcript_pipeline,
@@ -399,6 +403,11 @@ def _orders_by_nation(sf_dir: str):
 def _revenue_by_brand(sf_dir: str):
     from dataquality_ray.pipelines.relational import revenue_by_brand
     return revenue_by_brand(sf_dir)
+
+
+def _conv_turn_gaps_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import conv_turn_gaps
+    return conv_turn_gaps(_transcript_ds(sf_dir))
 
 
 def _lineitem_pricing_summary(sf_dir: str):
@@ -551,6 +560,9 @@ def _oracle_sql_impl() -> dict[str, str]:
         _SENT_IDX_BITS as SENT_IDX_BITS,
         CONTAM_BENCH_MOD,
         CONTAM_NGRAM,
+    )
+    from dataquality_ray.stages.embeddings import (
+        HASH_BUCKETS as EMB_HASH_BUCKETS,
     )
     contam_shingle = " || ' ' || ".join(
         f"ts[i+{k}]" if k else "ts[i]" for k in range(CONTAM_NGRAM))
@@ -1020,6 +1032,29 @@ SELECT d.doc_id,
   COALESCE(a.n_kept, 0) AS n_kept,
   COALESCE(a.kept_text, '') AS kept_text
 FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+""",
+        # the feature-hash embedder's deterministic front half:
+        # truncate(8000 chars) -> lower -> tokenize -> md5-u64 hash ->
+        # mod-HASH_BUCKETS -> per-(doc,bucket) term frequency
+        "doc_token_buckets": f"""
+SELECT doc_id,
+  CAST(md5_number_upper(t) % {EMB_HASH_BUCKETS} AS BIGINT) AS bucket,
+  CAST(COUNT(*) AS BIGINT) AS tf
+FROM (
+  SELECT doc_id,
+    unnest(regexp_extract_all(lower(substr(text, 1, 8000)), '{_TOK}'))
+      AS t
+  FROM documents)
+GROUP BY 1, 2
+""",
+        # LAG window function: per-turn inter-arrival gap within the
+        # conversation (first turn -> -1)
+        "conv_turn_gaps": f"""
+SELECT conv_id, turn_idx,
+  CAST(COALESCE(epoch_us(ts) - lag(epoch_us(ts)) OVER
+       (PARTITION BY conv_id ORDER BY turn_idx), -1) AS BIGINT)
+    AS gap_us
+FROM read_parquet('{tr_glob}')
 """,
         # Gopher-style duplicate-bigram repetition signals, integer
         # fixed-point; generate_series(1, len-1) is empty for len<2 so

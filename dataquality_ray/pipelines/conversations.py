@@ -85,3 +85,39 @@ def conv_stats(scored_ds, cfg: PipelineConfig = DEFAULT_CONFIG):
         })
 
     return merged.map_batches(finish, batch_format="pyarrow")
+
+
+def conv_turn_gaps(ds, num_buckets: int = 16):
+    """(conv_id, turn_idx, gap_us): per-turn inter-arrival time — the
+    LAG window function (gap to the previous turn of the SAME
+    conversation in turn_idx order; first turn → -1), expressed as the
+    bucketed ordered scan: ONE hash shuffle on conv_bucket, vectorized
+    pandas diff within each bucket. Complements user_running_totals
+    (running SUM OVER) with the LAG OVER shape.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from dataquality_ray.pipelines.quality import conv_bucket_of
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket": conv_bucket_of(batch["conv_id"], num_buckets),
+            "conv_id": batch["conv_id"],
+            "turn_idx": batch["turn_idx"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+        })
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
+        gap = df.groupby("conv_id", sort=False)["ts_us"].diff()
+        return pd.DataFrame({
+            "conv_id": df["conv_id"],
+            "turn_idx": df["turn_idx"],
+            "gap_us": gap.fillna(-1).astype(np.int64),
+        })
+
+    return (ds.map_batches(bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(scan, batch_format="pandas"))

@@ -1175,3 +1175,49 @@ def contaminated_documents(sf_dir: str):
 
     return docs.map_batches(flag, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def doc_token_buckets(sf_dir: str):
+    """(doc_id, bucket, tf): the DETERMINISTIC front half of the
+    feature-hash embedder (stages/embeddings.HashedProjectionEmbedder)
+    exposed as a hard-checkable surface — token occurrences of the
+    8000-char-truncated, lowered text, hashed with the frozen md5-u64
+    token hash into HASH_BUCKETS buckets, counted per (doc, bucket).
+
+    The embedding itself is this histogram times a frozen random
+    projection (not SQL-expressible); SQL-checking the histogram pins
+    everything up to the matmul — tokenizer, truncation order, hash,
+    bucket arithmetic — against DuckDB's md5_number_upper.
+    """
+    import pandas as pd
+
+    from dataquality_ray.arrowutil import from_pandas_clean
+    from dataquality_ray.spec import token_hash_u64
+    from dataquality_ray.stages.embeddings import HASH_BUCKETS
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def buckets(batch: pa.Table) -> pa.Table:
+        import re as _re
+        rx = _re.compile(TOKEN_PATTERN, _re.ASCII)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        cache: dict = {}
+        out_id, out_b = [], []
+        for i, t in enumerate(batch["text"].to_pylist()):
+            toks = rx.findall((t or "")[:8000].lower())
+            for tok in toks:
+                b = cache.get(tok)
+                if b is None:
+                    b = int(token_hash_u64(tok) % HASH_BUCKETS)
+                    cache[tok] = b
+                out_id.append(ids[i])
+                out_b.append(b)
+        g = (pd.DataFrame({"doc_id": np.asarray(out_id, np.int64),
+                           "bucket": np.asarray(out_b, np.int64)})
+             .groupby(["doc_id", "bucket"], sort=False)
+             .size().rename("tf").reset_index())
+        g["tf"] = g["tf"].astype(np.int64)
+        return from_pandas_clean(g)
+
+    return docs.map_batches(buckets, batch_format="pyarrow",
+                            zero_copy_batch=True)
