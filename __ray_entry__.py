@@ -262,6 +262,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing_summary": _lineitem_pricing_summary,
         "top_orders_per_customer": _top_orders_per_customer,
         "regional_revenue": _regional_revenue,
+        "orders_rollup": _orders_rollup,
+        "daily_event_type_pivot": _daily_event_type_pivot,
         # --- embeddings: similarity search (SQL-checked) ---
         "ann_topk_embeddings": D.ann_topk_embeddings,
         "embedding_near_dup": D.embedding_near_dup,
@@ -425,6 +427,16 @@ def _regional_revenue(sf_dir: str):
     return regional_revenue(sf_dir)
 
 
+def _orders_rollup(sf_dir: str):
+    from dataquality_ray.pipelines.relational import orders_rollup
+    return orders_rollup(sf_dir)
+
+
+def _daily_event_type_pivot(sf_dir: str):
+    from dataquality_ray.pipelines.relational import daily_event_type_pivot
+    return daily_event_type_pivot(sf_dir)
+
+
 def _transcript_simhash_pairs(sf_dir: str):
     import functools
     from dataquality_ray.stages.dedup import (
@@ -553,6 +565,7 @@ def _oracle_sql_impl() -> dict[str, str]:
         RANGE_JOIN_WINDOW_US as M_RANGE_WINDOW_US,
     )
     from dataquality_ray.pipelines.relational import (
+        EVENT_TYPES as REL_EVENT_TYPES,
         Q1_SHIP_CUTOFF as REL_Q1_CUTOFF,
         TOP_ORDERS_PER_CUSTOMER_K as REL_TOP_ORDERS_K,
     )
@@ -1135,6 +1148,27 @@ FROM (
       ORDER BY floor(o_totalprice * 100) DESC, o_orderkey) AS rn
   FROM orders)
 WHERE rn <= {REL_TOP_ORDERS_K}
+""",
+        # GROUP BY ROLLUP with 'ALL' sentinels at the rolled-up levels
+        "orders_rollup": """
+SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+  COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS total_price_cents
+FROM orders
+GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""",
+        # PIVOT as conditional aggregation (frozen event-type columns)
+        "daily_event_type_pivot": f"""
+SELECT date_trunc('day', ts) AS day,
+  {", ".join(
+      "CAST(SUM(CASE WHEN event_type = '" + t + "' THEN 1 ELSE 0 END) "
+      "AS BIGINT) AS n_" + t for t in REL_EVENT_TYPES)},
+  CAST(SUM(CASE WHEN event_type = 'purchase'
+                THEN CAST(floor(value * 1000) AS BIGINT) ELSE 0 END)
+       AS BIGINT) AS value_milli_purchase
+FROM events GROUP BY 1
 """,
         # deepest join chain: lineitem→orders→customer→nation→region
         "regional_revenue": """

@@ -324,3 +324,108 @@ def regional_revenue(sf_dir: str, num_partitions: int = 8):
         })
 
     return agg.map_batches(clean, batch_format="pyarrow")
+
+
+def orders_rollup(sf_dir: str):
+    """(orderstatus, orderpriority, n_orders, total_price_cents) at all
+    three ROLLUP levels — (status, priority), per-status subtotal, and
+    grand total, with 'ALL' as the rolled-up sentinel (SQL's
+    GROUP BY ROLLUP surface).
+
+    Scale shape: ONE pass over orders — per-batch partials aggregate to
+    the finest (status × priority) level (~15 groups), the higher
+    levels are re-aggregations of that tiny finest-level table in a
+    final map (never a second scan of the fact table).
+    """
+    from ray.data.aggregate import Sum
+
+    orders = _table(sf_dir, "orders",
+                    columns=["o_orderstatus", "o_orderpriority",
+                             "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cents = np.floor(
+            batch["o_totalprice"].to_numpy(zero_copy_only=False)
+            * 100).astype(np.int64)
+        g = (pd.DataFrame({
+            "orderstatus": batch["o_orderstatus"].to_pylist(),
+            "orderpriority": batch["o_orderpriority"].to_pylist(),
+            "n": 1, "c": cents})
+            .groupby(["orderstatus", "orderpriority"], sort=False)
+            .agg(n=("n", "sum"), c=("c", "sum")).reset_index())
+        return from_pandas_clean(g)
+
+    fine = orders.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["orderstatus", "orderpriority"]).aggregate(
+            Sum("n", alias_name="n"), Sum("c", alias_name="c"))
+
+    def expand(t: pa.Table) -> pa.Table:
+        # t is the complete finest level (the groupby emits one block
+        # per partition; coalesce first)
+        df = t.to_pandas()
+        by_status = (df.groupby("orderstatus", as_index=False)
+                     .agg(n=("n", "sum"), c=("c", "sum")))
+        by_status["orderpriority"] = "ALL"
+        total = pd.DataFrame({
+            "orderstatus": ["ALL"], "orderpriority": ["ALL"],
+            "n": [df["n"].sum()], "c": [df["c"].sum()]})
+        out = pd.concat([df, by_status, total], ignore_index=True)
+        return pa.table({
+            "orderstatus": pa.array(out["orderstatus"], pa.string()),
+            "orderpriority": pa.array(out["orderpriority"], pa.string()),
+            "n_orders": pa.array(out["n"].astype(np.int64)),
+            "total_price_cents": pa.array(out["c"].astype(np.int64)),
+        })
+
+    return fine.repartition(1).map_batches(
+        expand, batch_format="pyarrow", batch_size=None)
+
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def daily_event_type_pivot(sf_dir: str):
+    """(day, n_click, n_error, n_purchase, n_signup, n_view,
+    value_milli_purchase): the PIVOT shape — one row per day, one count
+    column per event type (frozen EVENT_TYPES order) plus a pivoted
+    fixed-point value sum for purchases. Conditional aggregation over
+    indicator columns built in the scan; one small groupby(day).
+    """
+    from ray.data.aggregate import Sum
+
+    ev = ray.data.read_parquet(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts", "event_type", "value"]) \
+        .map_batches(strip_meta, batch_format="pyarrow",
+                     zero_copy_batch=True)
+
+    def indicators(batch: pa.Table) -> pa.Table:
+        ts = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False)
+        day_us = 86_400 * 1_000_000
+        day = (ts // day_us) * day_us
+        et = np.asarray(batch["event_type"].to_pylist())
+        vm = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                      * 1000).astype(np.int64)
+        cols = {"day": pa.array(day.astype("datetime64[us]"))}
+        for t in EVENT_TYPES:
+            cols[f"n_{t}"] = pa.array((et == t).astype(np.int64))
+        cols["value_milli_purchase"] = pa.array(
+            np.where(et == "purchase", vm, 0))
+        return pa.table(cols)
+
+    aggs = [Sum(f"n_{t}", alias_name=f"n_{t}") for t in EVENT_TYPES]
+    aggs.append(Sum("value_milli_purchase",
+                    alias_name="value_milli_purchase"))
+    agg = ev.map_batches(indicators, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("day").aggregate(*aggs)
+
+    def clean(t: pa.Table) -> pa.Table:
+        cols = {"day": t["day"]}
+        for c in t.column_names:
+            if c != "day":
+                cols[c] = pc.cast(t[c], pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(clean, batch_format="pyarrow")
