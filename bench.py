@@ -83,7 +83,10 @@ def _query_benches(sf_dir: str) -> dict:
              "top_users_by_value", "ann_topk_embeddings", "doc_sketches",
              "shingle_near_dup_documents", "doc_tfidf_terms",
              "events_near_errors", "event_value_percentiles",
-             "dataset_split_documents"]
+             "dataset_split_documents", "global_sentence_dedup",
+             "dup_ngram_stats", "lineitem_pricing_summary",
+             "top_orders_per_customer", "regional_revenue",
+             "daily_event_type_pivot"]
     out = {}
     for name in names:
         t0 = time.time()
