@@ -279,6 +279,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the embedder's deterministic tokenize->hash->bucket->tf front
         # half, hard-checked in SQL (everything up to the projection)
         "doc_token_buckets": D.doc_token_buckets,
+        # k-means over the embedding corpus: the assignment step is
+        # SQL-checked; the full Lloyd iteration is rows-only (pytest
+        # enforces determinism + single-process-reference equality)
+        "kmeans_assign_embeddings": D.kmeans_assign_embeddings,
+        "kmeans_embeddings": D.kmeans_embeddings,
         # --- transcripts: flagship pipeline (rows-only; pytest-verified
         #     against the single-process oracle labeler) ---
         "transcript_pipeline": transcript_pipeline,
@@ -577,6 +582,7 @@ def _oracle_sql_impl() -> dict[str, str]:
     from dataquality_ray.stages.embeddings import (
         HASH_BUCKETS as EMB_HASH_BUCKETS,
     )
+    from dataquality_ray.stages.clustering import KMEANS_K
     contam_shingle = " || ' ' || ".join(
         f"ts[i+{k}]" if k else "ts[i]" for k in range(CONTAM_NGRAM))
     ann_ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
@@ -1437,6 +1443,26 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
   round(list_cosine_similarity(a.emb, b.emb), 6) AS cosine_sim
 FROM e a JOIN e b ON a.vec_id < b.vec_id
 WHERE list_cosine_similarity(a.emb, b.emb) >= {EMB_NEAR_DUP_COSINE}
+""",
+        # k-means assignment step: nearest of the K seed centroids
+        # (vec_id < K) by cosine rounded to 6; ties -> smallest id —
+        # ORDER BY the rounded value mirrors the Ray argmax exactly
+        "kmeans_assign_embeddings": f"""
+WITH c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+  FROM embeddings WHERE vec_id < {KMEANS_K}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings),
+s AS (
+  SELECT e.vec_id, c.cid,
+    round(list_cosine_similarity(e.emb, c.ce), 6) AS sim,
+    row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY round(list_cosine_similarity(e.emb, c.ce), 6) DESC,
+               c.cid) AS rn
+  FROM e, c)
+SELECT vec_id, cid AS centroid_id, sim AS cosine_sim
+FROM s WHERE rn = 1
 """,
         # rolling fingerprint: same fold as spec.rolling_fingerprint —
         # HUGEINT accumulator keeps h*FP_MULT (< 2^84) exact; % 2^64 each

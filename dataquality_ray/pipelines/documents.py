@@ -1221,3 +1221,34 @@ def doc_token_buckets(sf_dir: str):
 
     return docs.map_batches(buckets, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def kmeans_assign_embeddings(sf_dir: str):
+    """(vec_id, centroid_id, cosine_sim): one k-means assignment step —
+    every embedding assigned to its nearest (cosine, round-6,
+    ties -> smallest id) of the KMEANS_K deterministic seed centroids
+    (the vectors with vec_id < K). SQL-checked via DuckDB
+    list_cosine_similarity — the hard-checkable core of the iterative
+    kmeans_embeddings operator."""
+    from dataquality_ray.stages.clustering import KMEANS_K, kmeans_assign
+
+    emb = _emb(sf_dir)
+    first = emb.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], KMEANS_K)),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    first = first.sort_values("vec_id")
+    cents = np.stack([np.asarray(v, np.float64)
+                      for v in first["embedding"]])
+    return kmeans_assign(emb, cents)
+
+
+def kmeans_embeddings(sf_dir: str):
+    """(vec_id, cluster): full distributed Lloyd's k-means
+    (KMEANS_ITERS iterations, deterministic fixed-point update reduce —
+    see stages/clustering.kmeans_fit). Rows-only at the driver gate
+    (iterative float centroids aren't SQL-expressible); determinism and
+    single-process-reference equality are pytest-enforced."""
+    from dataquality_ray.stages.clustering import kmeans_fit
+
+    labels, _ = kmeans_fit(_emb(sf_dir))
+    return labels

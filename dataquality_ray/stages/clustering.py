@@ -321,3 +321,124 @@ def ivf_topk(ds, query_ids: List[int], k: int = 10,
 
     from dataquality_ray.stages.similarity import reduce_topk
     return reduce_topk(ds.map_batches(partial, batch_format="pyarrow"), k)
+
+
+# ---------------------------------------------------------------------------
+# distributed k-means over embedding columns
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 5
+_KMEANS_FP = 1_000_000  # fixed-point scale for the partial-sum reduce
+
+
+def _assign_batch(emb: np.ndarray, cents: np.ndarray
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """(centroid_id, cosine rounded 6) per row; ties -> smallest id.
+
+    Cosine in float64 (the proven ann_topk recipe: matches DuckDB's
+    list_cosine_similarity after round-6); argmax over the ROUNDED
+    value so the tie-break is identical on both sides.
+    """
+    x = emb.astype(np.float64)
+    xn = np.linalg.norm(x, axis=1, keepdims=True)
+    cn = np.linalg.norm(cents, axis=1, keepdims=True)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        sims = (x @ cents.T) / (xn * cn.T)
+    sims = np.where(np.isfinite(sims), sims, 0.0)
+    sims_r = np.round(sims, 6)
+    cid = np.argmax(sims_r, axis=1)          # first max = smallest id
+    return cid.astype(np.int64), sims_r[np.arange(len(x)), cid]
+
+
+def _emb_matrix(batch: pa.Table, col: str = "embedding") -> np.ndarray:
+    e = batch[col]
+    if isinstance(e, pa.ChunkedArray):
+        e = e.combine_chunks()
+    dim = len(e[0]) if len(e) else 0
+    return np.asarray(e.flatten(), dtype=np.float64).reshape(-1, dim)
+
+
+def kmeans_assign(ds, centroids: np.ndarray, id_col: str = "vec_id"):
+    """(id, centroid_id, cosine_sim): nearest-centroid assignment by
+    cosine — one stateless map_batches against the broadcast centroid
+    matrix (`ray.put` once, read per task)."""
+    cents_ref = ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cents = ray.get(cents_ref)
+        cid, sim = _assign_batch(_emb_matrix(batch), cents)
+        return pa.table({
+            id_col: batch[id_col],
+            "centroid_id": pa.array(cid),
+            "cosine_sim": pa.array(sim, pa.float64()),
+        })
+
+    return ds.map_batches(assign, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+def kmeans_fit(ds, k: int = KMEANS_K, iters: int = KMEANS_ITERS,
+               id_col: str = "vec_id"):
+    """Distributed Lloyd's k-means over an embedding column, fully
+    deterministic under any partitioning:
+
+    - init: the k vectors with the smallest ids (seed-free, reproducible);
+    - assignment: cosine argmax against broadcast centroids (per-batch
+      vectorized matmul — the training-data "cluster the corpus
+      embeddings" step used for diversification / dedup-by-cluster);
+    - update: per-cluster mean accumulated as FIXED-POINT int64 partial
+      sums (round(x*1e6)) inside map_batches, reduced with integer
+      addition (commutative — reduction order can't change the result),
+      then normalized in one deterministic elementwise pass.
+
+    Returns (labels_ds with (id, cluster), centroids ndarray). The
+    centroid state per iteration is k×d ints — a driver-side reduce of
+    per-batch partials, NOT corpus-proportional.
+    """
+    import pyarrow.compute as pc
+
+    first = ds.sort(id_col).limit(k).to_pandas()
+    cents = np.stack([np.asarray(v, np.float64)
+                      for v in first["embedding"]])
+
+    for _ in range(iters):
+        cents_ref = ray.put(cents)
+
+        def partials(batch: pa.Table) -> pa.Table:
+            c = ray.get(cents_ref)
+            emb = _emb_matrix(batch)
+            cid, _ = _assign_batch(emb, c)
+            fp = np.round(emb * _KMEANS_FP).astype(np.int64)
+            k_, d = c.shape
+            sums = np.zeros((k_, d), dtype=np.int64)
+            np.add.at(sums, cid, fp)
+            counts = np.bincount(cid, minlength=k_).astype(np.int64)
+            return pa.table({
+                "cluster": pa.array(np.arange(k_, dtype=np.int64)),
+                "count": pa.array(counts),
+                "sums": pa.array(list(sums), pa.list_(pa.int64())),
+            })
+
+        part = ds.map_batches(partials, batch_format="pyarrow",
+                              zero_copy_batch=True).to_pandas()
+        k_, d = cents.shape
+        sums = np.zeros((k_, d), dtype=np.int64)
+        counts = np.zeros(k_, dtype=np.int64)
+        for cl, cnt, s in zip(part["cluster"], part["count"],
+                              part["sums"]):
+            sums[cl] += np.asarray(s, dtype=np.int64)
+            counts[cl] += cnt
+        new = cents.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] / float(_KMEANS_FP) \
+            / counts[nz, None].astype(np.float64)
+        norms = np.linalg.norm(new, axis=1, keepdims=True)
+        new = np.where(norms > 0, new / np.maximum(norms, 1e-300), new)
+        cents = new
+
+    labels = kmeans_assign(ds, cents, id_col=id_col).map_batches(
+        lambda t: pa.table({id_col: t[id_col],
+                            "cluster": t["centroid_id"]}),
+        batch_format="pyarrow")
+    return labels, cents

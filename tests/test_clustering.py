@@ -143,3 +143,55 @@ class TestDistributedClusters:
         want_tbl = dup_clusters(_pairs_table(pairs)).to_pydict()
         want = dict(zip(want_tbl["key"], want_tbl["cluster"]))
         assert got == want
+
+
+class TestKMeans:
+    def _ds(self, n=200, d=16, seed=7):
+        rng = np.random.default_rng(seed)
+        emb = rng.standard_normal((n, d)).astype(np.float32)
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array([list(map(float, r)) for r in emb],
+                                  pa.list_(pa.float32())),
+        })), emb
+
+    def _reference(self, emb, k, iters):
+        """Single-process replica of kmeans_fit's exact arithmetic."""
+        from dataquality_ray.stages.clustering import (
+            _KMEANS_FP, _assign_batch)
+        cents = emb[:k].astype(np.float64)
+        for _ in range(iters):
+            cid, _ = _assign_batch(emb, cents)
+            fp = np.round(emb.astype(np.float64) * _KMEANS_FP) \
+                .astype(np.int64)
+            sums = np.zeros((k, emb.shape[1]), dtype=np.int64)
+            np.add.at(sums, cid, fp)
+            counts = np.bincount(cid, minlength=k).astype(np.int64)
+            new = cents.copy()
+            nz = counts > 0
+            new[nz] = sums[nz] / float(_KMEANS_FP) \
+                / counts[nz, None].astype(np.float64)
+            norms = np.linalg.norm(new, axis=1, keepdims=True)
+            cents = np.where(norms > 0, new / np.maximum(norms, 1e-300),
+                             new)
+        cid, _ = _assign_batch(emb, cents)
+        return cid, cents
+
+    def test_matches_single_process_reference(self, ray_session):
+        from dataquality_ray.stages.clustering import kmeans_fit
+        ds, emb = self._ds()
+        labels, cents = kmeans_fit(ds, k=4, iters=3)
+        got = labels.to_pandas().sort_values("vec_id")
+        want_cid, want_cents = self._reference(emb, k=4, iters=3)
+        np.testing.assert_array_equal(got["cluster"].to_numpy(), want_cid)
+        np.testing.assert_array_equal(cents, want_cents)
+
+    def test_partition_invariant(self, ray_session):
+        from dataquality_ray.stages.clustering import kmeans_fit
+        ds, _ = self._ds(seed=11)
+        a, ca = kmeans_fit(ds.repartition(1), k=4, iters=3)
+        b, cb = kmeans_fit(ds.repartition(7), k=4, iters=3)
+        pa_ = a.to_pandas().sort_values("vec_id").reset_index(drop=True)
+        pb_ = b.to_pandas().sort_values("vec_id").reset_index(drop=True)
+        assert pa_.equals(pb_)
+        np.testing.assert_array_equal(ca, cb)
