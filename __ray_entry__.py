@@ -255,7 +255,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_near_errors": M.events_near_errors,
         "event_value_percentiles": M.event_value_percentiles,
         "user_running_totals": M.user_running_totals,
+        "distinct_users_by_event_type": M.distinct_users_by_event_type,
+        "users_without_purchase": M.users_without_purchase,
         "docs_from_top_sources": D.docs_from_top_sources,
+        "docs_matching_terms": D.docs_matching_terms,
         # --- relational: multi-table hash joins (SQL-checked) ---
         "orders_by_nation": _orders_by_nation,
         "revenue_by_brand": _revenue_by_brand,
@@ -567,6 +570,7 @@ def _oracle_sql_impl() -> dict[str, str]:
     shingle_expr = " || ' ' || ".join(
         f"ts[i+{k}]" if k else "ts[i]" for k in range(SHINGLE_NGRAM))
     from dataquality_ray.pipelines.metrics import (
+        HIGH_VALUE_MIN as M_HIGH_VALUE_MIN,
         RANGE_JOIN_WINDOW_US as M_RANGE_WINDOW_US,
     )
     from dataquality_ray.pipelines.relational import (
@@ -578,6 +582,7 @@ def _oracle_sql_impl() -> dict[str, str]:
         _SENT_IDX_BITS as SENT_IDX_BITS,
         CONTAM_BENCH_MOD,
         CONTAM_NGRAM,
+        SEARCH_TERMS as D_SEARCH_TERMS,
     )
     from dataquality_ray.stages.embeddings import (
         HASH_BUCKETS as EMB_HASH_BUCKETS,
@@ -1154,6 +1159,43 @@ FROM (
       ORDER BY floor(o_totalprice * 100) DESC, o_orderkey) AS rn
   FROM orders)
 WHERE rn <= {REL_TOP_ORDERS_K}
+""",
+        # exact COUNT(DISTINCT) via the two-phase distinct-pairs shape
+        "distinct_users_by_event_type": """
+SELECT event_type,
+  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+  CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1
+""",
+        # anti-join / EXCEPT: users with events but no HIGH-VALUE
+        # purchase (value >= threshold)
+        "users_without_purchase": f"""
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events
+WHERE user_id NOT IN (
+  SELECT user_id FROM events
+  WHERE event_type = 'purchase' AND value >= {M_HIGH_VALUE_MIN})
+GROUP BY 1
+""",
+        # conjunctive token search (inverted-index probe): docs whose
+        # token set contains ALL query terms; n_matches = total
+        # occurrences of the query terms
+        "docs_matching_terms": f"""
+WITH tok AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS ts
+  FROM documents),
+c AS (
+  SELECT doc_id,
+    {", ".join(
+        "len(list_filter(ts, x -> x = '" + t + "')) AS c" + str(i)
+        for i, t in enumerate(D_SEARCH_TERMS))}
+  FROM tok)
+SELECT doc_id,
+  CAST({" + ".join("c" + str(i) for i in range(len(D_SEARCH_TERMS)))}
+       AS BIGINT) AS n_matches
+FROM c
+WHERE {" AND ".join("c" + str(i) + " > 0"
+                    for i in range(len(D_SEARCH_TERMS)))}
 """,
         # GROUP BY ROLLUP with 'ALL' sentinels at the rolled-up levels
         "orders_rollup": """

@@ -1252,3 +1252,39 @@ def kmeans_embeddings(sf_dir: str):
 
     labels, _ = kmeans_fit(_emb(sf_dir))
     return labels
+
+
+SEARCH_TERMS = ("data", "join", "stream")
+
+
+def docs_matching_terms(sf_dir: str):
+    """(doc_id, n_matches): conjunctive token search — documents whose
+    token set contains ALL of SEARCH_TERMS, with n_matches = total
+    occurrences of the query terms. The inverted-index probe shape:
+    query terms broadcast, per-doc token membership evaluated in one
+    vectorized polars pass; the corpus never shuffles."""
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    terms = list(SEARCH_TERMS)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch["text"])
+        if isinstance(s, pl.DataFrame):
+            s = s.to_series()
+        toks = s.fill_null("").str.to_lowercase() \
+            .str.extract_all(TOKEN_PATTERN)
+        per_term = [
+            toks.list.eval(pl.element().filter(pl.element() == t))
+            .list.len().cast(pl.Int64).to_numpy()
+            for t in terms
+        ]
+        counts = np.stack(per_term, axis=1)
+        hit = (counts > 0).all(axis=1)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(ids[hit], pa.int64()),
+            "n_matches": pa.array(counts.sum(axis=1)[hit]
+                                  .astype(np.int64)),
+        })
+
+    return docs.map_batches(probe, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -472,3 +472,99 @@ def user_running_totals(sf_dir: str, num_buckets: int = 16):
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(scan, batch_format="pandas"))
+
+
+def distinct_users_by_event_type(sf_dir: str):
+    """(event_type, n_users, n_events): exact COUNT(DISTINCT user_id)
+    via the two-phase distinct shape — per-batch distinct
+    (event_type, user_id) pairs FIRST (the combiner that keeps the
+    shuffle proportional to distinct pairs, not events), then one
+    groupby over the deduplicated pairs. n_events rides along as a
+    per-batch partial count."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from dataquality_ray.arrowutil import from_pandas_clean
+
+    ds = _events(sf_dir, columns=["event_type", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({
+            "event_type": batch["event_type"].to_pylist(),
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False)})
+            .groupby(["event_type", "user_id"], sort=False)
+            .size().rename("n").reset_index())
+        return from_pandas_clean(g)
+
+    pairs = ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby(["event_type", "user_id"]).aggregate(
+            Sum("n", alias_name="n"))
+
+    def count_users(t: pa.Table) -> pa.Table:
+        import pandas as pd
+        g = (t.to_pandas().groupby("event_type", sort=False)
+             .agg(n_users=("user_id", "size"), n_events=("n", "sum"))
+             .reset_index())
+        return from_pandas_clean(g)
+
+    from ray.data.aggregate import Sum as _Sum
+    agg = pairs.map_batches(count_users, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            _Sum("n_users", alias_name="n_users"),
+            _Sum("n_events", alias_name="n_events"))
+
+    return agg.map_batches(
+        lambda t: pa.table({
+            "event_type": t["event_type"],
+            "n_users": pa.compute.cast(t["n_users"], pa.int64()),
+            "n_events": pa.compute.cast(t["n_events"], pa.int64()),
+        }), batch_format="pyarrow")
+
+
+HIGH_VALUE_MIN = 95.0   # high-value purchase threshold (anti-join side)
+
+
+def users_without_purchase(sf_dir: str):
+    """(user_id, n_events): the ANTI-JOIN / EXCEPT shape — users with
+    events but no HIGH-VALUE purchase (value >= HIGH_VALUE_MIN), with
+    their total event count. The excluded-user side is a small
+    aggregate (≤ #users), broadcast via ray.put into a vectorized isin
+    filter — no shuffle of the event stream beyond the per-user count
+    groupby."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from dataquality_ray.arrowutil import from_pandas_clean
+
+    ds = _events(sf_dir, columns=["user_id", "event_type", "value"])
+
+    def purchasers(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"].to_pylist())
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({"user_id": pa.array(
+            np.unique(u[(et == "purchase") & (v >= HIGH_VALUE_MIN)]),
+            pa.int64())})
+
+    buyers = ds.map_batches(purchasers, batch_format="pyarrow",
+                            zero_copy_batch=True).to_pandas()
+    buyers_ref = ray.put(np.unique(buyers["user_id"].to_numpy()))
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        b = ray.get(buyers_ref)
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        keep = ~np.isin(u, b)
+        g = (pd.DataFrame({"user_id": u[keep], "n": 1})
+             .groupby("user_id", sort=False).agg(n=("n", "sum"))
+             .reset_index())
+        return from_pandas_clean(g)
+
+    agg = ds.map_batches(partial_counts, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("user_id").aggregate(Sum("n", alias_name="n_events"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "user_id": t["user_id"],
+            "n_events": pa.compute.cast(t["n_events"], pa.int64()),
+        }), batch_format="pyarrow")
