@@ -243,6 +243,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_conv_heuristics": transcript_conv_heuristics,
         "conv_length_histogram": conv_length_histogram,
         "conv_turn_gaps": _conv_turn_gaps_q,
+        "role_tool_stats": _role_tool_stats_q,
         # --- events: metrics (SQL-checked) ---
         "daily_event_metrics": M.daily_event_metrics,
         "top_users_by_value": M.top_users_by_value,
@@ -418,6 +419,11 @@ def _revenue_by_brand(sf_dir: str):
 def _conv_turn_gaps_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import conv_turn_gaps
     return conv_turn_gaps(_transcript_ds(sf_dir))
+
+
+def _role_tool_stats_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import role_tool_stats
+    return role_tool_stats(_transcript_ds(sf_dir))
 
 
 def _lineitem_pricing_summary(sf_dir: str):
@@ -1069,6 +1075,16 @@ FROM (
     unnest(regexp_extract_all(lower(substr(text, 1, 8000)), '{_TOK}'))
       AS t
   FROM documents)
+GROUP BY 1, 2
+""",
+        # per-(role, tool) usage aggregate with an exact distinct-conv
+        # count (two-phase distinct on the Ray side)
+        "role_tool_stats": f"""
+SELECT role, tool,
+  CAST(COUNT(*) AS BIGINT) AS n_turns,
+  CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+  CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+FROM read_parquet('{tr_glob}')
 GROUP BY 1, 2
 """,
         # LAG window function: per-turn inter-arrival gap within the

@@ -121,3 +121,54 @@ def conv_turn_gaps(ds, num_buckets: int = 16):
                            zero_copy_batch=True)
             .groupby("bucket")
             .map_groups(scan, batch_format="pandas"))
+
+
+def role_tool_stats(ds):
+    """(role, tool, n_turns, n_convs, sum_chars): per-(role, tool)
+    usage aggregate over the transcript table — covers the input_hint's
+    role/tool columns with a hard-checked surface. COUNT(DISTINCT
+    conv_id) uses the two-phase distinct shape: per-batch distinct
+    (role, tool, conv_id) triples first, so the shuffle moves distinct
+    triples (bounded by #convs × #roles × #tools), not turns."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n_chars = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
+        g = (pd.DataFrame({
+            "role": batch["role"].to_pylist(),
+            "tool": batch["tool"].to_pylist(),
+            "conv_id": batch["conv_id"].to_pylist(),
+            "n": 1,
+            "c": n_chars.to_numpy(zero_copy_only=False)})
+            .groupby(["role", "tool", "conv_id"], sort=False)
+            .agg(n=("n", "sum"), c=("c", "sum")).reset_index())
+        return from_pandas_clean(g)
+
+    triples = ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+        .groupby(["role", "tool", "conv_id"]).aggregate(
+            Sum("n", alias_name="n"), Sum("c", alias_name="c"))
+
+    def per_block(t: pa.Table) -> pa.Table:
+        g = (t.to_pandas().groupby(["role", "tool"], sort=False)
+             .agg(n_turns=("n", "sum"), n_convs=("conv_id", "size"),
+                  sum_chars=("c", "sum")).reset_index())
+        return from_pandas_clean(g)
+
+    agg = triples.map_batches(per_block, batch_format="pyarrow") \
+        .groupby(["role", "tool"]).aggregate(
+            Sum("n_turns", alias_name="n_turns"),
+            Sum("n_convs", alias_name="n_convs"),
+            Sum("sum_chars", alias_name="sum_chars"))
+
+    def clean(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        return pa.table({
+            "role": t["role"], "tool": t["tool"],
+            "n_turns": _pc.cast(t["n_turns"], pa.int64()),
+            "n_convs": _pc.cast(t["n_convs"], pa.int64()),
+            "sum_chars": _pc.cast(t["sum_chars"], pa.int64()),
+        })
+
+    return agg.map_batches(clean, batch_format="pyarrow")
