@@ -235,6 +235,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_sentence_dedup": D.global_sentence_dedup,
         "dup_ngram_stats": D.dup_ngram_stats,
         "contaminated_documents": D.contaminated_documents,
+        # the end-to-end corpus-curation surface (exact dedup + near
+        # dedup + langid + toxicity + quality in ONE pipeline with
+        # precedence-ordered drop reasons) — SQL-checked
+        "curated_documents": D.curated_documents,
         # --- transcripts: entity extraction + per-turn heuristics
         #     (SQL-checked via a direct read_parquet of the fixture) ---
         "transcript_entities": transcript_entities,
@@ -528,7 +532,9 @@ p AS (
 """
 
 
-def _langid_sql() -> str:
+def _langid_parts() -> tuple[str, str]:
+    """(count_exprs_sql, case_sql) over a CTE exposing ``toks`` — shared
+    by the standalone langid oracle and the composed curation oracle."""
     count_exprs = []
     for lang, markers in spec.STOPWORD_MARKERS:
         in_list = ", ".join(f"'{m}'" for m in markers)
@@ -542,11 +548,16 @@ def _langid_sql() -> str:
                              for other in langs[i + 1:])
         case.append(f"WHEN {conds} THEN '{lang}'")
     case_sql = "CASE " + " ".join(case) + f" ELSE '{langs[-1]}' END"
+    return ", ".join(count_exprs), case_sql
+
+
+def _langid_sql() -> str:
+    count_exprs, case_sql = _langid_parts()
     return f"""
 WITH t AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS toks
   FROM documents),
-c AS (SELECT doc_id, {', '.join(count_exprs)} FROM t)
+c AS (SELECT doc_id, {count_exprs} FROM t)
 SELECT doc_id, {case_sql} AS pred_lang FROM c
 """
 
@@ -594,6 +605,7 @@ def _oracle_sql_impl() -> dict[str, str]:
         HASH_BUCKETS as EMB_HASH_BUCKETS,
     )
     from dataquality_ray.stages.clustering import KMEANS_K
+    lid_counts, lid_case = _langid_parts()
     contam_shingle = " || ' ' || ".join(
         f"ts[i+{k}]" if k else "ts[i]" for k in range(CONTAM_NGRAM))
     ann_ids = ", ".join(str(i) for i in ANN_QUERY_IDS)
@@ -1095,6 +1107,90 @@ SELECT conv_id, turn_idx,
        (PARTITION BY conv_id ORDER BY turn_idx), -1) AS BIGINT)
     AS gap_us
 FROM read_parquet('{tr_glob}')
+""",
+        # end-to-end curation: exact dup > near dup > non-english >
+        # toxic > low quality > ok (the composed pipeline oracle —
+        # every branch reuses the already-verified per-operator SQL)
+        "curated_documents": f"""
+WITH RECURSIVE
+qt AS (
+  SELECT doc_id, length(text) AS n_chars,
+    len(regexp_extract_all(lower(text), '{_TOK}')) AS n_tokens,
+    len(list_distinct(regexp_extract_all(lower(text), '{_TOK}')))
+      AS n_distinct,
+    len(regexp_extract_all(text, '{_SYM}')) AS n_sym,
+    CASE WHEN regexp_matches(lower(text), '{_BP}') THEN 1 ELSE 0 END
+      AS bp
+  FROM documents),
+qs AS (
+  SELECT doc_id,
+    (LEAST(100, (100 * n_chars) // {CFG.min_len_chars})
+     + (CASE WHEN n_tokens = 0 THEN 100
+             ELSE (100 * n_distinct) // n_tokens END)
+     + (CASE WHEN n_chars = 0 THEN 100
+             ELSE 100 - LEAST(100, ({CFG.symbol_penalty_mult} * n_sym)
+                                   // n_chars) END)
+     + (CASE WHEN bp = 1 THEN 0 ELSE 100 END)) // 4 AS overall
+  FROM qt),
+lt AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS toks
+  FROM documents),
+lc AS (SELECT doc_id, {lid_counts} FROM lt),
+lid AS (SELECT doc_id, {lid_case} AS pred_lang FROM lc),
+tox AS (
+  SELECT doc_id,
+    len(regexp_extract_all(lower(text), '{spec.TOXICITY_PATTERN}'))
+      AS n_toxic
+  FROM documents),
+ch AS (
+  SELECT doc_id,
+    md5(regexp_replace(regexp_replace(lower(text),
+        '{spec.EDGE_WS_PATTERN}', '', 'g'),
+        '{spec.WS_PLUS_PATTERN}', ' ', 'g')) AS h
+  FROM documents),
+canon AS (SELECT h, MIN(doc_id) AS cid FROM ch GROUP BY h),
+nt AS MATERIALIZED (
+  SELECT doc_id,
+    list_distinct(regexp_extract_all(lower(text), '{_TOK}')) AS toks
+  FROM documents),
+np_ AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM nt a JOIN nt b ON a.doc_id < b.doc_id
+  WHERE len(a.toks) > 0 AND len(b.toks) > 0
+    AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+      >= {NEAR_DUP_DOC_JACCARD}),
+ne(src, dst) AS MATERIALIZED (
+  SELECT id_a, id_b FROM np_ UNION ALL SELECT id_b, id_a FROM np_),
+nr(key, lab) AS (
+  SELECT src, src FROM ne
+  UNION
+  SELECT ne.dst, nr.lab FROM nr JOIN ne ON ne.src = nr.key),
+ncl AS (SELECT key, MIN(lab) AS cluster FROM nr GROUP BY key),
+fl AS (
+  SELECT d.doc_id,
+    (ch.doc_id <> canon.cid) AS is_exact,
+    (ncl.key IS NOT NULL AND ncl.key <> ncl.cluster) AS is_near,
+    (lid.pred_lang <> 'en') AS non_en,
+    (tox.n_toxic >= 1) AS is_toxic,
+    (qs.overall < {CFG.quarantine_action_threshold}) AS low_q
+  FROM documents d
+  JOIN ch ON ch.doc_id = d.doc_id
+  JOIN canon ON canon.h = ch.h
+  JOIN lid ON lid.doc_id = d.doc_id
+  JOIN tox ON tox.doc_id = d.doc_id
+  JOIN qs ON qs.doc_id = d.doc_id
+  LEFT JOIN ncl ON ncl.key = d.doc_id)
+SELECT doc_id,
+  CASE WHEN is_exact THEN 'exact_dup'
+       WHEN is_near THEN 'near_dup'
+       WHEN non_en THEN 'non_english'
+       WHEN is_toxic THEN 'toxic'
+       WHEN low_q THEN 'low_quality'
+       ELSE 'ok' END AS drop_reason,
+  (NOT is_exact AND NOT is_near AND NOT non_en AND NOT is_toxic
+   AND NOT low_q) AS keep
+FROM fl
 """,
         # Gopher-style duplicate-bigram repetition signals, integer
         # fixed-point; generate_series(1, len-1) is empty for len<2 so

@@ -244,26 +244,33 @@ def union_dedup_documents(sf_dir: str):
 # model is used by the transcript pipeline)
 # ---------------------------------------------------------------------------
 
+def _pred_lang_of(text: "pa.Array | pa.ChunkedArray") -> np.ndarray:
+    """Vectorized stopword-marker language prediction (the pinned
+    spec.STOPWORD_MARKERS rule; first max wins, zero markers -> und).
+    Shared by langid_documents and curated_documents."""
+    s = pl.from_arrow(text)
+    if isinstance(s, pl.DataFrame):
+        s = s.to_series()
+    toks = s.str.to_lowercase().str.extract_all(TOKEN_PATTERN)
+    counts = []
+    for _, markers in STOPWORD_MARKERS:
+        c = (toks.list.eval(
+                pl.element().is_in(list(markers)).cast(pl.Int32))
+             .list.sum().fill_null(0))
+        counts.append(c.to_numpy())
+    cmat = np.stack(counts, axis=1)          # (n, n_langs)
+    best = cmat.max(axis=1)
+    arg = cmat.argmax(axis=1)                # first max wins (pinned)
+    langs = np.array([l for l, _ in STOPWORD_MARKERS])
+    return np.where(best > 0, langs[arg], "und")
+
+
 def langid_documents(sf_dir: str):
     """doc_id, pred_lang via the pinned spec.STOPWORD_MARKERS rule."""
     ds = _docs(sf_dir, columns=["doc_id", "text"])
 
     def classify(batch: pa.Table) -> pa.Table:
-        s = pl.from_arrow(batch["text"])
-        if isinstance(s, pl.DataFrame):
-            s = s.to_series()
-        toks = s.str.to_lowercase().str.extract_all(TOKEN_PATTERN)
-        counts = []
-        for _, markers in STOPWORD_MARKERS:
-            c = (toks.list.eval(
-                    pl.element().is_in(list(markers)).cast(pl.Int32))
-                 .list.sum().fill_null(0))
-            counts.append(c.to_numpy())
-        cmat = np.stack(counts, axis=1)          # (n, n_langs)
-        best = cmat.max(axis=1)
-        arg = cmat.argmax(axis=1)                # first max wins (pinned)
-        langs = np.array([l for l, _ in STOPWORD_MARKERS])
-        pred = np.where(best > 0, langs[arg], "und")
+        pred = _pred_lang_of(batch["text"])
         return pa.table({
             "doc_id": batch["doc_id"],
             "pred_lang": pa.array(pred.tolist(), pa.string()),
@@ -1288,3 +1295,111 @@ def docs_matching_terms(sf_dir: str):
 
     return docs.map_batches(probe, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def curated_documents(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
+                      num_partitions: int = 8):
+    """(doc_id, drop_reason, keep): the end-to-end corpus-curation
+    surface a pretraining-data user actually runs — every doc labeled
+    with the FIRST reason that disqualifies it, precedence:
+
+        exact_dup > near_dup > non_english > toxic > low_quality > ok
+
+    - exact_dup: not the min-doc_id of its normalized-text md5 group;
+    - near_dup: non-canonical member of a >= NEAR_DUP_DOC_JACCARD
+      token-Jaccard cluster (LSH + exact verify + connected components);
+    - non_english: stopword-marker langid != 'en';
+    - toxic: >= 1 lexicon hit; low_quality: heuristic overall < 60.
+
+    Scale shape: one fused flags map (heuristics + langid + toxicity +
+    content hash — the corpus is read ONCE); exact-dup canonicals via a
+    two-phase MIN groupby + one bucketed hash join back; the near-dup
+    dropped set is the (small) output of the LSH pair pipeline,
+    broadcast via ray.put. Entirely SQL-checked, including the
+    recursive-CTE cluster precedence.
+    """
+    import hashlib
+
+    import pandas as pd
+    from ray.data.aggregate import Min
+
+    from dataquality_ray.arrowutil import from_pandas_clean
+    from dataquality_ray.spec import EDGE_WS_PATTERN, WS_PLUS_PATTERN
+    from dataquality_ray.stages.clustering import dup_clusters_auto
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def flags(batch: pa.Table) -> pa.Table:
+        b = heuristics_batch(batch, cfg=cfg)
+        s = {c: b[c].to_numpy(zero_copy_only=False).astype(np.int64)
+             for c in ("length_score", "repetition_score",
+                       "symbol_score", "boilerplate_score")}
+        overall = (s["length_score"] + s["repetition_score"]
+                   + s["symbol_score"] + s["boilerplate_score"]) // 4
+        pred = _pred_lang_of(batch["text"])
+        norm = pc.replace_substring_regex(
+            pc.replace_substring_regex(
+                pc.utf8_lower(batch["text"]), EDGE_WS_PATTERN, ""),
+            WS_PLUS_PATTERN, " ")
+        ch = [hashlib.md5(x.encode()).hexdigest()
+              for x in norm.to_pylist()]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "content_hash": pa.array(ch, pa.string()),
+            "overall": pa.array(overall.astype(np.int64)),
+            "n_toxic": pc.cast(b["n_toxic"], pa.int64()),
+            "non_en": pa.array((pred != "en").tolist(), pa.bool_()),
+        })
+
+    flags_ds = docs.map_batches(flags, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def partial_min(t: pa.Table) -> pa.Table:
+        g = (pd.DataFrame({
+            "content_hash": t["content_hash"].to_pylist(),
+            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)})
+            .groupby("content_hash", sort=False)["doc_id"].min()
+            .reset_index())
+        return from_pandas_clean(g)
+
+    canon = flags_ds.select_columns(["content_hash", "doc_id"]) \
+        .map_batches(partial_min, batch_format="pyarrow") \
+        .groupby("content_hash").aggregate(
+            Min("doc_id", alias_name="canonical_id"))
+
+    joined = flags_ds.join(canon, join_type="inner",
+                           num_partitions=num_partitions,
+                           on=("content_hash",)).materialize()
+
+    # near-dup dropped set: clusters over the (small) LSH pair output
+    pairs = near_dup_documents(sf_dir).map_batches(
+        lambda t: pa.table({"key_a": t["id_a"], "key_b": t["id_b"]}),
+        batch_format="pyarrow")
+    clusters = dup_clusters_auto(pairs)
+    cdf = clusters.to_pandas()   # pa.Table and Dataset both support it
+    dropped = np.sort(np.asarray(
+        cdf.loc[cdf["key"] != cdf["cluster"], "key"], dtype=np.int64))
+    dropped_ref = ray.put(dropped)
+
+    def decide(t: pa.Table) -> pa.Table:
+        nd = ray.get(dropped_ref)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        is_exact = ids != t["canonical_id"].to_numpy(
+            zero_copy_only=False)
+        is_near = np.isin(ids, nd)
+        non_en = np.asarray(t["non_en"].to_pylist(), dtype=bool)
+        toxic = t["n_toxic"].to_numpy(zero_copy_only=False) >= 1
+        low_q = t["overall"].to_numpy(zero_copy_only=False) \
+            < cfg.quarantine_action_threshold
+        reason = np.select(
+            [is_exact, is_near, non_en, toxic, low_q],
+            ["exact_dup", "near_dup", "non_english", "toxic",
+             "low_quality"],
+            default="ok")
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "drop_reason": pa.array(reason.tolist(), pa.string()),
+            "keep": pa.array(reason == "ok"),
+        })
+
+    return joined.map_batches(decide, batch_format="pyarrow")
