@@ -123,40 +123,64 @@ def conv_turn_gaps(ds, num_buckets: int = 16):
             .map_groups(scan, batch_format="pandas"))
 
 
-def role_tool_stats(ds):
+def role_tool_stats(ds, num_buckets: int = 64):
     """(role, tool, n_turns, n_convs, sum_chars): per-(role, tool)
     usage aggregate over the transcript table — covers the input_hint's
-    role/tool columns with a hard-checked surface. COUNT(DISTINCT
-    conv_id) uses the two-phase distinct shape: per-batch distinct
-    (role, tool, conv_id) triples first, so the shuffle moves distinct
-    triples (bounded by #convs × #roles × #tools), not turns."""
+    role/tool columns with a hard-checked surface.
+
+    COUNT(DISTINCT conv_id) at scale: per-batch polars partials on
+    (role, tool, conv-hash) first, then ONE bucketed shuffle keyed by
+    conv_hash % num_buckets — every conversation lands in exactly one
+    bucket, so both the per-conv dedup AND the per-(role, tool)
+    distinct counts complete LOCALLY inside each bucket (a vectorized
+    polars groupby, never a million-group Ray aggregate), leaving a
+    7-rows-per-bucket final Sum. The conv key is the frozen 64-bit md5
+    prefix (slim int64 shuffle; exactness per the fixed corpus +
+    SQL-oracle gate)."""
+    import hashlib
+
+    import polars as _pl
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
     def partial(batch: pa.Table) -> pa.Table:
-        n_chars = pc.cast(pc.utf8_length(batch["text"]), pa.int64())
-        g = (pd.DataFrame({
-            "role": batch["role"].to_pylist(),
-            "tool": batch["tool"].to_pylist(),
-            "conv_id": batch["conv_id"].to_pylist(),
-            "n": 1,
-            "c": n_chars.to_numpy(zero_copy_only=False)})
-            .groupby(["role", "tool", "conv_id"], sort=False)
-            .agg(n=("n", "sum"), c=("c", "sum")).reset_index())
-        return from_pandas_clean(g)
+        conv = batch["conv_id"]
+        if isinstance(conv, pa.ChunkedArray):
+            conv = conv.combine_chunks()
+        enc = conv.dictionary_encode()
+        lut = np.fromiter(
+            (int.from_bytes(hashlib.md5(u.encode()).digest()[:8],
+                            "little")
+             for u in enc.dictionary.to_pylist()),
+            dtype=np.uint64, count=len(enc.dictionary))
+        ch = lut[enc.indices.to_numpy(zero_copy_only=False)]
+        df = _pl.DataFrame({
+            "role": _pl.from_arrow(batch["role"]),
+            "tool": _pl.from_arrow(batch["tool"]),
+            "conv_h": ch.view(np.int64),
+            "c": _pl.from_arrow(pc.cast(pc.utf8_length(batch["text"]),
+                                        pa.int64())),
+        })
+        g = df.group_by(["role", "tool", "conv_h"]).agg(
+            _pl.len().cast(_pl.Int64).alias("n"),
+            _pl.col("c").sum().alias("c"))
+        part = (g["conv_h"].to_numpy().view(np.uint64)
+                % np.uint64(num_buckets)).astype(np.int32)
+        return g.to_arrow().append_column("part", pa.array(part))
 
-    triples = ds.map_batches(partial, batch_format="pyarrow",
-                             zero_copy_batch=True) \
-        .groupby(["role", "tool", "conv_id"]).aggregate(
-            Sum("n", alias_name="n"), Sum("c", alias_name="c"))
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = (_pl.from_pandas(df)
+             .group_by(["role", "tool", "conv_h"]).agg(
+                 _pl.col("n").sum(), _pl.col("c").sum())
+             .group_by(["role", "tool"]).agg(
+                 _pl.col("n").sum().alias("n_turns"),
+                 _pl.len().cast(_pl.Int64).alias("n_convs"),
+                 _pl.col("c").sum().alias("sum_chars")))
+        return g.to_pandas()
 
-    def per_block(t: pa.Table) -> pa.Table:
-        g = (t.to_pandas().groupby(["role", "tool"], sort=False)
-             .agg(n_turns=("n", "sum"), n_convs=("conv_id", "size"),
-                  sum_chars=("c", "sum")).reset_index())
-        return from_pandas_clean(g)
-
-    agg = triples.map_batches(per_block, batch_format="pyarrow") \
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("part").map_groups(per_bucket, batch_format="pandas") \
         .groupby(["role", "tool"]).aggregate(
             Sum("n_turns", alias_name="n_turns"),
             Sum("n_convs", alias_name="n_convs"),
