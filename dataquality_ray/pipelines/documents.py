@@ -957,8 +957,8 @@ def docs_from_top_sources(sf_dir: str):
 # must fit in 20 bits so MIN over the packed int is lexicographic min
 _SENT_IDX_BITS = 20
 
-
-def global_sentence_dedup(sf_dir: str, num_partitions: int = 8):
+def global_sentence_dedup(sf_dir: str, num_partitions: int = 8,
+                          num_buckets: int = 32):
     """(doc_id, n_sents, n_kept, kept_text): C4-style CROSS-document
     sentence dedup — a sentence occurrence survives iff it is the
     corpus-global first occurrence (min (doc_id, sent_idx)) of that
@@ -970,18 +970,22 @@ def global_sentence_dedup(sf_dir: str, num_partitions: int = 8):
     removed any three-sentence span occurring more than once).
 
     Scale shape: sentences explode in ONE fused map (split/trim/filter
-    identical to the DuckDB oracle's chain); the shuffle is keyed by the
-    64-bit md5 sentence hash, carrying only (hash, packed-ordinal) into
-    a two-phase MIN — winner assignment then flows back over a bucketed
-    hash join against the (slim) winner table, never a driver
-    materialize. Reassembly is a per-doc map_groups (bounded group =
-    one document). Empty docs are preserved via a left-outer join
-    against the doc-id spine.
+    identical to the DuckDB oracle's chain), then TWO bucketed shuffles
+    — never a per-sentence or per-doc Ray aggregate (distinct sentences
+    ≈ corpus size; see the CLAUDE.md huge-group-count note):
+
+    1. bucket by sentence-hash % K: every occurrence of a sentence
+       lands in one bucket, so the global MIN winner and each
+       occurrence's keep flag complete LOCALLY (vectorized groupby
+       transform);
+    2. bucket by doc_id % K: all of a doc's sentences land in one
+       bucket, so per-doc reassembly completes locally.
+
+    Empty docs are preserved via a left-outer join against the doc-id
+    spine.
     """
     import pandas as pd
-    from ray.data.aggregate import Min
 
-    from dataquality_ray.arrowutil import from_pandas_clean
     from dataquality_ray.spec import token_hash_u64
 
     docs = _docs(sf_dir, columns=["doc_id", "text"])
@@ -1022,10 +1026,9 @@ def global_sentence_dedup(sf_dir: str, num_partitions: int = 8):
             "doc_id": pa.array(doc_id, pa.int64()),
             "sent_idx": pa.array(sent_idx, pa.int64()),
             "sentence": pa.array(df["sentence"].to_list(), pa.string()),
-            # signed REINTERPRET of the u64 hash: the column is only an
-            # equality key (groupby + join) and int64 survives the
-            # pandas-backed shuffle blocks where uint64 degrades to a
-            # pickled-object column
+            "spart": pa.array((h % np.uint64(num_buckets))
+                              .astype(np.int32)),
+            # signed REINTERPRET of the u64 hash (equality key only)
             "h": pa.array(h.view(np.int64), pa.int64()),
             "packed": pa.array(
                 (doc_id.astype(np.int64) << _SENT_IDX_BITS) + sent_idx,
@@ -1035,34 +1038,32 @@ def global_sentence_dedup(sf_dir: str, num_partitions: int = 8):
     sents = docs.map_batches(extract, batch_format="pyarrow",
                              zero_copy_batch=True)
 
-    def partial_min(t: pa.Table) -> pa.Table:
-        g = (pd.DataFrame({
-            "h": t["h"].to_numpy(zero_copy_only=False),
-            "packed": t["packed"].to_numpy(zero_copy_only=False)})
-            .groupby("h", sort=False)["packed"].min().reset_index())
-        return from_pandas_clean(g)
+    def flag_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        win = df.groupby("h", sort=False)["packed"].transform("min")
+        out = df.loc[:, ["doc_id", "sent_idx", "sentence"]].copy()
+        out["keep"] = (df["packed"].to_numpy() == win.to_numpy())
+        out["dpart"] = (df["doc_id"].to_numpy()
+                        % num_buckets).astype(np.int32)
+        return out
 
-    winners = sents.select_columns(["h", "packed"]) \
-        .map_batches(partial_min, batch_format="pyarrow") \
-        .groupby("h").aggregate(Min("packed", alias_name="win"))
+    flagged = sents.groupby("spart").map_groups(
+        flag_bucket, batch_format="pandas")
 
-    joined = sents.join(winners, join_type="inner",
-                        num_partitions=num_partitions, on=("h",))
-
-    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("sent_idx", kind="mergesort")
-        keep = (g["packed"].to_numpy() == g["win"].to_numpy())
-        return pd.DataFrame({
-            "doc_id": [int(g["doc_id"].iloc[0])],
-            "n_sents": [np.int64(len(g))],
-            "n_kept": [np.int64(keep.sum())],
-            "kept_text": [". ".join(g["sentence"].to_numpy()[keep])],
+    def assemble_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["doc_id", "sent_idx"], kind="mergesort")
+        g = df.groupby("doc_id", sort=False)
+        kept = df[df["keep"]].groupby("doc_id", sort=False)["sentence"] \
+            .agg(". ".join)
+        out = pd.DataFrame({
+            "doc_id": np.asarray(list(g.groups.keys()), np.int64),
+            "n_sents": g.size().to_numpy().astype(np.int64),
+            "n_kept": g["keep"].sum().to_numpy().astype(np.int64),
         })
+        out["kept_text"] = out["doc_id"].map(kept).fillna("")
+        return out
 
-    # materialize between the hash join above and the spine join below
-    # (CLAUDE.md: never chain two Ray joins lazily on a small cluster)
-    agg = joined.groupby("doc_id") \
-        .map_groups(per_doc, batch_format="pandas").materialize()
+    agg = flagged.groupby("dpart").map_groups(
+        assemble_bucket, batch_format="pandas")
 
     spine = _docs(sf_dir, columns=["doc_id"])
     out = spine.join(agg, join_type="left_outer",
@@ -1080,6 +1081,7 @@ def global_sentence_dedup(sf_dir: str, num_partitions: int = 8):
         })
 
     return out.map_batches(clean, batch_format="pyarrow")
+
 
 
 def dup_ngram_stats(sf_dir: str):
