@@ -1315,20 +1315,20 @@ def curated_documents(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
 
     Scale shape: one fused flags map (heuristics + langid + toxicity +
     content hash — the corpus is read ONCE); exact-dup canonicals via a
-    two-phase MIN groupby + one bucketed hash join back; the near-dup
-    dropped set is the (small) output of the LSH pair pipeline,
-    broadcast via ray.put. Entirely SQL-checked, including the
-    recursive-CTE cluster precedence.
+    ONE bucketed shuffle on the hash prefix (winner + is_exact complete
+    locally per bucket — no per-hash Ray aggregate, no join back); the
+    near-dup dropped set is the (small) output of the LSH pair
+    pipeline, broadcast via ray.put. Entirely SQL-checked, including
+    the recursive-CTE cluster precedence.
     """
     import hashlib
 
     import pandas as pd
-    from ray.data.aggregate import Min
 
-    from dataquality_ray.arrowutil import from_pandas_clean
     from dataquality_ray.spec import EDGE_WS_PATTERN, WS_PLUS_PATTERN
     from dataquality_ray.stages.clustering import dup_clusters_auto
 
+    num_buckets = 32
     docs = _docs(sf_dir, columns=["doc_id", "text"])
 
     def flags(batch: pa.Table) -> pa.Table:
@@ -1343,11 +1343,16 @@ def curated_documents(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
             pc.replace_substring_regex(
                 pc.utf8_lower(batch["text"]), EDGE_WS_PATTERN, ""),
             WS_PLUS_PATTERN, " ")
-        ch = [hashlib.md5(x.encode()).hexdigest()
-              for x in norm.to_pylist()]
+        dig = [hashlib.md5(x.encode()).digest()
+               for x in norm.to_pylist()]
+        ch = [d.hex() for d in dig]
+        hpart = np.fromiter(
+            (int.from_bytes(d[:4], "little") % num_buckets
+             for d in dig), dtype=np.int32, count=len(dig))
         return pa.table({
             "doc_id": batch["doc_id"],
             "content_hash": pa.array(ch, pa.string()),
+            "hpart": pa.array(hpart),
             "overall": pa.array(overall.astype(np.int64)),
             "n_toxic": pc.cast(b["n_toxic"], pa.int64()),
             "non_en": pa.array((pred != "en").tolist(), pa.bool_()),
@@ -1356,22 +1361,20 @@ def curated_documents(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
     flags_ds = docs.map_batches(flags, batch_format="pyarrow",
                                 zero_copy_batch=True)
 
-    def partial_min(t: pa.Table) -> pa.Table:
-        g = (pd.DataFrame({
-            "content_hash": t["content_hash"].to_pylist(),
-            "doc_id": t["doc_id"].to_numpy(zero_copy_only=False)})
-            .groupby("content_hash", sort=False)["doc_id"].min()
-            .reset_index())
-        return from_pandas_clean(g)
+    # exact-dup canonicals: ONE bucketed shuffle on hash-prefix % K —
+    # every content_hash lands in one bucket, so the MIN winner and the
+    # is_exact flag complete locally (no per-hash Ray aggregate, no
+    # join back; see the CLAUDE.md huge-group-count note)
+    def flag_exact(df: pd.DataFrame) -> pd.DataFrame:
+        win = df.groupby("content_hash", sort=False)["doc_id"] \
+            .transform("min")
+        out = df.loc[:, ["doc_id", "overall", "n_toxic", "non_en"]] \
+            .copy()
+        out["is_exact"] = df["doc_id"].to_numpy() != win.to_numpy()
+        return out
 
-    canon = flags_ds.select_columns(["content_hash", "doc_id"]) \
-        .map_batches(partial_min, batch_format="pyarrow") \
-        .groupby("content_hash").aggregate(
-            Min("doc_id", alias_name="canonical_id"))
-
-    joined = flags_ds.join(canon, join_type="inner",
-                           num_partitions=num_partitions,
-                           on=("content_hash",)).materialize()
+    joined = flags_ds.groupby("hpart").map_groups(
+        flag_exact, batch_format="pandas")
 
     # near-dup dropped set: clusters over the (small) LSH pair output
     pairs = near_dup_documents(sf_dir).map_batches(
@@ -1386,8 +1389,7 @@ def curated_documents(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
     def decide(t: pa.Table) -> pa.Table:
         nd = ray.get(dropped_ref)
         ids = t["doc_id"].to_numpy(zero_copy_only=False)
-        is_exact = ids != t["canonical_id"].to_numpy(
-            zero_copy_only=False)
+        is_exact = np.asarray(t["is_exact"].to_pylist(), dtype=bool)
         is_near = np.isin(ids, nd)
         non_en = np.asarray(t["non_en"].to_pylist(), dtype=bool)
         toxic = t["n_toxic"].to_numpy(zero_copy_only=False) >= 1

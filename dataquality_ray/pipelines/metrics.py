@@ -474,13 +474,14 @@ def user_running_totals(sf_dir: str, num_buckets: int = 16):
             .map_groups(scan, batch_format="pandas"))
 
 
-def distinct_users_by_event_type(sf_dir: str):
+def distinct_users_by_event_type(sf_dir: str, num_buckets: int = 32):
     """(event_type, n_users, n_events): exact COUNT(DISTINCT user_id)
-    via the two-phase distinct shape — per-batch distinct
-    (event_type, user_id) pairs FIRST (the combiner that keeps the
-    shuffle proportional to distinct pairs, not events), then one
-    groupby over the deduplicated pairs. n_events rides along as a
-    per-batch partial count."""
+    via the bucketed-distinct shape — per-batch distinct
+    (event_type, user_id) partials first (the combiner), then ONE
+    shuffle on user_id % K: every user lands in one bucket, so the
+    per-(type, user) dedup and the per-type distinct counts complete
+    LOCALLY (vectorized), leaving a tiny per-bucket final Sum — never
+    a #users-sized Ray aggregate (CLAUDE.md huge-group-count note)."""
     import pandas as pd
     from ray.data.aggregate import Sum
 
@@ -494,25 +495,24 @@ def distinct_users_by_event_type(sf_dir: str):
             "user_id": batch["user_id"].to_numpy(zero_copy_only=False)})
             .groupby(["event_type", "user_id"], sort=False)
             .size().rename("n").reset_index())
+        g["part"] = (g["user_id"].to_numpy()
+                     % num_buckets).astype(np.int32)
         return from_pandas_clean(g)
 
-    pairs = ds.map_batches(partial, batch_format="pyarrow",
-                           zero_copy_batch=True) \
-        .groupby(["event_type", "user_id"]).aggregate(
-            Sum("n", alias_name="n"))
-
-    def count_users(t: pa.Table) -> pa.Table:
-        import pandas as pd
-        g = (t.to_pandas().groupby("event_type", sort=False)
+    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["event_type", "user_id"], sort=False)
+             .agg(n=("n", "sum")).reset_index()
+             .groupby("event_type", sort=False)
              .agg(n_users=("user_id", "size"), n_events=("n", "sum"))
              .reset_index())
-        return from_pandas_clean(g)
+        return g
 
-    from ray.data.aggregate import Sum as _Sum
-    agg = pairs.map_batches(count_users, batch_format="pyarrow") \
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("part").map_groups(per_bucket, batch_format="pandas") \
         .groupby("event_type").aggregate(
-            _Sum("n_users", alias_name="n_users"),
-            _Sum("n_events", alias_name="n_events"))
+            Sum("n_users", alias_name="n_users"),
+            Sum("n_events", alias_name="n_events"))
 
     return agg.map_batches(
         lambda t: pa.table({
