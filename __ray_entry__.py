@@ -239,6 +239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup + langid + toxicity + quality in ONE pipeline with
         # precedence-ordered drop reasons) — SQL-checked
         "curated_documents": D.curated_documents,
+        "near_dup_triangle_counts": D.near_dup_triangle_counts,
         # --- transcripts: entity extraction + per-turn heuristics
         #     (SQL-checked via a direct read_parquet of the fixture) ---
         "transcript_entities": transcript_entities,
@@ -1107,6 +1108,33 @@ SELECT conv_id, turn_idx,
        (PARTITION BY conv_id ORDER BY turn_idx), -1) AS BIGINT)
     AS gap_us
 FROM read_parquet('{tr_glob}')
+""",
+        # per-node triangle counts over the near-dup graph (each
+        # triangle a<b<c found once by the ordered 3-way join,
+        # contributing to all three nodes)
+        "near_dup_triangle_counts": f"""
+WITH nt AS MATERIALIZED (
+  SELECT doc_id,
+    list_distinct(regexp_extract_all(lower(text), '{_TOK}')) AS toks
+  FROM documents),
+p AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM nt a JOIN nt b ON a.doc_id < b.doc_id
+  WHERE len(a.toks) > 0 AND len(b.toks) > 0
+    AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+      >= {NEAR_DUP_DOC_JACCARD}),
+tri AS (
+  SELECT p1.id_a AS a, p1.id_b AS b, p2.id_b AS c
+  FROM p p1
+  JOIN p p2 ON p2.id_a = p1.id_b
+  JOIN p p3 ON p3.id_a = p1.id_a AND p3.id_b = p2.id_b),
+nodes AS (
+  SELECT a AS v FROM tri
+  UNION ALL SELECT b FROM tri
+  UNION ALL SELECT c FROM tri)
+SELECT v AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+FROM nodes GROUP BY v
 """,
         # end-to-end curation: exact dup > near dup > non-english >
         # toxic > low quality > ok (the composed pipeline oracle —

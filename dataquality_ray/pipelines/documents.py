@@ -1407,3 +1407,61 @@ def curated_documents(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
         })
 
     return joined.map_batches(decide, batch_format="pyarrow")
+
+
+def near_dup_triangle_counts(sf_dir: str):
+    """(doc_id, n_triangles): graph analytics over the near-dup pair
+    graph — for every document in at least one triangle, the number of
+    triangles it belongs to. Dense near-dup cliques show up as high
+    triangle counts (a cluster-cohesion signal pair lists alone hide).
+
+    Scale shape: the pair graph is the (small) LSH output, so the
+    adjacency index is a driver broadcast (the dup_clusters contract);
+    counting distributes over the EDGE stream — for edge (a, b), each
+    common neighbor c yields one triangle observation for a, b and c
+    (every triangle observed exactly 3× across its edges → final // 3),
+    accumulated per-batch and reduced in one small groupby.
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from dataquality_ray.arrowutil import from_pandas_clean
+
+    pairs = near_dup_documents(sf_dir).map_batches(
+        lambda t: pa.table({"id_a": t["id_a"], "id_b": t["id_b"]}),
+        batch_format="pyarrow")
+    pdf = pairs.to_pandas()
+    adj: dict = {}
+    for a, b in zip(pdf["id_a"].astype(int), pdf["id_b"].astype(int)):
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    adj = {k: np.unique(np.asarray(v, np.int64))
+           for k, v in adj.items()}
+    adj_ref = ray.put(adj)
+    edges = ray.data.from_arrow(pa.Table.from_pandas(pdf))
+
+    def count_edge_batch(t: pa.Table) -> pa.Table:
+        a_ = ray.get(adj_ref)
+        acc: dict = {}
+        for a, b in zip(t["id_a"].to_numpy(zero_copy_only=False),
+                        t["id_b"].to_numpy(zero_copy_only=False)):
+            common = np.intersect1d(a_[int(a)], a_[int(b)],
+                                    assume_unique=True)
+            if len(common):
+                acc[int(a)] = acc.get(int(a), 0) + len(common)
+                acc[int(b)] = acc.get(int(b), 0) + len(common)
+                for c in common:
+                    acc[int(c)] = acc.get(int(c), 0) + 1
+        g = pd.DataFrame({"doc_id": list(acc.keys()),
+                          "cnt": list(acc.values())})
+        return from_pandas_clean(g)
+
+    agg = edges.map_batches(count_edge_batch, batch_format="pyarrow") \
+        .groupby("doc_id").aggregate(Sum("cnt", alias_name="cnt"))
+    return agg.map_batches(
+        lambda t: pa.table({
+            "doc_id": pc.cast(t["doc_id"], pa.int64()),
+            "n_triangles": pa.array(
+                t["cnt"].to_numpy(zero_copy_only=False) // 3,
+                pa.int64()),
+        }), batch_format="pyarrow")
