@@ -86,7 +86,9 @@ def _query_benches(sf_dir: str) -> dict:
              "dataset_split_documents", "global_sentence_dedup",
              "dup_ngram_stats", "lineitem_pricing_summary",
              "top_orders_per_customer", "regional_revenue",
-             "daily_event_type_pivot"]
+             "daily_event_type_pivot", "role_tool_stats",
+             "conv_turn_gaps", "kmeans_embeddings",
+             "distinct_users_by_event_type"]
     out = {}
     for name in names:
         t0 = time.time()
