@@ -275,6 +275,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_event_type_pivot": _daily_event_type_pivot,
         # --- embeddings: similarity search (SQL-checked) ---
         "ann_topk_embeddings": D.ann_topk_embeddings,
+        "int8_ann_embeddings": D.int8_ann_embeddings,
         "embedding_near_dup": D.embedding_near_dup,
         # approximate variants (rows-only; recall vs brute force / exact
         # asserted in tests/test_clustering.py)
@@ -600,6 +601,7 @@ def _oracle_sql_impl() -> dict[str, str]:
         _SENT_IDX_BITS as SENT_IDX_BITS,
         CONTAM_BENCH_MOD,
         CONTAM_NGRAM,
+        INT8_SCALE as D_INT8_SCALE,
         SEARCH_TERMS as D_SEARCH_TERMS,
     )
     from dataquality_ray.stages.embeddings import (
@@ -1616,6 +1618,29 @@ s AS (SELECT q.query_id, c.vec_id,
       FROM q, c)
 SELECT query_id, vec_id, round(sim, 6) AS cosine_sim,
   CAST(rank AS BIGINT) AS rank
+FROM s WHERE rank <= {ANN_K}
+""",
+        # int8-quantized ANN: EXACT integer dot products (clamp-floor
+        # quantization identical on both sides), ties by vec_id asc
+        "int8_ann_embeddings": f"""
+WITH q8 AS (
+  SELECT vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]),
+      x -> GREATEST(-127, LEAST(127,
+             CAST(floor(x * {D_INT8_SCALE}) AS BIGINT)))) AS qv
+  FROM embeddings),
+qs AS (SELECT vec_id AS query_id, qv AS qq FROM q8
+       WHERE vec_id IN ({ann_ids})),
+cs AS (SELECT vec_id, qv FROM q8 WHERE vec_id NOT IN ({ann_ids})),
+s AS (
+  SELECT qs.query_id, cs.vec_id,
+    CAST(list_dot_product(qs.qq, cs.qv) AS BIGINT) AS int_dot,
+    row_number() OVER (
+      PARTITION BY qs.query_id
+      ORDER BY list_dot_product(qs.qq, cs.qv) DESC, cs.vec_id)
+      AS rank
+  FROM qs, cs)
+SELECT query_id, vec_id, int_dot, CAST(rank AS BIGINT) AS rank
 FROM s WHERE rank <= {ANN_K}
 """,
         "embedding_near_dup": f"""

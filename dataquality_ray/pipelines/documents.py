@@ -1465,3 +1465,79 @@ def near_dup_triangle_counts(sf_dir: str):
                 t["cnt"].to_numpy(zero_copy_only=False) // 3,
                 pa.int64()),
         }), batch_format="pyarrow")
+
+
+INT8_SCALE = 64   # quantization scale: q = clamp(floor(x*64), -127, 127)
+
+
+def int8_ann_embeddings(sf_dir: str):
+    """(query_id, vec_id, int_dot, rank): top-k ANN over int8-QUANTIZED
+    embeddings — the memory-bandwidth scale path for 100 TB ANN (4×
+    smaller vectors, SIMD int dot products), with EXACT integer scoring:
+    q = clamp(floor(x·64), -127, 127) per component, score = <q_a, q_b>
+    in int32 — no float ties, so the whole surface is hash-checkable
+    (ties broken by vec_id asc, the proven ann_topk recipe).
+
+    Scale shape: queries broadcast as one small int matrix; per-batch
+    numpy int matmul + partial top-k; final per-query top-k in a
+    groupby (driver volume O(|queries|·k))."""
+    import pandas as pd
+
+    from dataquality_ray.arrowutil import from_pandas_clean
+
+    emb = _emb(sf_dir)
+    k = ANN_K
+    qids = list(ANN_QUERY_IDS)
+
+    def quantize(mat: np.ndarray) -> np.ndarray:
+        return np.clip(np.floor(mat.astype(np.float64) * INT8_SCALE),
+                       -127, 127).astype(np.int32)
+
+    qdf = emb.map_batches(
+        lambda t: t.filter(pc.is_in(t["vec_id"],
+                                    pa.array(qids, pa.int64()))),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    qdf = qdf.sort_values("vec_id")
+    qmat = quantize(np.stack([np.asarray(v, np.float64)
+                              for v in qdf["embedding"]]))
+    qid_arr = qdf["vec_id"].to_numpy()
+    q_ref = ray.put((qid_arr, qmat))
+
+    def score(batch: pa.Table) -> pa.Table:
+        qid_a, qm = ray.get(q_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        mask = ~np.isin(ids, qid_a)
+        if not mask.any():
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "int_dot": pa.array([], pa.int64())})
+        e = batch["embedding"]
+        if isinstance(e, pa.ChunkedArray):
+            e = e.combine_chunks()
+        dim = len(e[0])
+        mat = np.asarray(e.flatten(), dtype=np.float64) \
+            .reshape(-1, dim)[mask]
+        cand = ids[mask]
+        dots = quantize(mat) @ qm.T                 # (n, |q|) int
+        out = []
+        for j, qid in enumerate(qid_a):
+            d = dots[:, j]
+            take = min(k, len(d))
+            # partial top-k by (dot desc, vec_id asc)
+            order = np.lexsort((cand, -d))[:take]
+            out.append(pd.DataFrame({
+                "query_id": qid, "vec_id": cand[order],
+                "int_dot": d[order].astype(np.int64)}))
+        return from_pandas_clean(pd.concat(out, ignore_index=True))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["int_dot", "vec_id"],
+                            ascending=[False, True],
+                            kind="mergesort").head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    return emb.map_batches(score, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby("query_id").map_groups(final, batch_format="pandas")
