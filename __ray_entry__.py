@@ -240,6 +240,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # precedence-ordered drop reasons) — SQL-checked
         "curated_documents": D.curated_documents,
         "near_dup_triangle_counts": D.near_dup_triangle_counts,
+        "incremental_dedup_documents": D.incremental_dedup_documents,
+        "event_outliers": M.event_outliers,
         # --- transcripts: entity extraction + per-turn heuristics
         #     (SQL-checked via a direct read_parquet of the fixture) ---
         "transcript_entities": transcript_entities,
@@ -601,6 +603,7 @@ def _oracle_sql_impl() -> dict[str, str]:
         _SENT_IDX_BITS as SENT_IDX_BITS,
         CONTAM_BENCH_MOD,
         CONTAM_NGRAM,
+        INCR_NEW_MOD as D_INCR_NEW_MOD,
         INT8_SCALE as D_INT8_SCALE,
         SEARCH_TERMS as D_SEARCH_TERMS,
     )
@@ -1110,6 +1113,45 @@ SELECT conv_id, turn_idx,
        (PARTITION BY conv_id ORDER BY turn_idx), -1) AS BIGINT)
     AS gap_us
 FROM read_parquet('{tr_glob}')
+""",
+        # incremental ingest dedup: incoming shard (doc_id % MOD == 0)
+        # near-dup-matched against the committed corpus; winner = min
+        # committed id, with its round-6 jaccard re-attached
+        "incremental_dedup_documents": f"""
+WITH t AS (
+  SELECT doc_id,
+    list_distinct(regexp_extract_all(lower(text), '{_TOK}')) AS toks
+  FROM documents),
+m AS (
+  SELECT n.doc_id, o.doc_id AS cand,
+    round(CAST(len(list_intersect(n.toks, o.toks)) AS DOUBLE)
+      / (len(n.toks) + len(o.toks)
+         - len(list_intersect(n.toks, o.toks))), 6) AS jaccard
+  FROM t n JOIN t o
+    ON n.doc_id % {D_INCR_NEW_MOD} = 0
+   AND o.doc_id % {D_INCR_NEW_MOD} <> 0
+  WHERE len(n.toks) > 0 AND len(o.toks) > 0
+    AND CAST(len(list_intersect(n.toks, o.toks)) AS DOUBLE)
+      / (len(n.toks) + len(o.toks)
+         - len(list_intersect(n.toks, o.toks)))
+      >= {NEAR_DUP_DOC_JACCARD}),
+w AS (SELECT doc_id, MIN(cand) AS dup_of FROM m GROUP BY doc_id)
+SELECT w.doc_id, w.dup_of, m.jaccard
+FROM w JOIN m ON m.doc_id = w.doc_id AND m.cand = w.dup_of
+""",
+        # two-pass outlier filter: strict exceeders of each type's
+        # exact discrete p99 (quantile_disc index rule)
+        "event_outliers": """
+WITH v AS (
+  SELECT event_id, event_type,
+    CAST(floor(value * 1000) AS BIGINT) AS value_milli
+  FROM events),
+thr AS (
+  SELECT event_type, quantile_disc(value_milli, 0.99) AS p99_milli
+  FROM v GROUP BY event_type)
+SELECT v.event_id, v.event_type, v.value_milli, thr.p99_milli
+FROM v JOIN thr ON thr.event_type = v.event_type
+WHERE v.value_milli > thr.p99_milli
 """,
         # per-node triangle counts over the near-dup graph (each
         # triangle a<b<c found once by the ordered 3-way join,

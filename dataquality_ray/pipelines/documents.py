@@ -1541,3 +1541,101 @@ def int8_ann_embeddings(sf_dir: str):
     return emb.map_batches(score, batch_format="pyarrow",
                            zero_copy_batch=True) \
         .groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+INCR_NEW_MOD = 10    # incoming-shard membership: doc_id % 10 == 0
+
+
+def incremental_dedup_documents(sf_dir: str):
+    """(doc_id, dup_of, jaccard): INCREMENTAL ingest dedup — for each
+    doc of the incoming shard (doc_id % INCR_NEW_MOD == 0), the min-id
+    COMMITTED doc whose distinct-token Jaccard >= NEAR_DUP_DOC_JACCARD,
+    if any (the "is this new crawl page already in the corpus?"
+    operation every continuously-fed training pipeline runs). Jaccard
+    rounded to 6 (the proven float recipe).
+
+    Scale shape: the INCOMING shard is small relative to the corpus by
+    definition — its token sets broadcast once via ray.put; the
+    committed corpus STREAMS through a vectorized per-batch
+    intersection scorer (never shuffles), and the per-new-doc min-id
+    reduce is a tiny groupby over match rows only. (The symmetric
+    full-corpus variant is near_dup_documents' LSH path.)
+    """
+    import pandas as pd
+    from ray.data.aggregate import Min
+
+    from dataquality_ray.arrowutil import from_pandas_clean
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def token_sets(batch: pa.Table, new_side: bool):
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        mask = (ids % INCR_NEW_MOD == 0) if new_side \
+            else (ids % INCR_NEW_MOD != 0)
+        t = batch.filter(pa.array(mask))
+        s = pl.from_arrow(t["text"])
+        if isinstance(s, pl.DataFrame):
+            s = s.to_series()
+        toks = s.fill_null("").str.to_lowercase() \
+            .str.extract_all(TOKEN_PATTERN).list.unique()
+        return (t["doc_id"].to_numpy(zero_copy_only=False),
+                [frozenset(x) for x in toks.to_list()])
+
+    def new_sets(batch: pa.Table) -> pa.Table:
+        ids, sets = token_sets(batch, new_side=True)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "toks": pa.array([sorted(x) for x in sets],
+                             pa.list_(pa.string())),
+        })
+
+    ndf = docs.map_batches(new_sets, batch_format="pyarrow",
+                           zero_copy_batch=True).to_pandas()
+    new_ids = ndf["doc_id"].to_numpy()
+    new_tok = [frozenset(x) for x in ndf["toks"]]
+    new_ref = ray.put((new_ids, new_tok))
+
+    def score_committed(batch: pa.Table) -> pa.Table:
+        nids, ntoks = ray.get(new_ref)
+        cids, csets = token_sets(batch, new_side=False)
+        out_new, out_old, out_j = [], [], []
+        thr = NEAR_DUP_DOC_JACCARD
+        for cid, cset in zip(cids, csets):
+            if not cset:
+                continue
+            lc = len(cset)
+            for nid, nset in zip(nids, ntoks):
+                if not nset:
+                    continue
+                ln = len(nset)
+                # size bound: J >= thr requires min/max >= thr
+                if min(lc, ln) < thr * max(lc, ln):
+                    continue
+                inter = len(cset & nset)
+                if inter == 0:
+                    continue
+                j = inter / (lc + ln - inter)
+                if j >= NEAR_DUP_DOC_JACCARD:
+                    out_new.append(int(nid))
+                    out_old.append(int(cid))
+                    out_j.append(round(j, 6))
+        return pa.table({
+            "doc_id": pa.array(out_new, pa.int64()),
+            "cand": pa.array(out_old, pa.int64()),
+            "jaccard": pa.array(out_j, pa.float64()),
+        })
+
+    matches = docs.map_batches(score_committed, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    agg = matches.groupby("doc_id").aggregate(
+        Min("cand", alias_name="dup_of"))
+
+    # re-attach the jaccard of the WINNING committed doc: match rows
+    # are few (near-dups only), so a driver-side merge is fine
+    mdf = matches.to_pandas()
+    adf = agg.to_pandas()
+    out = adf.merge(mdf, left_on=["doc_id", "dup_of"],
+                    right_on=["doc_id", "cand"], how="left")
+    out = out[["doc_id", "dup_of", "jaccard"]].astype(
+        {"doc_id": np.int64, "dup_of": np.int64})
+    return from_pandas_clean(out)

@@ -568,3 +568,37 @@ def users_without_purchase(sf_dir: str):
             "user_id": t["user_id"],
             "n_events": pa.compute.cast(t["n_events"], pa.int64()),
         }), batch_format="pyarrow")
+
+
+def event_outliers(sf_dir: str):
+    """(event_id, event_type, value_milli, p99_milli): the TWO-PASS
+    broadcast-threshold filter — pass 1 computes each event type's
+    exact discrete p99 (the event_value_percentiles machinery), pass 2
+    broadcasts the tiny per-type threshold map and streams the corpus
+    through a vectorized filter keeping strict exceeders. The
+    "clip/drop outliers before training" shape."""
+    thresholds = event_value_percentiles(sf_dir).to_pandas()
+    thr_ref = ray.put(dict(zip(thresholds["event_type"],
+                               thresholds["p99_milli"].astype(np.int64))))
+
+    ds = _events(sf_dir, columns=["event_id", "event_type", "value"])
+
+    def flag(batch: pa.Table) -> pa.Table:
+        thr = ray.get(thr_ref)
+        et = np.asarray(batch["event_type"].to_pylist())
+        vm = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                      * 1000).astype(np.int64)
+        p99 = np.fromiter((thr[t] for t in et), dtype=np.int64,
+                          count=len(et))
+        keep = vm > p99
+        return pa.table({
+            "event_id": pa.array(
+                batch["event_id"].to_numpy(zero_copy_only=False)[keep],
+                pa.int64()),
+            "event_type": pa.array(et[keep].tolist(), pa.string()),
+            "value_milli": pa.array(vm[keep]),
+            "p99_milli": pa.array(p99[keep]),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow",
+                          zero_copy_batch=True)
