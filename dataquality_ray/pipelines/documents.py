@@ -1625,8 +1625,10 @@ def incremental_dedup_documents(sf_dir: str):
             "jaccard": pa.array(out_j, pa.float64()),
         })
 
+    # materialize: `matches` feeds both the min reduce and the winner
+    # jaccard re-attach — without it the scorer would run twice
     matches = docs.map_batches(score_committed, batch_format="pyarrow",
-                               zero_copy_batch=True)
+                               zero_copy_batch=True).materialize()
     agg = matches.groupby("doc_id").aggregate(
         Min("cand", alias_name="dup_of"))
 

@@ -51,3 +51,37 @@ def test_hot_conversation_salting(small_transcripts):
     if len(hot):
         for conv_id, n in hot.items():
             assert int(got[got.conv_id == conv_id].n_turns.iloc[0]) == n
+
+
+class TestBucketedOpsInvariance:
+    """The bucketed-local-aggregation ops (CLAUDE.md huge-group-count
+    shape) must be invariant to input partitioning."""
+
+    def _tr_ds(self, n=3000):
+        import ray
+        from dataquality_ray.fixtures import transcripts_path
+        return ray.data.read_parquet(transcripts_path(n, seed=42))
+
+    def test_role_tool_stats_partition_invariant(self, ray_session):
+        from dataquality_ray.pipelines.conversations import role_tool_stats
+        ds = self._tr_ds()
+        a = role_tool_stats(ds.repartition(1)).to_pandas()
+        b = role_tool_stats(ds.repartition(7)).to_pandas()
+        key = ["role", "tool"]
+        a = a.sort_values(key).reset_index(drop=True)
+        b = b.sort_values(key).reset_index(drop=True)
+        assert a.equals(b)
+        assert (a["n_turns"] >= a["n_convs"]).all()
+
+    def test_conv_turn_gaps_partition_invariant(self, ray_session):
+        from dataquality_ray.pipelines.conversations import conv_turn_gaps
+        ds = self._tr_ds()
+        key = ["conv_id", "turn_idx"]
+        a = conv_turn_gaps(ds.repartition(1)).to_pandas() \
+            .sort_values(key).reset_index(drop=True)
+        b = conv_turn_gaps(ds.repartition(5)).to_pandas() \
+            .sort_values(key).reset_index(drop=True)
+        assert a.equals(b)
+        # first turn of every conversation is the -1 sentinel
+        assert (a.loc[a["turn_idx"] == a.groupby("conv_id")["turn_idx"]
+                      .transform("min"), "gap_us"] == -1).all()

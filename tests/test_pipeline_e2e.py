@@ -314,3 +314,27 @@ class TestSimHashTokenlessGuard:
                             concurrency=(1, 2))
         pairs = simhash_near_dup(ds).to_pandas()
         assert len(pairs) == 0, pairs
+
+
+class TestGlobalSentenceDedupInvariance:
+    def test_partition_invariant_and_conserving(self, ray_session):
+        from dataquality_ray.pipelines.documents import (
+            global_sentence_dedup)
+        sf = "/root/testdata/sf0.001"
+        a = global_sentence_dedup(sf, num_buckets=4).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        b = global_sentence_dedup(sf, num_buckets=17).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+        assert a.equals(b)
+        assert (a["n_kept"] <= a["n_sents"]).all()
+        # every corpus-distinct sentence survives exactly once overall:
+        # total kept == number of distinct trimmed sentences
+        import duckdb
+        n_distinct = duckdb.connect().execute(f"""
+            SELECT count(DISTINCT s) FROM (
+              SELECT unnest(list_filter(list_transform(
+                string_split(text, '.'),
+                x -> trim(x, ' ' || chr(9) || chr(13) || chr(10))),
+                x -> x <> '')) AS s
+              FROM '{sf}/documents.parquet')""").fetchone()[0]
+        assert int(a["n_kept"].sum()) == int(n_distinct)
