@@ -242,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_triangle_counts": D.near_dup_triangle_counts,
         "incremental_dedup_documents": D.incremental_dedup_documents,
         "event_outliers": M.event_outliers,
+        "approx_event_percentiles": M.approx_event_percentiles,
         # --- transcripts: entity extraction + per-turn heuristics
         #     (SQL-checked via a direct read_parquet of the fixture) ---
         "transcript_entities": transcript_entities,
@@ -593,6 +594,7 @@ def _oracle_sql_impl() -> dict[str, str]:
     from dataquality_ray.pipelines.metrics import (
         HIGH_VALUE_MIN as M_HIGH_VALUE_MIN,
         RANGE_JOIN_WINDOW_US as M_RANGE_WINDOW_US,
+        SKETCH_BINS as M_SKETCH_BINS,
     )
     from dataquality_ray.pipelines.relational import (
         EVENT_TYPES as REL_EVENT_TYPES,
@@ -1138,6 +1140,42 @@ m AS (
 w AS (SELECT doc_id, MIN(cand) AS dup_of FROM m GROUP BY doc_id)
 SELECT w.doc_id, w.dup_of, m.jaccard
 FROM w JOIN m ON m.doc_id = w.doc_id AND m.cand = w.dup_of
+""",
+        # mergeable equal-width histogram sketch quantiles — the
+        # estimate is pure integer math, so even the SKETCH is
+        # hash-checked (error bound vs exact asserted in pytest)
+        "approx_event_percentiles": f"""
+WITH v AS (
+  SELECT event_type, CAST(floor(value * 1000) AS BIGINT) AS vm
+  FROM events),
+s AS (
+  SELECT event_type, MIN(vm) AS mn, MAX(vm) AS mx,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM v GROUP BY 1),
+b AS (
+  SELECT v.event_type,
+    ((v.vm - s.mn) * {M_SKETCH_BINS}) // (s.mx - s.mn + 1) AS bin
+  FROM v JOIN s USING (event_type)),
+h AS (SELECT event_type, bin, COUNT(*) AS c FROM b GROUP BY 1, 2),
+cum AS (
+  SELECT event_type, bin,
+    SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+  FROM h),
+pick AS (
+  SELECT c.event_type, pr.p, MIN(c.bin) AS bin
+  FROM cum c
+  JOIN s ON s.event_type = c.event_type
+  CROSS JOIN (VALUES (50), (90), (99)) pr(p)
+  WHERE c.cum >= (s.n * pr.p + 99) // 100
+  GROUP BY 1, 2)
+SELECT s.event_type, s.n AS n_events,
+  {", ".join(
+    "CAST(MAX(CASE WHEN pick.p = " + str(p) + " THEN "
+    "s.mn + ((pick.bin + 1) * (s.mx - s.mn + 1)) // "
+    + str(M_SKETCH_BINS) + " - 1 END) AS BIGINT) AS p" + str(p)
+    + "_est" for p in (50, 90, 99))}
+FROM s JOIN pick ON pick.event_type = s.event_type
+GROUP BY 1, 2
 """,
         # two-pass outlier filter: strict exceeders of each type's
         # exact discrete p99 (quantile_disc index rule)

@@ -602,3 +602,91 @@ def event_outliers(sf_dir: str):
 
     return ds.map_batches(flag, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+SKETCH_BINS = 4096   # histogram-sketch width (equal-width integer bins)
+
+
+def approx_event_percentiles(sf_dir: str):
+    """(event_type, n_events, p50_est, p90_est, p99_est): APPROXIMATE
+    per-type percentiles from a bounded-memory MERGEABLE sketch — the
+    scale path for quantiles when exact per-group selection
+    (event_value_percentiles) would need the whole group in one place.
+
+    Sketch = equal-width integer histogram over [min, max]:
+    pass 1 aggregates exact (min, max, n) per type (tiny); pass 2
+    broadcasts those ranges and bin-counts each batch (partials are
+    int vectors — merging = addition, so ANY reduce order is exact);
+    the estimate for percentile p is the upper edge of the first bin
+    whose cumulative count reaches ceil(n·p) (the quantile_disc index
+    rule). All integer math → the sketch itself is SQL-checkable;
+    the error bound (≤ one bin width) is pytest-asserted vs the exact
+    operator."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from dataquality_ray.arrowutil import from_pandas_clean
+
+    ds = _events(sf_dir, columns=["event_type", "value"])
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        vm = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                      * 1000).astype(np.int64)
+        g = (pd.DataFrame({"event_type":
+                           batch["event_type"].to_pylist(), "vm": vm})
+             .groupby("event_type", sort=False)["vm"]
+             .agg(mn="min", mx="max", n="size").reset_index())
+        return from_pandas_clean(g)
+
+    from ray.data.aggregate import Max, Min
+    stats = ds.map_batches(stats_partial, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Min("mn", alias_name="mn"), Max("mx", alias_name="mx"),
+            Sum("n", alias_name="n")).to_pandas()
+    ranges = {r["event_type"]: (int(r["mn"]), int(r["mx"]), int(r["n"]))
+              for _, r in stats.iterrows()}
+    ranges_ref = ray.put(ranges)
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        rg = ray.get(ranges_ref)
+        et = np.asarray(batch["event_type"].to_pylist())
+        vm = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                      * 1000).astype(np.int64)
+        out = {"event_type": [], "bin": [], "c": []}
+        for t in np.unique(et):
+            mn, mx, _ = rg[t]
+            span = mx - mn + 1
+            bins = ((vm[et == t] - mn) * SKETCH_BINS) // span
+            bc = np.bincount(bins, minlength=0)
+            nz = np.nonzero(bc)[0]
+            out["event_type"].extend([t] * len(nz))
+            out["bin"].extend(nz.astype(np.int64))
+            out["c"].extend(bc[nz].astype(np.int64))
+        return from_pandas_clean(pd.DataFrame(out))
+
+    hist = ds.map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby(["event_type", "bin"]).aggregate(
+            Sum("c", alias_name="c"))
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        rg = ranges  # closure: tiny driver-known dict
+        df = df.sort_values("bin", kind="mergesort")
+        t = df["event_type"].iloc[0]
+        mn, mx, n = rg[t]
+        span = mx - mn + 1
+        cum = df["c"].to_numpy().cumsum()
+        bins = df["bin"].to_numpy()
+        est = {}
+        for p in (50, 90, 99):
+            idx = (n * p + 99) // 100          # ceil(n*p/100)
+            b = int(bins[np.searchsorted(cum, idx)])
+            est[p] = mn + ((b + 1) * span) // SKETCH_BINS - 1
+        return pd.DataFrame({
+            "event_type": [t], "n_events": [np.int64(n)],
+            "p50_est": [np.int64(est[50])],
+            "p90_est": [np.int64(est[90])],
+            "p99_est": [np.int64(est[99])],
+        })
+
+    return hist.groupby("event_type").map_groups(
+        finish, batch_format="pandas")

@@ -88,3 +88,33 @@ class TestAsofJoinBackward:
                        tab["event_id_r"].to_pylist()))
         assert got[1] == big          # bit-exact past 2^53
         assert got[2] is None
+
+
+class TestApproxPercentileSketch:
+    def test_error_bounded_by_bin_width(self, ray_session):
+        from dataquality_ray.pipelines.metrics import (
+            SKETCH_BINS,
+            approx_event_percentiles,
+            event_value_percentiles,
+        )
+        sf = "/root/testdata/sf0.001"
+        exact = event_value_percentiles(sf).to_pandas() \
+            .set_index("event_type")
+        approx = approx_event_percentiles(sf).to_pandas() \
+            .set_index("event_type")
+        assert set(exact.index) == set(approx.index)
+        # estimate = upper edge of the chosen bin: never below the true
+        # discrete quantile, and within one bin width of it
+        import duckdb
+        rng = duckdb.connect().execute(f"""
+            SELECT event_type,
+              max(CAST(floor(value*1000) AS BIGINT))
+              - min(CAST(floor(value*1000) AS BIGINT)) + 1
+            FROM '{sf}/events.parquet' GROUP BY 1""").fetchall()
+        for t, span in rng:
+            width = span // SKETCH_BINS + 1
+            for p in (50, 90, 99):
+                e = int(exact.loc[t, f"p{p}_milli"])
+                a = int(approx.loc[t, f"p{p}_est"])
+                assert a >= e
+                assert abs(a - e) <= width, (t, p, a, e, width)
