@@ -231,6 +231,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_split_documents": D.dataset_split_documents,
         "corpus_vocab_stats": D.corpus_vocab_stats,
         "token_count_documents": D.token_count_documents,
+        # training-data prep: context-window chunking (flat-map
+        # explode), greedy sequence packing (bucketed prefix scan),
+        # NTILE deciles (histogram ranking) — all SQL-checked
+        "doc_context_chunks": D.doc_context_chunks,
+        "packed_sequence_documents": D.packed_sequence_documents,
+        "doc_quality_deciles": D.doc_quality_deciles,
         "doc_metadata_gate": D.doc_metadata_gate,
         "global_sentence_dedup": D.global_sentence_dedup,
         "dup_ngram_stats": D.dup_ngram_stats,
@@ -252,6 +258,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_length_histogram": conv_length_histogram,
         "conv_turn_gaps": _conv_turn_gaps_q,
         "role_tool_stats": _role_tool_stats_q,
+        # turns -> training documents (string_agg ORDER BY as the
+        # bucketed ordered scan) — SQL-checked
+        "conv_training_docs": _conv_training_docs_q,
         # --- events: metrics (SQL-checked) ---
         "daily_event_metrics": M.daily_event_metrics,
         "top_users_by_value": M.top_users_by_value,
@@ -435,6 +444,11 @@ def _role_tool_stats_q(sf_dir: str):
     return role_tool_stats(_transcript_ds(sf_dir))
 
 
+def _conv_training_docs_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import conv_training_docs
+    return conv_training_docs(_transcript_ds(sf_dir))
+
+
 def _lineitem_pricing_summary(sf_dir: str):
     from dataquality_ray.pipelines.relational import lineitem_pricing_summary
     return lineitem_pricing_summary(sf_dir)
@@ -574,7 +588,12 @@ def _oracle_sql_impl() -> dict[str, str]:
     from dataquality_ray.pipelines.documents import (
         ANN_K,
         ANN_QUERY_IDS,
+        CHUNK_STRIDE,
+        CHUNK_WINDOW,
         COOC_TOP_K,
+        NTILE_BUCKETS,
+        PACK_BUCKETS,
+        PACK_TOKEN_BUDGET,
         EMB_NEAR_DUP_COSINE,
         METADATA_GATE_THRESHOLD as D_METADATA_GATE,
         NEAR_DUP_DOC_JACCARD,
@@ -1115,6 +1134,76 @@ SELECT conv_id, turn_idx,
        (PARTITION BY conv_id ORDER BY turn_idx), -1) AS BIGINT)
     AS gap_us
 FROM read_parquet('{tr_glob}')
+""",
+        # turns -> training documents: string_agg(... ORDER BY turn_idx)
+        # as the bucketed ordered scan
+        "conv_training_docs": f"""
+SELECT conv_id,
+  CAST(COUNT(*) AS BIGINT) AS n_turns,
+  CAST(length(string_agg(role || ': ' || text, chr(10)
+                         ORDER BY turn_idx)) AS BIGINT) AS n_chars,
+  string_agg(role || ': ' || text, chr(10) ORDER BY turn_idx) AS doc_text
+FROM read_parquet('{tr_glob}')
+GROUP BY conv_id
+""",
+        # context-window chunking: every doc explodes into windows of
+        # CHUNK_WINDOW chars every CHUNK_STRIDE chars; empty docs keep
+        # one empty chunk (substr/str.slice/python slicing all count
+        # code points, so the surfaces agree on unicode)
+        "doc_context_chunks": f"""
+WITH d AS (
+  SELECT doc_id, text, length(text) AS n FROM documents),
+c AS (
+  SELECT doc_id, text,
+    unnest(range(0, greatest(
+      (n + {CHUNK_STRIDE - 1}) // {CHUNK_STRIDE}, 1))) AS chunk_idx
+  FROM d)
+SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+  substr(text, CAST(chunk_idx * {CHUNK_STRIDE} + 1 AS BIGINT),
+         {CHUNK_WINDOW}) AS chunk_text,
+  CAST(length(substr(text, CAST(chunk_idx * {CHUNK_STRIDE} + 1 AS BIGINT),
+                     {CHUNK_WINDOW})) AS BIGINT) AS chunk_len
+FROM c
+""",
+        # greedy sequence packing: the recursive CTE replays the same
+        # first-fit rule per bucket stream (new sequence when the
+        # running token total would exceed the budget; an over-budget
+        # doc still gets its own sequence)
+        "packed_sequence_documents": f"""
+WITH RECURSIVE
+d AS MATERIALIZED (
+  SELECT doc_id,
+    CAST(md5_number_upper(CAST(doc_id AS VARCHAR))
+         % {PACK_BUCKETS} AS BIGINT) AS bucket,
+    CAST(len(regexp_extract_all(text, '{spec.WS_TOKEN_PATTERN}'))
+         AS BIGINT) AS n_tokens,
+    row_number() OVER (
+      PARTITION BY md5_number_upper(CAST(doc_id AS VARCHAR))
+                   % {PACK_BUCKETS}
+      ORDER BY doc_id) AS rn
+  FROM documents),
+s(bucket, rn, doc_id, n_tokens, seq_id, tok_offset, run) AS (
+  SELECT bucket, rn, doc_id, n_tokens,
+         CAST(0 AS BIGINT), CAST(0 AS BIGINT), n_tokens
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.bucket, d.rn, d.doc_id, d.n_tokens,
+    CASE WHEN s.run + d.n_tokens > {PACK_TOKEN_BUDGET}
+         THEN s.seq_id + 1 ELSE s.seq_id END,
+    CASE WHEN s.run + d.n_tokens > {PACK_TOKEN_BUDGET}
+         THEN CAST(0 AS BIGINT) ELSE s.run END,
+    CASE WHEN s.run + d.n_tokens > {PACK_TOKEN_BUDGET}
+         THEN d.n_tokens ELSE s.run + d.n_tokens END
+  FROM s JOIN d ON d.bucket = s.bucket AND d.rn = s.rn + 1)
+SELECT doc_id, bucket, seq_id, tok_offset, n_tokens FROM s
+""",
+        # NTILE(10) global ranking over the heuristic quality score
+        "doc_quality_deciles": _QUALITY_CTE + f"""
+SELECT doc_id,
+  CAST(overall AS BIGINT) AS overall_quality_score,
+  CAST(ntile({NTILE_BUCKETS}) OVER (ORDER BY overall, doc_id)
+       AS BIGINT) AS decile
+FROM q
 """,
         # incremental ingest dedup: incoming shard (doc_id % MOD == 0)
         # near-dup-matched against the committed corpus; winner = min

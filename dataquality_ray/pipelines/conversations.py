@@ -196,3 +196,46 @@ def role_tool_stats(ds, num_buckets: int = 64):
         })
 
     return agg.map_batches(clean, batch_format="pyarrow")
+
+
+def conv_training_docs(ds, num_buckets: int = 16):
+    """(conv_id, n_turns, n_chars, doc_text): reassemble each
+    conversation into ONE training document — 'role: text' lines joined
+    by newline in turn_idx order (the turns→documents construction step
+    of a transcript training pipeline; SQL twin: string_agg(... ORDER BY
+    turn_idx)).
+
+    Shape: the bucketed ordered scan — ONE hash shuffle on
+    conv_bucket(md5(conv_id) % K) co-locates every conversation's turns,
+    then a vectorized polars sort + group agg assembles locally. Nothing
+    conversation-proportional ever crosses a second exchange; the
+    output is one row per conversation.
+    """
+    import polars as _pl
+    from dataquality_ray.pipelines.quality import conv_bucket_of
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket": conv_bucket_of(batch["conv_id"], num_buckets),
+            "conv_id": batch["conv_id"],
+            "turn_idx": batch["turn_idx"],
+            "role": batch["role"],
+            "text": batch["text"],
+        })
+
+    def assemble(df: pd.DataFrame) -> pd.DataFrame:
+        g = (_pl.from_pandas(df)
+             .sort(["conv_id", "turn_idx"])
+             .group_by("conv_id", maintain_order=True)
+             .agg(n_turns=_pl.len().cast(_pl.Int64),
+                  doc_text=(_pl.col("role") + _pl.lit(": ")
+                            + _pl.col("text")).str.join("\n"))
+             .with_columns(n_chars=_pl.col("doc_text").str.len_chars()
+                           .cast(_pl.Int64))
+             .select("conv_id", "n_turns", "n_chars", "doc_text"))
+        return g.to_pandas()
+
+    return (ds.map_batches(bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(assemble, batch_format="pandas"))

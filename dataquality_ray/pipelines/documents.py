@@ -1641,3 +1641,201 @@ def incremental_dedup_documents(sf_dir: str):
     out = out[["doc_id", "dup_of", "jaccard"]].astype(
         {"doc_id": np.int64, "dup_of": np.int64})
     return from_pandas_clean(out)
+
+
+# --- context-window chunking (LLM training-data prep) -----------------
+
+CHUNK_WINDOW = 400   # chars per training chunk
+CHUNK_STRIDE = 300   # chunk start stride (CHUNK_WINDOW - overlap)
+
+
+def doc_context_chunks(sf_dir: str):
+    """(doc_id, chunk_idx, chunk_text, chunk_len): split each document
+    into fixed context windows of CHUNK_WINDOW chars starting every
+    CHUNK_STRIDE chars (overlapping by WINDOW-STRIDE) — the standard
+    training-data prep that turns long documents into model-sized
+    examples (reference analog: the 2000/8000-char truncations at
+    metadata.py:347 and bedrock.py:424 keep only a prefix; chunking
+    keeps everything).
+
+    Shape: a pure flat-map — one vectorized polars explode per batch
+    (int_ranges → explode → str.slice), zero shuffles, embarrassingly
+    parallel at any corpus size. Empty docs are preserved as one empty
+    chunk (never drop rows silently). Character semantics are identical
+    across polars str.slice, Python slicing and DuckDB substr (all code
+    points), so the surface is SQL-checked.
+    """
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        df = pl.DataFrame({
+            "doc_id": pl.from_arrow(batch["doc_id"]),
+            "text": pl.from_arrow(batch["text"]),
+        })
+        n = pl.col("text").str.len_chars().cast(pl.Int64)
+        n_chunks = pl.max_horizontal(
+            (n + (CHUNK_STRIDE - 1)) // CHUNK_STRIDE, pl.lit(1))
+        out = (
+            df.with_columns(chunk_idx=pl.int_ranges(0, n_chunks,
+                                                    dtype=pl.Int64))
+            .explode("chunk_idx")
+            .with_columns(
+                chunk_text=pl.col("text").str.slice(
+                    pl.col("chunk_idx") * CHUNK_STRIDE, CHUNK_WINDOW)
+                .fill_null(""))
+            .with_columns(
+                chunk_len=pl.col("chunk_text").str.len_chars()
+                .cast(pl.Int64))
+            .select("doc_id", "chunk_idx", "chunk_text", "chunk_len"))
+        return out.to_arrow()
+
+    return ds.map_batches(chunk, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+# --- greedy sequence packing (fixed token budget) ----------------------
+
+PACK_TOKEN_BUDGET = 512   # whitespace tokens per packed sequence
+PACK_BUCKETS = 8          # independent packing streams (hash of doc_id)
+
+
+def packed_sequence_documents(sf_dir: str):
+    """(doc_id, bucket, seq_id, tok_offset, n_tokens): greedy sequence
+    packing — assign documents to fixed-token-budget training sequences
+    (first-fit in doc_id order; a doc longer than the budget gets its
+    own sequence). Packing is inherently a sequential prefix scan with
+    reset, so it CANNOT be a single global scan at corpus scale; the
+    documented partitioning assumption is PACK_BUCKETS independent
+    packing streams keyed by the frozen md5 hash of the doc id — each
+    stream packs locally after ONE slim hash shuffle (doc_id + token
+    count only, never text).
+
+    The per-bucket scan is O(#sequences) numpy searchsorted hops over
+    the cumulative token counts, not a per-row Python loop. SQL-checked
+    against a recursive-CTE oracle that replays the same greedy rule.
+    """
+    from dataquality_ray.spec import WS_TOKEN_PATTERN, token_hash_u64
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch["text"])
+        ids = batch["doc_id"].to_pylist()
+        bucket = np.fromiter(
+            (token_hash_u64(str(i)) % PACK_BUCKETS for i in ids),
+            dtype=np.int64, count=len(ids))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "bucket": pa.array(bucket),
+            "n_tokens": pa.array(
+                s.str.count_matches(WS_TOKEN_PATTERN)
+                .cast(pl.Int64).to_numpy(), pa.int64()),
+        })
+
+    def pack(df):
+        import pandas as pd
+        df = df.sort_values("doc_id", kind="mergesort")
+        nt = df["n_tokens"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(nt)
+        n = len(nt)
+        starts = []          # first row index of each sequence
+        pos, base = 0, 0     # base = cumulative tokens before this seq
+        while pos < n:
+            starts.append(pos)
+            # include docs while the running total stays <= budget;
+            # a single over-budget doc still gets its own sequence
+            j = int(np.searchsorted(cum, base + PACK_TOKEN_BUDGET,
+                                    side="right"))
+            if j == pos:
+                j = pos + 1
+            base = int(cum[j - 1])
+            pos = j
+        starts = np.asarray(starts, dtype=np.int64)
+        lengths = np.diff(np.append(starts, n))
+        seq_id = np.repeat(np.arange(len(starts), dtype=np.int64),
+                           lengths)
+        seq_base = np.repeat(
+            np.concatenate(([0], cum[starts[1:] - 1])), lengths)
+        tok_offset = np.concatenate(([0], cum[:-1])) - seq_base
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "bucket": df["bucket"].to_numpy(),
+            "seq_id": seq_id,
+            "tok_offset": tok_offset.astype(np.int64),
+            "n_tokens": nt,
+        })
+
+    return ds.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("bucket").map_groups(pack, batch_format="pandas")
+
+
+# --- global NTILE ranking (quality deciles) -----------------------------
+
+NTILE_BUCKETS = 10
+
+
+def doc_quality_deciles(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """(doc_id, overall_quality_score, decile): NTILE(10) OVER (ORDER BY
+    score, doc_id) — global ranking WITHOUT a global sort. The score
+    domain is bounded (0..100 integers), so exact global ranks come
+    from histogram ranking: a tiny per-score count aggregate (<= 101
+    rows on the driver) yields each score's global start offset; one
+    hash shuffle on score then ranks rows locally within their score
+    group by doc_id. The only data-volume-proportional exchange is that
+    single bucketed shuffle.
+
+    Scale note: a single score value can be hot (many docs share one
+    score). The within-score rank only needs doc_id order, so at 100 TB
+    the hot groups sub-bucket by doc_id range with a second count
+    histogram — same pattern one level down; at test scale the direct
+    per-score groups are exact and small enough.
+    """
+    from ray.data.aggregate import Sum
+
+    scored = quality_documents(sf_dir, cfg)
+
+    def project(batch: pa.Table) -> pa.Table:
+        return batch.select(["doc_id", "overall_quality_score"])
+
+    slim = scored.map_batches(project, batch_format="pyarrow") \
+        .materialize()   # feeds both the histogram and the rank shuffle
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+        s = batch["overall_quality_score"].to_numpy(zero_copy_only=False)
+        vals, cnt = np.unique(s, return_counts=True)
+        return pa.table({"score": pa.array(vals.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    hist = slim.map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby("score").aggregate(Sum("n", alias_name="n")) \
+        .to_pandas().sort_values("score")
+    counts = hist["n"].to_numpy(dtype=np.int64)
+    scores = hist["score"].to_numpy(dtype=np.int64)
+    offsets = dict(zip(scores.tolist(),
+                       (np.cumsum(counts) - counts).tolist()))
+    total = int(counts.sum())
+
+    # SQL-standard NTILE: first (total % k) tiles get one extra row
+    q, r = divmod(total, NTILE_BUCKETS)
+    boundary = r * (q + 1)
+
+    def rank_group(df):
+        import pandas as pd
+        df = df.sort_values("doc_id", kind="mergesort")
+        score = int(df["overall_quality_score"].iloc[0])
+        rank0 = offsets[score] + np.arange(len(df), dtype=np.int64)
+        small = np.maximum(q, 1)   # q == 0 → every tile is an "extra" one
+        tile = np.where(rank0 < boundary,
+                        rank0 // (q + 1) + 1,
+                        r + (rank0 - boundary) // small + 1)
+        return pd.DataFrame({
+            "doc_id": df["doc_id"].to_numpy(),
+            "overall_quality_score": df["overall_quality_score"]
+            .to_numpy().astype(np.int64),
+            "decile": tile.astype(np.int64),
+        })
+
+    return slim.groupby("overall_quality_score") \
+        .map_groups(rank_group, batch_format="pandas")
