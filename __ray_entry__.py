@@ -277,6 +277,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_without_purchase": M.users_without_purchase,
         "docs_from_top_sources": D.docs_from_top_sources,
         "docs_matching_terms": D.docs_matching_terms,
+        # --- multi-format sources: JSONL + CSV shards derived
+        #     deterministically from the sf tables, read back through
+        #     ray.data.read_json / read_csv; oracles recompute from the
+        #     ORIGINAL parquet views, so the whole write->read round
+        #     trip is SQL-checked ---
+        "events_jsonl_roundtrip": _events_jsonl_roundtrip,
+        "supplier_balance_by_nation": _supplier_balance_by_nation,
         # --- relational: multi-table hash joins (SQL-checked) ---
         "orders_by_nation": _orders_by_nation,
         "revenue_by_brand": _revenue_by_brand,
@@ -447,6 +454,16 @@ def _role_tool_stats_q(sf_dir: str):
 def _conv_training_docs_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import conv_training_docs
     return conv_training_docs(_transcript_ds(sf_dir))
+
+
+def _events_jsonl_roundtrip(sf_dir: str):
+    from dataquality_ray.sources.formats import events_jsonl_roundtrip
+    return events_jsonl_roundtrip(sf_dir)
+
+
+def _supplier_balance_by_nation(sf_dir: str):
+    from dataquality_ray.sources.formats import supplier_balance_by_nation
+    return supplier_balance_by_nation(sf_dir)
 
 
 def _lineitem_pricing_summary(sf_dir: str):
@@ -1134,6 +1151,22 @@ SELECT conv_id, turn_idx,
        (PARTITION BY conv_id ORDER BY turn_idx), -1) AS BIGINT)
     AS gap_us
 FROM read_parquet('{tr_glob}')
+""",
+        # multi-format sources: the Ray side reads derived JSONL/CSV
+        # shards; these oracles recompute the same fixed-point integers
+        # from the ORIGINAL parquet views (round-trip fidelity check)
+        "events_jsonl_roundtrip": """
+SELECT event_id, user_id, event_type,
+  CAST(floor(value * 1000) AS BIGINT) AS value_milli
+FROM events
+""",
+        "supplier_balance_by_nation": """
+SELECT n_name,
+  CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+  CAST(SUM(CAST(floor(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+    AS sum_acctbal_cents
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+GROUP BY 1
 """,
         # turns -> training documents: string_agg(... ORDER BY turn_idx)
         # as the bucketed ordered scan

@@ -1,0 +1,180 @@
+"""Multi-format sources: JSONL and CSV shards derived from the driver
+tables (reference analog: the S2 object-read surface handles many file
+types — s3.py:188-251, s3.py:268-294; here each format gets a real Ray
+Data reader instead of a per-file type switch).
+
+The shards are synthesized DETERMINISTICALLY from the sf parquet tables
+(no external data): numeric payloads are converted to fixed-point
+integers at write time (floor(value*1000) milli / floor(bal*100) cents —
+the repo-wide fixed-point rule) so the JSON/CSV round-trip is
+bit-exact and the oracle can recompute the same integers straight from
+the original parquet views. Caches under /tmp keyed by sf dir + version;
+a _DONE marker makes the build idempotent and safe to race.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+_FORMATS_VERSION = "v1"
+_NUM_SHARDS = 4
+
+
+def _cache_dir(kind: str, sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return os.path.join("/tmp/dq_formats",
+                        f"{kind}_{base}_{_FORMATS_VERSION}")
+
+
+def events_jsonl_path(sf_dir: str) -> str:
+    """Write (once, cached) the events table as JSONL shards —
+    (event_id, user_id, event_type, value_milli) with value converted
+    to fixed-point milli at write time — and return the directory."""
+    import polars as pl
+
+    out = _cache_dir("events_jsonl", sf_dir)
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
+                      columns=["event_id", "user_id", "event_type",
+                               "value"])
+    value_milli = np.floor(
+        t["value"].to_numpy(zero_copy_only=False) * 1000).astype(np.int64)
+    df = pl.DataFrame({
+        "event_id": t["event_id"].to_numpy(zero_copy_only=False),
+        "user_id": t["user_id"].to_numpy(zero_copy_only=False),
+        "event_type": pl.from_arrow(t["event_type"]),
+        "value_milli": value_milli,
+    })
+    os.makedirs(out, exist_ok=True)
+    n = len(df)
+    step = (n + _NUM_SHARDS - 1) // _NUM_SHARDS
+    for i in range(_NUM_SHARDS):
+        part = df.slice(i * step, step)
+        if len(part):
+            part.write_ndjson(
+                os.path.join(out, f"events-{i:03d}.jsonl"))
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return out
+
+
+def supplier_csv_path(sf_dir: str) -> str:
+    """Write (once, cached) the supplier table as CSV shards —
+    (s_suppkey, s_nationkey, acctbal_cents) with the balance converted
+    to fixed-point cents at write time (integer-only columns: no CSV
+    quoting/escaping ambiguity) — and return the directory."""
+    import polars as pl
+
+    out = _cache_dir("supplier_csv", sf_dir)
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    t = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+                      columns=["s_suppkey", "s_nationkey", "s_acctbal"])
+    cents = np.floor(
+        t["s_acctbal"].to_numpy(zero_copy_only=False) * 100) \
+        .astype(np.int64)
+    df = pl.DataFrame({
+        "s_suppkey": t["s_suppkey"].to_numpy(zero_copy_only=False)
+        .astype(np.int64),
+        "s_nationkey": t["s_nationkey"].to_numpy(zero_copy_only=False)
+        .astype(np.int64),
+        "acctbal_cents": cents,
+    })
+    os.makedirs(out, exist_ok=True)
+    n = len(df)
+    step = (n + _NUM_SHARDS - 1) // _NUM_SHARDS
+    for i in range(_NUM_SHARDS):
+        part = df.slice(i * step, step)
+        if len(part):
+            part.write_csv(os.path.join(out, f"supplier-{i:03d}.csv"))
+    with open(done, "w") as fh:
+        fh.write("ok")
+    return out
+
+
+def read_events_jsonl(sf_dir: str):
+    """Ray Data JSONL reader over the derived event shards."""
+    import ray
+
+    path = events_jsonl_path(sf_dir)
+    files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                   if f.endswith(".jsonl"))
+    return ray.data.read_json(files)
+
+
+def read_supplier_csv(sf_dir: str):
+    """Ray Data CSV reader over the derived supplier shards."""
+    import ray
+
+    path = supplier_csv_path(sf_dir)
+    files = sorted(os.path.join(path, f) for f in os.listdir(path)
+                   if f.endswith(".csv"))
+    return ray.data.read_csv(files)
+
+
+def events_jsonl_roundtrip(sf_dir: str):
+    """(event_id, user_id, event_type, value_milli): the JSONL source
+    surface — read the derived shards back through ray.data.read_json.
+    SQL-checked against the ORIGINAL events parquet view recomputing
+    the same fixed-point integers, so the check covers the full
+    write→read round trip, not just the reader."""
+    import pyarrow.compute as pc
+
+    def project(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": pc.cast(batch["event_id"], pa.int64()),
+            "user_id": pc.cast(batch["user_id"], pa.int64()),
+            "event_type": batch["event_type"],
+            "value_milli": pc.cast(batch["value_milli"], pa.int64()),
+        })
+
+    return read_events_jsonl(sf_dir).map_batches(
+        project, batch_format="pyarrow")
+
+
+def supplier_balance_by_nation(sf_dir: str):
+    """(n_name, n_suppliers, sum_acctbal_cents): CSV source feeding a
+    broadcast dim join + aggregate — suppliers stream from the CSV
+    shards, the (tiny) nation table is read once and joined as an
+    in-map lookup, then one small groupby. SQL-checked against the
+    original parquet views."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"),
+                        columns=["n_nationkey", "n_name"])
+    name_of = dict(zip(
+        nat["n_nationkey"].to_numpy(zero_copy_only=False).tolist(),
+        nat["n_name"].to_pylist()))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        keys = batch["s_nationkey"].to_numpy(zero_copy_only=False)
+        names = [name_of[int(k)] for k in keys.tolist()]
+        return pa.table({
+            "n_name": pa.array(names, pa.string()),
+            "acctbal_cents": pc.cast(batch["acctbal_cents"],
+                                     pa.int64()),
+        })
+
+    agg = read_supplier_csv(sf_dir) \
+        .map_batches(attach, batch_format="pyarrow") \
+        .groupby("n_name").aggregate(
+            Count(alias_name="n_suppliers"),
+            Sum("acctbal_cents", alias_name="sum_acctbal_cents"))
+
+    def clean(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": t["n_name"],
+            "n_suppliers": pc.cast(t["n_suppliers"], pa.int64()),
+            "sum_acctbal_cents": pc.cast(t["sum_acctbal_cents"],
+                                         pa.int64()),
+        })
+
+    return agg.map_batches(clean, batch_format="pyarrow")
