@@ -261,6 +261,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # turns -> training documents (string_agg ORDER BY as the
         # bucketed ordered scan) — SQL-checked
         "conv_training_docs": _conv_training_docs_q,
+        # conversation-level quality gating + LAG/LEAD context windows
+        # — both SQL-checked
+        "kept_conversations": _kept_conversations_q,
+        "turn_context_windows": _turn_context_windows_q,
         # --- events: metrics (SQL-checked) ---
         "daily_event_metrics": M.daily_event_metrics,
         "top_users_by_value": M.top_users_by_value,
@@ -456,6 +460,16 @@ def _conv_training_docs_q(sf_dir: str):
     return conv_training_docs(_transcript_ds(sf_dir))
 
 
+def _kept_conversations_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import kept_conversations
+    return kept_conversations(_transcript_ds(sf_dir), CFG)
+
+
+def _turn_context_windows_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import turn_context_windows
+    return turn_context_windows(_transcript_ds(sf_dir))
+
+
 def _events_jsonl_roundtrip(sf_dir: str):
     from dataquality_ray.sources.formats import events_jsonl_roundtrip
     return events_jsonl_roundtrip(sf_dir)
@@ -627,6 +641,9 @@ def _oracle_sql_impl() -> dict[str, str]:
     )
     shingle_expr = " || ' ' || ".join(
         f"ts[i+{k}]" if k else "ts[i]" for k in range(SHINGLE_NGRAM))
+    from dataquality_ray.pipelines.conversations import (
+        CONV_KEEP_FRAC_MILLI,
+    )
     from dataquality_ray.pipelines.metrics import (
         HIGH_VALUE_MIN as M_HIGH_VALUE_MIN,
         RANGE_JOIN_WINDOW_US as M_RANGE_WINDOW_US,
@@ -947,6 +964,51 @@ SELECT conv_id,
   CAST(MIN(turn_idx) AS INTEGER) AS first_turn,
   CAST(MAX(turn_idx) AS INTEGER) AS last_turn
 FROM q GROUP BY conv_id
+""",
+        # conversation-level quality gating: keep conversations whose
+        # fraction of keep-quality turns reaches the milli threshold
+        # (same heuristic-overall CTE as transcript_conv_heuristics)
+        "kept_conversations": f"""
+WITH raw AS (
+  SELECT conv_id, turn_idx, {_SCRUBBED} AS stext
+  FROM read_parquet('{tr_glob}')),
+t AS (
+  SELECT conv_id, turn_idx,
+    length(stext) AS n_chars,
+    len(regexp_extract_all(lower(stext), '{_TOK}')) AS n_tokens,
+    len(list_distinct(regexp_extract_all(lower(stext), '{_TOK}')))
+      AS n_distinct,
+    len(regexp_extract_all(stext, '{_SYM}')) AS n_sym,
+    CASE WHEN regexp_matches(lower(stext), '{_BP}') THEN 1 ELSE 0 END AS bp
+  FROM raw),
+q AS (
+  SELECT conv_id, turn_idx,
+    (LEAST(100, (100 * n_chars) // {CFG.min_len_chars})
+     + (CASE WHEN n_tokens = 0 THEN 100
+        ELSE (100 * n_distinct) // n_tokens END)
+     + (CASE WHEN n_chars = 0 THEN 100
+        ELSE 100 - LEAST(100, ({CFG.symbol_penalty_mult} * n_sym)
+                              // n_chars) END)
+     + (CASE WHEN bp = 1 THEN 0 ELSE 100 END)) // 4 AS overall
+  FROM t),
+c AS (
+  SELECT conv_id,
+    CAST(COUNT(*) AS BIGINT) AS n_turns,
+    CAST(COUNT(*) FILTER (overall >= {CFG.keep_min_overall}) AS BIGINT)
+      AS n_keep,
+    CAST((COUNT(*) FILTER (overall >= {CFG.keep_min_overall}) * 1000)
+         // COUNT(*) AS BIGINT) AS keep_frac_milli
+  FROM q GROUP BY conv_id)
+SELECT * FROM c WHERE keep_frac_milli >= {CONV_KEEP_FRAC_MILLI}
+""",
+        # LAG + LEAD window pair: neighboring-turn context attachment
+        "turn_context_windows": f"""
+SELECT conv_id, turn_idx,
+  COALESCE(lag(text) OVER (PARTITION BY conv_id ORDER BY turn_idx), '')
+    AS prev_text,
+  COALESCE(lead(text) OVER (PARTITION BY conv_id ORDER BY turn_idx), '')
+    AS next_text
+FROM read_parquet('{tr_glob}')
 """,
         # The flagship near-dup surface, fully SQL-derived: tokens →
         # md5 hashes → 128 MinHash mins (limb-arithmetic mulmod) →

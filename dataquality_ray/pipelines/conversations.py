@@ -239,3 +239,104 @@ def conv_training_docs(ds, num_buckets: int = 16):
                            zero_copy_batch=True)
             .groupby("bucket")
             .map_groups(assemble, batch_format="pandas"))
+
+
+CONV_KEEP_FRAC_MILLI = 500   # keep a conversation if >=50% of turns keep
+
+
+def heuristic_keep_turns(ds, cfg: PipelineConfig = DEFAULT_CONFIG):
+    """scrub -> heuristics -> (conv_id, turn_idx, keep, score): the
+    SQL-expressible per-turn keep signal (integer mean of the four
+    heuristic scores vs cfg.keep_min_overall) used by the conv-level
+    gating surfaces."""
+    import functools
+
+    from dataquality_ray.stages.heuristics import heuristics_batch
+    from dataquality_ray.stages.scrub import scrub_batch
+
+    ds = ds.map_batches(functools.partial(scrub_batch, with_counts=False),
+                        batch_format="pyarrow", zero_copy_batch=True)
+    ds = ds.map_batches(functools.partial(heuristics_batch, cfg=cfg),
+                        batch_format="pyarrow", zero_copy_batch=True)
+
+    def decide(t: pa.Table) -> pa.Table:
+        s = {c: t[c].to_numpy(zero_copy_only=False).astype(np.int64)
+             for c in ("length_score", "repetition_score",
+                       "symbol_score", "boilerplate_score")}
+        overall = (s["length_score"] + s["repetition_score"]
+                   + s["symbol_score"] + s["boilerplate_score"]) // 4
+        return pa.table({
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"],
+            "overall_quality_score": pa.array(overall.astype(np.int32)),
+            "keep": pa.array(overall >= cfg.keep_min_overall),
+        })
+
+    return ds.map_batches(decide, batch_format="pyarrow")
+
+
+def kept_conversations(ds, cfg: PipelineConfig = DEFAULT_CONFIG,
+                       min_frac_milli: int = CONV_KEEP_FRAC_MILLI):
+    """(conv_id, n_turns, n_keep, keep_frac_milli): conversation-level
+    quality gating — keep whole conversations whose fraction of
+    keep-quality turns reaches the threshold (training pipelines gate
+    at the document/conversation grain, not just per turn; reference
+    analog: the per-document action from aggregated dimension scores,
+    metadata.py:419-434).
+
+    Shape: the salted two-phase conv_stats aggregate (hot conversations
+    split across reducers) followed by a vectorized integer-milli
+    filter — no second pass over the turns.
+    """
+    stats = conv_stats(heuristic_keep_turns(ds, cfg), cfg)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        n = batch["n_turns"].to_numpy(zero_copy_only=False)
+        k = batch["n_keep"].to_numpy(zero_copy_only=False)
+        frac = (k * 1000) // n
+        mask = frac >= min_frac_milli
+        return pa.table({
+            "conv_id": batch["conv_id"].filter(pa.array(mask)),
+            "n_turns": pa.array(n[mask].astype(np.int64)),
+            "n_keep": pa.array(k[mask].astype(np.int64)),
+            "keep_frac_milli": pa.array(frac[mask].astype(np.int64)),
+        })
+
+    return stats.map_batches(gate, batch_format="pyarrow")
+
+
+def turn_context_windows(ds, num_buckets: int = 16):
+    """(conv_id, turn_idx, prev_text, next_text): attach each turn's
+    neighboring turns — the LAG + LEAD window pair (context-conditioned
+    training-example construction). First/last turns get '' (never
+    null, so the surface hash-checks cleanly).
+
+    Shape: the bucketed ordered scan — ONE conv-bucket shuffle, then a
+    vectorized polars shift±1 over conv_id partitions locally.
+    """
+    import polars as _pl
+    from dataquality_ray.pipelines.quality import conv_bucket_of
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket": conv_bucket_of(batch["conv_id"], num_buckets),
+            "conv_id": batch["conv_id"],
+            "turn_idx": batch["turn_idx"],
+            "text": batch["text"],
+        })
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        g = (_pl.from_pandas(df)
+             .sort(["conv_id", "turn_idx"])
+             .with_columns(
+                 prev_text=_pl.col("text").shift(1).over("conv_id")
+                 .fill_null(""),
+                 next_text=_pl.col("text").shift(-1).over("conv_id")
+                 .fill_null(""))
+             .select("conv_id", "turn_idx", "prev_text", "next_text"))
+        return g.to_pandas()
+
+    return (ds.map_batches(bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(scan, batch_format="pandas"))
