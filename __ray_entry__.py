@@ -279,6 +279,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_totals": M.user_running_totals,
         "distinct_users_by_event_type": M.distinct_users_by_event_type,
         "users_without_purchase": M.users_without_purchase,
+        # sequence analytics: Markov transition matrix, MODE aggregate,
+        # ordered funnel — all SQL-checked
+        "event_type_transitions": M.event_type_transitions,
+        "modal_event_type_per_user": M.modal_event_type_per_user,
+        "user_funnel_stages": M.user_funnel_stages,
         "docs_from_top_sources": D.docs_from_top_sources,
         "docs_matching_terms": D.docs_matching_terms,
         # --- multi-format sources: JSONL + CSV shards derived
@@ -645,6 +650,7 @@ def _oracle_sql_impl() -> dict[str, str]:
         CONV_KEEP_FRAC_MILLI,
     )
     from dataquality_ray.pipelines.metrics import (
+        FUNNEL_STAGES as M_FUNNEL,
         HIGH_VALUE_MIN as M_HIGH_VALUE_MIN,
         RANGE_JOIN_WINDOW_US as M_RANGE_WINDOW_US,
         SKETCH_BINS as M_SKETCH_BINS,
@@ -1213,6 +1219,53 @@ SELECT conv_id, turn_idx,
        (PARTITION BY conv_id ORDER BY turn_idx), -1) AS BIGINT)
     AS gap_us
 FROM read_parquet('{tr_glob}')
+""",
+        # first-order Markov transition matrix of each user's event
+        # stream (LEAD window feeding an aggregate)
+        "event_type_transitions": """
+WITH s AS (
+  SELECT user_id, event_type,
+    lead(event_type) OVER (PARTITION BY user_id
+                           ORDER BY epoch_us(ts), event_id) AS next_type
+  FROM events)
+SELECT event_type AS from_type, next_type AS to_type,
+  CAST(COUNT(*) AS BIGINT) AS n
+FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2
+""",
+        # MODE aggregate: most frequent event type per user, ties ->
+        # lexicographically smallest type
+        "modal_event_type_per_user": """
+WITH c AS (
+  SELECT user_id, event_type, COUNT(*) AS n FROM events GROUP BY 1, 2),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY n DESC, event_type) AS rk FROM c)
+SELECT user_id, event_type, CAST(n AS BIGINT) AS n FROM r WHERE rk = 1
+""",
+        # ordered funnel: deepest stage reached, each stage strictly
+        # after the timestamp that satisfied the previous one
+        "user_funnel_stages": f"""
+WITH s1 AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+  WHERE event_type = '{M_FUNNEL[0]}' GROUP BY 1),
+s2 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = '{M_FUNNEL[1]}' AND epoch_us(e.ts) > s1.t1
+  GROUP BY 1),
+s3 AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = '{M_FUNNEL[2]}' AND epoch_us(e.ts) > s2.t2
+  GROUP BY 1)
+SELECT u.user_id,
+  CAST(CASE WHEN s3.user_id IS NOT NULL THEN 3
+            WHEN s2.user_id IS NOT NULL THEN 2
+            WHEN s1.user_id IS NOT NULL THEN 1
+            ELSE 0 END AS BIGINT) AS funnel_stage
+FROM (SELECT DISTINCT user_id FROM events) u
+LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+LEFT JOIN s3 USING (user_id)
 """,
         # multi-format sources: the Ray side reads derived JSONL/CSV
         # shards; these oracles recompute the same fixed-point integers

@@ -690,3 +690,152 @@ def approx_event_percentiles(sf_dir: str):
 
     return hist.groupby("event_type").map_groups(
         finish, batch_format="pandas")
+
+
+def event_type_transitions(sf_dir: str, num_buckets: int = 16):
+    """(from_type, to_type, n): counts of consecutive event-type
+    transitions within each user's (ts, event_id)-ordered stream — the
+    first-order Markov transition matrix of the event log (sequence
+    analytics; the LEAD window feeding an aggregate rather than a
+    per-row surface).
+
+    Shape: ONE user-bucket shuffle; each bucket orders its users'
+    events and counts its local transition pairs in a vectorized
+    pandas pass (partial matrices), then a tiny global groupby merges
+    the per-bucket partials (output rows <= |types|^2).
+    """
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((u % num_buckets).astype(np.int32)),
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_type": batch["event_type"],
+        })
+
+    def transitions(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "ts_us", "event_id"],
+                            kind="mergesort")
+        same_user = df["user_id"].eq(df["user_id"].shift(-1))
+        nxt = df["event_type"].shift(-1)
+        pairs = pd.DataFrame({
+            "from_type": df["event_type"][same_user],
+            "to_type": nxt[same_user],
+        })
+        g = (pairs.groupby(["from_type", "to_type"], sort=False)
+             .size().rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    agg = ds.map_batches(bucket, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("bucket").map_groups(transitions, batch_format="pandas") \
+        .groupby(["from_type", "to_type"]).aggregate(
+            Sum("n", alias_name="n"))
+
+    def clean(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "from_type": t["from_type"], "to_type": t["to_type"],
+            "n": pc.cast(t["n"], pa.int64()),
+        })
+
+    return agg.map_batches(clean, batch_format="pyarrow")
+
+
+def modal_event_type_per_user(sf_dir: str, num_buckets: int = 16):
+    """(user_id, event_type, n): each user's most frequent event type
+    (the MODE aggregate; ties -> lexicographically smallest type, so
+    the answer is deterministic).
+
+    Shape: per-batch (user, type) partial counts shrink the exchange
+    to distinct pairs, ONE user-bucket shuffle, then the per-user
+    argmax completes locally per bucket (sort + first) — the same
+    bucketed-argmax topology as latest_event_per_user.
+    """
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": batch["event_type"].to_pylist(),
+        })
+        g = (df.groupby(["user_id", "event_type"], sort=False)
+             .size().rename("n").reset_index())
+        g["bucket"] = (g["user_id"] % num_buckets).astype(np.int32)
+        g["n"] = g["n"].astype(np.int64)
+        return from_pandas_clean(g)
+
+    def argmax(df: pd.DataFrame) -> pd.DataFrame:
+        g = (df.groupby(["user_id", "event_type"], sort=False)["n"]
+             .sum().reset_index())
+        g = g.sort_values(["user_id", "n", "event_type"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        w = g.drop_duplicates("user_id", keep="first")
+        return pd.DataFrame({
+            "user_id": w["user_id"].to_numpy(),
+            "event_type": w["event_type"].to_numpy(),
+            "n": w["n"].to_numpy().astype(np.int64),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby("bucket").map_groups(argmax, batch_format="pandas")
+
+
+FUNNEL_STAGES = ("signup", "click", "purchase")
+
+
+def user_funnel_stages(sf_dir: str, num_buckets: int = 16):
+    """(user_id, funnel_stage): ordered funnel analysis — the deepest
+    stage each user reached, where stage k requires an event of type
+    FUNNEL_STAGES[k-1] STRICTLY AFTER the timestamp that satisfied
+    stage k-1 (signup -> click -> purchase). Users with events but no
+    signup are stage 0.
+
+    Shape: ONE user-bucket shuffle; within a bucket each stage is a
+    vectorized conditional-min pass (filter type, ts > prev stage's
+    ts, groupby min) — three passes regardless of user count, no
+    per-user Python.
+    """
+    ds = _events(sf_dir, columns=["ts", "user_id", "event_type"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((u % num_buckets).astype(np.int32)),
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "event_type": batch["event_type"],
+        })
+
+    def funnel(df: pd.DataFrame) -> pd.DataFrame:
+        users = pd.DataFrame({"user_id": df["user_id"].unique()})
+        stage = pd.Series(np.zeros(len(users), dtype=np.int64),
+                          index=users["user_id"].to_numpy())
+        prev_ts = None
+        for k, etype in enumerate(FUNNEL_STAGES, start=1):
+            rows = df[df["event_type"] == etype]
+            if prev_ts is not None:
+                bound = rows["user_id"].map(prev_ts)
+                rows = rows[bound.notna() & (rows["ts_us"]
+                                             > bound.fillna(np.int64(0)))]
+            cur = rows.groupby("user_id")["ts_us"].min()
+            stage.loc[cur.index] = k
+            prev_ts = cur
+        return pd.DataFrame({
+            "user_id": stage.index.to_numpy(),
+            "funnel_stage": stage.to_numpy(),
+        })
+
+    return ds.map_batches(bucket, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("bucket").map_groups(funnel, batch_format="pandas")
