@@ -85,3 +85,35 @@ class TestBucketedOpsInvariance:
         # first turn of every conversation is the -1 sentinel
         assert (a.loc[a["turn_idx"] == a.groupby("conv_id")["turn_idx"]
                       .transform("min"), "gap_us"] == -1).all()
+
+    def test_conv_training_docs_partition_invariant(self, ray_session):
+        from dataquality_ray.pipelines.conversations import (
+            conv_training_docs,
+        )
+        ds = self._tr_ds()
+        a = conv_training_docs(ds.repartition(1)).to_pandas() \
+            .sort_values("conv_id").reset_index(drop=True)
+        b = conv_training_docs(ds.repartition(6)).to_pandas() \
+            .sort_values("conv_id").reset_index(drop=True)
+        assert a.equals(b)
+        # every conversation present exactly once; line count == turns
+        src = ds.to_pandas()
+        assert set(a["conv_id"]) == set(src["conv_id"])
+        n_lines = a["doc_text"].str.count("\n") + 1
+        assert (n_lines.to_numpy() == a["n_turns"].to_numpy()).all()
+
+    def test_turn_context_windows_partition_invariant(self, ray_session):
+        from dataquality_ray.pipelines.conversations import (
+            turn_context_windows,
+        )
+        ds = self._tr_ds()
+        key = ["conv_id", "turn_idx"]
+        a = turn_context_windows(ds.repartition(1)).to_pandas() \
+            .sort_values(key).reset_index(drop=True)
+        b = turn_context_windows(ds.repartition(5)).to_pandas() \
+            .sort_values(key).reset_index(drop=True)
+        assert a.equals(b)
+        # first turn of every conversation has no predecessor
+        first = a["turn_idx"] == a.groupby("conv_id")["turn_idx"] \
+            .transform("min")
+        assert (a.loc[first, "prev_text"] == "").all()
