@@ -88,7 +88,10 @@ def _query_benches(sf_dir: str) -> dict:
              "top_orders_per_customer", "regional_revenue",
              "daily_event_type_pivot", "role_tool_stats",
              "conv_turn_gaps", "kmeans_embeddings",
-             "distinct_users_by_event_type"]
+             "distinct_users_by_event_type",
+             "doc_context_chunks", "packed_sequence_documents",
+             "doc_quality_deciles", "conv_training_docs",
+             "event_type_transitions", "kept_conversations"]
     out = {}
     for name in names:
         t0 = time.time()
