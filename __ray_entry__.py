@@ -284,6 +284,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_transitions": M.event_type_transitions,
         "modal_event_type_per_user": M.modal_event_type_per_user,
         "user_funnel_stages": M.user_funnel_stages,
+        # semi-structured JSON parsing + integer sufficient statistics
+        # (mean/variance/correlation without float sums) — SQL-checked
+        "event_props_numeric_stats": M.event_props_numeric_stats,
         "docs_from_top_sources": D.docs_from_top_sources,
         "docs_matching_terms": D.docs_matching_terms,
         # --- multi-format sources: JSONL + CSV shards derived
@@ -1266,6 +1269,25 @@ SELECT u.user_id,
 FROM (SELECT DISTINCT user_id FROM events) u
 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
 LEFT JOIN s3 USING (user_id)
+""",
+        # semi-structured JSON column parsing + exact integer
+        # sufficient statistics for mean/variance/correlation
+        "event_props_numeric_stats": """
+WITH e AS (
+  SELECT event_type,
+    CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+    CAST(floor(value * 1000) AS BIGINT) AS v
+  FROM events)
+SELECT event_type,
+  CAST(COUNT(*) AS BIGINT) AS n,
+  CAST(SUM(k) AS BIGINT) AS sum_k,
+  CAST(MIN(k) AS BIGINT) AS min_k,
+  CAST(MAX(k) AS BIGINT) AS max_k,
+  CAST(SUM(v) AS BIGINT) AS sum_v,
+  CAST(SUM(k * k) AS BIGINT) AS sum_kk,
+  CAST(SUM(v * v) AS BIGINT) AS sum_vv,
+  CAST(SUM(k * v) AS BIGINT) AS sum_kv
+FROM e GROUP BY 1
 """,
         # multi-format sources: the Ray side reads derived JSONL/CSV
         # shards; these oracles recompute the same fixed-point integers

@@ -839,3 +839,68 @@ def user_funnel_stages(sf_dir: str, num_buckets: int = 16):
     return ds.map_batches(bucket, batch_format="pyarrow",
                           zero_copy_batch=True) \
         .groupby("bucket").map_groups(funnel, batch_format="pandas")
+
+
+def event_props_numeric_stats(sf_dir: str):
+    """(event_type, n, sum_k, min_k, max_k, sum_v, sum_kk, sum_vv,
+    sum_kv): parse the semi-structured `props` JSON column (reference
+    analog: the never-crash LLM-JSON repair path, bedrock.py:322-341 —
+    here a vectorized json-path extraction; malformed rows become
+    nulls, never exceptions) and aggregate the exact integer
+    SUFFICIENT STATISTICS for mean/variance/correlation between
+    props.k and the event value — emitting the sums instead of the
+    float correlation keeps the surface bit-deterministic and the
+    partials mergeable by plain addition.
+
+    Shape: per-batch polars partials (distinct event_type count is
+    tiny) then one small groupby — shuffle volume is O(batches ×
+    |types|). Scale note: int64 squared-sum capacity bounds this at
+    ~1e12 rows for milli-scale values; past that the same partials
+    merge hierarchically or widen to two-limb integers.
+    """
+    import polars as _pl
+    from ray.data.aggregate import Max, Min, Sum
+
+    ds = _events(sf_dir, columns=["event_type", "value", "props"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                     * 1000).astype(np.int64)
+        df = _pl.DataFrame({
+            "event_type": _pl.from_arrow(batch["event_type"]),
+            "k": _pl.from_arrow(batch["props"])
+            .str.json_path_match("$.k").cast(_pl.Int64, strict=False),
+            "v": v,
+        })
+        g = (df.group_by("event_type")
+             .agg(n=_pl.len().cast(_pl.Int64),
+                  sum_k=_pl.col("k").sum(),
+                  min_k=_pl.col("k").min(),
+                  max_k=_pl.col("k").max(),
+                  sum_v=_pl.col("v").sum(),
+                  sum_kk=(_pl.col("k") * _pl.col("k")).sum(),
+                  sum_vv=(_pl.col("v") * _pl.col("v")).sum(),
+                  sum_kv=(_pl.col("k") * _pl.col("v")).sum()))
+        return g.to_arrow()
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("event_type").aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_k", alias_name="sum_k"),
+            Min("min_k", alias_name="min_k"),
+            Max("max_k", alias_name="max_k"),
+            Sum("sum_v", alias_name="sum_v"),
+            Sum("sum_kk", alias_name="sum_kk"),
+            Sum("sum_vv", alias_name="sum_vv"),
+            Sum("sum_kv", alias_name="sum_kv"))
+
+    def clean(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        cols = {"event_type": t["event_type"]}
+        for c in ("n", "sum_k", "min_k", "max_k", "sum_v", "sum_kk",
+                  "sum_vv", "sum_kv"):
+            cols[c] = pc.cast(t[c], pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(clean, batch_format="pyarrow")
