@@ -287,6 +287,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # semi-structured JSON parsing + integer sufficient statistics
         # (mean/variance/correlation without float sums) — SQL-checked
         "event_props_numeric_stats": M.event_props_numeric_stats,
+        # mergeable sketches: count-min (counters AND estimates exact
+        # integers — whole surface SQL-checked) and HyperLogLog
+        # (register surface SQL-checked; estimate pytest-bounded)
+        "term_counts_cms": D.term_counts_cms,
+        "distinct_users_hll": M.distinct_users_hll,
         "docs_from_top_sources": D.docs_from_top_sources,
         "docs_matching_terms": D.docs_matching_terms,
         # --- multi-format sources: JSONL + CSV shards derived
@@ -652,8 +657,15 @@ def _oracle_sql_impl() -> dict[str, str]:
     from dataquality_ray.pipelines.conversations import (
         CONV_KEEP_FRAC_MILLI,
     )
+    from dataquality_ray.pipelines.documents import (
+        CMS_DEPTH,
+        CMS_QUERY_TERMS,
+        CMS_WIDTH,
+    )
+    _CMS_TERMS_SQL = ", ".join(f"'{t}'" for t in CMS_QUERY_TERMS)
     from dataquality_ray.pipelines.metrics import (
         FUNNEL_STAGES as M_FUNNEL,
+        HLL_REG_BITS as M_HLL_REG_BITS,
         HIGH_VALUE_MIN as M_HIGH_VALUE_MIN,
         RANGE_JOIN_WINDOW_US as M_RANGE_WINDOW_US,
         SKETCH_BINS as M_SKETCH_BINS,
@@ -1269,6 +1281,50 @@ SELECT u.user_id,
 FROM (SELECT DISTINCT user_id FROM events) u
 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
 LEFT JOIN s3 USING (user_id)
+""",
+        # count-min sketch: DuckDB rebuilds the DEPTH x WIDTH counter
+        # table from the same frozen md5 cell hash and probes the same
+        # frozen terms — estimates are exact integers, so the entire
+        # sketch surface (not an approximation of it) is hash-compared
+        "term_counts_cms": f"""
+WITH t AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{_TOK}')) AS term
+  FROM documents),
+c AS (SELECT term, COUNT(*) AS n FROM t GROUP BY term),
+g AS (
+  SELECT i.range AS row_i,
+    md5_number_upper(CAST(i.range AS VARCHAR) || ':' || term)
+      % {CMS_WIDTH} AS col,
+    SUM(n) AS cnt
+  FROM c CROSS JOIN range(0, {CMS_DEPTH}) i GROUP BY 1, 2),
+q AS (SELECT unnest([{_CMS_TERMS_SQL}]) AS term),
+sel AS (
+  SELECT q.term, i.range AS row_i,
+    md5_number_upper(CAST(i.range AS VARCHAR) || ':' || q.term)
+      % {CMS_WIDTH} AS col
+  FROM q CROSS JOIN range(0, {CMS_DEPTH}) i)
+SELECT sel.term,
+  CAST(MIN(COALESCE(g.cnt, 0)) AS BIGINT) AS est_count
+FROM sel LEFT JOIN g ON g.row_i = sel.row_i AND g.col = sel.col
+GROUP BY sel.term
+""",
+        # HyperLogLog registers: reg = top 6 hash bits, rho = leading
+        # zeros of the low 58 bits + 1 (exact via length(bin(v)))
+        "distinct_users_hll": f"""
+WITH h AS (
+  SELECT DISTINCT event_type,
+    md5_number_upper(CAST(user_id AS VARCHAR)) AS hv
+  FROM events),
+r AS (
+  SELECT event_type,
+    CAST(hv >> {64 - M_HLL_REG_BITS} AS BIGINT) AS reg,
+    CAST(CASE WHEN (hv & {(1 << (64 - M_HLL_REG_BITS)) - 1}::UBIGINT) = 0
+              THEN {64 - M_HLL_REG_BITS + 1}
+         ELSE {64 - M_HLL_REG_BITS + 1}
+              - length(bin(hv & {(1 << (64 - M_HLL_REG_BITS)) - 1}::UBIGINT))
+         END AS BIGINT) AS rho
+  FROM h)
+SELECT event_type, reg, MAX(rho) AS rho FROM r GROUP BY 1, 2
 """,
         # semi-structured JSON column parsing + exact integer
         # sufficient statistics for mean/variance/correlation

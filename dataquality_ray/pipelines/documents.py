@@ -1839,3 +1839,76 @@ def doc_quality_deciles(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
 
     return slim.groupby("overall_quality_score") \
         .map_groups(rank_group, batch_format="pandas")
+
+
+# --- count-min sketch (mergeable heavy-hitter counters) ----------------
+
+CMS_DEPTH = 4      # independent hash rows
+CMS_WIDTH = 256    # counters per row
+# frozen probe list: frequent terms, mid-frequency terms, and a term
+# that cannot occur (CMS must return 0 for it — no false negatives)
+CMS_QUERY_TERMS = ("table", "row", "value", "spark", "merge",
+                   "window", "zzzabsentterm")
+
+
+def term_counts_cms(sf_dir: str):
+    """(term, est_count): count-min-sketch term-frequency estimates for
+    the frozen probe terms. The sketch is DEPTH x WIDTH int64 counters
+    (cell = md5_u64(f"{row}:{term}") % WIDTH, the repo's frozen token
+    hash) built from per-batch partial counters that merge by plain
+    addition — the canonical bounded-memory heavy-hitter structure for
+    a 10^12-token corpus where an exact vocab groupby is unpayable.
+    Every number here is an exact integer, so unlike most sketches the
+    WHOLE surface — counters and estimates — is SQL-checkable
+    (overestimate-only property pinned in pytest).
+
+    Shape: one zero-copy tokenize map emitting <= DEPTH*WIDTH partial
+    cells per batch; one tiny groupby merges cells; the probe runs on
+    the driver against the <= 1024-row counter table.
+    """
+    from ray.data.aggregate import Sum
+    from dataquality_ray.spec import token_hash_u64
+
+    ds = _docs(sf_dir, columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = (pl.from_arrow(batch["text"]).str.to_lowercase()
+                .str.extract_all(TOKEN_PATTERN))
+        cnt = (pl.DataFrame({"term": toks}).explode("term")
+               .drop_nulls().group_by("term").len(name="n"))
+        terms = cnt["term"].to_list()
+        n = cnt["n"].cast(pl.Int64).to_numpy()
+        rows, cols, cnts = [], [], []
+        for i in range(CMS_DEPTH):
+            h = np.fromiter(
+                (token_hash_u64(f"{i}:{t}") % CMS_WIDTH for t in terms),
+                dtype=np.int64, count=len(terms))
+            rows.append(np.full(len(terms), i, dtype=np.int64))
+            cols.append(h)
+            cnts.append(n)
+        # collapse per-batch cell collisions locally before the shuffle
+        df = pl.DataFrame({
+            "row_i": np.concatenate(rows) if terms else
+            np.empty(0, np.int64),
+            "col": np.concatenate(cols) if terms else
+            np.empty(0, np.int64),
+            "cnt": np.concatenate(cnts) if terms else
+            np.empty(0, np.int64),
+        }).group_by(["row_i", "col"]).agg(pl.col("cnt").sum())
+        return df.to_arrow()
+
+    counters = ds.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True) \
+        .groupby(["row_i", "col"]).aggregate(Sum("cnt", alias_name="cnt")) \
+        .to_pandas()   # <= DEPTH*WIDTH rows — driver-safe by construction
+    table = np.zeros((CMS_DEPTH, CMS_WIDTH), dtype=np.int64)
+    table[counters["row_i"].to_numpy(),
+          counters["col"].to_numpy()] = counters["cnt"].to_numpy()
+
+    est = [int(min(table[i, token_hash_u64(f"{i}:{t}") % CMS_WIDTH]
+                   for i in range(CMS_DEPTH)))
+           for t in CMS_QUERY_TERMS]
+    return pa.table({
+        "term": pa.array(list(CMS_QUERY_TERMS), pa.string()),
+        "est_count": pa.array(est, pa.int64()),
+    })

@@ -904,3 +904,85 @@ def event_props_numeric_stats(sf_dir: str):
         return pa.table(cols)
 
     return agg.map_batches(clean, batch_format="pyarrow")
+
+
+HLL_REG_BITS = 6                 # 64 registers
+HLL_REGISTERS = 1 << HLL_REG_BITS
+_HLL_VALUE_BITS = 64 - HLL_REG_BITS
+_HLL_MASK = (1 << _HLL_VALUE_BITS) - 1
+
+
+def distinct_users_hll(sf_dir: str):
+    """(event_type, reg, rho): HyperLogLog register sketch of distinct
+    users per event type — register = top 6 bits of the frozen
+    md5_u64(str(user_id)) hash, rho = leading-zero count of the low 58
+    bits + 1, register value = MAX(rho). Registers merge by MAX, so
+    partials combine under any partitioning; at 10^12 events the
+    shuffle carries <= |types| * 64 rows instead of the distinct-pair
+    stream an exact COUNT(DISTINCT) needs. The register surface is
+    exact integers — SQL-checked against DuckDB recomputing the same
+    hash/shift/bin arithmetic; the float ESTIMATE derived from the
+    registers (hll_estimate) is pytest-bounded against the exact
+    distinct counts instead (empty registers are implicit zeros on
+    both sides).
+    """
+    import polars as _pl
+    from ray.data.aggregate import Max
+    from dataquality_ray.spec import token_hash_u64
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = _pl.DataFrame({
+            "event_type": _pl.from_arrow(batch["event_type"]),
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+        }).unique()
+        users = df["user_id"].to_list()
+        hv = np.fromiter((token_hash_u64(str(u)) for u in users),
+                         dtype=np.uint64, count=len(users))
+        reg = (hv >> np.uint64(_HLL_VALUE_BITS)).astype(np.int64)
+        val = (hv & np.uint64(_HLL_MASK)).astype(np.uint64)
+        # rho = leading zeros within the 58-bit value + 1. bit_length
+        # must be EXACT (float log2 misrounds near powers of two), so
+        # compute it with a vectorized integer binary search.
+        bitlen = np.zeros(len(val), dtype=np.int64)
+        v = val.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            big = v >= np.uint64(1 << shift)
+            bitlen[big] += shift
+            v[big] >>= np.uint64(shift)
+        bitlen[val > 0] += 1
+        rho = _HLL_VALUE_BITS + 1 - bitlen
+        g = (df.with_columns(reg=_pl.Series(reg), rho=_pl.Series(rho))
+             .group_by(["event_type", "reg"])
+             .agg(_pl.col("rho").max()))
+        return g.to_arrow()
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby(["event_type", "reg"]).aggregate(
+            Max("rho", alias_name="rho"))
+
+    def clean(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "event_type": t["event_type"],
+            "reg": pc.cast(t["reg"], pa.int64()),
+            "rho": pc.cast(t["rho"], pa.int64()),
+        })
+
+    return agg.map_batches(clean, batch_format="pyarrow")
+
+
+def hll_estimate(registers: "dict[int, int]",
+                 m: int = HLL_REGISTERS) -> float:
+    """Standard HLL estimate from a register dict (missing regs = 0),
+    with the linear-counting small-range correction."""
+    import math
+    alpha = 0.709   # alpha_64
+    s = sum(2.0 ** -registers.get(i, 0) for i in range(m))
+    e = alpha * m * m / s
+    zeros = sum(1 for i in range(m) if registers.get(i, 0) == 0)
+    if e <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)
+    return e
