@@ -247,6 +247,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curated_documents": D.curated_documents,
         "near_dup_triangle_counts": D.near_dup_triangle_counts,
         "incremental_dedup_documents": D.incremental_dedup_documents,
+        # iterative graph centrality in int64 fixed point (recursive-
+        # CTE oracle replays the exact recurrence) + deterministic
+        # weight-biased sampling — both SQL-checked
+        "pagerank_near_dup": D.pagerank_near_dup,
+        "weighted_sample_documents": D.weighted_sample_documents,
         "event_outliers": M.event_outliers,
         "approx_event_percentiles": M.approx_event_percentiles,
         # --- transcripts: entity extraction + per-turn heuristics
@@ -661,8 +666,13 @@ def _oracle_sql_impl() -> dict[str, str]:
         CMS_DEPTH,
         CMS_QUERY_TERMS,
         CMS_WIDTH,
+        WEIGHTED_SAMPLE_N,
     )
     _CMS_TERMS_SQL = ", ".join(f"'{t}'" for t in CMS_QUERY_TERMS)
+    from dataquality_ray.stages.clustering import (
+        PAGERANK_ITERS as PR_ITERS,
+        PAGERANK_SCALE as PR_SCALE,
+    )
     from dataquality_ray.pipelines.metrics import (
         FUNNEL_STAGES as M_FUNNEL,
         HLL_REG_BITS as M_HLL_REG_BITS,
@@ -1281,6 +1291,36 @@ SELECT u.user_id,
 FROM (SELECT DISTINCT user_id FROM events) u
 LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
 LEFT JOIN s3 USING (user_id)
+""",
+        # integer PageRank: WITH RECURSIVE replays the exact int64
+        # recurrence (rank' = 0.15·SCALE + 0.85·Σ(rank // deg)) over
+        # the same exact-Jaccard edge set, iteration by iteration
+        "pagerank_near_dup": _PAIR_CTE.replace(
+            "WITH ", "WITH RECURSIVE ", 1) + f""",
+e(src, dst) AS MATERIALIZED (
+  SELECT id_a, id_b FROM p WHERE jaccard >= {NEAR_DUP_DOC_JACCARD}
+  UNION ALL
+  SELECT id_b, id_a FROM p WHERE jaccard >= {NEAR_DUP_DOC_JACCARD}),
+d AS MATERIALIZED (
+  SELECT src AS node, COUNT(*) AS deg FROM e GROUP BY 1),
+r(i, node, rank) AS (
+  SELECT 0, node, CAST({PR_SCALE} AS BIGINT) FROM d
+  UNION ALL
+  SELECT i + 1, e.dst,
+    CAST({(15 * PR_SCALE) // 100}
+         + (85 * SUM(r.rank // d.deg)) // 100 AS BIGINT)
+  FROM r JOIN e ON e.src = r.node JOIN d ON d.node = r.node
+  WHERE i < {PR_ITERS} GROUP BY i + 1, e.dst)
+SELECT node AS doc_id, CAST(rank AS BIGINT) AS rank
+FROM r WHERE i = {PR_ITERS}
+""",
+        # deterministic weight-biased sampling: integer A-ES priorities
+        "weighted_sample_documents": f"""
+SELECT doc_id,
+  CAST((md5_number_upper(CAST(doc_id AS VARCHAR)) >> 1)
+       // (n_chars + 1) AS BIGINT) AS priority
+FROM documents
+ORDER BY priority, doc_id LIMIT {WEIGHTED_SAMPLE_N}
 """,
         # count-min sketch: DuckDB rebuilds the DEPTH x WIDTH counter
         # table from the same frozen md5 cell hash and probes the same

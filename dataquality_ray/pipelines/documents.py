@@ -1912,3 +1912,50 @@ def term_counts_cms(sf_dir: str):
         "term": pa.array(list(CMS_QUERY_TERMS), pa.string()),
         "est_count": pa.array(est, pa.int64()),
     })
+
+
+def pagerank_near_dup(sf_dir: str):
+    """(doc_id, rank): integer PageRank over the near-dup pair graph —
+    graph centrality as a data-quality signal (a document whose
+    near-dup neighborhood is dense is template/boilerplate-like).
+    Fully SQL-checked: the fixed-point recurrence replays exactly in a
+    recursive CTE over the same exact-Jaccard edge set."""
+    from dataquality_ray.stages.clustering import pagerank
+
+    return pagerank(near_dup_documents(sf_dir))
+
+
+WEIGHTED_SAMPLE_N = 50
+
+
+def weighted_sample_documents(sf_dir: str):
+    """(doc_id, priority): deterministic weight-biased sampling — the
+    A-ES pattern with INTEGER priorities: priority =
+    (md5_u64(str(doc_id)) >> 1) // (n_chars + 1), keep the N smallest
+    (larger documents draw smaller expected priorities, so inclusion
+    is weight-biased yet reproducible under any partitioning — no RNG
+    state, same reason dataset_split_documents hashes). Two-phase:
+    per-batch local top-N partials, then one tiny sort+limit over
+    ≤ N·batches rows.
+    """
+    from dataquality_ray.spec import token_hash_u64
+
+    ds = _docs(sf_dir, columns=["doc_id", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        w = batch["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64) + 1
+        h = np.fromiter(((token_hash_u64(str(i)) >> 1) for i in ids),
+                        dtype=np.int64, count=len(ids))
+        pr = h // w
+        order = np.lexsort((np.asarray(ids, dtype=np.int64), pr))
+        keep = order[:WEIGHTED_SAMPLE_N]
+        return pa.table({
+            "doc_id": pa.array(np.asarray(ids, np.int64)[keep]),
+            "priority": pa.array(pr[keep]),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .sort(["priority", "doc_id"]).limit(WEIGHTED_SAMPLE_N)

@@ -442,3 +442,93 @@ def kmeans_fit(ds, k: int = KMEANS_K, iters: int = KMEANS_ITERS,
                             "cluster": t["centroid_id"]}),
         batch_format="pyarrow")
     return labels, cents
+
+
+PAGERANK_ITERS = 5
+PAGERANK_SCALE = 1_000_000_000
+_PR_BASE = (15 * PAGERANK_SCALE) // 100
+
+
+def pagerank(pairs_ds, iters: int = PAGERANK_ITERS,
+             num_partitions: int | None = None,
+             key_a: str = "id_a", key_b: str = "id_b"):
+    """(doc_id, rank): INTEGER-deterministic PageRank over an
+    undirected pair graph — rank' = 0.15·SCALE + 0.85·Σ(rank // deg)
+    with every operation in int64 fixed point, so the result is
+    bit-identical under any partitioning or summation order (the same
+    reason kmeans_fit reduces in fixed point) and the whole iterative
+    surface is SQL-checkable via a recursive CTE replaying the exact
+    integer recurrence.
+
+    Shape: fixed-iteration loop of hash joins — edges ⋈ ranks on src
+    (contributions), groupby(dst) integer sum, then ⋈ degree to carry
+    deg into the next round; the ranks/degree tables are O(nodes) and
+    never touch the driver. Per the CLAUDE.md join invariant each
+    round materializes between its two joins (one join in flight at a
+    time). Iteration count is FIXED (power iteration converges
+    geometrically; a fixpoint test would reintroduce the signature
+    scan) — the operator is a transform, not a convergence search.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Sum
+
+    num_partitions = num_partitions or _join_partitions()
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        a = t[key_a]
+        b = t[key_b]
+        if isinstance(a, pa.ChunkedArray):
+            a = a.combine_chunks()
+        if isinstance(b, pa.ChunkedArray):
+            b = b.combine_chunks()
+        return pa.table({
+            "src": pa.concat_arrays([a, b]),
+            "dst": pa.concat_arrays([b, a]),
+        })
+
+    edges = pairs_ds.map_batches(both_dirs, batch_format="pyarrow") \
+        .materialize()   # reused every iteration
+    deg = edges.groupby("src").aggregate(Count(alias_name="deg"))
+    deg = deg.map_batches(
+        lambda t: pa.table({"pr_node": t["src"],
+                            "deg": pc.cast(t["deg"], pa.int64())}),
+        batch_format="pyarrow").materialize()
+
+    ranks = deg.map_batches(
+        lambda t: pa.table({
+            "node": t["pr_node"], "deg": t["deg"],
+            "rank": pa.array(
+                np.full(t.num_rows, PAGERANK_SCALE, dtype=np.int64)),
+        }), batch_format="pyarrow").materialize()
+
+    for _ in range(iters):
+        joined = edges.join(ranks, join_type="inner",
+                            num_partitions=num_partitions,
+                            on=("src",), right_on=("node",))
+        msgs = joined.map_batches(
+            lambda t: pa.table({
+                "node": t["dst"],
+                "c": pa.array(
+                    t["rank"].to_numpy(zero_copy_only=False)
+                    // t["deg"].to_numpy(zero_copy_only=False)),
+            }), batch_format="pyarrow")
+        # materialize between the two hash joins of a round (CLAUDE.md
+        # aggregator-starvation invariant)
+        sums = msgs.groupby("node").aggregate(Sum("c", alias_name="s")) \
+            .materialize()
+        joined2 = sums.join(deg, join_type="inner",
+                            num_partitions=num_partitions,
+                            on=("node",), right_on=("pr_node",))
+        ranks = joined2.map_batches(
+            lambda t: pa.table({
+                "node": t["node"], "deg": t["deg"],
+                "rank": pa.array(
+                    _PR_BASE
+                    + (85 * t["s"].to_numpy(zero_copy_only=False))
+                    // 100),
+            }), batch_format="pyarrow").materialize()
+
+    return ranks.map_batches(
+        lambda t: pa.table({"doc_id": t["node"],
+                            "rank": pc.cast(t["rank"], pa.int64())}),
+        batch_format="pyarrow")
