@@ -38,11 +38,11 @@ def entry() -> Any:
 # queries
 # ---------------------------------------------------------------------------
 
-def _transcript_ds(sf_dir: str):
+def _transcript_ds(sf_dir: str, columns=None):
     import ray
     from dataquality_ray.fixtures import scale_for_sf_dir, transcripts_path
     path = transcripts_path(scale_for_sf_dir(sf_dir), seed=CFG.seed)
-    return ray.data.read_parquet(path)
+    return ray.data.read_parquet(path, columns=columns)
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -465,27 +465,35 @@ def _revenue_by_brand(sf_dir: str):
 
 def _conv_turn_gaps_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import conv_turn_gaps
-    return conv_turn_gaps(_transcript_ds(sf_dir))
+    return conv_turn_gaps(_transcript_ds(
+        sf_dir, columns=["conv_id", "turn_idx", "ts"]))
 
 
 def _role_tool_stats_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import role_tool_stats
-    return role_tool_stats(_transcript_ds(sf_dir))
+    return role_tool_stats(_transcript_ds(
+        sf_dir, columns=["conv_id", "role", "tool", "text"]))
 
 
 def _conv_training_docs_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import conv_training_docs
-    return conv_training_docs(_transcript_ds(sf_dir))
+    return conv_training_docs(_transcript_ds(
+        sf_dir, columns=["conv_id", "turn_idx", "role", "text"]))
 
 
 def _kept_conversations_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import kept_conversations
-    return kept_conversations(_transcript_ds(sf_dir), CFG)
+    # heuristics_batch skips the timeliness columns when ts is absent;
+    # the keep signal here is the 4-score overall, so prune to 2 cols
+    return kept_conversations(
+        _transcript_ds(sf_dir, columns=["conv_id", "turn_idx", "text"]),
+        CFG)
 
 
 def _turn_context_windows_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import turn_context_windows
-    return turn_context_windows(_transcript_ds(sf_dir))
+    return turn_context_windows(_transcript_ds(
+        sf_dir, columns=["conv_id", "turn_idx", "text"]))
 
 
 def _events_jsonl_roundtrip(sf_dir: str):
