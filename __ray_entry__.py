@@ -270,6 +270,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # — both SQL-checked
         "kept_conversations": _kept_conversations_q,
         "turn_context_windows": _turn_context_windows_q,
+        # fuzzy string matching (SymSpell delete-1 blocking; reference
+        # S3 fuzzy-key-recovery analog) — SQL-checked vs exact
+        # levenshtein all-pairs
+        "fuzzy_term_matches": _fuzzy_term_matches_q,
         # --- events: metrics (SQL-checked) ---
         "daily_event_metrics": M.daily_event_metrics,
         "top_users_by_value": M.top_users_by_value,
@@ -496,6 +500,11 @@ def _turn_context_windows_q(sf_dir: str):
         sf_dir, columns=["conv_id", "turn_idx", "text"]))
 
 
+def _fuzzy_term_matches_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import fuzzy_term_matches
+    return fuzzy_term_matches(_transcript_ds(sf_dir, columns=["text"]))
+
+
 def _events_jsonl_roundtrip(sf_dir: str):
     from dataquality_ray.sources.formats import events_jsonl_roundtrip
     return events_jsonl_roundtrip(sf_dir)
@@ -669,6 +678,7 @@ def _oracle_sql_impl() -> dict[str, str]:
         f"ts[i+{k}]" if k else "ts[i]" for k in range(SHINGLE_NGRAM))
     from dataquality_ray.pipelines.conversations import (
         CONV_KEEP_FRAC_MILLI,
+        FUZZY_MIN_LEN as CONV_FUZZY_MIN_LEN,
     )
     from dataquality_ray.pipelines.documents import (
         CMS_DEPTH,
@@ -1039,6 +1049,20 @@ c AS (
          // COUNT(*) AS BIGINT) AS keep_frac_milli
   FROM q GROUP BY conv_id)
 SELECT * FROM c WHERE keep_frac_milli >= {CONV_KEEP_FRAC_MILLI}
+""",
+        # fuzzy vocabulary matching: the oracle is the EXACT
+        # levenshtein all-pairs join (affordable over the distinct
+        # vocab); the pipeline's delete-1 blocking has exact recall at
+        # distance 1 by construction
+        "fuzzy_term_matches": f"""
+WITH t AS (
+  SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]+'))
+    AS term
+  FROM read_parquet('{tr_glob}')),
+f AS (SELECT term FROM t WHERE length(term) >= {CONV_FUZZY_MIN_LEN})
+SELECT a.term AS term_a, b.term AS term_b
+FROM f a JOIN f b ON a.term < b.term
+WHERE levenshtein(a.term, b.term) = 1
 """,
         # LAG + LEAD window pair: neighboring-turn context attachment
         "turn_context_windows": f"""

@@ -361,3 +361,92 @@ def turn_context_windows(ds, num_buckets: int = 16):
                            zero_copy_batch=True)
             .groupby("bucket")
             .map_groups(scan, batch_format="pandas"))
+
+
+FUZZY_MIN_LEN = 3   # ignore 1-2 char tokens (noise)
+
+
+def fuzzy_term_matches(ds, num_buckets: int = 32):
+    """(term_a, term_b): all DISTINCT corpus-vocabulary term pairs at
+    levenshtein distance exactly 1 — fuzzy string matching (reference
+    analog: the fuzzy S3-key recovery that case/typo-matches a missing
+    key against the listed prefix, s3.py:203-248; here the same
+    capability over the transcript vocabulary, e.g. spell-variant
+    clustering before term aggregation).
+
+    Shape: SymSpell delete-1 blocking — two strings at distance 1
+    ALWAYS share an entry of {term} ∪ {term minus one char}, so exact
+    recall needs no all-pairs scan: (1) per-batch distinct terms,
+    bucketed by term hash so global dedup is local; (2) each distinct
+    term flat-maps to its ≤ len+1 deletion variants, shuffled by
+    variant hash; (3) candidate pairs form inside each variant group
+    and are verified with an exact distance-1 check; (4) one last
+    pair-hash bucket dedupes pairs that shared several variants. The
+    Python loops iterate the DISTINCT VOCABULARY (the small side — the
+    corpus itself only ever passes through the vectorized tokenizer).
+    """
+    import polars as _pl
+    from dataquality_ray.spec import token_hash_u64
+
+    def terms_partial(batch: pa.Table) -> pa.Table:
+        s = (_pl.from_arrow(batch["text"]).str.to_lowercase()
+             .str.extract_all("[a-z]+"))
+        t = (_pl.DataFrame({"term": s}).explode("term").drop_nulls()
+             .filter(_pl.col("term").str.len_chars() >= FUZZY_MIN_LEN)
+             .unique())
+        terms = t["term"].to_list()
+        b = np.fromiter((token_hash_u64(x) % num_buckets for x in terms),
+                        dtype=np.int64, count=len(terms))
+        return pa.table({"term": pa.array(terms, pa.string()),
+                         "bucket": pa.array(b)})
+
+    def variants(df: pd.DataFrame) -> pd.DataFrame:
+        out_v, out_t = [], []
+        for t in set(df["term"]):          # distinct vocab, small side
+            out_v.append(t)
+            out_t.append(t)
+            for i in range(len(t)):
+                out_v.append(t[:i] + t[i + 1:])
+                out_t.append(t)
+        vb = np.fromiter(
+            (token_hash_u64(v) % num_buckets for v in out_v),
+            dtype=np.int64, count=len(out_v))
+        return pd.DataFrame({"variant": out_v, "term": out_t, "vb": vb})
+
+    def _is_lev1(a: str, b: str) -> bool:
+        la, lb = len(a), len(b)
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) == 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        if lb - la != 1:
+            return False
+        i = 0
+        while i < la and a[i] == b[i]:
+            i += 1
+        return a[i:] == b[i + 1:]
+
+    def pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b = [], []
+        for _, g in df.groupby("variant"):
+            ts = sorted(set(g["term"]))
+            for i in range(len(ts)):       # variant groups are tiny
+                for j in range(i + 1, len(ts)):
+                    if _is_lev1(ts[i], ts[j]):
+                        out_a.append(ts[i])
+                        out_b.append(ts[j])
+        pb = np.fromiter(
+            (token_hash_u64(a + "|" + b) % num_buckets
+             for a, b in zip(out_a, out_b)),
+            dtype=np.int64, count=len(out_a))
+        return pd.DataFrame({"term_a": out_a, "term_b": out_b, "pb": pb})
+
+    def dedupe(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop_duplicates(["term_a", "term_b"])[
+            ["term_a", "term_b"]]
+
+    return (ds.map_batches(terms_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket").map_groups(variants, batch_format="pandas")
+            .groupby("vb").map_groups(pairs, batch_format="pandas")
+            .groupby("pb").map_groups(dedupe, batch_format="pandas"))
