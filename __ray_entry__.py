@@ -325,6 +325,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # approximate variants (rows-only; recall vs brute force / exact
         # asserted in tests/test_clustering.py)
         "ivf_topk_embeddings": _ivf_topk_embeddings,
+        # IVF shape with DETERMINISTIC seed centroids (nprobe=1) —
+        # the hash-checkable bucketed-ANN variant
+        "ivf_exact_topk_embeddings": _ivf_exact_topk_embeddings,
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         # embedding GENERATION (actor-pool feature-hash projection;
         # reference analog bedrock.py:415-453) + ANN over the generated
@@ -359,6 +362,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_frame_samples": multimodal_frame_samples,
         "multimodal_resized": multimodal_resized,
     }
+
+
+def _ivf_exact_topk_embeddings(sf_dir: str):
+    import os
+    import ray
+    from dataquality_ray.pipelines.documents import ANN_K, ANN_QUERY_IDS
+    from dataquality_ray.stages.clustering import ivf_exact_topk
+    from dataquality_ray.arrowutil import strip_meta
+    ds = ray.data.read_parquet(os.path.join(sf_dir, "embeddings.parquet")) \
+        .map_batches(strip_meta, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    return ivf_exact_topk(ds, ANN_QUERY_IDS, k=ANN_K)
 
 
 def _ivf_topk_embeddings(sf_dir: str):
@@ -2083,6 +2098,39 @@ s AS (SELECT q.query_id, c.vec_id,
                            ORDER BY list_cosine_similarity(q.qe, c.e) DESC,
                                     c.vec_id) AS rank
       FROM q, c)
+SELECT query_id, vec_id, round(sim, 6) AS cosine_sim,
+  CAST(rank AS BIGINT) AS rank
+FROM s WHERE rank <= {ANN_K}
+""",
+        # nprobe=1 IVF with deterministic seed centroids: assignment
+        # (round-6 / smallest-cid ties) replayed per vector, each
+        # query reranked only within its own centroid's partition
+        "ivf_exact_topk_embeddings": f"""
+WITH c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+  FROM embeddings WHERE vec_id < {KMEANS_K}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings),
+a AS (
+  SELECT e.vec_id, c.cid,
+    row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY round(list_cosine_similarity(e.emb, c.ce), 6) DESC,
+               c.cid) AS rn
+  FROM e, c),
+asg AS (SELECT vec_id, cid FROM a WHERE rn = 1),
+q AS (SELECT e.vec_id AS query_id, e.emb AS qe, asg.cid AS qcid
+      FROM e JOIN asg USING (vec_id)
+      WHERE e.vec_id IN ({ann_ids})),
+corp AS (SELECT e.vec_id, e.emb, asg.cid FROM e JOIN asg USING (vec_id)
+         WHERE e.vec_id NOT IN ({ann_ids})),
+s AS (SELECT q.query_id, corp.vec_id,
+        list_cosine_similarity(q.qe, corp.emb) AS sim,
+        row_number() OVER (
+          PARTITION BY q.query_id
+          ORDER BY list_cosine_similarity(q.qe, corp.emb) DESC,
+                   corp.vec_id) AS rank
+      FROM q JOIN corp ON corp.cid = q.qcid)
 SELECT query_id, vec_id, round(sim, 6) AS cosine_sim,
   CAST(rank AS BIGINT) AS rank
 FROM s WHERE rank <= {ANN_K}

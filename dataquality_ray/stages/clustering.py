@@ -532,3 +532,72 @@ def pagerank(pairs_ds, iters: int = PAGERANK_ITERS,
         lambda t: pa.table({"doc_id": t["node"],
                             "rank": pc.cast(t["rank"], pa.int64())}),
         batch_format="pyarrow")
+
+
+def ivf_exact_topk(ds, query_ids: List[int], k: int = 10,
+                   id_col: str = "vec_id", emb_col: str = "embedding"):
+    """(query_id, vec_id, cosine_sim, rank): IVF-semantics ANN with
+    nprobe = 1 over the DETERMINISTIC seed centroids (vectors with
+    id < KMEANS_K, the kmeans_assign seeds) — each query scans ONLY the
+    corpus partition assigned to its own nearest centroid. Unlike the
+    Lloyd-trained ivf_topk (rows-only: trained centroids are float
+    artifacts), the fixed seed list makes the partitioning itself a
+    pure function of the data, so this bucketed-ANN variant is fully
+    SQL-checkable — the honest way to hash-check the IVF *shape*:
+    candidate restriction + exact rerank, no recall uncertainty.
+
+    Shape: centroids + queries are grabbed in one pass and broadcast
+    (ray.put once); each batch assigns its rows to centroids
+    (_assign_batch — identical round-6/tie arithmetic to the
+    kmeans_assign oracle), masks per query, computes a partial top-k,
+    and reduce_topk finishes with the groupby(query_id) distributed
+    reduce (driver volume O(|queries|·k)).
+    """
+    import ray as _ray
+    from dataquality_ray.stages.similarity import _normalize, reduce_topk
+
+    qset = set(int(q) for q in query_ids)
+
+    def grab(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy(zero_copy_only=False)
+        mask = pa.array((ids < KMEANS_K)
+                        | np.isin(ids, np.fromiter(qset, np.int64)))
+        return batch.filter(mask)
+
+    side = ds.map_batches(grab, batch_format="pyarrow").to_pandas() \
+        .sort_values(id_col)
+    cents = np.stack([np.asarray(v, np.float64)
+                      for v in side[side[id_col] < KMEANS_K][emb_col]])
+    qrows = side[side[id_col].isin(list(qset))]
+    q_ids = qrows[id_col].to_numpy(dtype=np.int64)
+    q_mat = np.stack([np.asarray(v, np.float64) for v in qrows[emb_col]])
+    q_cid = _assign_batch(q_mat, cents)[0]
+    q_norm = _normalize(q_mat)
+    ref = _ray.put((q_ids, q_norm, q_cid, cents))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids_q, mat_q, cid_q, cents_b = _ray.get(ref)
+        ids = np.asarray(batch[id_col].to_pylist(), dtype=np.int64)
+        m = _emb_matrix(batch, emb_col)
+        cid = _assign_batch(m, cents_b)[0]
+        mn = _normalize(m)
+        sims = mn @ mat_q.T
+        not_query = ~np.isin(ids, ids_q)
+        out_q, out_v, out_s = [], [], []
+        for qi in range(len(ids_q)):
+            cand = np.nonzero(not_query & (cid == cid_q[qi]))[0]
+            if len(cand) == 0:
+                continue
+            col = sims[:, qi]
+            top = cand[np.argsort(-col[cand], kind="stable")[:k]]
+            out_q.extend([int(ids_q[qi])] * len(top))
+            out_v.extend(ids[top].tolist())
+            out_s.extend(col[top].tolist())
+        return pa.table({
+            "query_id": pa.array(out_q, pa.int64()),
+            "vec_id": pa.array(out_v, pa.int64()),
+            "cosine_sim": pa.array(out_s, pa.float64()),
+        })
+
+    return reduce_topk(
+        ds.map_batches(partial_topk, batch_format="pyarrow"), k)
