@@ -301,6 +301,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (register surface SQL-checked; estimate pytest-bounded)
         "term_counts_cms": D.term_counts_cms,
         "distinct_users_hll": M.distinct_users_hll,
+        # set-valued aggregation (array_agg DISTINCT ORDER BY class)
+        "user_event_type_sets": M.user_event_type_sets,
         "docs_from_top_sources": D.docs_from_top_sources,
         "docs_matching_terms": D.docs_matching_terms,
         # --- multi-format sources: JSONL + CSV shards derived
@@ -1291,6 +1293,14 @@ SELECT conv_id, turn_idx,
        (PARTITION BY conv_id ORDER BY turn_idx), -1) AS BIGINT)
     AS gap_us
 FROM read_parquet('{tr_glob}')
+""",
+        # set-valued aggregation: sorted distinct event types per user
+        "user_event_type_sets": """
+SELECT user_id,
+  string_agg(DISTINCT event_type, ',' ORDER BY event_type)
+    AS event_types,
+  CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+FROM events GROUP BY user_id
 """,
         # first-order Markov transition matrix of each user's event
         # stream (LEAD window feeding an aggregate)

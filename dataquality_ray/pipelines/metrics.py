@@ -986,3 +986,40 @@ def hll_estimate(registers: "dict[int, int]",
     if e <= 2.5 * m and zeros:
         return m * math.log(m / zeros)
     return e
+
+
+def user_event_type_sets(sf_dir: str, num_buckets: int = 32):
+    """(user_id, event_types, n_types): SET-valued aggregation — each
+    user's sorted distinct event types joined with ',' (the
+    array_agg(DISTINCT ... ORDER BY) class; per-user behavioral
+    signatures for cohorting).
+
+    Shape: per-batch distinct (user, type) partials shrink the
+    exchange to distinct pairs; ONE user-bucket shuffle; the set
+    build + join completes locally per bucket via a vectorized polars
+    sort + group agg.
+    """
+    import polars as _pl
+
+    ds = _events(sf_dir, columns=["user_id", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = _pl.DataFrame({
+            "user_id": batch["user_id"].to_numpy(zero_copy_only=False),
+            "event_type": _pl.from_arrow(batch["event_type"]),
+        }).unique()
+        b = (df["user_id"].to_numpy() % num_buckets).astype(np.int32)
+        return df.to_arrow().append_column("bucket", pa.array(b))
+
+    def build(df: pd.DataFrame) -> pd.DataFrame:
+        g = (_pl.from_pandas(df[["user_id", "event_type"]])
+             .unique()
+             .sort(["user_id", "event_type"])
+             .group_by("user_id", maintain_order=True)
+             .agg(event_types=_pl.col("event_type").str.join(","),
+                  n_types=_pl.len().cast(_pl.Int64)))
+        return g.to_pandas()
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("bucket").map_groups(build, batch_format="pandas")
