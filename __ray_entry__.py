@@ -196,11 +196,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             batch_format="pyarrow", zero_copy_batch=True)
 
         def decide(t: pa.Table) -> pa.Table:
-            s = {c: t[c].to_numpy(zero_copy_only=False).astype(np.int64)
-                 for c in ("length_score", "repetition_score",
-                           "symbol_score", "boilerplate_score")}
-            overall = (s["length_score"] + s["repetition_score"]
-                       + s["symbol_score"] + s["boilerplate_score"]) // 4
+            from dataquality_ray.stages.heuristics import (
+                heuristic_overall4,
+            )
+            overall = heuristic_overall4(t)
             return pa.table({
                 "conv_id": t["conv_id"],
                 "turn_idx": t["turn_idx"],

@@ -251,7 +251,10 @@ def heuristic_keep_turns(ds, cfg: PipelineConfig = DEFAULT_CONFIG):
     gating surfaces."""
     import functools
 
-    from dataquality_ray.stages.heuristics import heuristics_batch
+    from dataquality_ray.stages.heuristics import (
+        heuristic_overall4,
+        heuristics_batch,
+    )
     from dataquality_ray.stages.scrub import scrub_batch
 
     ds = ds.map_batches(functools.partial(scrub_batch, with_counts=False),
@@ -260,11 +263,7 @@ def heuristic_keep_turns(ds, cfg: PipelineConfig = DEFAULT_CONFIG):
                         batch_format="pyarrow", zero_copy_batch=True)
 
     def decide(t: pa.Table) -> pa.Table:
-        s = {c: t[c].to_numpy(zero_copy_only=False).astype(np.int64)
-             for c in ("length_score", "repetition_score",
-                       "symbol_score", "boilerplate_score")}
-        overall = (s["length_score"] + s["repetition_score"]
-                   + s["symbol_score"] + s["boilerplate_score"]) // 4
+        overall = heuristic_overall4(t)
         return pa.table({
             "conv_id": t["conv_id"],
             "turn_idx": t["turn_idx"],

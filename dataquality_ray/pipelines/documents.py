@@ -81,11 +81,8 @@ def quality_documents(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
 
     def finish(batch: pa.Table) -> pa.Table:
         import numpy as np
-        s = {c: batch[c].to_numpy(zero_copy_only=False).astype(np.int64)
-             for c in ("length_score", "repetition_score", "symbol_score",
-                       "boilerplate_score")}
-        overall = (s["length_score"] + s["repetition_score"]
-                   + s["symbol_score"] + s["boilerplate_score"]) // 4
+        from dataquality_ray.stages.heuristics import heuristic_overall4
+        overall = heuristic_overall4(batch)
         action = np.select(
             [overall >= cfg.keep_action_threshold,
              overall >= cfg.review_action_threshold,

@@ -825,9 +825,13 @@ def user_funnel_stages(sf_dir: str, num_buckets: int = 16):
         for k, etype in enumerate(FUNNEL_STAGES, start=1):
             rows = df[df["event_type"] == etype]
             if prev_ts is not None:
-                bound = rows["user_id"].map(prev_ts)
-                rows = rows[bound.notna() & (rows["ts_us"]
-                                             > bound.fillna(np.int64(0)))]
+                # inner merge keeps the bound in int64 — Series.map
+                # would promote through float64 (NaN for absent users)
+                # and lose exactness for values above 2^53
+                pt = (prev_ts.rename("bound").rename_axis("user_id")
+                      .reset_index())
+                rows = rows.merge(pt, on="user_id", how="inner")
+                rows = rows[rows["ts_us"] > rows["bound"]]
             cur = rows.groupby("user_id")["ts_us"].min()
             stage.loc[cur.index] = k
             prev_ts = cur

@@ -8,8 +8,10 @@ The shards are synthesized DETERMINISTICALLY from the sf parquet tables
 integers at write time (floor(value*1000) milli / floor(bal*100) cents —
 the repo-wide fixed-point rule) so the JSON/CSV round-trip is
 bit-exact and the oracle can recompute the same integers straight from
-the original parquet views. Caches under /tmp keyed by sf dir + version;
-a _DONE marker makes the build idempotent and safe to race.
+the original parquet views. Caches under /tmp keyed by sf path + source
+file size/mtime + version; shards are built in a private tmp dir and
+atomically renamed into place, so concurrent builders race safely and
+readers never see a partially-written shard set.
 """
 
 from __future__ import annotations
@@ -24,10 +26,33 @@ _FORMATS_VERSION = "v1"
 _NUM_SHARDS = 4
 
 
-def _cache_dir(kind: str, sf_dir: str) -> str:
+def _cache_dir(kind: str, sf_dir: str, src_file: str) -> str:
+    """Cache key = sf basename + md5 of (absolute path, source file
+    size/mtime) — two different dirs with the same basename get
+    different caches, and regenerating the source table in place
+    invalidates the derived shards (the manifest plan-fingerprint
+    lesson, state/manifest.py)."""
+    import hashlib
+
     base = os.path.basename(sf_dir.rstrip("/"))
+    st = os.stat(src_file)
+    sig = hashlib.md5(
+        f"{os.path.abspath(sf_dir)}|{st.st_size}|{st.st_mtime_ns}"
+        .encode()).hexdigest()[:12]
     return os.path.join("/tmp/dq_formats",
-                        f"{kind}_{base}_{_FORMATS_VERSION}")
+                        f"{kind}_{base}_{sig}_{_FORMATS_VERSION}")
+
+
+def _commit_dir(tmp: str, out: str) -> None:
+    """Atomic publish: build under a private tmp dir, rename into
+    place; a concurrent builder that loses the race just discards its
+    copy — readers only ever see a fully-written directory."""
+    import shutil
+
+    try:
+        os.rename(tmp, out)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)   # another builder won
 
 
 def events_jsonl_path(sf_dir: str) -> str:
@@ -36,13 +61,12 @@ def events_jsonl_path(sf_dir: str) -> str:
     to fixed-point milli at write time — and return the directory."""
     import polars as pl
 
-    out = _cache_dir("events_jsonl", sf_dir)
-    done = os.path.join(out, "_DONE")
-    if os.path.exists(done):
+    src = os.path.join(sf_dir, "events.parquet")
+    out = _cache_dir("events_jsonl", sf_dir, src)
+    if os.path.isdir(out):
         return out
-    t = pq.read_table(os.path.join(sf_dir, "events.parquet"),
-                      columns=["event_id", "user_id", "event_type",
-                               "value"])
+    t = pq.read_table(src, columns=["event_id", "user_id", "event_type",
+                                    "value"])
     value_milli = np.floor(
         t["value"].to_numpy(zero_copy_only=False) * 1000).astype(np.int64)
     df = pl.DataFrame({
@@ -51,16 +75,16 @@ def events_jsonl_path(sf_dir: str) -> str:
         "event_type": pl.from_arrow(t["event_type"]),
         "value_milli": value_milli,
     })
-    os.makedirs(out, exist_ok=True)
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
     n = len(df)
     step = (n + _NUM_SHARDS - 1) // _NUM_SHARDS
     for i in range(_NUM_SHARDS):
         part = df.slice(i * step, step)
         if len(part):
             part.write_ndjson(
-                os.path.join(out, f"events-{i:03d}.jsonl"))
-    with open(done, "w") as fh:
-        fh.write("ok")
+                os.path.join(tmp, f"events-{i:03d}.jsonl"))
+    _commit_dir(tmp, out)
     return out
 
 
@@ -71,11 +95,11 @@ def supplier_csv_path(sf_dir: str) -> str:
     quoting/escaping ambiguity) — and return the directory."""
     import polars as pl
 
-    out = _cache_dir("supplier_csv", sf_dir)
-    done = os.path.join(out, "_DONE")
-    if os.path.exists(done):
+    src = os.path.join(sf_dir, "supplier.parquet")
+    out = _cache_dir("supplier_csv", sf_dir, src)
+    if os.path.isdir(out):
         return out
-    t = pq.read_table(os.path.join(sf_dir, "supplier.parquet"),
+    t = pq.read_table(src,
                       columns=["s_suppkey", "s_nationkey", "s_acctbal"])
     cents = np.floor(
         t["s_acctbal"].to_numpy(zero_copy_only=False) * 100) \
@@ -87,15 +111,15 @@ def supplier_csv_path(sf_dir: str) -> str:
         .astype(np.int64),
         "acctbal_cents": cents,
     })
-    os.makedirs(out, exist_ok=True)
+    tmp = f"{out}.tmp.{os.getpid()}"
+    os.makedirs(tmp, exist_ok=True)
     n = len(df)
     step = (n + _NUM_SHARDS - 1) // _NUM_SHARDS
     for i in range(_NUM_SHARDS):
         part = df.slice(i * step, step)
         if len(part):
-            part.write_csv(os.path.join(out, f"supplier-{i:03d}.csv"))
-    with open(done, "w") as fh:
-        fh.write("ok")
+            part.write_csv(os.path.join(tmp, f"supplier-{i:03d}.csv"))
+    _commit_dir(tmp, out)
     return out
 
 

@@ -135,3 +135,16 @@ def sentence_stats_batch(batch, id_cols=("conv_id", "turn_idx"),
         segs.list.unique().list.len().cast(pl.Int64).to_numpy(),
         pa.int64())
     return pa.table(cols)
+
+
+def heuristic_overall4(batch: pa.Table) -> "np.ndarray":
+    """Integer mean of the four text-heuristic scores — the single
+    definition of the SQL-expressible heuristic 'overall' used by the
+    document quality surface, the conv-level gating surfaces, and
+    their oracles (any rule change must still be mirrored in the
+    generated SQL, but now only ONE Python site).
+    Input: a heuristics_batch-scored table."""
+    s = [batch[c].to_numpy(zero_copy_only=False).astype(np.int64)
+         for c in ("length_score", "repetition_score", "symbol_score",
+                   "boilerplate_score")]
+    return (s[0] + s[1] + s[2] + s[3]) // 4
