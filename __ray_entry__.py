@@ -332,12 +332,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dup_lsh": _embedding_near_dup_lsh,
         # embedding GENERATION (actor-pool feature-hash projection;
         # reference analog bedrock.py:415-453) + ANN over the generated
-        # vectors (rows-only: float embeddings aren't SQL-expressible)
+        # vectors (list-column / composition surfaces stay rows-only;
+        # the VALUES are hash-checked via doc_embedding_values)
         "doc_embeddings": _doc_embeddings,
         "doc_embedding_ann": _doc_embedding_ann,
         # the embedder's deterministic tokenize->hash->bucket->tf front
         # half, hard-checked in SQL (everything up to the projection)
         "doc_token_buckets": D.doc_token_buckets,
+        # ...and the WHOLE embedder, value-checked: integer projection
+        # weights make the accumulation exact, so the generated
+        # embeddings themselves hash-match a DuckDB replay
+        "doc_embedding_values": D.doc_embedding_values,
         # k-means over the embedding corpus: the assignment step is
         # SQL-checked; the full Lloyd iteration is rows-only (pytest
         # enforces determinism + single-process-reference equality)
@@ -728,7 +733,9 @@ def _oracle_sql_impl() -> dict[str, str]:
         SEARCH_TERMS as D_SEARCH_TERMS,
     )
     from dataquality_ray.stages.embeddings import (
+        EMBED_DIM as EMB_DIM,
         HASH_BUCKETS as EMB_HASH_BUCKETS,
+        PROJ_Q as EMB_PROJ_Q,
     )
     from dataquality_ray.stages.clustering import KMEANS_K
     lid_counts, lid_case = _langid_parts()
@@ -1273,6 +1280,41 @@ FROM (
       AS t
   FROM documents)
 GROUP BY 1, 2
+""",
+        # the full feature-hash embedder replayed in SQL: exact int64
+        # tf×weight accumulation (md5-derived integer weights), one
+        # sqrt+divide from exact integers, round-6 — token-less docs
+        # are all-zero rows via the doc×dim grid
+        "doc_embedding_values": f"""
+WITH tb AS (
+  SELECT doc_id,
+    CAST(md5_number_upper(t) % {EMB_HASH_BUCKETS} AS BIGINT) AS bucket,
+    CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id,
+      unnest(regexp_extract_all(lower(substr(text, 1, 8000)), '{_TOK}'))
+        AS t
+    FROM documents)
+  GROUP BY 1, 2),
+proj AS (
+  SELECT b.range AS bucket, d.range AS dim,
+    CAST(md5_number_upper('proj:' || b.range || ':' || d.range)
+         % {2 * EMB_PROJ_Q + 1} AS BIGINT) - {EMB_PROJ_Q} AS w
+  FROM range(0, {EMB_HASH_BUCKETS}) b
+  CROSS JOIN range(0, {EMB_DIM}) d),
+acc AS (
+  SELECT tb.doc_id, proj.dim, SUM(tb.tf * proj.w) AS a
+  FROM tb JOIN proj USING (bucket) GROUP BY 1, 2),
+nrm AS (SELECT doc_id, SUM(a * a) AS nsq FROM acc GROUP BY 1),
+grid AS (
+  SELECT doc_id, d.range AS dim
+  FROM documents CROSS JOIN range(0, {EMB_DIM}) d)
+SELECT g.doc_id, CAST(g.dim AS BIGINT) AS dim,
+  CASE WHEN COALESCE(n.nsq, 0) = 0 THEN 0.0
+       ELSE round(a.a / sqrt(CAST(n.nsq AS DOUBLE)), 6) END AS val
+FROM grid g
+LEFT JOIN acc a ON a.doc_id = g.doc_id AND a.dim = g.dim
+LEFT JOIN nrm n ON n.doc_id = g.doc_id
 """,
         # per-(role, tool) usage aggregate with an exact distinct-conv
         # count (two-phase distinct on the Ray side)

@@ -1190,10 +1190,10 @@ def doc_token_buckets(sf_dir: str):
     8000-char-truncated, lowered text, hashed with the frozen md5-u64
     token hash into HASH_BUCKETS buckets, counted per (doc, bucket).
 
-    The embedding itself is this histogram times a frozen random
-    projection (not SQL-expressible); SQL-checking the histogram pins
-    everything up to the matmul — tokenizer, truncation order, hash,
-    bucket arithmetic — against DuckDB's md5_number_upper.
+    The embedding itself is this histogram times the frozen integer
+    projection — also SQL-checked now (doc_embedding_values); this
+    surface pins the front half — tokenizer, truncation order, hash,
+    bucket arithmetic — against DuckDB's md5_number_upper in isolation.
     """
     import pandas as pd
 
@@ -1956,3 +1956,35 @@ def weighted_sample_documents(sf_dir: str):
     return ds.map_batches(partial, batch_format="pyarrow",
                           zero_copy_batch=True) \
         .sort(["priority", "doc_id"]).limit(WEIGHTED_SAMPLE_N)
+
+
+def doc_embedding_values(sf_dir: str):
+    """(doc_id, dim, val): the GENERATED embeddings themselves,
+    hash-checked — possible because the embedder's projection weights
+    are frozen md5-derived INTEGERS (stages/embeddings.PROJ_Q): the
+    tf × weight accumulation is exact int64 (order/partition
+    independent), and the only float ops are one correctly-rounded
+    sqrt + divide from exact integer inputs, rounded to 6 — so DuckDB
+    replaying the same arithmetic produces bit-identical values.
+    Upgrades embedding GENERATION from a rows-only surface to a
+    value-checked one (doc_token_buckets pins the front half; this
+    pins the whole thing)."""
+    from dataquality_ray.stages.embeddings import EMBED_DIM, embed_texts
+
+    ds = embed_texts(_docs(sf_dir, columns=["doc_id", "text"]))
+
+    def explode(batch: pa.Table) -> pa.Table:
+        emb = batch["embedding"]
+        if isinstance(emb, pa.ChunkedArray):
+            emb = emb.combine_chunks()
+        n = len(batch)
+        vals = np.asarray(emb.flatten(), dtype=np.float64)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "doc_id": pa.array(np.repeat(ids, EMBED_DIM)),
+            "dim": pa.array(np.tile(np.arange(EMBED_DIM, dtype=np.int64),
+                                    n)),
+            "val": pa.array(vals, pa.float64()),
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow")

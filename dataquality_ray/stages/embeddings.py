@@ -3,12 +3,13 @@
 Reference analog: the Titan embedding call per document
 (/root/reference/backend/app/services/bedrock.py:415-453 — a network
 model invoked sequentially per record, truncating input at 8000 chars).
-Re-expressed Ray-Data-first: a feature-hashing random-projection
-embedder whose projection matrix is derived from a frozen seed ONCE PER
-ACTOR (``__init__``), applied to whole Arrow batches in ``__call__`` —
-the same actor-pool shape a real encoder (sentence-transformers, ONNX)
-would use; swap ``_embed_rows`` for a model forward pass and nothing
-else changes.
+Re-expressed Ray-Data-first: a feature-hashing projection embedder
+whose projection matrix (frozen md5-derived INTEGER weights — see
+PROJ_Q) is built ONCE PER ACTOR (``__init__``), applied to whole Arrow
+batches in ``__call__`` — the same actor-pool shape a real encoder
+(sentence-transformers, ONNX) would use; swap ``_embed_rows`` for a
+model forward pass and nothing else changes. The integer weights make
+the whole embedder value-checkable in SQL (doc_embedding_values).
 
 The embedding is L2-normalized tf-weighted sum of per-token projection
 rows (token → bucket via the frozen 64-bit token hash). Deterministic,
@@ -30,6 +31,19 @@ from dataquality_ray.spec import TOKEN_PATTERN, token_hash_u64
 
 EMBED_DIM = 64
 HASH_BUCKETS = 4096
+# integer projection weights in [-PROJ_Q, PROJ_Q]: accumulation is
+# EXACT int64 (order/partition-independent), so the embedding —
+# integer accumulator normalized in one float64 sqrt/divide and
+# rounded to 6 — is bit-identical across engines and SQL-checkable
+# (md5_number_upper % (2Q+1) - Q is the DuckDB twin). Overflow bound:
+# acc <= 4000 tokens × Q = 2.6e8; Σ acc² over 64 dims <= 4.4e18 < 2^63.
+PROJ_Q = 65536
+
+
+def projection_weight(bucket: int, dim: int) -> int:
+    """Frozen md5-derived projection weight in [-PROJ_Q, PROJ_Q]."""
+    return int(token_hash_u64(f"proj:{bucket}:{dim}")
+               % (2 * PROJ_Q + 1)) - PROJ_Q
 
 
 class HashedProjectionEmbedder:
@@ -51,9 +65,10 @@ class HashedProjectionEmbedder:
         self.dim = dim
         self.buckets = buckets
         self.max_chars = max_chars   # reference truncates at 8000 chars
-        rng = np.random.default_rng(cfg.seed)
-        self.proj = rng.standard_normal((buckets, dim)) \
-            .astype(np.float32)
+        self.proj = np.fromiter(
+            (projection_weight(b, d)
+             for b in range(buckets) for d in range(dim)),
+            dtype=np.int64, count=buckets * dim).reshape(buckets, dim)
         self.token_rx = re.compile(TOKEN_PATTERN, re.ASCII)
         self._cache: Dict[str, int] = {}
 
@@ -66,7 +81,7 @@ class HashedProjectionEmbedder:
         return b
 
     def _embed_rows(self, texts) -> np.ndarray:
-        out = np.zeros((len(texts), self.dim), dtype=np.float32)
+        out = np.zeros((len(texts), self.dim), dtype=np.float64)
         for i, t in enumerate(texts):
             toks = self.token_rx.findall((t or "")[: self.max_chars]
                                          .lower())
@@ -75,10 +90,13 @@ class HashedProjectionEmbedder:
             idx = np.fromiter((self._bucket(tok) for tok in toks),
                               dtype=np.int64, count=len(toks))
             buckets, tf = np.unique(idx, return_counts=True)
-            v = tf.astype(np.float32) @ self.proj[buckets]
-            n = float(np.linalg.norm(v))
-            if n > 0:
-                out[i] = v / n
+            acc = tf.astype(np.int64) @ self.proj[buckets]   # exact
+            nsq = int(np.dot(acc, acc))                      # < 2^63
+            if nsq > 0:
+                # one correctly-rounded sqrt + divide from exact
+                # integer inputs, then round-6 — bit-identical in any
+                # engine computing the same float64 ops
+                out[i] = np.round(acc / np.sqrt(float(nsq)), 6)
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -89,8 +107,8 @@ class HashedProjectionEmbedder:
         return batch.append_column(
             self.out_col,
             pa.FixedSizeListArray.from_arrays(
-                pa.array(emb.ravel(), pa.float32()), self.dim).cast(
-                pa.list_(pa.float32())))
+                pa.array(emb.ravel(), pa.float64()), self.dim).cast(
+                pa.list_(pa.float64())))
 
 
 def embed_texts(ds, text_col: str = "text",
