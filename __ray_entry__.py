@@ -2331,4 +2331,31 @@ r(key, lab) AS (
   SELECT e.dst, r.lab FROM r JOIN e ON e.src = r.key)
 SELECT key, MIN(lab) AS cluster FROM r GROUP BY key
 """
+    # generation -> search, end to end: ANN over the SQL-replayed
+    # embeddings (doc_embedding_values), zero-vector convention
+    # preserved (cosine 0, matching stages/similarity._normalize)
+    sql["doc_embedding_ann"] = f"""
+WITH v AS ({sql['doc_embedding_values']}),
+emb AS (
+  SELECT doc_id, list(val ORDER BY dim) AS e,
+    sqrt(list_dot_product(list(val ORDER BY dim),
+                          list(val ORDER BY dim))) AS nrm
+  FROM v GROUP BY doc_id),
+q AS (SELECT doc_id AS query_id, e AS qe, nrm AS qn FROM emb
+      WHERE doc_id IN (0, 1, 2, 3, 4)),
+c AS (SELECT doc_id, e, nrm FROM emb
+      WHERE doc_id NOT IN (0, 1, 2, 3, 4)),
+s AS (
+  SELECT q.query_id, c.doc_id AS vec_id,
+    CASE WHEN q.qn = 0 OR c.nrm = 0 THEN 0.0
+         ELSE list_cosine_similarity(q.qe, c.e) END AS sim
+  FROM q, c),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY sim DESC, vec_id) AS rank
+  FROM s)
+SELECT query_id, vec_id, round(sim, 6) AS cosine_sim,
+  CAST(rank AS BIGINT) AS rank
+FROM r2 WHERE rank <= 5
+"""
     return sql
