@@ -302,6 +302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_hll": M.distinct_users_hll,
         # set-valued aggregation (array_agg DISTINCT ORDER BY class)
         "user_event_type_sets": M.user_event_type_sets,
+        # FULL OUTER JOIN reconciliation (dimension vs activity audit)
+        "customer_event_reconciliation": M.customer_event_reconciliation,
         "docs_from_top_sources": D.docs_from_top_sources,
         "docs_matching_terms": D.docs_matching_terms,
         # --- multi-format sources: JSONL + CSV shards derived
@@ -1334,6 +1336,22 @@ SELECT conv_id, turn_idx,
        (PARTITION BY conv_id ORDER BY turn_idx), -1) AS BIGINT)
     AS gap_us
 FROM read_parquet('{tr_glob}')
+""",
+        # FULL OUTER JOIN reconciliation: every row of both sides
+        # survives with a match-status tag
+        "customer_event_reconciliation": """
+WITH ev AS (
+  SELECT user_id AS key, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1),
+cu AS (SELECT CAST(c_custkey AS BIGINT) AS key, c_mktsegment
+       FROM customer)
+SELECT COALESCE(cu.key, ev.key) AS key,
+  CASE WHEN cu.key IS NOT NULL AND ev.key IS NOT NULL THEN 'both'
+       WHEN cu.key IS NOT NULL THEN 'customer_only'
+       ELSE 'events_only' END AS match_status,
+  COALESCE(ev.n_events, 0) AS n_events,
+  COALESCE(cu.c_mktsegment, '') AS mktsegment
+FROM cu FULL OUTER JOIN ev ON cu.key = ev.key
 """,
         # set-valued aggregation: sorted distinct event types per user
         "user_event_type_sets": """

@@ -1027,3 +1027,71 @@ def user_event_type_sets(sf_dir: str, num_buckets: int = 32):
     return ds.map_batches(partial, batch_format="pyarrow",
                           zero_copy_batch=True) \
         .groupby("bucket").map_groups(build, batch_format="pandas")
+
+
+def customer_event_reconciliation(sf_dir: str, num_buckets: int = 16):
+    """(key, match_status, n_events, mktsegment): FULL OUTER JOIN
+    reconciliation of the customer dimension against per-user event
+    activity — 'both' / 'customer_only' / 'events_only' rows all
+    survive (the data-quality audit shape: which dimension rows have
+    no activity, which activity has no dimension row).
+
+    Shape: the event side first collapses to per-user counts
+    (two-phase partials), then BOTH sides hash into the same key
+    buckets — one co-shuffle, and the full-outer merge completes
+    locally per bucket with a vectorized pandas outer merge. No side
+    is broadcast: the pattern holds when both tables are large.
+    """
+    ds = _events(sf_dir, columns=["user_id"])
+
+    def ev_partial(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        vals, cnt = np.unique(u, return_counts=True)
+        return pa.table({
+            "key": pa.array(vals.astype(np.int64)),
+            "n": pa.array(cnt.astype(np.int64)),
+            "bucket": pa.array((vals % num_buckets).astype(np.int32)),
+            "side": pa.array(np.full(len(vals), "e"), pa.string()),
+            "mktsegment": pa.array([""] * len(vals), pa.string()),
+        })
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"])
+
+    def cust_rows(batch: pa.Table) -> pa.Table:
+        k = batch["c_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "key": pa.array(k),
+            "n": pa.array(np.zeros(len(k), np.int64)),
+            "bucket": pa.array((k % num_buckets).astype(np.int32)),
+            "side": pa.array(np.full(len(k), "c"), pa.string()),
+            "mktsegment": batch["c_mktsegment"],
+        })
+
+    both = ds.map_batches(ev_partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .union(cust.map_batches(cust_rows, batch_format="pyarrow"))
+
+    def merge(df: pd.DataFrame) -> pd.DataFrame:
+        ev = (df[df["side"] == "e"].groupby("key")["n"].sum()
+              .rename("n_events").reset_index())
+        cu = df[df["side"] == "c"][["key", "mktsegment"]] \
+            .drop_duplicates("key")
+        m = cu.merge(ev, on="key", how="outer")
+        has_c = m["mktsegment"].notna()
+        has_e = m["n_events"].notna()
+        m["match_status"] = np.where(
+            has_c & has_e, "both",
+            np.where(has_c, "customer_only", "events_only"))
+        return pd.DataFrame({
+            "key": m["key"].to_numpy().astype(np.int64),
+            "match_status": m["match_status"],
+            "n_events": m["n_events"].fillna(0).to_numpy()
+            .astype(np.int64),
+            "mktsegment": m["mktsegment"].fillna("").to_numpy(),
+        })
+
+    return both.groupby("bucket").map_groups(merge,
+                                             batch_format="pandas")
