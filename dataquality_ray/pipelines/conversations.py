@@ -22,6 +22,7 @@ import pyarrow as pa
 
 from dataquality_ray.config import DEFAULT_CONFIG, PipelineConfig
 from dataquality_ray.arrowutil import from_pandas_clean
+from dataquality_ray.stages.bucketing import cluster_buckets
 
 
 def conv_stats(scored_ds, cfg: PipelineConfig = DEFAULT_CONFIG):
@@ -87,7 +88,7 @@ def conv_stats(scored_ds, cfg: PipelineConfig = DEFAULT_CONFIG):
     return merged.map_batches(finish, batch_format="pyarrow")
 
 
-def conv_turn_gaps(ds, num_buckets: int = 16):
+def conv_turn_gaps(ds, num_buckets: int = 0):
     """(conv_id, turn_idx, gap_us): per-turn inter-arrival time — the
     LAG window function (gap to the previous turn of the SAME
     conversation in turn_idx order; first turn → -1), expressed as the
@@ -95,6 +96,7 @@ def conv_turn_gaps(ds, num_buckets: int = 16):
     pandas diff within each bucket. Complements user_running_totals
     (running SUM OVER) with the LAG OVER shape.
     """
+    num_buckets = num_buckets or cluster_buckets(minimum=16)
     import pandas as pd
     import pyarrow.compute as pc
 
@@ -198,7 +200,7 @@ def role_tool_stats(ds, num_buckets: int = 64):
     return agg.map_batches(clean, batch_format="pyarrow")
 
 
-def conv_training_docs(ds, num_buckets: int = 16):
+def conv_training_docs(ds, num_buckets: int = 0):
     """(conv_id, n_turns, n_chars, doc_text): reassemble each
     conversation into ONE training document — 'role: text' lines joined
     by newline in turn_idx order (the turns→documents construction step
@@ -211,6 +213,7 @@ def conv_training_docs(ds, num_buckets: int = 16):
     conversation-proportional ever crosses a second exchange; the
     output is one row per conversation.
     """
+    num_buckets = num_buckets or cluster_buckets(minimum=16)
     import polars as _pl
     from dataquality_ray.pipelines.quality import conv_bucket_of
 
@@ -325,7 +328,7 @@ def kept_conversations(ds, cfg: PipelineConfig = DEFAULT_CONFIG,
         .groupby("bucket").map_groups(gate, batch_format="pandas")
 
 
-def turn_context_windows(ds, num_buckets: int = 16):
+def turn_context_windows(ds, num_buckets: int = 0):
     """(conv_id, turn_idx, prev_text, next_text): attach each turn's
     neighboring turns — the LAG + LEAD window pair (context-conditioned
     training-example construction). First/last turns get '' (never
@@ -334,6 +337,7 @@ def turn_context_windows(ds, num_buckets: int = 16):
     Shape: the bucketed ordered scan — ONE conv-bucket shuffle, then a
     vectorized polars shift±1 over conv_id partitions locally.
     """
+    num_buckets = num_buckets or cluster_buckets(minimum=16)
     import polars as _pl
     from dataquality_ray.pipelines.quality import conv_bucket_of
 
@@ -365,7 +369,7 @@ def turn_context_windows(ds, num_buckets: int = 16):
 FUZZY_MIN_LEN = 3   # ignore 1-2 char tokens (noise)
 
 
-def fuzzy_term_matches(ds, num_buckets: int = 32):
+def fuzzy_term_matches(ds, num_buckets: int = 0):
     """(term_a, term_b): all DISTINCT corpus-vocabulary term pairs at
     levenshtein distance exactly 1 — fuzzy string matching (reference
     analog: the fuzzy S3-key recovery that case/typo-matches a missing
@@ -384,6 +388,7 @@ def fuzzy_term_matches(ds, num_buckets: int = 32):
     Python loops iterate the DISTINCT VOCABULARY (the small side — the
     corpus itself only ever passes through the vectorized tokenizer).
     """
+    num_buckets = num_buckets or cluster_buckets(minimum=32)
     import polars as _pl
     from dataquality_ray.spec import token_hash_u64
 

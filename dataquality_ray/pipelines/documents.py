@@ -431,9 +431,12 @@ def doc_tfidf_terms(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
 
     Topology (the 100-TB shape): batch-local tf → corpus df via a
     term-keyed groupby (vocab-sized, never on the driver) → df attached
-    back with a hash join on term → per-doc top-k via a doc_id-keyed
-    groupby. Two shuffles, both hash-partitioned; nothing
-    corpus-proportional is materialized.
+    back with a hash join on term → per-doc top-k as a BUCKETED-LOCAL
+    rank: shuffle once on splitmix(doc_id) % K (K ~ 2× cluster CPUs),
+    then one vectorized pandas sort + group-head per bucket — never a
+    #docs-output-group Ray aggregate (CLAUDE.md invariant; the
+    role_tool_stats shape). Two shuffles, both hash-partitioned;
+    nothing corpus-proportional is materialized.
     """
     import pandas as pd
 
@@ -465,27 +468,40 @@ def doc_tfidf_terms(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
                      num_partitions=max(4, cfg.num_buckets // 4),
                      on=("term",), right_on=("term",))
 
+    from dataquality_ray.stages.bucketing import (
+        cluster_buckets,
+        splitmix_bucket,
+    )
+
+    nb = cluster_buckets()
+
     def score(batch: pa.Table) -> pa.Table:
         tfv = batch["tf"].to_numpy(zero_copy_only=False)
         dfv = batch["count()"].to_numpy(zero_copy_only=False) \
             .astype(np.int64)
         s = tfv * ((n_docs * TFIDF_IDF_SCALE) // dfv)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
         return pa.table({
             "doc_id": batch["doc_id"],
             "term": batch["term"],
             "tf": batch["tf"],
             "score": pa.array(s, pa.int64()),
+            "part": pa.array(splitmix_bucket(ids, nb)),
         })
 
-    def topk(g: "pd.DataFrame") -> "pd.DataFrame":
-        g = g.sort_values(["score", "term"], ascending=[False, True],
-                          kind="mergesort").head(TFIDF_TOP_K).copy()
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    def topk_bucket(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["doc_id", "score", "term"],
+                          ascending=[True, False, True],
+                          kind="mergesort")
+        g = g.groupby("doc_id", sort=False).head(TFIDF_TOP_K).copy()
+        g["rank"] = (g.groupby("doc_id", sort=False).cumcount() + 1) \
+            .astype(np.int64)
+        return g.drop(columns=["part"])
 
     return (scored.map_batches(score, batch_format="pyarrow")
-            .groupby("doc_id")
-            .map_groups(topk, batch_format="pandas"))
+            .groupby("part")
+            .map_groups(topk_bucket, batch_format="pandas"))
 
 
 def token_count_documents(sf_dir: str):
@@ -688,18 +704,37 @@ def doc_metadata_gate(sf_dir: str):
     import pandas as pd
 
     from dataquality_ray.config import DEFAULT_CONFIG as cfg
+    from dataquality_ray.spec import token_hash_u64
+    from dataquality_ray.stages.bucketing import (
+        cluster_buckets,
+        splitmix_bucket,
+    )
 
     # materialize: the key-term table is consumed twice (join side
     # + candidate stream) — without it the tokenize/rank lineage would
     # re-execute for each consumer
     terms = doc_key_terms(sf_dir).materialize()   # (doc_id, term, tf, rank)
     docs = _docs(sf_dir, columns=["doc_id", "source"])
+    nb = cluster_buckets()
 
     def candidates(batch: pa.Table) -> pa.Table:
-        # posting rows: one per (term, doc) — grouped by term below
+        # posting rows: one per (term, doc), bucketed by the frozen
+        # md5-u64 term hash — the pair build completes locally per
+        # bucket (every term lives in exactly one bucket), so the Ray
+        # groupby has K output groups, never vocabulary-many
+        term = batch["term"]
+        if isinstance(term, pa.ChunkedArray):
+            term = term.combine_chunks()
+        enc = term.dictionary_encode()
+        lut = np.fromiter(
+            (token_hash_u64(u) for u in enc.dictionary.to_pylist()),
+            dtype=np.uint64, count=len(enc.dictionary))
+        h = lut[enc.indices.to_numpy(zero_copy_only=False)]
+        part = (h % np.uint64(nb)).astype(np.int32)
         return pa.table({
-            "term": batch["term"],
+            "term": term,
             "doc_id": batch["doc_id"],
+            "part": pa.array(part),
         })
 
     def term_pairs(df: "pd.DataFrame") -> "pd.DataFrame":
@@ -730,7 +765,10 @@ def doc_metadata_gate(sf_dir: str):
 
     # per-doc join side: key-term set packed into one \x1f-joined string
     # (Acero joins reject list<> non-key payloads) + source attached by
-    # one hash join against the docs table
+    # one hash join against the docs table. The pack is bucketed-local:
+    # shuffle on splitmix(doc_id) % K, pack every doc inside its bucket
+    # with one pandas groupby — never a #docs-output-group Ray groupby
+    # (CLAUDE.md invariant).
     def pack_terms(df: "pd.DataFrame") -> "pd.DataFrame":
         from dataquality_ray.arrowutil import from_pandas_clean
         g = (df.sort_values(["doc_id", "term"], kind="mergesort")
@@ -748,46 +786,56 @@ def doc_metadata_gate(sf_dir: str):
         except Exception:
             return 4
 
+    def slim(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "term": t["term"],
+                         "part": pa.array(splitmix_bucket(ids, nb))})
+
     n_parts = _n_parts()
-    side = (terms.map_batches(
-                lambda t: t.select(["doc_id", "term"]),
-                batch_format="pyarrow")
-            .groupby("doc_id")
+    side = (terms.map_batches(slim, batch_format="pyarrow")
+            .groupby("part")
             .map_groups(pack_terms, batch_format="pandas")
             .join(docs, join_type="inner", num_partitions=n_parts,
                   on=("doc_id",))
             .materialize())          # consumed by two joins below
 
     def verify(batch: pa.Table) -> pa.Table:
-        ta = batch["term_pack_a"].to_pylist()
-        tb = batch["term_pack"].to_pylist()
-        src_a = batch["source_a"].to_pylist()
-        src_b = batch["source"].to_pylist()
-        ia = batch["id_a"].to_pylist()
-        ib = batch["id_b"].to_pylist()
-        out_a, out_b, out_g = [], [], []
-        for i in range(len(ia)):
-            sa = set(ta[i].split("\x1f")) if ta[i] else None
-            sb = set(tb[i].split("\x1f")) if tb[i] else None
-            if not sa or not sb:
-                continue
-            inter = len(sa & sb)
-            j = inter / (len(sa) + len(sb) - inter)
-            gate = (0.5 if src_a[i] == src_b[i] else 0.0) + 0.5 * j
-            if gate >= METADATA_GATE_THRESHOLD:
-                out_a.append(int(ia[i]))
-                out_b.append(int(ib[i]))
-                out_g.append(gate)
+        # vectorized pair verification: polars list set-intersection
+        # over the packed term strings (the sets are per-doc distinct by
+        # construction). Float math matches the scalar spec exactly:
+        # j = inter/union (one f64 division), gate = base + 0.5*j.
+        df = pl.DataFrame({
+            "id_a": pl.from_arrow(batch["id_a"]),
+            "id_b": pl.from_arrow(batch["id_b"]),
+            "ta": pl.from_arrow(batch["term_pack_a"]),
+            "tb": pl.from_arrow(batch["term_pack"]),
+            "sa": pl.from_arrow(batch["source_a"]),
+            "sb": pl.from_arrow(batch["source"]),
+        }).filter((pl.col("ta") != "") & (pl.col("tb") != ""))
+        df = df.with_columns(
+            A=pl.col("ta").str.split("\x1f"),
+            B=pl.col("tb").str.split("\x1f"),
+        ).with_columns(
+            inter=pl.col("A").list.set_intersection(pl.col("B"))
+            .list.len().cast(pl.Int64),
+            na=pl.col("A").list.len().cast(pl.Int64),
+            nb=pl.col("B").list.len().cast(pl.Int64),
+        ).with_columns(
+            gate=pl.when(pl.col("sa") == pl.col("sb"))
+            .then(pl.lit(0.5)).otherwise(pl.lit(0.0))
+            + 0.5 * (pl.col("inter")
+                     / (pl.col("na") + pl.col("nb") - pl.col("inter"))),
+        ).filter(pl.col("gate") >= METADATA_GATE_THRESHOLD)
         return pa.table({
-            "id_a": pa.array(out_a, pa.int64()),
-            "id_b": pa.array(out_b, pa.int64()),
-            "gate": pa.array(out_g, pa.float64()),
+            "id_a": pa.array(df["id_a"].to_numpy(), pa.int64()),
+            "id_b": pa.array(df["id_b"].to_numpy(), pa.int64()),
+            "gate": pa.array(df["gate"].to_numpy(), pa.float64()),
         })
 
     from dataquality_ray.stages.dedup import distinct_pairs
 
     cand = (terms.map_batches(candidates, batch_format="pyarrow")
-            .groupby("term")
+            .groupby("part")
             .map_groups(term_pairs, batch_format="pandas"))
     cand = distinct_pairs(cand, "id_a", "id_b", cfg.num_buckets)
 

@@ -16,6 +16,8 @@ import pyarrow as pa
 
 import ray
 
+from dataquality_ray.stages.bucketing import cluster_buckets
+
 from dataquality_ray.config import DEFAULT_CONFIG, PipelineConfig
 from dataquality_ray.arrowutil import from_pandas_clean
 
@@ -91,7 +93,7 @@ def top_users_by_value(sf_dir: str, k: int = 20):
     return from_pandas_clean(df)
 
 
-def latest_event_per_user(sf_dir: str, num_buckets: int = 16):
+def latest_event_per_user(sf_dir: str, num_buckets: int = 0):
     """J3 analog (argmax join, reference routes.py:43-82): for each user,
     the event_type/value of their latest event (max ts; ties broken by
     max event_id). Two-phase: per-batch argmax partials → bucketed
@@ -99,6 +101,7 @@ def latest_event_per_user(sf_dir: str, num_buckets: int = 16):
     shuffle and no single-task ``repartition(1)`` reduce (the partials
     grow with users × map tasks; a hashed-bucket reduce keeps every
     stage parallel)."""
+    num_buckets = num_buckets or cluster_buckets(minimum=16)
     ds = _events(sf_dir, columns=["event_id", "ts", "user_id",
                                   "event_type", "value"])
 
@@ -242,7 +245,7 @@ def sliding_event_windows(sf_dir: str):
 SESSION_GAP_US = 30 * 60 * 1_000_000   # 30-minute inactivity gap
 
 
-def user_sessions(sf_dir: str, num_buckets: int = 16):
+def user_sessions(sf_dir: str, num_buckets: int = 0):
     """Session windows per user (gap > 30 min starts a new session) —
     the streaming-shaped operator the reference lacks (SURVEY §2.9),
     expressed as the guide's pattern: partition by key, sort by ts within
@@ -254,6 +257,7 @@ def user_sessions(sf_dir: str, num_buckets: int = 16):
     Output: user_id, session_no (1-based per user), session_start_us,
     n_events, sum_value_milli.
     """
+    num_buckets = num_buckets or cluster_buckets(minimum=16)
     from ray.data.aggregate import Sum  # noqa: F401 (doc: mergeable aggs)
     ds = _events(sf_dir, columns=["event_id", "ts", "user_id", "value"])
 
@@ -323,7 +327,7 @@ def timeliness_events(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
 RANGE_JOIN_WINDOW_US = 5 * 60 * 1_000_000   # 5-minute lookback window
 
 
-def events_near_errors(sf_dir: str, num_buckets: int = 16):
+def events_near_errors(sf_dir: str, num_buckets: int = 0):
     """Windowed range join: for every ERROR event, the count and
     value-sum of the SAME USER's non-error events with
     ts in (error_ts - 5 min, error_ts] — the interval-join operator Ray
@@ -338,6 +342,7 @@ def events_near_errors(sf_dir: str, num_buckets: int = 16):
     bucket key by time-range if a user exceeds a reducer's heap.
     Output: error_event_id, user_id, n_prior_events, sum_value_milli.
     """
+    num_buckets = num_buckets or cluster_buckets(minimum=16)
     ds = _events(sf_dir,
                  columns=["event_id", "ts", "user_id", "event_type",
                           "value"])
@@ -435,7 +440,7 @@ def event_value_percentiles(sf_dir: str):
             .map_groups(pcts, batch_format="pandas"))
 
 
-def user_running_totals(sf_dir: str, num_buckets: int = 16):
+def user_running_totals(sf_dir: str, num_buckets: int = 0):
     """Window-function operator: per event, the user's RUNNING count and
     fixed-point value sum in (ts, event_id) order — SQL's
     SUM() OVER (PARTITION BY user ORDER BY ts, event_id ROWS UNBOUNDED
@@ -443,6 +448,7 @@ def user_running_totals(sf_dir: str, num_buckets: int = 16):
     user_sessions shape): one hash shuffle on user-bucket, vectorized
     pandas cumulatives inside each bucket. Output: event_id, user_id,
     cum_n, cum_value_milli."""
+    num_buckets = num_buckets or cluster_buckets(minimum=16)
     ds = _events(sf_dir, columns=["event_id", "ts", "user_id", "value"])
 
     def bucket(batch: pa.Table) -> pa.Table:
@@ -474,7 +480,7 @@ def user_running_totals(sf_dir: str, num_buckets: int = 16):
             .map_groups(scan, batch_format="pandas"))
 
 
-def distinct_users_by_event_type(sf_dir: str, num_buckets: int = 32):
+def distinct_users_by_event_type(sf_dir: str, num_buckets: int = 0):
     """(event_type, n_users, n_events): exact COUNT(DISTINCT user_id)
     via the bucketed-distinct shape — per-batch distinct
     (event_type, user_id) partials first (the combiner), then ONE
@@ -482,6 +488,7 @@ def distinct_users_by_event_type(sf_dir: str, num_buckets: int = 32):
     per-(type, user) dedup and the per-type distinct counts complete
     LOCALLY (vectorized), leaving a tiny per-bucket final Sum — never
     a #users-sized Ray aggregate (CLAUDE.md huge-group-count note)."""
+    num_buckets = num_buckets or cluster_buckets(minimum=32)
     import pandas as pd
     from ray.data.aggregate import Sum
 
@@ -692,7 +699,7 @@ def approx_event_percentiles(sf_dir: str):
         finish, batch_format="pandas")
 
 
-def event_type_transitions(sf_dir: str, num_buckets: int = 16):
+def event_type_transitions(sf_dir: str, num_buckets: int = 0):
     """(from_type, to_type, n): counts of consecutive event-type
     transitions within each user's (ts, event_id)-ordered stream — the
     first-order Markov transition matrix of the event log (sequence
@@ -704,6 +711,7 @@ def event_type_transitions(sf_dir: str, num_buckets: int = 16):
     pandas pass (partial matrices), then a tiny global groupby merges
     the per-bucket partials (output rows <= |types|^2).
     """
+    num_buckets = num_buckets or cluster_buckets(minimum=16)
     from ray.data.aggregate import Sum
 
     ds = _events(sf_dir, columns=["event_id", "ts", "user_id",
@@ -750,7 +758,7 @@ def event_type_transitions(sf_dir: str, num_buckets: int = 16):
     return agg.map_batches(clean, batch_format="pyarrow")
 
 
-def modal_event_type_per_user(sf_dir: str, num_buckets: int = 16):
+def modal_event_type_per_user(sf_dir: str, num_buckets: int = 0):
     """(user_id, event_type, n): each user's most frequent event type
     (the MODE aggregate; ties -> lexicographically smallest type, so
     the answer is deterministic).
@@ -760,6 +768,7 @@ def modal_event_type_per_user(sf_dir: str, num_buckets: int = 16):
     argmax completes locally per bucket (sort + first) — the same
     bucketed-argmax topology as latest_event_per_user.
     """
+    num_buckets = num_buckets or cluster_buckets(minimum=16)
     ds = _events(sf_dir, columns=["user_id", "event_type"])
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -793,7 +802,7 @@ def modal_event_type_per_user(sf_dir: str, num_buckets: int = 16):
 FUNNEL_STAGES = ("signup", "click", "purchase")
 
 
-def user_funnel_stages(sf_dir: str, num_buckets: int = 16):
+def user_funnel_stages(sf_dir: str, num_buckets: int = 0):
     """(user_id, funnel_stage): ordered funnel analysis — the deepest
     stage each user reached, where stage k requires an event of type
     FUNNEL_STAGES[k-1] STRICTLY AFTER the timestamp that satisfied
@@ -805,6 +814,7 @@ def user_funnel_stages(sf_dir: str, num_buckets: int = 16):
     ts, groupby min) — three passes regardless of user count, no
     per-user Python.
     """
+    num_buckets = num_buckets or cluster_buckets(minimum=16)
     ds = _events(sf_dir, columns=["ts", "user_id", "event_type"])
 
     def bucket(batch: pa.Table) -> pa.Table:
@@ -992,7 +1002,7 @@ def hll_estimate(registers: "dict[int, int]",
     return e
 
 
-def user_event_type_sets(sf_dir: str, num_buckets: int = 32):
+def user_event_type_sets(sf_dir: str, num_buckets: int = 0):
     """(user_id, event_types, n_types): SET-valued aggregation — each
     user's sorted distinct event types joined with ',' (the
     array_agg(DISTINCT ... ORDER BY) class; per-user behavioral
@@ -1003,6 +1013,7 @@ def user_event_type_sets(sf_dir: str, num_buckets: int = 32):
     build + join completes locally per bucket via a vectorized polars
     sort + group agg.
     """
+    num_buckets = num_buckets or cluster_buckets(minimum=32)
     import polars as _pl
 
     ds = _events(sf_dir, columns=["user_id", "event_type"])
@@ -1029,7 +1040,7 @@ def user_event_type_sets(sf_dir: str, num_buckets: int = 32):
         .groupby("bucket").map_groups(build, batch_format="pandas")
 
 
-def customer_event_reconciliation(sf_dir: str, num_buckets: int = 16):
+def customer_event_reconciliation(sf_dir: str, num_buckets: int = 0):
     """(key, match_status, n_events, mktsegment): FULL OUTER JOIN
     reconciliation of the customer dimension against per-user event
     activity — 'both' / 'customer_only' / 'events_only' rows all
@@ -1042,6 +1053,7 @@ def customer_event_reconciliation(sf_dir: str, num_buckets: int = 16):
     locally per bucket with a vectorized pandas outer merge. No side
     is broadcast: the pattern holds when both tables are large.
     """
+    num_buckets = num_buckets or cluster_buckets(minimum=16)
     ds = _events(sf_dir, columns=["user_id"])
 
     def ev_partial(batch: pa.Table) -> pa.Table:

@@ -218,12 +218,21 @@ def top_orders_per_customer(sf_dir: str,
 
     Scale shape: two-phase — per-batch partial top-k per customer (the
     global top-k per key is always a subset of the union of per-batch
-    top-ks), then a per-customer final top-k in ``map_groups``; only
-    k rows per customer cross the shuffle. Money fixed-pointed to cents
-    so ordering/tie-breaks are integer-deterministic.
+    top-ks), then the final per-customer rank as a BUCKETED-LOCAL pass:
+    one shuffle on splitmix(custkey) % K and a vectorized pandas
+    sort + group-head per bucket — never a #customers-output-group Ray
+    aggregate (CLAUDE.md invariant). Only ≤k rows per customer cross
+    the shuffle. Money fixed-pointed to cents so ordering/tie-breaks
+    are integer-deterministic.
     """
+    from dataquality_ray.stages.bucketing import (
+        cluster_buckets,
+        splitmix_bucket,
+    )
+
     orders = _table(sf_dir, "orders",
                     columns=["o_custkey", "o_orderkey", "o_totalprice"])
+    nb = cluster_buckets()
 
     def partial(batch: pa.Table) -> pa.Table:
         df = pd.DataFrame({
@@ -237,18 +246,22 @@ def top_orders_per_customer(sf_dir: str,
             ["o_custkey", "totalprice_cents", "o_orderkey"],
             ascending=[True, False, True], kind="mergesort")
         df = df.groupby("o_custkey", sort=False).head(k)
-        return from_pandas_clean(df.reset_index(drop=True))
+        df = df.reset_index(drop=True)
+        df["part"] = splitmix_bucket(
+            df["o_custkey"].to_numpy().astype(np.int64), nb)
+        return from_pandas_clean(df)
 
-    def final(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(
-            ["totalprice_cents", "o_orderkey"],
-            ascending=[False, True], kind="mergesort").head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    def final_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["o_custkey", "totalprice_cents", "o_orderkey"],
+            ascending=[True, False, True], kind="mergesort")
+        g = g.groupby("o_custkey", sort=False).head(k).copy()
+        g["rank"] = (g.groupby("o_custkey", sort=False).cumcount() + 1) \
+            .astype(np.int64)
+        return g.drop(columns=["part"])
 
     return orders.map_batches(partial, batch_format="pyarrow") \
-        .groupby("o_custkey").map_groups(final, batch_format="pandas")
+        .groupby("part").map_groups(final_bucket, batch_format="pandas")
 
 
 def regional_revenue(sf_dir: str, num_partitions: int = 8):

@@ -35,6 +35,7 @@ os.environ.setdefault("RAY_BACKEND_LOG_LEVEL", "FATAL")  # see bench.py
 
 import time
 
+import numpy as np
 import ray
 
 from dataquality_ray.config import DEFAULT_CONFIG, PipelineConfig
@@ -68,11 +69,21 @@ def run_partitioned(input_path: str, out_dir: str, partitions: int = 16,
                                   sort_output=False)
         scored = scored.drop_columns(["dup_of"])  # phase 2 recomputes it
         scored.write_parquet(tmp)
+        # partition stats without pulling the column to the driver:
+        # row count from parquet footers only; kept via a tiny
+        # distributed partial-sum map (driver sees O(#blocks) ints)
+        import pyarrow as pa
         import pyarrow.dataset as pads
-        stats = pads.dataset(tmp).to_table(columns=["keep"])
-        rows = stats.num_rows
-        kept = stats["keep"].combine_chunks().to_numpy(
-            zero_copy_only=False).sum()
+        rows = pads.dataset(tmp).count_rows()
+        kept = sum(
+            int(p["kept"]) for p in ray.data.read_parquet(
+                tmp, columns=["keep"])
+            .map_batches(
+                lambda t: pa.table({"kept": pa.array(
+                    [int(t["keep"].to_numpy(
+                        zero_copy_only=False).sum())], pa.int64())}),
+                batch_format="pyarrow", zero_copy_batch=True)
+            .take_all())
         mf.commit_partition(out_dir, pid, pfiles, int(rows), int(kept),
                             metrics={"phase": 1}, started_at=started)
         n_committed_this_run += 1
@@ -120,20 +131,42 @@ def run_partitioned(input_path: str, out_dir: str, partitions: int = 16,
         shutil.rmtree(final_dir)
     os.rename(tmp_final, final_dir)
 
-    import pyarrow.dataset as pads
-    out_tab = pads.dataset(final_dir).to_table(
-        columns=["keep", "overall_quality_score", "dup_of"])
+    # Run stats WITHOUT an O(rows) driver read: rows/kept come from the
+    # committed per-partition manifests (phase 2 only appends dup_of —
+    # keep is untouched); duplicates/avg-quality from a tiny distributed
+    # aggregate whose driver volume is O(#blocks), not O(rows).
+    committed = mf.committed_partitions(out_dir)
+    total_rows = sum(int(m["row_count"]) for m in committed.values())
+    kept = sum(int(m["kept"]) for m in committed.values())
+
+    import pyarrow as pa
+
+    def _part_stats(t: "pa.Table") -> "pa.Table":
+        q = t["overall_quality_score"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "rows": pa.array([t.num_rows], pa.int64()),
+            "dups": pa.array(
+                [t.num_rows - t["dup_of"].null_count], pa.int64()),
+            "q_sum": pa.array([int(q.astype(np.int64).sum())],
+                              pa.int64()),
+        })
+
+    partials = ray.data.read_parquet(
+        final_dir, columns=["overall_quality_score", "dup_of"]) \
+        .map_batches(_part_stats, batch_format="pyarrow",
+                     zero_copy_batch=True).take_all()
+    final_rows = sum(int(p["rows"]) for p in partials)
+    dups = sum(int(p["dups"]) for p in partials)
+    q_sum = sum(int(p["q_sum"]) for p in partials)
+    assert final_rows == total_rows, (
+        f"manifest rows {total_rows} != final output rows {final_rows}")
     payload = {
         "input": input_path,
         "partitions": len(plan),
-        "total_rows": out_tab.num_rows,
-        "kept": int(out_tab["keep"].combine_chunks().to_numpy(
-            zero_copy_only=False).sum()),
-        "duplicates": int(out_tab.num_rows
-                          - out_tab["dup_of"].null_count),
-        "avg_quality": float(
-            out_tab["overall_quality_score"].combine_chunks()
-            .to_numpy(zero_copy_only=False).mean()),
+        "total_rows": total_rows,
+        "kept": kept,
+        "duplicates": dups,
+        "avg_quality": (q_sum / total_rows) if total_rows else 0.0,
         "phase2_sec": time.time() - started,
         "committed_at": time.time(),
     }
