@@ -42,7 +42,10 @@ NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 def _headline(sf_dir: str) -> dict:
     import ray
     from dataquality_ray.fixtures import scale_for_sf_dir, transcripts_path
-    from dataquality_ray.pipelines.quality import quality_pipeline
+    from dataquality_ray.pipelines.quality import (
+        default_pool_size,
+        quality_pipeline,
+    )
 
     n_turns = scale_for_sf_dir(sf_dir)
     path = transcripts_path(n_turns)          # cached; built once
@@ -56,7 +59,7 @@ def _headline(sf_dir: str) -> dict:
     # the timed run — otherwise part of the pool constructs its models
     # cold inside the timed window
     warm = ray.data.read_parquet(os.path.join(path, files[0]))
-    quality_pipeline(warm, concurrency=max(2, int(NUM_CPUS * 0.75)),
+    quality_pipeline(warm, concurrency=default_pool_size(NUM_CPUS),
                      sort_output=False).count()
 
     out_dir = "/tmp/dq_bench_out"
@@ -65,7 +68,7 @@ def _headline(sf_dir: str) -> dict:
     t0 = time.time()
     ds = ray.data.read_parquet(path)
     result = quality_pipeline(
-        ds, concurrency=max(2, int(NUM_CPUS * 0.75)),
+        ds, concurrency=default_pool_size(NUM_CPUS),
         sort_mode="bucketed")
     result.write_parquet(out_dir)
     elapsed = time.time() - t0

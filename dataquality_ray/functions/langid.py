@@ -80,6 +80,13 @@ class LangIDModel:
             for g, c in counts.items():
                 col[key_to_idx[g]] = math.log((c + 1) / denom)
             self.logp_matrix[:, li] = col
+        # contiguous per-language columns: the hot path gathers + segment-
+        # sums one language at a time (same sequential summation order as
+        # a row-major (T, L) reduceat — bit-identical — but each gather is
+        # a contiguous (T,) stream instead of L-strided rows: ~3x faster)
+        self._cols = [np.ascontiguousarray(self.logp_matrix[:, i])
+                      for i in range(n_langs)]
+        self._lang_arr = np.array(self.langs, dtype=object)
 
     def predict(self, text: str) -> Tuple[str, float]:
         """Returns (lang, confidence). Empty text → ("und", 0.0).
@@ -90,41 +97,75 @@ class LangIDModel:
         return self.predict_batch([text])[0]
 
     def predict_batch(self, texts) -> List[Tuple[str, float]]:
-        """Vectorized scoring: ONE vocab searchsorted + gather + segmented
-        sum over all texts' trigrams in the batch."""
-        key_parts = []
-        lengths = np.empty(len(texts), dtype=np.int64)
-        for i, text in enumerate(texts):
-            if text:
-                keys = _gram_keys(_codepoints(text))
-                lengths[i] = len(keys)
-                key_parts.append(keys)
-            else:
-                lengths[i] = 0
-        out: List[Tuple[str, float]] = [("und", 0.0)] * len(texts)
-        if not key_parts:
-            return out
-        all_keys = np.concatenate(key_parts)
+        """List-of-tuples wrapper over ``predict_batch_arrays`` (one code
+        path — same floats everywhere)."""
+        langs, confs = self.predict_batch_arrays(texts)
+        return list(zip(langs.tolist(), confs.tolist()))
+
+    def predict_batch_arrays(self, texts) -> Tuple[np.ndarray, np.ndarray]:
+        """Vectorized scoring core: ONE utf-32 decode of the whole batch
+        (texts lower()ed individually, then space-joined so per-text
+        trigram keys are EXACTLY the padded per-text keys — boundary
+        trigrams are dropped by position), one vocab searchsorted, one
+        contiguous gather + segmented sum per language. Returns
+        (langs: object ndarray, confs: float64 ndarray) full-length,
+        with ("und", 0.0) for empty texts."""
+        n = len(texts)
+        langs_full = np.full(n, "und", dtype=object)
+        confs_full = np.zeros(n, dtype=np.float64)
+        # per-text lower() exactly as the scalar path (Python's final-
+        # sigma context rule sees the same per-text boundaries: each text
+        # is followed by an uncased space in the join)
+        lowered = [t.lower() if t else "" for t in texts]
+        lens = np.fromiter((len(t) for t in lowered), dtype=np.int64,
+                           count=n)
+        nonempty = np.flatnonzero(lens > 0)
+        if nonempty.size == 0:
+            return langs_full, confs_full
+        # "  t0   t1   ...   tk " — every text carries the model's
+        # [SP,SP] prefix + [SP] suffix; interior boundaries share 3
+        # spaces. Python len() == utf-32 codepoint count, so offsets are
+        # exact.
+        big = "  " + "   ".join(lowered[i] for i in nonempty) + " "
+        cp = np.frombuffer(big.encode("utf-32-le"),
+                           dtype=np.uint32).astype(np.uint64)
+        keys_all = (cp[:-2] << np.uint64(42)) \
+            ^ (cp[1:-1] << np.uint64(21)) ^ cp[2:]
+        ne_lens = lens[nonempty]
+        starts_cp = np.full(len(nonempty), 2, dtype=np.int64)
+        np.cumsum(ne_lens[:-1] + 3, out=starts_cp[1:])
+        starts_cp[1:] += 2
+        counts = ne_lens + 1          # trigrams per text = len + 1
+        cum = np.zeros(len(nonempty), dtype=np.int64)
+        np.cumsum(counts[:-1], out=cum[1:])
+        total = int(cum[-1] + counts[-1])
+        # valid trigram positions for text j: starts_cp[j]-2 .. +counts[j]
+        idx = np.arange(total, dtype=np.int64) \
+            + np.repeat(starts_cp - 2 - cum, counts)
+        all_keys = keys_all[idx]
         pos = np.searchsorted(self.vocab, all_keys)
         pos_c = np.minimum(pos, len(self.vocab) - 1)
         known = self.vocab[pos_c] == all_keys
         all_ids = np.where(known, pos_c, len(self.vocab))
-        gathered = self.logp_matrix[all_ids]          # (T_total, L)
-        nonempty = np.flatnonzero(lengths > 0)
-        starts = np.zeros(len(nonempty), dtype=np.int64)
-        np.cumsum(lengths[nonempty][:-1], out=starts[1:])
-        sums = np.add.reduceat(gathered, starts, axis=0)
-        means = sums / lengths[nonempty][:, None]
-        order = np.argsort(-means, axis=1, kind="stable")
-        best = order[:, 0]
-        second = order[:, 1]
+        # per-language contiguous gather + reduceat: identical sequential
+        # per-column summation order as the 2D axis-0 reduceat
+        sums = np.empty((len(nonempty), len(self._cols)), dtype=np.float64)
+        for li, col in enumerate(self._cols):
+            sums[:, li] = np.add.reduceat(col[all_ids], cum)
+        means = sums / counts[:, None]
+        # argmax twice == stable argsort(-means)[:, :2]: first occurrence
+        # of the max is the lowest index among ties in both formulations
+        best = np.argmax(means, axis=1)
         rows = np.arange(len(nonempty))
-        margins = means[rows, best] - means[rows, second]
-        confs = 1.0 - np.exp(-margins * 8.0)
-        for j, row in enumerate(nonempty):
-            out[row] = (self.langs[int(best[j])],
-                        float(min(1.0, max(0.0, confs[j]))))
-        return out
+        best_vals = means[rows, best]
+        masked = means.copy()
+        masked[rows, best] = -np.inf
+        second = np.argmax(masked, axis=1)
+        margins = best_vals - means[rows, second]
+        confs = np.minimum(1.0, np.maximum(0.0, 1.0 - np.exp(-margins * 8.0)))
+        langs_full[nonempty] = self._lang_arr[best]
+        confs_full[nonempty] = confs
+        return langs_full, confs_full
 
 
 _MODEL: LangIDModel | None = None

@@ -65,30 +65,35 @@ class BigramLM:
         self._bi_keys = np.asarray(keys, dtype=np.int64)[order]
         self._bi_counts = np.asarray(counts, dtype=np.float64)[order]
         self._n_ids = n_ids
-
-    def _token_ids(self, text: str) -> np.ndarray:
-        toks = tokenize(text)
-        tid = self.token_id
-        unk = self._unk_id
-        return np.fromiter((tid.get(t, unk) for t in toks),
-                           dtype=np.int64, count=len(toks))
+        # polars replace_strict sides for the vectorized tokenizer path
+        # (token -> id; identical to the dict, just batch-applied)
+        self._tok_keys = list(self.token_id)
+        self._tok_vals = [self.token_id[t] for t in self._tok_keys]
 
     def log2_ppl(self, text: str) -> float:
         return float(self.log2_ppl_batch([text])[0])
 
     def log2_ppl_batch(self, texts: List[str]) -> np.ndarray:
-        """Per-token log2 perplexity per text; empty → _EMPTY_PPL."""
-        id_parts = []
-        lengths = np.empty(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            ids = self._token_ids(t)
-            lengths[i] = len(ids)
-            if len(ids):
-                id_parts.append(ids)
+        """Per-token log2 perplexity per text; empty → _EMPTY_PPL.
+
+        Front-end is fully vectorized: polars lower + extract_all is the
+        repo's parity-pinned twin of ``spec.tokenize`` (same quote-free
+        ASCII pattern, leftmost-first in both engines — see CLAUDE.md),
+        and replace_strict applies the same token->id dict batch-wide.
+        """
+        import polars as pl
+        from dataquality_ray.spec import TOKEN_PATTERN
+        s = pl.Series("t", texts, dtype=pl.Utf8)
+        toks = s.str.to_lowercase().str.extract_all(TOKEN_PATTERN)
+        lengths = toks.list.len().fill_null(0).to_numpy().astype(np.int64)
         out = np.full(len(texts), _EMPTY_PPL, dtype=np.float64)
-        if not id_parts:
+        if int(lengths.sum()) == 0:
             return out
-        all_ids = np.concatenate(id_parts)
+        flat = toks.explode().drop_nulls()
+        all_ids = flat.replace_strict(
+            old=self._tok_keys, new=self._tok_vals,
+            default=self._unk_id, return_dtype=pl.Int64).to_numpy()
+        all_ids = np.ascontiguousarray(all_ids)
         nonempty = np.flatnonzero(lengths > 0)
         lens = lengths[nonempty]
         starts = np.zeros(len(nonempty), dtype=np.int64)

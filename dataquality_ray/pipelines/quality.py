@@ -40,6 +40,16 @@ RESULT_COLUMNS = [
 ]
 
 
+def default_pool_size(num_cpus: int) -> int:
+    """Model-actor pool width for a given cluster CPU count: 3/4 of the
+    cores, minus one reserved core per 16 (the task-pool stages —
+    decision/hash/exchange/write — run CONCURRENTLY with the pool and
+    starve when the pool holds too many reservations). Measured on the
+    sf0.1 headline: at 32 CPUs pool=22 beats 24 (19.3 s vs 21.8 s) and
+    16 (25.0 s); at 8 CPUs pool=6 beats 5 (50.0 s vs 52.4 s)."""
+    return max(2, (3 * num_cpus) // 4 - num_cpus // 16)
+
+
 def quality_pipeline(ds, cfg: PipelineConfig = DEFAULT_CONFIG,
                      now: Optional[str] = None,
                      with_dedup: bool = True,

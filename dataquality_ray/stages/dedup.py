@@ -126,22 +126,34 @@ def content_hash_batch(batch: pa.Table, text_col: str = "text",
         turn = pc.utf8_lpad(pc.cast(batch["turn_idx"], pa.string()), 8, "0")
         batch = batch.append_column(
             "order_key", pc.binary_join_element_wise(conv, turn, "#"))
-    order_keys = batch["order_key"].to_pylist()
 
-    hashes: List[str] = []
-    dedup_keys: List[str] = []
-    buckets = np.empty(batch.num_rows, dtype=np.int32)
+    # md5 over zero-copy utf-8 slices straight off the Arrow buffer —
+    # Arrow's storage IS the utf-8 encoding, so no per-row str decode +
+    # re-encode round-trip
+    n = len(norm)
+    off_dtype = np.int64 if pa.types.is_large_string(norm.type) \
+        else np.int32
+    offs = np.frombuffer(norm.buffers()[1], dtype=off_dtype)[
+        norm.offset: norm.offset + n + 1]
+    data = memoryview(norm.buffers()[2])
+    hashes: List[str] = [""] * n
+    buckets = np.empty(n, dtype=np.int32)
     md5 = hashlib.md5
-    for i, s in enumerate(norm.to_pylist()):
-        digest = md5(s.encode("utf-8")).digest()
-        hashes.append(digest.hex())
-        if s:
-            dedup_keys.append(hashes[-1])
-            # bucket straight from the digest bytes — one md5 per row
-            buckets[i] = int.from_bytes(digest[:4], "little") % num_buckets
-        else:
-            dk = f"e:{order_keys[i]}"
-            dedup_keys.append(dk)
+    from_bytes = int.from_bytes
+    for i in range(n):
+        digest = md5(data[offs[i]:offs[i + 1]]).digest()
+        hashes[i] = digest.hex()
+        # bucket straight from the digest bytes — one md5 per row
+        buckets[i] = from_bytes(digest[:4], "little") % num_buckets
+    dedup_keys: List[str] = hashes.copy()
+    empties = np.flatnonzero(offs[1:] == offs[:-1])
+    if len(empties):
+        # per-row unique keys for empty-norm rows (skew guard: empties
+        # never form a dedup group); order keys fetched only for these
+        oks = batch["order_key"].take(pa.array(empties)).to_pylist()
+        for j, i in enumerate(empties):
+            dk = f"e:{oks[j]}"
+            dedup_keys[i] = dk
             buckets[i] = _bucket_of(dk, num_buckets)
 
     empty = pc.equal(pc.utf8_length(norm), 0)

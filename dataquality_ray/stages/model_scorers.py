@@ -91,19 +91,20 @@ class CombinedModelScorer:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = _texts(batch, self.text_col)
-        preds = self.model.predict_batch(texts)
+        langs, confs64 = self.model.predict_batch_arrays(texts)
         ppls = self.lm.log2_ppl_batch(texts)
-        langs = [p[0] for p in preds]
-        confs = np.fromiter((p[1] for p in preds), dtype=np.float32,
-                            count=len(preds))
-        lscores = np.fromiter(
-            (lang_score(l, self.cfg) for l in langs), dtype=np.int32,
-            count=len(langs))
-        pscores = np.fromiter(
-            (ppl_score(float(x), self.cfg) for x in ppls), dtype=np.int32,
-            count=len(ppls))
+        # vectorized spec.lang_score / spec.ppl_score twins — same integer
+        # formulas elementwise (ppl >= 0 so int() truncation == astype)
+        lscores = np.where(langs == self.cfg.target_lang,
+                           np.int32(100),
+                           np.int32(self.cfg.lang_other_score)) \
+            .astype(np.int32)
+        raw = self.cfg.ppl_score_a \
+            - (self.cfg.ppl_score_b * ppls).astype(np.int64)
+        pscores = np.clip(raw, 0, 100).astype(np.int32)
         batch = batch.append_column("lang", pa.array(langs, pa.string()))
-        batch = batch.append_column("lang_conf", pa.array(confs))
+        batch = batch.append_column(
+            "lang_conf", pa.array(confs64.astype(np.float32)))
         batch = batch.append_column("lang_score", pa.array(lscores))
         batch = batch.append_column(
             "log2_ppl", pa.array(ppls.astype(np.float32)))

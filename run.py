@@ -39,7 +39,7 @@ import numpy as np
 import ray
 
 from dataquality_ray.config import DEFAULT_CONFIG, PipelineConfig
-from dataquality_ray.pipelines.quality import quality_pipeline
+from dataquality_ray.pipelines.quality import default_pool_size, quality_pipeline
 from dataquality_ray.sources.transcripts import list_transcript_files
 from dataquality_ray.state import manifest as mf
 
@@ -65,8 +65,13 @@ def run_partitioned(input_path: str, out_dir: str, partitions: int = 16,
         tmp = mf.begin_partition(out_dir, pid)
         ds = ray.data.read_parquet(pfiles)
         # phase-1 stages only: no dedup (global), no sort (global)
+        # fixed pool sized to the cluster (the measured sweet spot —
+        # see default_pool_size); the autoscaling default ramps too
+        # slowly for per-partition jobs
+        pool = default_pool_size(
+            int(ray.cluster_resources().get("CPU", 4)))
         scored = quality_pipeline(ds, cfg=cfg, with_dedup=False,
-                                  sort_output=False)
+                                  sort_output=False, concurrency=pool)
         scored = scored.drop_columns(["dup_of"])  # phase 2 recomputes it
         scored.write_parquet(tmp)
         # partition stats without pulling the column to the driver:
