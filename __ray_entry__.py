@@ -224,6 +224,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_dedup_documents": D.union_dedup_documents,
         "langid_documents": D.langid_documents,
         "quality_by_source": D.quality_by_source,
+        # partitioned PERCENT_RANK window via broadcast histogram
+        # (integer scores collapse the window to a lookup)
+        "quality_percentile_by_source": D.quality_percentile_by_source,
         "doc_key_terms": D.doc_key_terms,
         "key_term_cooccurrence": D.key_term_cooccurrence,
         "doc_tfidf_terms": D.doc_tfidf_terms,
@@ -287,6 +290,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_running_totals": M.user_running_totals,
         "distinct_users_by_event_type": M.distinct_users_by_event_type,
         "users_without_purchase": M.users_without_purchase,
+        # semi-join / EXISTS dual of the anti-join, via a distributed
+        # hash join (no broadcast — holds when purchasers don't fit)
+        "customers_with_purchases": M.customers_with_purchases,
+        # bounded moving window (ROWS BETWEEN 3 PRECEDING AND CURRENT)
+        "user_moving_window": M.user_moving_window,
         # sequence analytics: Markov transition matrix, MODE aggregate,
         # ordered funnel — all SQL-checked
         "event_type_transitions": M.event_type_transitions,
@@ -320,6 +328,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_orders_per_customer": _top_orders_per_customer,
         "regional_revenue": _regional_revenue,
         "orders_rollup": _orders_rollup,
+        # correlated-subquery shape, decorrelated (float-free compare)
+        "orders_above_customer_avg": _orders_above_customer_avg,
+        # GROUP BY CUBE grouping sets (complements the ROLLUP shape)
+        "revenue_cube": _revenue_cube,
         "daily_event_type_pivot": _daily_event_type_pivot,
         # --- embeddings: similarity search (SQL-checked) ---
         "ann_topk_embeddings": D.ann_topk_embeddings,
@@ -556,6 +568,17 @@ def _regional_revenue(sf_dir: str):
 def _orders_rollup(sf_dir: str):
     from dataquality_ray.pipelines.relational import orders_rollup
     return orders_rollup(sf_dir)
+
+
+def _orders_above_customer_avg(sf_dir: str):
+    from dataquality_ray.pipelines.relational import \
+        orders_above_customer_avg
+    return orders_above_customer_avg(sf_dir)
+
+
+def _revenue_cube(sf_dir: str):
+    from dataquality_ray.pipelines.relational import revenue_cube
+    return revenue_cube(sf_dir)
 
 
 def _daily_event_type_pivot(sf_dir: str):
@@ -1870,6 +1893,25 @@ WHERE user_id NOT IN (
   WHERE event_type = 'purchase' AND value >= {M_HIGH_VALUE_MIN})
 GROUP BY 1
 """,
+        # semi-join / EXISTS (dual of the anti-join above)
+        "customers_with_purchases": f"""
+SELECT c_custkey, c_mktsegment
+FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM events
+  WHERE user_id = c_custkey
+    AND event_type = 'purchase' AND value >= {M_HIGH_VALUE_MIN})
+""",
+        # bounded moving frame (ROWS BETWEEN 3 PRECEDING AND CURRENT)
+        "user_moving_window": """
+SELECT event_id, user_id,
+  CAST(COUNT(*) OVER w AS BIGINT) AS win_n,
+  CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) OVER w AS BIGINT)
+    AS win_sum_milli
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+""",
         # conjunctive token search (inverted-index probe): docs whose
         # token set contains ALL query terms; n_matches = total
         # occurrences of the query terms
@@ -1899,6 +1941,34 @@ SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
     AS total_price_cents
 FROM orders
 GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+""",
+        # correlated subquery (orders above their customer's average),
+        # decorrelated; the compare is cross-multiplied so no division
+        "orders_above_customer_avg": """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+    CAST(floor(o_totalprice * 100) AS BIGINT) AS totalprice_cents
+  FROM orders),
+c AS (
+  SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS cust_n_orders,
+    CAST(SUM(totalprice_cents) AS BIGINT) AS cust_sum_cents
+  FROM o GROUP BY 1)
+SELECT o.o_orderkey, o.o_custkey, o.totalprice_cents,
+  c.cust_n_orders, c.cust_sum_cents
+FROM o JOIN c USING (o_custkey)
+WHERE o.totalprice_cents * c.cust_n_orders > c.cust_sum_cents
+""",
+        # GROUP BY CUBE over the orders⋈customer⋈nation chain
+        "revenue_cube": """
+SELECT COALESCE(n_name, 'ALL') AS nation,
+  COALESCE(c_mktsegment, 'ALL') AS mktsegment,
+  CAST(COUNT(*) AS BIGINT) AS n_orders,
+  CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+    AS total_price_cents
+FROM orders
+JOIN customer ON c_custkey = o_custkey
+JOIN nation ON n_nationkey = c_nationkey
+GROUP BY CUBE(n_name, c_mktsegment)
 """,
         # PIVOT as conditional aggregation (frozen event-type columns)
         "daily_event_type_pivot": f"""
@@ -2088,6 +2158,18 @@ GROUP BY doc_id
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(SUM(overall) // COUNT(*) AS BIGINT) AS avg_quality
 FROM q GROUP BY source
+""",
+        # partitioned PERCENT_RANK as an exact integer (micro units):
+        # RANK with ties = 1 + count of strictly-lower scores, so the
+        # pipeline's broadcast-histogram lookup matches SQL's window
+        "quality_percentile_by_source": _QUALITY_CTE + """
+SELECT doc_id, source, CAST(overall AS BIGINT) AS overall,
+  CASE WHEN COUNT(*) OVER (PARTITION BY source) <= 1 THEN 0
+       ELSE CAST((RANK() OVER (PARTITION BY source ORDER BY overall)
+                  - 1) * 1000000
+                 // (COUNT(*) OVER (PARTITION BY source) - 1)
+                 AS BIGINT) END AS pr_micro
+FROM q
 """,
         "daily_event_metrics": """
 SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,

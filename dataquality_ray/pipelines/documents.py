@@ -2036,3 +2036,78 @@ def doc_embedding_values(sf_dir: str):
         })
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def quality_percentile_by_source(sf_dir: str,
+                                 cfg: PipelineConfig = DEFAULT_CONFIG):
+    """(doc_id, source, overall, pr_micro): each document's PERCENT_RANK
+    of overall quality WITHIN its source — SQL's
+    ``(RANK() OVER (PARTITION BY source ORDER BY overall) - 1) * 1e6 //
+    (COUNT(*) OVER (PARTITION BY source) - 1)`` as an exact integer
+    (micro units; single-row sources → 0).
+
+    Scale shape: overall scores are integers in [0, 100], so the window
+    function collapses to a HISTOGRAM lookup — per-batch partial
+    (source, overall) counts → one tiny Ray groupby (≤ |sources|×101
+    output groups, constant) → broadcast cumulative histogram →
+    vectorized per-row rank lookup. No per-source sort, no
+    corpus-proportional shuffle: the only full pass is the scoring map
+    itself. (RANK with ties = 1 + count of strictly-lower scores =
+    exactly the cumulative histogram below the row's score.)
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, columns=["doc_id", "text", "source"])
+    ds = ds.map_batches(functools.partial(heuristics_batch, cfg=cfg),
+                        batch_format="pyarrow", zero_copy_batch=True)
+
+    def scored(batch: pa.Table) -> pa.Table:
+        from dataquality_ray.stages.heuristics import heuristic_overall4
+        overall = heuristic_overall4(batch).astype(np.int64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "overall": pa.array(overall),
+        })
+
+    scored_ds = ds.map_batches(scored, batch_format="pyarrow") \
+        .materialize()    # consumed twice: histogram + rank lookup
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        from dataquality_ray.arrowutil import from_pandas_clean
+        g = (pd.DataFrame({
+            "source": np.asarray(batch["source"].to_pylist()),
+            "overall": batch["overall"].to_numpy(zero_copy_only=False),
+            "n": 1,
+        }).groupby(["source", "overall"], sort=False)
+          .agg(n=("n", "sum")).reset_index())
+        return from_pandas_clean(g)
+
+    hist = scored_ds.map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby(["source", "overall"]) \
+        .aggregate(Sum("n", alias_name="n")).to_pandas()
+    # driver volume: |sources| × ≤101 rows — constant, never corpus-
+    # proportional. Build per-source (cum_below[score], total).
+    lut = {}
+    for src, g in hist.groupby("source", sort=False):
+        counts = np.zeros(101, dtype=np.int64)
+        counts[g["overall"].to_numpy()] = g["n"].to_numpy()
+        cum_below = np.zeros(101, dtype=np.int64)
+        np.cumsum(counts[:-1], out=cum_below[1:])
+        lut[src] = (cum_below, int(counts.sum()))
+    lut_ref = ray.put(lut)
+
+    def rank(batch: pa.Table) -> pa.Table:
+        l = ray.get(lut_ref)
+        src = np.asarray(batch["source"].to_pylist())
+        ov = batch["overall"].to_numpy(zero_copy_only=False)
+        pr = np.zeros(len(src), dtype=np.int64)
+        for s in pd.unique(src):
+            m = src == s
+            cum_below, total = l[s]
+            if total > 1:
+                pr[m] = cum_below[ov[m]] * 1_000_000 // (total - 1)
+        return batch.append_column("pr_micro", pa.array(pr))
+
+    return scored_ds.map_batches(rank, batch_format="pyarrow")

@@ -1107,3 +1107,111 @@ def customer_event_reconciliation(sf_dir: str, num_buckets: int = 0):
 
     return both.groupby("bucket").map_groups(merge,
                                              batch_format="pandas")
+
+
+MOVING_WINDOW_ROWS = 4   # current row + 3 preceding
+
+
+def user_moving_window(sf_dir: str, num_buckets: int = 0):
+    """(event_id, user_id, win_n, win_sum_milli): BOUNDED moving window
+    — SQL's SUM/COUNT OVER (PARTITION BY user ORDER BY ts, event_id
+    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW). Complements
+    user_running_totals (unbounded) with the sliding-frame shape.
+
+    Exactness: the window sum is cumsum-difference arithmetic on int64
+    milli values — never a pandas ``rolling`` (which promotes to
+    float64; CLAUDE.md exactness rule).
+
+    Scale shape: the bucketed ordered scan — ONE user-bucket shuffle,
+    then a vectorized numpy pass per bucket (per-user segment starts
+    via repeat; window start = max(i-3, segment start); sum = csum[i+1]
+    - csum[start]).
+    """
+    num_buckets = num_buckets or cluster_buckets(minimum=16)
+    import pandas as pd
+
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id", "value"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        vm = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                      * 1000).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array((u % num_buckets).astype(np.int32)),
+            "event_id": batch["event_id"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+            "user_id": batch["user_id"],
+            "vm": pa.array(vm),
+        })
+
+    def scan(df: "pd.DataFrame") -> "pd.DataFrame":
+        df = df.sort_values(["user_id", "ts_us", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        u = df["user_id"].to_numpy()
+        vm = df["vm"].to_numpy()
+        n = len(df)
+        idx = np.arange(n, dtype=np.int64)
+        seg_start = idx[np.r_[True, u[1:] != u[:-1]]]
+        seg_len = np.diff(np.r_[seg_start, n])
+        ustart = np.repeat(seg_start, seg_len)
+        start = np.maximum(idx - (MOVING_WINDOW_ROWS - 1), ustart)
+        csum = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(vm, out=csum[1:])
+        return pd.DataFrame({
+            "event_id": df["event_id"],
+            "user_id": u,
+            "win_n": (idx - start + 1).astype(np.int64),
+            "win_sum_milli": csum[idx + 1] - csum[start],
+        })
+
+    return (ds.map_batches(bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket").map_groups(scan, batch_format="pandas"))
+
+
+def customers_with_purchases(sf_dir: str, num_buckets: int = 0):
+    """(c_custkey, c_mktsegment): the SEMI-JOIN / EXISTS shape —
+    customers with at least one HIGH-VALUE purchase event
+    (user_id = c_custkey, value >= HIGH_VALUE_MIN). Dual of
+    users_without_purchase (anti-join), but via a DISTRIBUTED hash
+    join instead of a broadcast: per-batch distinct purchaser partials
+    → bucketed-local dedup (every key in exactly one bucket, so the
+    deduped side is exact and never driver-materialized) → inner join
+    against the streamed customer dimension. The pattern holds when
+    the purchaser set is too large to broadcast.
+    """
+    num_buckets = num_buckets or cluster_buckets(minimum=16)
+    import pandas as pd
+
+    ds = _events(sf_dir, columns=["user_id", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        et = np.asarray(batch["event_type"].to_pylist())
+        v = batch["value"].to_numpy(zero_copy_only=False)
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        buyers = np.unique(u[(et == "purchase") & (v >= HIGH_VALUE_MIN)])
+        return pa.table({
+            "user_id": pa.array(buyers, pa.int64()),
+            "bucket": pa.array((buyers % num_buckets).astype(np.int32)),
+        })
+
+    def dedup(df: "pd.DataFrame") -> "pd.DataFrame":
+        return df[["user_id"]].drop_duplicates()
+
+    buyers = (ds.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("bucket").map_groups(dedup, batch_format="pandas"))
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"])
+    from dataquality_ray.arrowutil import strip_meta
+    cust = cust.map_batches(strip_meta, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    j = cust.join(buyers, join_type="inner",
+                  num_partitions=max(4, num_buckets // 4),
+                  on=("c_custkey",), right_on=("user_id",))
+    return j.map_batches(
+        lambda t: t.select(["c_custkey", "c_mktsegment"]),
+        batch_format="pyarrow")

@@ -442,3 +442,157 @@ def daily_event_type_pivot(sf_dir: str):
         return pa.table(cols)
 
     return agg.map_batches(clean, batch_format="pyarrow")
+
+
+def orders_above_customer_avg(sf_dir: str, num_buckets: int = 0):
+    """(o_orderkey, o_custkey, totalprice_cents, cust_n_orders,
+    cust_sum_cents): orders whose price exceeds their OWN customer's
+    average order price — the correlated-subquery shape
+    (``WHERE price > (SELECT AVG(...) FROM orders o2 WHERE o2.cust =
+    o.cust)``), decorrelated into aggregate + join-back.
+
+    Exactness: the comparison is ``cents * n > sum_cents`` (cross-
+    multiplied), so no division ever happens — float-free and safe
+    for any magnitudes (CLAUDE.md exactness rule).
+
+    Scale shape: per-batch partial (custkey → n, sum) combiner, ONE
+    bucketed shuffle on splitmix(custkey) % K with a local polars merge
+    (never a #customers-output-group Ray aggregate — CLAUDE.md
+    invariant), then one hash join back against the streamed orders
+    and a vectorized filter. Both sides of the join stay distributed.
+    """
+    import polars as _pl
+
+    from dataquality_ray.stages.bucketing import (
+        cluster_buckets,
+        splitmix_bucket,
+    )
+
+    nb = num_buckets or cluster_buckets()
+    orders = _table(sf_dir, "orders",
+                    columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ck = batch["o_custkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        cents = np.floor(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        g = (_pl.DataFrame({"o_custkey": ck, "cents": cents})
+             .group_by("o_custkey")
+             .agg(n=_pl.len().cast(_pl.Int64),
+                  s=_pl.col("cents").sum()))
+        g = g.with_columns(
+            part=_pl.Series(splitmix_bucket(
+                g["o_custkey"].to_numpy().astype(np.int64), nb)))
+        return g.to_arrow()
+
+    def merge_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = (df.groupby("o_custkey", sort=False)
+             .agg(cust_n_orders=("n", "sum"),
+                  cust_sum_cents=("s", "sum")).reset_index())
+        return g
+
+    per_cust = (orders.map_batches(partial, batch_format="pyarrow")
+                .groupby("part")
+                .map_groups(merge_bucket, batch_format="pandas"))
+
+    def with_cents(batch: pa.Table) -> pa.Table:
+        cents = np.floor(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        return pa.table({
+            "o_orderkey": batch["o_orderkey"],
+            "o_custkey": batch["o_custkey"],
+            "totalprice_cents": pa.array(cents),
+        })
+
+    joined = orders.map_batches(with_cents, batch_format="pyarrow") \
+        .join(per_cust, join_type="inner",
+              num_partitions=max(4, nb // 4), on=("o_custkey",))
+
+    def above(batch: pa.Table) -> pa.Table:
+        cents = batch["totalprice_cents"].to_numpy(zero_copy_only=False)
+        n = batch["cust_n_orders"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        s = batch["cust_sum_cents"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return batch.filter(pa.array(cents * n > s))
+
+    return joined.map_batches(above, batch_format="pyarrow")
+
+
+CUBE_ALL = "ALL"   # subtotal marker (TPC-H dims never collide with it)
+
+
+def revenue_cube(sf_dir: str, num_partitions: int = 8):
+    """(nation, mktsegment, n_orders, total_price_cents) under GROUP BY
+    CUBE(nation, mktsegment) — all four grouping sets, subtotals marked
+    'ALL'. Complements orders_rollup (hierarchical) with the full
+    cross-product grouping-set shape.
+
+    Scale shape: orders⋈customer is a bucketed hash join (both sides
+    corpus-proportional — no broadcast); the 25-row nation dim IS
+    broadcast (ray.put) into the partial pass; every batch emits 4
+    partial rows per observed (nation, segment) group — the cube
+    expansion happens on combined partials, never on raw rows — and
+    the final Ray groupby has ≤ (|nations|+1)×(|segments|+1) output
+    groups (constant, not corpus-proportional).
+    """
+    from ray.data.aggregate import Sum
+
+    nat = _table(sf_dir, "nation",
+                 columns=["n_nationkey", "n_name"]).to_pandas()
+    n2name_ref = ray.put(dict(zip(nat["n_nationkey"].astype(int),
+                                  nat["n_name"])))
+
+    orders = _table(sf_dir, "orders",
+                    columns=["o_custkey", "o_totalprice"])
+    cust = _table(sf_dir, "customer",
+                  columns=["c_custkey", "c_nationkey", "c_mktsegment"])
+    j = orders.join(cust, join_type="inner",
+                    num_partitions=num_partitions,
+                    on=("o_custkey",), right_on=("c_custkey",))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n2name = ray.get(n2name_ref)
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        names = np.asarray([n2name[int(k)] for k in
+                            pd.unique(nk)], dtype=object)
+        lut = {int(k): i for i, k in enumerate(pd.unique(nk))}
+        nation = names[[lut[int(k)] for k in nk]]
+        seg = np.asarray(batch["c_mktsegment"].to_pylist(), dtype=object)
+        cents = np.floor(batch["o_totalprice"].to_numpy(
+            zero_copy_only=False) * 100).astype(np.int64)
+        base = (pd.DataFrame({"nation": nation, "mktsegment": seg,
+                              "n": 1, "c": cents})
+                .groupby(["nation", "mktsegment"], sort=False)
+                .agg(n=("n", "sum"), c=("c", "sum")).reset_index())
+        # cube expansion over the COMBINED partials (4 grouping sets)
+        parts = [base]
+        for cols in (["nation"], ["mktsegment"], []):
+            if cols:
+                g = (base.groupby(cols, sort=False)
+                     .agg(n=("n", "sum"), c=("c", "sum")).reset_index())
+            else:
+                g = pd.DataFrame({"n": [base["n"].sum()],
+                                  "c": [base["c"].sum()]})
+            for missing in {"nation", "mktsegment"} - set(cols):
+                g[missing] = CUBE_ALL
+            parts.append(g[["nation", "mktsegment", "n", "c"]])
+        return from_pandas_clean(pd.concat(parts, ignore_index=True))
+
+    agg = j.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["nation", "mktsegment"]) \
+        .aggregate(Sum("n", alias_name="n_orders"),
+                   Sum("c", alias_name="total_price_cents"))
+
+    def clean(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "nation": t["nation"],
+            "mktsegment": t["mktsegment"],
+            "n_orders": pc.cast(t["n_orders"], pa.int64()),
+            "total_price_cents": pc.cast(t["total_price_cents"],
+                                         pa.int64()),
+        })
+
+    return agg.map_batches(clean, batch_format="pyarrow")
