@@ -242,6 +242,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_metadata_gate": D.doc_metadata_gate,
         "global_sentence_dedup": D.global_sentence_dedup,
         "dup_ngram_stats": D.dup_ngram_stats,
+        # cross-doc exact-substring dedup signal (Lee et al. 2022)
+        "duplicate_span_documents": D.duplicate_span_documents,
         "contaminated_documents": D.contaminated_documents,
         # the end-to-end corpus-curation surface (exact dedup + near
         # dedup + langid + toxicity + quality in ONE pipeline with
@@ -1823,6 +1825,32 @@ SELECT t.doc_id,
   COALESCE(a.mx, 0) AS max_bigram_count
 FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id
 """,
+        # CROSS-document duplicate 8-token spans (exact-substring dedup
+        # signal; window identity = md5-u64 of the joined window on
+        # both engines)
+        "duplicate_span_documents": f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS ts
+  FROM documents),
+w AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, len(ts) - 7),
+                   i -> array_to_string(list_slice(ts, i, i + 7), ' '))
+      AS ws
+  FROM t WHERE len(ts) >= 8),
+h AS (SELECT doc_id, md5_number_upper(unnest(ws)) AS h FROM w),
+ph AS (SELECT doc_id, h, COUNT(*) AS n_pos FROM h GROUP BY 1, 2),
+dup AS (SELECT h FROM ph GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+c AS (
+  SELECT doc_id,
+    CAST(SUM(n_pos) AS BIGINT) AS n_windows,
+    CAST(SUM(CASE WHEN h IN (SELECT h FROM dup) THEN n_pos ELSE 0 END)
+         AS BIGINT) AS n_dup_windows
+  FROM ph GROUP BY 1)
+SELECT doc_id, n_windows, n_dup_windows,
+  CAST((1000 * n_dup_windows) // n_windows AS BIGINT) AS dup_frac_milli
+FROM c
+""",
         # benchmark decontamination: word-n-gram shingle collision with
         # the deterministic pseudo-benchmark (doc_id % MOD == 0)
         "contaminated_documents": f"""
@@ -1907,7 +1935,11 @@ WHERE EXISTS (
 SELECT event_id, user_id,
   CAST(COUNT(*) OVER w AS BIGINT) AS win_n,
   CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) OVER w AS BIGINT)
-    AS win_sum_milli
+    AS win_sum_milli,
+  CAST(MIN(CAST(floor(value * 1000) AS BIGINT)) OVER w AS BIGINT)
+    AS win_min_milli,
+  CAST(MAX(CAST(floor(value * 1000) AS BIGINT)) OVER w AS BIGINT)
+    AS win_max_milli
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
              ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)

@@ -2111,3 +2111,103 @@ def quality_percentile_by_source(sf_dir: str,
         return batch.append_column("pr_micro", pa.array(pr))
 
     return scored_ds.map_batches(rank, batch_format="pyarrow")
+
+
+DUP_SPAN_K = 8   # tokens per window (exact-substring dedup granularity)
+
+
+def duplicate_span_documents(sf_dir: str, num_buckets: int = 0):
+    """(doc_id, n_windows, n_dup_windows, dup_frac_milli): CROSS-document
+    duplicate-span statistics — for every rolling 8-token window, is the
+    identical window present in ≥ 2 DISTINCT documents? (The
+    exact-substring dedup signal of "Deduplicating Training Data Makes
+    Language Models Better" — Lee et al. 2022 — reduced to per-doc
+    integer fixed-point; complements dup_ngram_stats, which is
+    INTRA-document.) Docs with < K tokens have no windows and are
+    omitted (the SQL twin filters identically).
+
+    Window identity is `spec.token_hash_u64` of the space-joined window
+    (the frozen md5-u64 hash — the DuckDB twin hashes with
+    md5_number_upper, so both engines compare identical values).
+
+    Scale shape: windows explode once (batch-local polars shifts),
+    then TWO bucketed exchanges, both on hashes: (1) window-hash
+    buckets decide cross-doc duplication locally (every window hash
+    lives in exactly one bucket) and emit per-(doc, bucket) partial
+    counts; (2) splitmix(doc) buckets sum the partials per doc locally.
+    Neither exchange ever has corpus-proportional OUTPUT groups in a
+    Ray aggregate (CLAUDE.md invariant), and full text never moves —
+    only (hash, doc, count) triples.
+    """
+    import pandas as pd
+
+    from dataquality_ray.spec import token_hash_u64
+    from dataquality_ray.stages.bucketing import (
+        cluster_buckets,
+        splitmix_bucket,
+    )
+
+    nb = num_buckets or cluster_buckets()
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def windows(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch["text"])
+        if isinstance(s, pl.DataFrame):
+            s = s.to_series()
+        toks = s.fill_null("").str.to_lowercase() \
+            .str.extract_all(TOKEN_PATTERN)
+        expr = pl.element()
+        for j in range(1, DUP_SPAN_K):
+            expr = expr + " " + pl.element().shift(-j)
+        wins = toks.list.eval(expr.drop_nulls())
+        df = (pl.DataFrame({
+            "doc_id": pl.from_arrow(batch["doc_id"]),
+            "w": wins,
+        }).explode("w").drop_nulls("w")
+          .group_by(["doc_id", "w"]).len().rename({"len": "n_pos"}))
+        # frozen md5-u64 window hash, once per unique window string
+        wcol = df["w"].to_arrow()
+        enc = wcol.dictionary_encode()
+        lut = np.fromiter(
+            (token_hash_u64(u) for u in enc.dictionary.to_pylist()),
+            dtype=np.uint64, count=len(enc.dictionary))
+        h = lut[enc.indices.to_numpy(zero_copy_only=False)]
+        return pa.table({
+            "h": pa.array(h),
+            "doc_id": df["doc_id"].to_arrow(),
+            "n_pos": pa.array(df["n_pos"].cast(pl.Int64).to_numpy()),
+            "part": pa.array((h % np.uint64(nb)).astype(np.int32)),
+        })
+
+    def dup_in_bucket(df: "pd.DataFrame") -> "pd.DataFrame":
+        # a window hash lives entirely in this bucket → distinct-doc
+        # counts are exact here. Partials may repeat (doc, h) across
+        # source batches, so first collapse to true per-(h, doc) counts.
+        g = (df.groupby(["h", "doc_id"], sort=False)
+             .agg(n_pos=("n_pos", "sum")).reset_index())
+        nd = g.groupby("h", sort=False)["doc_id"].transform("nunique")
+        g["n_dup"] = np.where(nd >= 2, g["n_pos"], 0)
+        out = (g.groupby("doc_id", sort=False)
+               .agg(n_windows=("n_pos", "sum"), n_dup=("n_dup", "sum"))
+               .reset_index())
+        out["part"] = splitmix_bucket(
+            out["doc_id"].to_numpy().astype(np.int64), nb)
+        return out
+
+    def per_doc(df: "pd.DataFrame") -> "pd.DataFrame":
+        g = (df.groupby("doc_id", sort=False)
+             .agg(n_windows=("n_windows", "sum"), n_dup=("n_dup", "sum"))
+             .reset_index())
+        g["dup_frac_milli"] = (1000 * g["n_dup"]) // g["n_windows"]
+        return pd.DataFrame({
+            "doc_id": g["doc_id"].astype(np.int64),
+            "n_windows": g["n_windows"].astype(np.int64),
+            "n_dup_windows": g["n_dup"].astype(np.int64),
+            "dup_frac_milli": g["dup_frac_milli"].astype(np.int64),
+        })
+
+    return (docs.map_batches(windows, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("part").map_groups(dup_in_bucket,
+                                        batch_format="pandas")
+            .groupby("part").map_groups(per_doc, batch_format="pandas"))

@@ -1158,11 +1158,25 @@ def user_moving_window(sf_dir: str, num_buckets: int = 0):
         start = np.maximum(idx - (MOVING_WINDOW_ROWS - 1), ustart)
         csum = np.zeros(n + 1, dtype=np.int64)
         np.cumsum(vm, out=csum[1:])
+        # sliding MIN/MAX (no cumsum identity exists): k shifted copies
+        # with out-of-window lanes masked to the opposite extreme —
+        # exact int64 end to end
+        lanes_min = np.empty((MOVING_WINDOW_ROWS, n), dtype=np.int64)
+        lanes_max = np.empty((MOVING_WINDOW_ROWS, n), dtype=np.int64)
+        for j in range(MOVING_WINDOW_ROWS):
+            src = np.empty(n, dtype=np.int64)
+            src[j:] = vm[:n - j] if j else vm
+            src[:j] = 0
+            in_win = idx - j >= start
+            lanes_min[j] = np.where(in_win, src, np.iinfo(np.int64).max)
+            lanes_max[j] = np.where(in_win, src, np.iinfo(np.int64).min)
         return pd.DataFrame({
             "event_id": df["event_id"],
             "user_id": u,
             "win_n": (idx - start + 1).astype(np.int64),
             "win_sum_milli": csum[idx + 1] - csum[start],
+            "win_min_milli": lanes_min.min(axis=0),
+            "win_max_milli": lanes_max.max(axis=0),
         })
 
     return (ds.map_batches(bucket, batch_format="pyarrow",
