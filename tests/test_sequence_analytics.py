@@ -98,3 +98,86 @@ def test_sequence_kernels_vs_brute_force(ray_session, tmp_path, seed):
     want = want.sort_values("user_id").reset_index(drop=True)
     assert got_m["event_type"].tolist() == want["event_type"].tolist()
     assert got_m["n"].tolist() == want["n"].tolist()
+
+
+def _brute_moving_window(df: pd.DataFrame, k: int = 4) -> dict:
+    """Per event_id: (win_n, win_sum_milli, win_min_milli,
+    win_max_milli) over the last k rows of the user's
+    (ts, event_id)-ordered stream — pure-Python reference."""
+    out = {}
+    for _, g in df.groupby("user_id"):
+        g = g.assign(ts_us=g["ts"].astype("int64"),
+                     vm=np.floor(g["value"] * 1000).astype(np.int64)) \
+            .sort_values(["ts_us", "event_id"], kind="mergesort")
+        vms = g["vm"].tolist()
+        eids = g["event_id"].tolist()
+        for i in range(len(vms)):
+            w = vms[max(0, i - k + 1): i + 1]
+            out[eids[i]] = (len(w), sum(w), min(w), max(w))
+    return out
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_moving_window_vs_brute_force(ray_session, tmp_path, seed):
+    from dataquality_ray.pipelines.metrics import user_moving_window
+
+    sf_dir, df = _make_events(str(tmp_path), seed)
+    got = user_moving_window(sf_dir).to_pandas()
+    got_d = {r.event_id: (r.win_n, r.win_sum_milli, r.win_min_milli,
+                          r.win_max_milli) for r in got.itertuples()}
+    assert got_d == _brute_moving_window(df)
+
+
+def test_duplicate_spans_vs_brute_force(ray_session, tmp_path):
+    """Forced cross-doc span overlaps: doc B embeds an 8-token run of
+    doc A mid-text; doc C repeats its own window (intra-doc repeat must
+    count EVERY position once the window is cross-doc); short docs
+    (< 8 tokens) must be absent from the output."""
+    import pyarrow.parquet as _pq
+
+    from dataquality_ray.pipelines.documents import (
+        DUP_SPAN_K,
+        duplicate_span_documents,
+    )
+    from dataquality_ray.spec import TOKEN_PATTERN
+    import re
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+        "prefix words here alpha beta gamma delta epsilon zeta eta "
+        "theta closing remark",
+        "one two three four five six seven eight one two three four "
+        "five six seven eight trailing",
+        "short doc only",
+        "one two three four five six seven eight unrelated suffix",
+    ]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts,
+                       "source": ["s"] * len(texts)})
+    out = os.path.join(str(tmp_path), "docs")
+    os.makedirs(out, exist_ok=True)
+    _pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                    os.path.join(out, "documents.parquet"))
+
+    # brute force
+    tokd = {r.doc_id: re.findall(TOKEN_PATTERN, r.text.lower())
+            for r in df.itertuples()}
+    wins = {d: [" ".join(ts[i:i + DUP_SPAN_K])
+                for i in range(len(ts) - DUP_SPAN_K + 1)]
+            for d, ts in tokd.items() if len(ts) >= DUP_SPAN_K}
+    owners = {}
+    for d, ws in wins.items():
+        for w in ws:
+            owners.setdefault(w, set()).add(d)
+    want = {d: (len(ws),
+                sum(1 for w in ws if len(owners[w]) >= 2),
+                )
+            for d, ws in wins.items()}
+
+    got = duplicate_span_documents(out).to_pandas() \
+        .set_index("doc_id").sort_index()
+    assert set(got.index) == set(want)
+    for d, (n, ndup) in want.items():
+        assert got.loc[d, "n_windows"] == n, d
+        assert got.loc[d, "n_dup_windows"] == ndup, d
+        assert got.loc[d, "dup_frac_milli"] == (1000 * ndup) // n, d
