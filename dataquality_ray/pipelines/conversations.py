@@ -226,8 +226,11 @@ def conv_training_docs(ds, num_buckets: int = 0):
             "text": batch["text"],
         })
 
-    def assemble(df: pd.DataFrame) -> pd.DataFrame:
-        g = (_pl.from_pandas(df)
+    def assemble(t: pa.Table) -> pa.Table:
+        # arrow → polars → arrow is zero-copy for the string payload;
+        # the pandas route would box every text into a Python object
+        g = (_pl.from_arrow(t.select(
+                ["conv_id", "turn_idx", "role", "text"]))
              .sort(["conv_id", "turn_idx"])
              .group_by("conv_id", maintain_order=True)
              .agg(n_turns=_pl.len().cast(_pl.Int64),
@@ -236,12 +239,12 @@ def conv_training_docs(ds, num_buckets: int = 0):
              .with_columns(n_chars=_pl.col("doc_text").str.len_chars()
                            .cast(_pl.Int64))
              .select("conv_id", "n_turns", "n_chars", "doc_text"))
-        return g.to_pandas()
+        return g.to_arrow()
 
     return (ds.map_batches(bucket, batch_format="pyarrow",
                            zero_copy_batch=True)
             .groupby("bucket")
-            .map_groups(assemble, batch_format="pandas"))
+            .map_groups(assemble, batch_format="pyarrow"))
 
 
 CONV_KEEP_FRAC_MILLI = 500   # keep a conversation if >=50% of turns keep
@@ -349,8 +352,9 @@ def turn_context_windows(ds, num_buckets: int = 0):
             "text": batch["text"],
         })
 
-    def scan(df: pd.DataFrame) -> pd.DataFrame:
-        g = (_pl.from_pandas(df)
+    def scan(t: pa.Table) -> pa.Table:
+        # zero-copy arrow↔polars — text never boxes through pandas
+        g = (_pl.from_arrow(t.select(["conv_id", "turn_idx", "text"]))
              .sort(["conv_id", "turn_idx"])
              .with_columns(
                  prev_text=_pl.col("text").shift(1).over("conv_id")
@@ -358,12 +362,12 @@ def turn_context_windows(ds, num_buckets: int = 0):
                  next_text=_pl.col("text").shift(-1).over("conv_id")
                  .fill_null(""))
              .select("conv_id", "turn_idx", "prev_text", "next_text"))
-        return g.to_pandas()
+        return g.to_arrow()
 
     return (ds.map_batches(bucket, batch_format="pyarrow",
                            zero_copy_batch=True)
             .groupby("bucket")
-            .map_groups(scan, batch_format="pandas"))
+            .map_groups(scan, batch_format="pyarrow"))
 
 
 FUZZY_MIN_LEN = 3   # ignore 1-2 char tokens (noise)

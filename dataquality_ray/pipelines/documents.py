@@ -1083,32 +1083,33 @@ def global_sentence_dedup(sf_dir: str, num_partitions: int = 8,
     sents = docs.map_batches(extract, batch_format="pyarrow",
                              zero_copy_batch=True)
 
-    def flag_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        win = df.groupby("h", sort=False)["packed"].transform("min")
-        out = df.loc[:, ["doc_id", "sent_idx", "sentence"]].copy()
-        out["keep"] = (df["packed"].to_numpy() == win.to_numpy())
-        out["dpart"] = (df["doc_id"].to_numpy()
-                        % num_buckets).astype(np.int32)
-        return out
+    def flag_bucket(t: pa.Table) -> pa.Table:
+        # zero-copy arrow↔polars — sentence strings never box through
+        # pandas; min-per-hash winner via a window min
+        d = pl.from_arrow(t.select(
+            ["doc_id", "sent_idx", "sentence", "h", "packed"]))
+        d = d.with_columns(
+            keep=pl.col("packed") == pl.col("packed").min().over("h"),
+            dpart=(pl.col("doc_id") % num_buckets).cast(pl.Int32))
+        return d.select(["doc_id", "sent_idx", "sentence", "keep",
+                         "dpart"]).to_arrow()
 
     flagged = sents.groupby("spart").map_groups(
-        flag_bucket, batch_format="pandas")
+        flag_bucket, batch_format="pyarrow")
 
-    def assemble_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["doc_id", "sent_idx"], kind="mergesort")
-        g = df.groupby("doc_id", sort=False)
-        kept = df[df["keep"]].groupby("doc_id", sort=False)["sentence"] \
-            .agg(". ".join)
-        out = pd.DataFrame({
-            "doc_id": np.asarray(list(g.groups.keys()), np.int64),
-            "n_sents": g.size().to_numpy().astype(np.int64),
-            "n_kept": g["keep"].sum().to_numpy().astype(np.int64),
-        })
-        out["kept_text"] = out["doc_id"].map(kept).fillna("")
-        return out
+    def assemble_bucket(t: pa.Table) -> pa.Table:
+        d = pl.from_arrow(t.select(
+            ["doc_id", "sent_idx", "sentence", "keep"])) \
+            .sort(["doc_id", "sent_idx"])
+        g = d.group_by("doc_id", maintain_order=True).agg(
+            n_sents=pl.len().cast(pl.Int64),
+            n_kept=pl.col("keep").sum().cast(pl.Int64),
+            kept_text=pl.col("sentence").filter(pl.col("keep"))
+            .str.join(". "))
+        return g.to_arrow()
 
     agg = flagged.groupby("dpart").map_groups(
-        assemble_bucket, batch_format="pandas")
+        assemble_bucket, batch_format="pyarrow")
 
     spine = _docs(sf_dir, columns=["doc_id"])
     out = spine.join(agg, join_type="left_outer",
