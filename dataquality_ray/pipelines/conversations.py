@@ -110,19 +110,21 @@ def conv_turn_gaps(ds, num_buckets: int = 0):
             "ts_us": pc.cast(batch["ts"], pa.int64()),
         })
 
-    def scan(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(["conv_id", "turn_idx"], kind="mergesort")
-        gap = df.groupby("conv_id", sort=False)["ts_us"].diff()
-        return pd.DataFrame({
-            "conv_id": df["conv_id"],
-            "turn_idx": df["turn_idx"],
-            "gap_us": gap.fillna(-1).astype(np.int64),
-        })
+    def scan(t: pa.Table) -> pa.Table:
+        # polars diff stays Int64 end-to-end (the pandas groupby diff
+        # promotes to float64 for the NaN — exactness rule) and the
+        # conv_id strings never box through pandas
+        import polars as _pl
+        d = (_pl.from_arrow(t.select(["conv_id", "turn_idx", "ts_us"]))
+             .sort(["conv_id", "turn_idx"])
+             .with_columns(gap_us=_pl.col("ts_us").diff()
+                           .over("conv_id").fill_null(-1)))
+        return d.select(["conv_id", "turn_idx", "gap_us"]).to_arrow()
 
     return (ds.map_batches(bucket, batch_format="pyarrow",
                            zero_copy_batch=True)
             .groupby("bucket")
-            .map_groups(scan, batch_format="pandas"))
+            .map_groups(scan, batch_format="pyarrow"))
 
 
 def role_tool_stats(ds, num_buckets: int = 64):
@@ -170,19 +172,20 @@ def role_tool_stats(ds, num_buckets: int = 64):
                 % np.uint64(num_buckets)).astype(np.int32)
         return g.to_arrow().append_column("part", pa.array(part))
 
-    def per_bucket(df: pd.DataFrame) -> pd.DataFrame:
-        g = (_pl.from_pandas(df)
+    def per_bucket(t: pa.Table) -> pa.Table:
+        g = (_pl.from_arrow(t.select(["role", "tool", "conv_h",
+                                      "n", "c"]))
              .group_by(["role", "tool", "conv_h"]).agg(
                  _pl.col("n").sum(), _pl.col("c").sum())
              .group_by(["role", "tool"]).agg(
                  _pl.col("n").sum().alias("n_turns"),
                  _pl.len().cast(_pl.Int64).alias("n_convs"),
                  _pl.col("c").sum().alias("sum_chars")))
-        return g.to_pandas()
+        return g.to_arrow()
 
     agg = ds.map_batches(partial, batch_format="pyarrow",
                          zero_copy_batch=True) \
-        .groupby("part").map_groups(per_bucket, batch_format="pandas") \
+        .groupby("part").map_groups(per_bucket, batch_format="pyarrow") \
         .groupby(["role", "tool"]).aggregate(
             Sum("n_turns", alias_name="n_turns"),
             Sum("n_convs", alias_name="n_convs"),
