@@ -244,6 +244,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_stats": D.dup_ngram_stats,
         # cross-doc exact-substring dedup signal (Lee et al. 2022)
         "duplicate_span_documents": D.duplicate_span_documents,
+        # group-level set similarity (vocabulary Jaccard between sources)
+        "source_vocab_overlap": D.source_vocab_overlap,
         "contaminated_documents": D.contaminated_documents,
         # the end-to-end corpus-curation surface (exact dedup + near
         # dedup + langid + toxicity + quality in ONE pipeline with
@@ -297,6 +299,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_with_purchases": M.customers_with_purchases,
         # bounded moving window (ROWS BETWEEN 3 PRECEDING AND CURRENT)
         "user_moving_window": M.user_moving_window,
+        # robust stats: nested exact quantiles (median + MAD)
+        "event_value_mad": M.event_value_mad,
         # sequence analytics: Markov transition matrix, MODE aggregate,
         # ordered funnel — all SQL-checked
         "event_type_transitions": M.event_type_transitions,
@@ -1824,6 +1828,44 @@ SELECT t.doc_id,
        THEN (1000 * (a.n - a.d)) // a.n ELSE 0 END AS dup_frac_milli,
   COALESCE(a.mx, 0) AS max_bigram_count
 FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id
+""",
+        # robust stats: exact discrete median + median absolute
+        # deviation (nested quantile_disc composition)
+        "event_value_mad": """
+WITH f AS (
+  SELECT event_type,
+    CAST(floor(value * 1000) AS BIGINT) AS vm
+  FROM events),
+m AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+    CAST(quantile_disc(vm, 0.5) AS BIGINT) AS median_milli
+  FROM f GROUP BY 1)
+SELECT m.event_type, m.n_events, m.median_milli,
+  CAST(quantile_disc(abs(f.vm - m.median_milli), 0.5) AS BIGINT)
+    AS mad_milli
+FROM f JOIN m USING (event_type)
+GROUP BY m.event_type, m.n_events, m.median_milli
+""",
+        # pairwise source-vocabulary Jaccard (group-level set overlap)
+        "source_vocab_overlap": f"""
+WITH st AS (
+  SELECT DISTINCT source, t
+  FROM (SELECT source,
+          unnest(regexp_extract_all(lower(text), '{_TOK}')) AS t
+        FROM documents)),
+v AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM st GROUP BY 1),
+pair AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+    CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM st a JOIN st b ON a.t = b.t AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT p.source_a, p.source_b, p.n_common,
+  va.n AS n_a, vb.n AS n_b,
+  CAST((1000000 * p.n_common) // (va.n + vb.n - p.n_common) AS BIGINT)
+    AS jaccard_micro
+FROM pair p
+JOIN v va ON va.source = p.source_a
+JOIN v vb ON vb.source = p.source_b
 """,
         # CROSS-document duplicate 8-token spans (exact-substring dedup
         # signal; window identity = md5-u64 of the joined window on

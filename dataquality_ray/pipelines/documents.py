@@ -2212,3 +2212,99 @@ def duplicate_span_documents(sf_dir: str, num_buckets: int = 0):
             .groupby("part").map_groups(dup_in_bucket,
                                         batch_format="pandas")
             .groupby("part").map_groups(per_doc, batch_format="pandas"))
+
+
+def source_vocab_overlap(sf_dir: str, num_buckets: int = 0):
+    """(source_a, source_b, n_common, n_a, n_b, jaccard_micro): exact
+    vocabulary Jaccard between every PAIR of sources — corpus-diversity
+    measurement (set similarity between GROUPS, not rows; the
+    INTERSECT-shaped dual of the per-doc near-dup family).
+    jaccard_micro = 1e6 * |A∩B| // |A∪B| (exact integer).
+
+    Scale shape: per-batch distinct (source, term) partials → ONE
+    term-hash bucket shuffle; inside each bucket every term's source
+    set is complete, so pair-intersection counts and per-source vocab
+    partials both finish locally (vectorized). The final reduce is
+    |sources|² rows — constant. Vocabulary never assembles in one
+    place.
+    """
+    import itertools
+
+    import pandas as pd
+
+    from dataquality_ray.spec import token_hash_u64
+    from dataquality_ray.stages.bucketing import cluster_buckets
+
+    nb = num_buckets or cluster_buckets()
+    docs = _docs(sf_dir, columns=["text", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch["text"])
+        if isinstance(s, pl.DataFrame):
+            s = s.to_series()
+        toks = s.fill_null("").str.to_lowercase() \
+            .str.extract_all(TOKEN_PATTERN)
+        df = (pl.DataFrame({
+            "source": pl.from_arrow(batch["source"]),
+            "term": toks,
+        }).explode("term").drop_nulls("term").unique())
+        t = df["term"].to_arrow()
+        enc = t.dictionary_encode()
+        lut = np.fromiter(
+            (token_hash_u64(u) for u in enc.dictionary.to_pylist()),
+            dtype=np.uint64, count=len(enc.dictionary))
+        h = lut[enc.indices.to_numpy(zero_copy_only=False)]
+        return pa.table({
+            "source": df["source"].to_arrow(),
+            "term": t,
+            "part": pa.array((h % np.uint64(nb)).astype(np.int32)),
+        })
+
+    def bucket_counts(df: "pd.DataFrame") -> "pd.DataFrame":
+        # the bucket owns its terms entirely: dedup partials, then per
+        # term emit every source pair + per-source vocab partials
+        df = df[["source", "term"]].drop_duplicates()
+        sizes = (df.groupby("source", sort=False).size()
+                 .rename("n").reset_index())
+        rows_a, rows_b = [], []
+        for _, g in df.groupby("term", sort=False):
+            ss = sorted(g["source"])
+            if len(ss) >= 2:
+                for a, b in itertools.combinations(ss, 2):
+                    rows_a.append(a)
+                    rows_b.append(b)
+        pairs = (pd.DataFrame({"source_a": rows_a, "source_b": rows_b})
+                 .groupby(["source_a", "source_b"], sort=False)
+                 .size().rename("n_common").reset_index()) \
+            if rows_a else pd.DataFrame(
+                {"source_a": pd.Series(dtype=object),
+                 "source_b": pd.Series(dtype=object),
+                 "n_common": pd.Series(dtype=np.int64)})
+        pairs["kind"] = "pair"
+        sizes = sizes.rename(columns={"source": "source_a"})
+        sizes["source_b"] = ""
+        sizes["kind"] = "size"
+        sizes = sizes.rename(columns={"n": "n_common"})
+        out = pd.concat(
+            [pairs[["source_a", "source_b", "n_common", "kind"]],
+             sizes[["source_a", "source_b", "n_common", "kind"]]],
+            ignore_index=True)
+        out["n_common"] = out["n_common"].astype(np.int64)
+        return out
+
+    partials = (docs.map_batches(partial, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+                .groupby("part")
+                .map_groups(bucket_counts, batch_format="pandas")
+                .to_pandas())    # |sources|² × buckets rows — tiny
+    sizes = (partials[partials["kind"] == "size"]
+             .groupby("source_a")["n_common"].sum().to_dict())
+    pair = (partials[partials["kind"] == "pair"]
+            .groupby(["source_a", "source_b"])["n_common"].sum()
+            .reset_index())
+    pair["n_a"] = pair["source_a"].map(sizes).astype(np.int64)
+    pair["n_b"] = pair["source_b"].map(sizes).astype(np.int64)
+    union = pair["n_a"] + pair["n_b"] - pair["n_common"]
+    pair["jaccard_micro"] = (1_000_000 * pair["n_common"]) // union
+    from dataquality_ray.arrowutil import from_pandas_clean
+    return from_pandas_clean(pair.reset_index(drop=True))

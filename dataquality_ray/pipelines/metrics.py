@@ -1229,3 +1229,45 @@ def customers_with_purchases(sf_dir: str, num_buckets: int = 0):
     return j.map_batches(
         lambda t: t.select(["c_custkey", "c_mktsegment"]),
         batch_format="pyarrow")
+
+
+def event_value_mad(sf_dir: str):
+    """(event_type, n_events, median_milli, mad_milli): robust
+    dispersion — the exact discrete median plus the MEDIAN ABSOLUTE
+    DEVIATION (median of |x - median|), both with DuckDB's
+    quantile_disc index rule (ceil(n/2) - 1 of the ascending sort) in
+    pure integer math. A nested-quantile composition: the second
+    median is taken over a DERIVED column that depends on the first —
+    the two-pass shape a single window/aggregate cannot express.
+
+    Shuffle shape: ONE event_type groupby (small key domain); each
+    group reduces with two O(n) np.partition selections — no full
+    sort. Same single-reducer-per-type caveat (and the same
+    histogram-refine escape hatch) as event_value_percentiles.
+    """
+    ds = _events(sf_dir, columns=["event_type", "value"])
+
+    def fixed(batch: pa.Table) -> pa.Table:
+        vm = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                      * 1000).astype(np.int64)
+        return pa.table({"event_type": batch["event_type"],
+                         "vm": pa.array(vm)})
+
+    def mad(df: "pd.DataFrame") -> "pd.DataFrame":
+        vm = df["vm"].to_numpy()
+        n = len(vm)
+        idx = (n + 1) // 2 - 1                    # ceil(n/2) - 1
+        med = np.partition(vm, idx)[idx]
+        dev = np.abs(vm - med)
+        madv = np.partition(dev, idx)[idx]
+        return pd.DataFrame({
+            "event_type": [df["event_type"].iloc[0]],
+            "n_events": np.array([n], dtype=np.int64),
+            "median_milli": np.array([med], dtype=np.int64),
+            "mad_milli": np.array([madv], dtype=np.int64),
+        })
+
+    return (ds.map_batches(fixed, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("event_type")
+            .map_groups(mad, batch_format="pandas"))
