@@ -94,7 +94,9 @@ def _query_benches(sf_dir: str) -> dict:
              "distinct_users_by_event_type",
              "doc_context_chunks", "packed_sequence_documents",
              "doc_quality_deciles", "conv_training_docs",
-             "event_type_transitions", "kept_conversations"]
+             "event_type_transitions", "kept_conversations",
+             "duplicate_span_documents", "user_moving_window",
+             "orders_above_customer_avg", "source_vocab_overlap"]
     out = {}
     for name in names:
         t0 = time.time()
