@@ -291,6 +291,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_latest_error_per_event": _asof_latest_error_per_event,
         "events_near_errors": M.events_near_errors,
         "event_value_percentiles": M.event_value_percentiles,
+        # same exact-quantile contract, computed by iterative histogram
+        # refinement (no single-reducer-per-type) — shares the oracle
+        "event_value_percentiles_refine":
+            M.event_value_percentiles_refine,
         "user_running_totals": M.user_running_totals,
         "distinct_users_by_event_type": M.distinct_users_by_event_type,
         "users_without_purchase": M.users_without_purchase,
@@ -2532,4 +2536,8 @@ SELECT query_id, vec_id, round(sim, 6) AS cosine_sim,
   CAST(rank AS BIGINT) AS rank
 FROM r2 WHERE rank <= 5
 """
+    # the refine variant computes the identical exact discrete
+    # quantiles (different distributed shape, same contract)
+    sql["event_value_percentiles_refine"] = \
+        sql["event_value_percentiles"]
     return sql

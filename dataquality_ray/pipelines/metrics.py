@@ -699,6 +699,128 @@ def approx_event_percentiles(sf_dir: str):
         finish, batch_format="pandas")
 
 
+REFINE_BINS = 4096   # per-pass histogram width for the exact refine
+
+
+def event_value_percentiles_refine(sf_dir: str):
+    """Per event_type: EXACT discrete p50/p90/p99 of value_milli with
+    NO single-reducer-per-type — the at-scale escape hatch promised in
+    event_value_percentiles' docstring. Same output schema and the
+    same DuckDB oracle as the exact operator.
+
+    Iterative histogram refinement: pass 0 aggregates exact
+    (min, max, n) per type (tiny); each refine pass bin-counts every
+    live (type, percentile) bracket at REFINE_BINS resolution (partials
+    are int vectors, merge = addition → any reduce order exact), then
+    the driver narrows each bracket to the bin holding the target rank
+    (quantile_disc index ceil(p*n/100), 1-based within-bracket) and
+    rebases the rank. A bracket of span <= REFINE_BINS resolves in one
+    more pass (integer bin width 1). Passes = ceil(log_BINS(span)) — 3
+    scans for any span < 2^36 — each a streaming map_batches + a
+    (types x 3 x BINS)-row aggregate; no group ever needs one worker's
+    heap, so a single hot event_type cannot sink a reducer at corpus
+    scale."""
+    import pandas as pd
+    from ray.data.aggregate import Max, Min, Sum
+
+    from dataquality_ray.arrowutil import from_pandas_clean
+
+    ds = _events(sf_dir, columns=["event_type", "value"])
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        vm = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                      * 1000).astype(np.int64)
+        g = (pd.DataFrame({"event_type":
+                           batch["event_type"].to_pylist(), "vm": vm})
+             .groupby("event_type", sort=False)["vm"]
+             .agg(mn="min", mx="max", n="size").reset_index())
+        return from_pandas_clean(g)
+
+    stats = ds.map_batches(stats_partial, batch_format="pyarrow") \
+        .groupby("event_type").aggregate(
+            Min("mn", alias_name="mn"), Max("mx", alias_name="mx"),
+            Sum("n", alias_name="n")).to_pandas()
+
+    # bracket state per (type, p): [lo, hi] known to contain the target
+    # element, and its 1-based rank among bracket members.
+    brackets: dict = {}
+    counts: dict = {}
+    for _, r in stats.iterrows():
+        t, mn, mx, n = (r["event_type"], int(r["mn"]), int(r["mx"]),
+                        int(r["n"]))
+        counts[t] = n
+        for p in PCT_POINTS:
+            brackets[(t, p)] = (mn, mx, (p * n + 99) // 100)
+
+    resolved: dict = {}
+    while True:
+        live = {k: v for k, v in brackets.items()
+                if k not in resolved}
+        for k, (lo, hi, _) in list(live.items()):
+            if lo == hi:
+                resolved[k] = lo
+                del live[k]
+        if not live:
+            break
+        live_ref = ray.put(live)
+
+        def hist_pass(batch: pa.Table) -> pa.Table:
+            br = ray.get(live_ref)
+            et = np.asarray(batch["event_type"].to_pylist())
+            vm = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                          * 1000).astype(np.int64)
+            out = {"event_type": [], "p": [], "bin": [], "c": []}
+            for (t, p), (lo, hi, _rank) in br.items():
+                m = (et == t) & (vm >= lo) & (vm <= hi)
+                if not m.any():
+                    continue
+                span = hi - lo + 1
+                bins = ((vm[m] - lo) * REFINE_BINS) // span
+                bc = np.bincount(bins)
+                nz = np.nonzero(bc)[0]
+                out["event_type"].extend([t] * len(nz))
+                out["p"].extend([int(p)] * len(nz))
+                out["bin"].extend(int(b) for b in nz)
+                out["c"].extend(int(c) for c in bc[nz])
+            return pa.table({
+                "event_type": pa.array(out["event_type"], pa.string()),
+                "p": pa.array(out["p"], pa.int64()),
+                "bin": pa.array(out["bin"], pa.int64()),
+                "c": pa.array(out["c"], pa.int64()),
+            })
+
+        hist = (ds.map_batches(hist_pass, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby(["event_type", "p", "bin"])
+                .aggregate(Sum("c", alias_name="c")).to_pandas())
+
+        for (t, p), (lo, hi, rank) in live.items():
+            h = hist[(hist["event_type"] == t) & (hist["p"] == p)] \
+                .sort_values("bin", kind="mergesort")
+            cum = h["c"].to_numpy().cumsum()
+            bins = h["bin"].to_numpy()
+            i = int(np.searchsorted(cum, rank))
+            b = int(bins[i])
+            span = hi - lo + 1
+            new_lo = lo + (b * span + REFINE_BINS - 1) // REFINE_BINS
+            new_lo = max(new_lo, lo)
+            # smallest v with bin(v) == b is ceil(b*span/BINS)+lo;
+            # largest is ceil((b+1)*span/BINS)-1+lo
+            new_hi = lo + ((b + 1) * span + REFINE_BINS - 1) \
+                // REFINE_BINS - 1
+            below = int(cum[i - 1]) if i > 0 else 0
+            brackets[(t, p)] = (new_lo, new_hi, rank - below)
+
+    rows = sorted(counts)
+    return pa.table({
+        "event_type": pa.array(rows, pa.string()),
+        "n_events": pa.array([counts[t] for t in rows], pa.int64()),
+        **{f"p{p}_milli": pa.array([resolved[(t, p)] for t in rows],
+                                   pa.int64())
+           for p in PCT_POINTS},
+    })
+
+
 def event_type_transitions(sf_dir: str, num_buckets: int = 0):
     """(from_type, to_type, n): counts of consecutive event-type
     transitions within each user's (ts, event_id)-ordered stream — the

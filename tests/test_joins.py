@@ -118,3 +118,19 @@ class TestApproxPercentileSketch:
                 a = int(approx.loc[t, f"p{p}_est"])
                 assert a >= e
                 assert abs(a - e) <= width, (t, p, a, e, width)
+
+
+class TestPercentileRefine:
+    def test_refine_matches_exact(self, ray_session):
+        """The iterative histogram-refine path (no single-reducer-per-
+        type) must reproduce the exact discrete quantiles bit-for-bit."""
+        from dataquality_ray.pipelines.metrics import (
+            event_value_percentiles,
+            event_value_percentiles_refine,
+        )
+        sf = "/root/testdata/sf0.001"
+        exact = event_value_percentiles(sf).to_pandas() \
+            .sort_values("event_type").reset_index(drop=True)
+        ref = event_value_percentiles_refine(sf).to_pandas() \
+            .sort_values("event_type").reset_index(drop=True)
+        assert exact[ref.columns].equals(ref)
