@@ -290,6 +290,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_sessions": M.user_sessions,
         "asof_latest_error_per_event": _asof_latest_error_per_event,
         "events_near_errors": M.events_near_errors,
+        # GLOBAL interval join (no shared key) via time-cell
+        # co-partitioning — window side never broadcast
+        "events_in_error_bursts": M.events_in_error_bursts,
         "event_value_percentiles": M.event_value_percentiles,
         # same exact-quantile contract, computed by iterative histogram
         # refinement (no single-reducer-per-type) — shares the oracle
@@ -1227,6 +1230,20 @@ FROM e LEFT JOIN x
   ON x.user_id = e.user_id
  AND x.t > e.t - {M_RANGE_WINDOW_US} AND x.t <= e.t
 GROUP BY 1, 2
+""",
+        # GLOBAL interval join: every event vs every error's ±60 s
+        # window (any user) — events covered by >= 1 window, with the
+        # covering-window count
+        "events_in_error_bursts": """
+WITH e AS (
+  SELECT event_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS tu
+  FROM events),
+w AS (
+  SELECT tu - 60000000 AS lo, tu + 60000000 AS hi
+  FROM e WHERE event_type = 'error')
+SELECT e.event_id, e.event_type, CAST(COUNT(*) AS BIGINT) AS n_bursts
+FROM e JOIN w ON e.tu >= w.lo AND e.tu <= w.hi
+GROUP BY e.event_id, e.event_type
 """,
         # window-function operator: running per-user cumulatives in
         # (ts, event_id) order

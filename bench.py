@@ -96,7 +96,8 @@ def _query_benches(sf_dir: str) -> dict:
              "doc_quality_deciles", "conv_training_docs",
              "event_type_transitions", "kept_conversations",
              "duplicate_span_documents", "user_moving_window",
-             "orders_above_customer_avg", "source_vocab_overlap"]
+             "orders_above_customer_avg", "source_vocab_overlap",
+             "event_value_percentiles_refine", "events_in_error_bursts"]
     out = {}
     for name in names:
         t0 = time.time()

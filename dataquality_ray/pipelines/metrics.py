@@ -699,6 +699,101 @@ def approx_event_percentiles(sf_dir: str):
         finish, batch_format="pandas")
 
 
+BURST_HALF_US = 60_000_000          # error-burst window: ts ± 60 s
+BURST_CELL_US = 2 * BURST_HALF_US   # time-cell width == window width
+
+
+def events_in_error_bursts(sf_dir: str, num_buckets: int = 0):
+    """GLOBAL interval join (no shared key): for every event, the number
+    of error-burst windows [err_ts - 60s, err_ts + 60s] — from ANY
+    user's error — that cover its timestamp; rows with n_bursts > 0.
+    The range-join shape Ray Data lacks, built without broadcasting the
+    window side (it scales with the corpus, unlike the tiny threshold
+    maps elsewhere).
+
+    Shape: time-cell co-partitioning. With cell width == window width,
+    a window [lo, hi] overlaps EXACTLY cells lo//C and lo//C + 1, so
+    each window row is replicated twice; each event goes to its own
+    single cell ts//C — hence no double counting (an event is counted
+    only by window copies in its own cell). Cells shuffle once on
+    cell % K (bounded reducers); inside a bucket each cell resolves
+    with two sorted searchsorteds: n = #(lo <= t) - #(hi < t). Skew
+    note: one cell = 120 s of global traffic — if a single cell
+    outgrows a reducer, shrink BURST_CELL_US (windows then replicate
+    to ceil(W/C)+1 cells; the count identity is unchanged).
+    """
+    import pandas as pd
+
+    num_buckets = num_buckets or cluster_buckets(minimum=16)
+    ds = _events(sf_dir, columns=["event_id", "ts", "event_type"])
+
+    def emit(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        tu = pc.cast(batch["ts"], pa.int64()).to_numpy()
+        et = np.asarray(batch["event_type"].to_pylist())
+        eid = batch["event_id"].to_numpy(zero_copy_only=False)
+        # event rows: side 0, one cell each
+        e_cell = tu // BURST_CELL_US
+        # window rows: side 1, replicated to the two cells it overlaps
+        err = et == "error"
+        lo = tu[err] - BURST_HALF_US
+        hi = tu[err] + BURST_HALF_US
+        c1 = lo // BURST_CELL_US
+        w_cell = np.concatenate([c1, c1 + 1])
+        w_lo = np.concatenate([lo, lo])
+        w_hi = np.concatenate([hi, hi])
+        cell = np.concatenate([e_cell, w_cell])
+        zeros_w = np.zeros(len(w_cell), dtype=np.int64)
+        return pa.table({
+            "bucket": pa.array((cell % num_buckets).astype(np.int32)),
+            "cell": pa.array(cell),
+            "side": pa.array(np.concatenate(
+                [np.zeros(len(eid), np.int8),
+                 np.ones(len(w_cell), np.int8)])),
+            "event_id": pa.array(np.concatenate([eid, zeros_w])),
+            "event_type": pa.array(
+                et.tolist() + [""] * len(w_cell), pa.string()),
+            "t": pa.array(np.concatenate([tu, zeros_w])),
+            "lo": pa.array(np.concatenate(
+                [np.zeros(len(eid), np.int64), w_lo])),
+            "hi": pa.array(np.concatenate(
+                [np.zeros(len(eid), np.int64), w_hi])),
+        })
+
+    def local(df: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, g in df.groupby("cell", sort=False):
+            side = g["side"].to_numpy()
+            ev = g[side == 0]
+            w = g[side == 1]
+            if not len(ev) or not len(w):
+                continue
+            los = np.sort(w["lo"].to_numpy())
+            his = np.sort(w["hi"].to_numpy())
+            t = ev["t"].to_numpy()
+            n = (np.searchsorted(los, t, side="right")
+                 - np.searchsorted(his, t, side="left"))
+            keep = n > 0
+            if keep.any():
+                out.append(pd.DataFrame({
+                    "event_id": ev["event_id"].to_numpy()[keep],
+                    "event_type": ev["event_type"].to_numpy()[keep],
+                    "n_bursts": n[keep].astype(np.int64),
+                }))
+        if not out:
+            return pd.DataFrame({
+                "event_id": pd.Series([], dtype=np.int64),
+                "event_type": pd.Series([], dtype=object),
+                "n_bursts": pd.Series([], dtype=np.int64),
+            })
+        return pd.concat(out, ignore_index=True)
+
+    return (ds.map_batches(emit, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(local, batch_format="pandas"))
+
+
 REFINE_BINS = 4096   # per-pass histogram width for the exact refine
 
 
