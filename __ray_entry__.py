@@ -247,6 +247,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # group-level set similarity (vocabulary Jaccard between sources)
         "source_vocab_overlap": D.source_vocab_overlap,
         "contaminated_documents": D.contaminated_documents,
+        # fixed-128KiB-broadcast decontamination (mergeable Bloom
+        # bitmap); hash-checked including deterministic false positives
+        "bloom_contaminated_documents": D.bloom_contaminated_documents,
         # the end-to-end corpus-curation surface (exact dedup + near
         # dedup + langid + toxicity + quality in ONE pipeline with
         # precedence-ordered drop reasons) — SQL-checked
@@ -713,6 +716,8 @@ def _oracle_sql_impl() -> dict[str, str]:
     from dataquality_ray.pipelines.documents import (
         ANN_K,
         ANN_QUERY_IDS,
+        BLOOM_BITS,
+        BLOOM_K,
         CHUNK_STRIDE,
         CHUNK_WINDOW,
         COOC_TOP_K,
@@ -1931,6 +1936,37 @@ SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
 FROM sh s JOIN bset b ON b.g = s.g
 WHERE s.doc_id % {CONTAM_BENCH_MOD} <> 0
 GROUP BY 1
+""",
+        # Bloom-filter decontamination: identical probe replayed in SQL
+        # (bit positions = md5_number_upper('bloom:'||j||':'||g) % M),
+        # so the check covers the filter's deterministic false
+        # positives too
+        "bloom_contaminated_documents": f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS ts
+  FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, len(ts) - {CONTAM_NGRAM - 1}),
+                   i -> {contam_shingle}))) AS g
+  FROM t),
+bbits AS (
+  SELECT DISTINCT
+    md5_number_upper('bloom:' || CAST(j AS VARCHAR) || ':' || g)
+      % {BLOOM_BITS} AS bit
+  FROM (SELECT DISTINCT g FROM sh
+        WHERE doc_id % {CONTAM_BENCH_MOD} = 0),
+       generate_series(0, {BLOOM_K - 1}) AS s(j)),
+hitg AS (
+  SELECT p.doc_id, p.g
+  FROM sh p, generate_series(0, {BLOOM_K - 1}) AS s(j)
+  WHERE p.doc_id % {CONTAM_BENCH_MOD} <> 0
+    AND (md5_number_upper('bloom:' || CAST(j AS VARCHAR) || ':' || p.g)
+         % {BLOOM_BITS}) IN (SELECT bit FROM bbits)
+  GROUP BY p.doc_id, p.g
+  HAVING COUNT(*) = {BLOOM_K})
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+FROM hitg GROUP BY doc_id
 """,
         # TPC-H Q1 analog: predicate pushed to the scan on the Ray side;
         # all money/qty fixed-pointed per row before summation

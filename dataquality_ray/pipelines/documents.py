@@ -1173,6 +1173,26 @@ CONTAM_NGRAM = 4          # decontamination shingle width (word 4-grams)
 CONTAM_BENCH_MOD = 97     # benchmark membership: doc_id % MOD == 0
 
 
+def _contam_shingles(batch: pa.Table, bench: bool):
+    """Per-row DISTINCT word-4-gram shingles of the benchmark
+    (doc_id % MOD == 0) or corpus (!= 0) side of a batch — the shared
+    front half of both decontamination operators."""
+    ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+    mask = (ids % CONTAM_BENCH_MOD == 0) if bench \
+        else (ids % CONTAM_BENCH_MOD != 0)
+    t = batch.filter(pa.array(mask))
+    s = pl.from_arrow(t["text"])
+    if isinstance(s, pl.DataFrame):
+        s = s.to_series()
+    toks = s.fill_null("").str.to_lowercase() \
+        .str.extract_all(TOKEN_PATTERN)
+    expr = pl.element()
+    for k in range(1, CONTAM_NGRAM):
+        expr = expr + " " + pl.element().shift(-k)
+    sh = toks.list.eval(expr.drop_nulls()).list.unique()
+    return t["doc_id"].to_numpy(zero_copy_only=False), sh
+
+
 def contaminated_documents(sf_dir: str):
     """(doc_id, n_hits): benchmark decontamination — flag every
     non-benchmark document sharing at least one word-4-gram shingle
@@ -1187,22 +1207,7 @@ def contaminated_documents(sf_dir: str):
     map_batches over the corpus; the corpus itself never shuffles.
     """
     docs = _docs(sf_dir, columns=["doc_id", "text"])
-
-    def shingles_of(batch: pa.Table, bench: bool):
-        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
-        mask = (ids % CONTAM_BENCH_MOD == 0) if bench \
-            else (ids % CONTAM_BENCH_MOD != 0)
-        t = batch.filter(pa.array(mask))
-        s = pl.from_arrow(t["text"])
-        if isinstance(s, pl.DataFrame):
-            s = s.to_series()
-        toks = s.fill_null("").str.to_lowercase() \
-            .str.extract_all(TOKEN_PATTERN)
-        expr = pl.element()
-        for k in range(1, CONTAM_NGRAM):
-            expr = expr + " " + pl.element().shift(-k)
-        sh = toks.list.eval(expr.drop_nulls()).list.unique()
-        return t["doc_id"].to_numpy(zero_copy_only=False), sh
+    shingles_of = _contam_shingles
 
     def bench_shingles(batch: pa.Table) -> pa.Table:
         _, sh = shingles_of(batch, bench=True)
@@ -1221,6 +1226,78 @@ def contaminated_documents(sf_dir: str):
         ids, sh = shingles_of(batch, bench=False)
         hits = np.fromiter(
             (sum(1 for g in row if g in bset) for row in sh.to_list()),
+            dtype=np.int64, count=len(ids))
+        keep = hits > 0
+        return pa.table({
+            "doc_id": pa.array(ids[keep], pa.int64()),
+            "n_hits": pa.array(hits[keep], pa.int64()),
+        })
+
+    return docs.map_batches(flag, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+BLOOM_BITS = 1 << 20      # fixed 128 KiB bitmap, whatever the benchmark
+BLOOM_K = 3               # hash functions: md5("bloom:{j}:" + shingle)
+
+
+def bloom_contaminated_documents(sf_dir: str):
+    """(doc_id, n_hits): the BOUNDED-MEMORY decontamination path — same
+    contract as contaminated_documents but membership is a fixed-size
+    Bloom filter (BLOOM_BITS bits, BLOOM_K md5-derived hash functions)
+    instead of the benchmark's distinct-shingle set. When the benchmark
+    suite outgrows a driver broadcast, the broadcast here stays 128 KiB
+    no matter how big the suite gets.
+
+    Build: per-batch bitmap partials (np.bitwise_or over bit positions
+    token_hash_u64(f"bloom:{{j}}:{{g}}") % BLOOM_BITS) — merge = OR, so
+    ANY reduce order is exact; the driver ORs #batches 128 KiB rows.
+    Probe: one map_batches over the corpus; a shingle hits iff all K
+    bits are set. False positives are DETERMINISTIC (md5 bits), so the
+    DuckDB oracle replays the identical probe — the operator is
+    hash-checked INCLUDING its false positives, not just "close to"
+    the exact answer."""
+    from dataquality_ray.spec import token_hash_u64
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def _bits(g: str) -> list:
+        return [int(token_hash_u64(f"bloom:{j}:{g}") % BLOOM_BITS)
+                for j in range(BLOOM_K)]
+
+    def bench_bitmap(batch: pa.Table) -> pa.Table:
+        _, sh = _contam_shingles(batch, bench=True)
+        bm = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+        seen: set = set()
+        for row in sh.to_list():
+            for g in row:
+                if g not in seen:
+                    seen.add(g)
+                    for b in _bits(g):
+                        bm[b >> 3] |= 1 << (b & 7)
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    parts = docs.map_batches(bench_bitmap, batch_format="pyarrow",
+                             batch_size=4096).take_all()
+    bitmap = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+    for p in parts:
+        bitmap |= np.frombuffer(p["bm"], dtype=np.uint8)
+    bm_ref = ray.put(bitmap)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        bm = ray.get(bm_ref)
+        ids, sh = _contam_shingles(batch, bench=False)
+        cache: dict = {}
+
+        def hit(g: str) -> bool:
+            h = cache.get(g)
+            if h is None:
+                h = all(bm[b >> 3] & (1 << (b & 7)) for b in _bits(g))
+                cache[g] = h
+            return h
+
+        hits = np.fromiter(
+            (sum(1 for g in row if hit(g)) for row in sh.to_list()),
             dtype=np.int64, count=len(ids))
         keep = hits > 0
         return pa.table({

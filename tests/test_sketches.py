@@ -41,3 +41,20 @@ def test_hll_estimate_within_bound(ray_session):
         exact = true[etype]
         # 1.04/sqrt(64) ~ 13% standard error; allow 3 sigma
         assert abs(est - exact) <= 0.40 * exact, (etype, est, exact)
+
+
+def test_bloom_decontamination_no_false_negatives(ray_session):
+    """The Bloom path may over-flag (deterministic false positives,
+    themselves hash-checked by the DuckDB oracle) but must NEVER
+    under-flag: every (doc, n_hits) the exact set-membership operator
+    reports is reached or exceeded by the Bloom probe."""
+    from dataquality_ray.pipelines.documents import (
+        bloom_contaminated_documents,
+        contaminated_documents,
+    )
+    exact = contaminated_documents(SF).to_pandas().set_index("doc_id")
+    bloom = bloom_contaminated_documents(SF).to_pandas() \
+        .set_index("doc_id")
+    assert set(exact.index) <= set(bloom.index)
+    for d, row in exact.iterrows():
+        assert bloom.loc[d, "n_hits"] >= row["n_hits"], d
