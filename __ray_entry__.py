@@ -373,6 +373,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # weights make the accumulation exact, so the generated
         # embeddings themselves hash-match a DuckDB replay
         "doc_embedding_values": D.doc_embedding_values,
+        # per-source mean embedding over the exact int64 accumulators —
+        # constant-size aggregate (|sources| x DIM), hash-checked
+        "source_embedding_centroids": D.source_embedding_centroids,
         # k-means over the embedding corpus: the assignment step is
         # SQL-checked; the full Lloyd iteration is rows-only (pytest
         # enforces determinism + single-process-reference equality)
@@ -1372,6 +1375,45 @@ SELECT g.doc_id, CAST(g.dim AS BIGINT) AS dim,
 FROM grid g
 LEFT JOIN acc a ON a.doc_id = g.doc_id AND a.dim = g.dim
 LEFT JOIN nrm n ON n.doc_id = g.doc_id
+""",
+        # per-source mean embedding over the embedder's exact int64
+        # accumulators; centroid_milli uses DuckDB's truncating //,
+        # mirrored sign-aware on the Ray side
+        "source_embedding_centroids": f"""
+WITH tb AS (
+  SELECT doc_id,
+    CAST(md5_number_upper(t) % {EMB_HASH_BUCKETS} AS BIGINT) AS bucket,
+    CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id,
+      unnest(regexp_extract_all(lower(substr(text, 1, 8000)), '{_TOK}'))
+        AS t
+    FROM documents)
+  GROUP BY 1, 2),
+proj AS (
+  SELECT b.range AS bucket, d.range AS dim,
+    CAST(md5_number_upper('proj:' || b.range || ':' || d.range)
+         % {2 * EMB_PROJ_Q + 1} AS BIGINT) - {EMB_PROJ_Q} AS w
+  FROM range(0, {EMB_HASH_BUCKETS}) b
+  CROSS JOIN range(0, {EMB_DIM}) d),
+acc AS (
+  SELECT tb.doc_id, proj.dim, SUM(tb.tf * proj.w) AS a
+  FROM tb JOIN proj USING (bucket) GROUP BY 1, 2),
+cnt AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1),
+sums AS (
+  SELECT d.source, a.dim, CAST(SUM(a.a) AS BIGINT) AS sa
+  FROM acc a JOIN documents d USING (doc_id) GROUP BY 1, 2),
+grid AS (
+  SELECT source, n_docs, dm.range AS dim
+  FROM cnt CROSS JOIN range(0, {EMB_DIM}) dm)
+SELECT g.source, CAST(g.dim AS BIGINT) AS dim, g.n_docs,
+  CAST(COALESCE(s.sa, 0) AS BIGINT) AS sum_acc,
+  CAST((COALESCE(s.sa, 0) * 1000) // g.n_docs AS BIGINT)
+    AS centroid_milli
+FROM grid g
+LEFT JOIN sums s ON s.source = g.source AND s.dim = g.dim
 """,
         # per-(role, tool) usage aggregate with an exact distinct-conv
         # count (two-phase distinct on the Ray side)

@@ -2116,6 +2116,78 @@ def doc_embedding_values(sf_dir: str):
     return ds.map_batches(explode, batch_format="pyarrow")
 
 
+def source_embedding_centroids(sf_dir: str):
+    """(source, dim, n_docs, sum_acc, centroid_milli): per-source mean
+    embedding — the "domain centroid" every curriculum/mixture pipeline
+    wants — computed over the embedder's EXACT int64 accumulators
+    (stages/embeddings._acc_rows), not the normalized floats, so the
+    sum is order/partition independent and the whole surface is
+    hash-checkable. centroid_milli = (1000*sum) trunc-div n_docs
+    (DuckDB // semantics, mirrored with sign-aware numpy floor-div).
+
+    Scale shape: the actor-pool partial stage reduces each batch to
+    (sources x DIM) rows before any exchange; the final groupby's
+    output group count is |sources| x DIM — constant, not
+    corpus-proportional. Token-less docs contribute zero vectors but
+    still count in n_docs (grid semantics of doc_embedding_values).
+    """
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from dataquality_ray.arrowutil import from_pandas_clean
+    from dataquality_ray.stages.embeddings import (
+        EMBED_DIM,
+        HashedProjectionEmbedder,
+    )
+
+    docs = _docs(sf_dir, columns=["source", "text"])
+
+    class Partials(HashedProjectionEmbedder):
+        def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+            texts = batch[self.text_col]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            acc = self._acc_rows(texts.to_pylist())
+            src = np.asarray(batch["source"].to_pylist())
+            uniq, inv = np.unique(src, return_inverse=True)
+            sums = np.zeros((len(uniq), EMBED_DIM), dtype=np.int64)
+            np.add.at(sums, inv, acc)
+            n = np.bincount(inv).astype(np.int64)
+            return pa.table({
+                "source": pa.array(np.repeat(uniq, EMBED_DIM).tolist(),
+                                   pa.string()),
+                "dim": pa.array(np.tile(
+                    np.arange(EMBED_DIM, dtype=np.int64), len(uniq))),
+                "sa": pa.array(sums.ravel()),
+                "n": pa.array(np.repeat(n, EMBED_DIM)),
+            })
+
+    agg = (docs.map_batches(
+        Partials, fn_constructor_kwargs={},
+        concurrency=(1, DEFAULT_CONFIG.actor_pool_size),
+        batch_size=DEFAULT_CONFIG.batch_size,
+        batch_format="pyarrow")
+        .groupby(["source", "dim"])
+        .aggregate(Sum("sa", alias_name="sum_acc"),
+                   Sum("n", alias_name="n_docs")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        sa = batch["sum_acc"].to_numpy(zero_copy_only=False)
+        n = batch["n_docs"].to_numpy(zero_copy_only=False)
+        num = sa * 1000
+        cent = np.where(num >= 0, num // n, -((-num) // n))
+        return pa.table({
+            "source": batch["source"],
+            "dim": pc.cast(batch["dim"], pa.int64()),
+            "n_docs": pa.array(n.astype(np.int64)),
+            "sum_acc": pa.array(sa.astype(np.int64)),
+            "centroid_milli": pa.array(cent.astype(np.int64)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def quality_percentile_by_source(sf_dir: str,
                                  cfg: PipelineConfig = DEFAULT_CONFIG):
     """(doc_id, source, overall, pr_micro): each document's PERCENT_RANK

@@ -80,8 +80,11 @@ class HashedProjectionEmbedder:
                 self._cache[tok] = b
         return b
 
-    def _embed_rows(self, texts) -> np.ndarray:
-        out = np.zeros((len(texts), self.dim), dtype=np.float64)
+    def _acc_rows(self, texts) -> np.ndarray:
+        """Exact int64 tf x weight accumulators, one row per text —
+        the order/partition-independent integer half of the embedding
+        (all-zero row for token-less texts)."""
+        out = np.zeros((len(texts), self.dim), dtype=np.int64)
         for i, t in enumerate(texts):
             toks = self.token_rx.findall((t or "")[: self.max_chars]
                                          .lower())
@@ -90,7 +93,14 @@ class HashedProjectionEmbedder:
             idx = np.fromiter((self._bucket(tok) for tok in toks),
                               dtype=np.int64, count=len(toks))
             buckets, tf = np.unique(idx, return_counts=True)
-            acc = tf.astype(np.int64) @ self.proj[buckets]   # exact
+            out[i] = tf.astype(np.int64) @ self.proj[buckets]  # exact
+        return out
+
+    def _embed_rows(self, texts) -> np.ndarray:
+        accs = self._acc_rows(texts)
+        out = np.zeros((len(texts), self.dim), dtype=np.float64)
+        for i in range(len(accs)):
+            acc = accs[i]
             nsq = int(np.dot(acc, acc))                      # < 2^63
             if nsq > 0:
                 # one correctly-rounded sqrt + divide from exact
