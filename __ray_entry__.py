@@ -231,6 +231,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "key_term_cooccurrence": D.key_term_cooccurrence,
         "doc_tfidf_terms": D.doc_tfidf_terms,
         "dataset_split_documents": D.dataset_split_documents,
+        # test-set leakage audit: exact-dup turn groups spanning
+        # conversation-level splits — composition of the two frozen
+        # hash surfaces, bucketed-local; exercised by the fixture's
+        # injected cross-conversation duplicates
+        "transcript_split_leakage": _transcript_split_leakage_q,
         "corpus_vocab_stats": D.corpus_vocab_stats,
         "token_count_documents": D.token_count_documents,
         # training-data prep: context-window chunking (flat-map
@@ -552,6 +557,14 @@ def _turn_context_windows_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import turn_context_windows
     return turn_context_windows(_transcript_ds(
         sf_dir, columns=["conv_id", "turn_idx", "text"]))
+
+
+def _transcript_split_leakage_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import (
+        transcript_split_leakage,
+    )
+    return transcript_split_leakage(
+        _transcript_ds(sf_dir, columns=["conv_id", "text"]))
 
 
 def _fuzzy_term_matches_q(sf_dir: str):
@@ -914,6 +927,30 @@ SELECT doc_id,
             % {SPLIT_BUCKETS} < {SPLIT_VAL_LT} THEN 'val'
        ELSE 'test' END AS split
 FROM documents
+""",
+        # leakage audit: exact-content TURN groups whose copies span
+        # conversation-level splits (same split hash + same content
+        # hash); empty-normalized turns excluded
+        "transcript_split_leakage": f"""
+WITH h AS (
+  SELECT conv_id,
+    md5(regexp_replace(
+      regexp_replace(lower(text), '{spec.EDGE_WS_PATTERN}', '', 'g'),
+      '{spec.WS_PLUS_PATTERN}', ' ', 'g')) AS content_hash,
+    length(regexp_replace(
+      regexp_replace(lower(text), '{spec.EDGE_WS_PATTERN}', '', 'g'),
+      '{spec.WS_PLUS_PATTERN}', ' ', 'g')) AS n_norm,
+    CASE WHEN md5_number_upper(conv_id)
+              % {SPLIT_BUCKETS} < {SPLIT_TRAIN_LT} THEN 'train'
+         WHEN md5_number_upper(conv_id)
+              % {SPLIT_BUCKETS} < {SPLIT_VAL_LT} THEN 'val'
+         ELSE 'test' END AS split
+  FROM read_parquet('{tr_glob}'))
+SELECT content_hash, CAST(COUNT(*) AS BIGINT) AS n_copies,
+  CAST(COUNT(DISTINCT split) AS BIGINT) AS n_splits,
+  MIN(conv_id) AS canonical_conv_id
+FROM h WHERE n_norm > 0
+GROUP BY 1 HAVING COUNT(DISTINCT split) >= 2
 """,
         # co-occurrence of per-doc top-5 key terms; (n desc, a, b) is a
         # total order so LIMIT is deterministic

@@ -461,3 +461,89 @@ def fuzzy_term_matches(ds, num_buckets: int = 0):
             .groupby("bucket").map_groups(variants, batch_format="pandas")
             .groupby("vb").map_groups(pairs, batch_format="pandas")
             .groupby("pb").map_groups(dedupe, batch_format="pandas"))
+
+
+def transcript_split_leakage(ds, num_buckets: int = 0):
+    """(content_hash, n_copies, n_splits, canonical_conv_id): exact-
+    content turn groups whose copies land in DIFFERENT train/val/test
+    splits — the test-set leakage audit run after conversation-level
+    splitting (a val/test turn whose exact text also sits in a train
+    conversation invalidates the eval). Splits are assigned PER
+    CONVERSATION (md5 of conv_id, the same frozen 80/10/10 rule as
+    documents.dataset_split_documents), so leakage is text duplicated
+    ACROSS conversations that straddle the split boundary — the
+    fixture's injected cross-conversation duplicates exercise this for
+    real (~2k leaking groups at the 20k-turn scale). Empty-normalized
+    turns are excluded (they would form one giant degenerate group).
+
+    Shape (bucketed-local rule): one shuffle on a content-hash-prefix
+    bucket; every hash lives in exactly one bucket, so the per-group
+    count / distinct-split / min completes locally in one vectorized
+    polars groupby and only LEAKING groups leave the bucket — never a
+    #turns-sized Ray aggregate.
+    """
+    import hashlib
+
+    import polars as pl
+    import pyarrow.compute as pc
+
+    from dataquality_ray.pipelines.documents import (
+        SPLIT_BUCKETS,
+        SPLIT_TRAIN_LT,
+        SPLIT_VAL_LT,
+    )
+    from dataquality_ray.spec import (
+        EDGE_WS_PATTERN,
+        WS_PLUS_PATTERN,
+        token_hash_u64,
+    )
+
+    num_buckets = num_buckets or cluster_buckets(minimum=32)
+
+    def add(batch: pa.Table) -> pa.Table:
+        norm = pc.replace_substring_regex(
+            pc.replace_substring_regex(
+                pc.utf8_lower(batch["text"]), EDGE_WS_PATTERN, ""),
+            WS_PLUS_PATTERN, " ")
+        keep = pc.greater(pc.utf8_length(norm), 0)
+        norm = norm.filter(keep) if isinstance(norm, pa.ChunkedArray) \
+            else pa.chunked_array([norm]).filter(keep)
+        convs = batch["conv_id"].filter(keep).to_pylist()
+        digests = [hashlib.md5(s.encode()).digest()
+                   for s in norm.to_pylist()]
+        b = np.fromiter(
+            (token_hash_u64(c) % SPLIT_BUCKETS for c in convs),
+            dtype=np.int64, count=len(convs))
+        split = np.where(b < SPLIT_TRAIN_LT, "train",
+                         np.where(b < SPLIT_VAL_LT, "val", "test"))
+        bucket = np.fromiter(
+            (int.from_bytes(d[:4], "little") % num_buckets
+             for d in digests), dtype=np.int32, count=len(digests))
+        return pa.table({
+            "bucket": pa.array(bucket),
+            "content_hash": pa.array([d.hex() for d in digests],
+                                     pa.string()),
+            "conv_id": pa.array(convs, pa.string()),
+            "split": pa.array(split.tolist(), pa.string()),
+        })
+
+    def local(g: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(g)
+              .group_by("content_hash")
+              .agg(pl.len().alias("n_copies"),
+                   pl.col("split").n_unique().alias("n_splits"),
+                   pl.col("conv_id").min().alias("canonical_conv_id"))
+              .filter(pl.col("n_splits") >= 2)
+              .with_columns(pl.col("n_copies").cast(pl.Int64),
+                            pl.col("n_splits").cast(pl.Int64)))
+        return df.select(["content_hash", "n_copies", "n_splits",
+                          "canonical_conv_id"]).to_arrow().cast(
+            pa.schema([("content_hash", pa.string()),
+                       ("n_copies", pa.int64()),
+                       ("n_splits", pa.int64()),
+                       ("canonical_conv_id", pa.string())]))
+
+    return (ds.map_batches(add, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(local, batch_format="pyarrow"))
