@@ -236,6 +236,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash surfaces, bucketed-local; exercised by the fixture's
         # injected cross-conversation duplicates
         "transcript_split_leakage": _transcript_split_leakage_q,
+        # conversation-level near-dup: turn-hash-set Jaccard >= 0.5
+        # via exact-recall inverted-index candidates + integer verify
+        "conv_near_dup_pairs": _conv_near_dup_pairs_q,
         "corpus_vocab_stats": D.corpus_vocab_stats,
         "token_count_documents": D.token_count_documents,
         # training-data prep: context-window chunking (flat-map
@@ -557,6 +560,12 @@ def _turn_context_windows_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import turn_context_windows
     return turn_context_windows(_transcript_ds(
         sf_dir, columns=["conv_id", "turn_idx", "text"]))
+
+
+def _conv_near_dup_pairs_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import conv_near_dup_pairs
+    return conv_near_dup_pairs(
+        _transcript_ds(sf_dir, columns=["conv_id", "text"]))
 
 
 def _transcript_split_leakage_q(sf_dir: str):
@@ -927,6 +936,33 @@ SELECT doc_id,
             % {SPLIT_BUCKETS} < {SPLIT_VAL_LT} THEN 'val'
        ELSE 'test' END AS split
 FROM documents
+""",
+        # conversation-level near-dup: distinct turn-hash sets, pairs
+        # at Jaccard >= 0.5 — candidates share >= 1 hash so the
+        # inverted index has exact recall; verify is pure integer
+        "conv_near_dup_pairs": f"""
+WITH h AS (
+  SELECT DISTINCT conv_id,
+    md5(regexp_replace(
+      regexp_replace(lower(text), '{spec.EDGE_WS_PATTERN}', '', 'g'),
+      '{spec.WS_PLUS_PATTERN}', ' ', 'g')) AS ch
+  FROM read_parquet('{tr_glob}')
+  WHERE length(regexp_replace(
+      regexp_replace(lower(text), '{spec.EDGE_WS_PATTERN}', '', 'g'),
+      '{spec.WS_PLUS_PATTERN}', ' ', 'g')) > 0),
+sz AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY 1),
+p AS (
+  SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM h a JOIN h b ON a.ch = b.ch AND a.conv_id < b.conv_id
+  GROUP BY 1, 2)
+SELECT p.conv_a, p.conv_b, p.n_shared,
+  sa.n AS n_a, sb.n AS n_b,
+  CAST((1000 * p.n_shared) // (sa.n + sb.n - p.n_shared) AS BIGINT)
+    AS jaccard_milli
+FROM p JOIN sz sa ON sa.conv_id = p.conv_a
+       JOIN sz sb ON sb.conv_id = p.conv_b
+WHERE 3 * p.n_shared >= sa.n + sb.n
 """,
         # leakage audit: exact-content TURN groups whose copies span
         # conversation-level splits (same split hash + same content

@@ -547,3 +547,165 @@ def transcript_split_leakage(ds, num_buckets: int = 0):
                            zero_copy_batch=True)
             .groupby("bucket")
             .map_groups(local, batch_format="pyarrow"))
+
+
+CONV_NEAR_DUP_JACCARD_MILLI = 500   # pairs kept at Jaccard >= 0.5
+
+
+def conv_near_dup_pairs(ds, num_buckets: int = 0):
+    """(conv_a, conv_b, n_shared, n_a, n_b, jaccard_milli):
+    CONVERSATION-level near-dup — pairs of conversations whose sets of
+    distinct (normalized, non-empty) turn content hashes have Jaccard
+    >= 0.5. The whole-dialog dedup a transcript pipeline runs after
+    turn-level dedup: two conversations that share most of their turns
+    are retakes/re-logs of each other even when no single turn group
+    flags them.
+
+    Exactness: a qualifying pair shares >= 1 turn hash, so the
+    inverted-index candidate generator (posting lists per hash) has
+    EXACT recall; the verify is pure integer math
+    (3*shared >= n_a + n_b  <=>  Jaccard >= 0.5) — SQL-checkable with
+    no float anywhere.
+
+    Shape: two independent narrow shuffles of the (conv, hash) rows —
+    (1) by CONV bucket: per-conv distinct-hash sizes complete locally
+    (never a #convs-output Ray aggregate); (2) by HASH bucket: global
+    (conv, hash) dedup + posting-list pair partials complete locally
+    (each hash lives in one bucket), a pair-hash bucket merges
+    per-bucket shared counts. Sizes attach to the (small) pair table
+    via two distributed hash joins with a materialize between
+    (CLAUDE.md join-starvation invariant). Python loops touch only
+    multi-conversation posting lists, never corpus rows.
+    """
+    import hashlib
+
+    import polars as _pl
+    import pyarrow.compute as pc
+
+    from dataquality_ray.spec import (
+        EDGE_WS_PATTERN,
+        WS_PLUS_PATTERN,
+        token_hash_u64,
+    )
+
+    num_buckets = num_buckets or cluster_buckets(minimum=32)
+
+    def hash_turns(batch: pa.Table) -> pa.Table:
+        norm = pc.replace_substring_regex(
+            pc.replace_substring_regex(
+                pc.utf8_lower(batch["text"]), EDGE_WS_PATTERN, ""),
+            WS_PLUS_PATTERN, " ")
+        keep = pc.greater(pc.utf8_length(norm), 0)
+        norm = norm.filter(keep)
+        convs = batch["conv_id"].filter(keep).to_pylist()
+        digests = [hashlib.md5(s.encode()).digest()
+                   for s in norm.to_pylist()]
+        hb = np.fromiter(
+            (int.from_bytes(d[:4], "little") % num_buckets
+             for d in digests), dtype=np.int32, count=len(digests))
+        cb = np.fromiter(
+            (token_hash_u64(c) % num_buckets for c in convs),
+            dtype=np.int32, count=len(convs))
+        return pa.table({
+            "hb": pa.array(hb),
+            "cb": pa.array(cb),
+            "conv_id": pa.array(convs, pa.string()),
+            "ch": pa.array([d.hex() for d in digests], pa.string()),
+        })
+
+    hashed = ds.map_batches(hash_turns, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    # (1) per-conv distinct-hash set sizes: conv-bucket shuffle, every
+    # row of a conversation lands in one bucket -> local dedup + count
+    def sizes_local(g: pa.Table) -> pa.Table:
+        df = (_pl.from_arrow(g).unique(["conv_id", "ch"])
+              .group_by("conv_id").agg(_pl.len().alias("n"))
+              .with_columns(_pl.col("n").cast(_pl.Int64)))
+        return df.to_arrow().cast(pa.schema([
+            ("conv_id", pa.string()), ("n", pa.int64())]))
+
+    sizes = (hashed.drop_columns(["hb"]).groupby("cb")
+             .map_groups(sizes_local, batch_format="pyarrow")
+             .materialize())
+
+    # (2) posting-list pair partials: hash-bucket shuffle, every copy
+    # of a hash lands in one bucket -> local (conv, ch) dedup, pair
+    # expansion per multi-conv posting, local per-pair partial counts
+    def pairs_local(g: pa.Table) -> pa.Table:
+        df = _pl.from_arrow(g).unique(["conv_id", "ch"])
+        posts = (df.group_by("ch")
+                 .agg(_pl.col("conv_id").sort().alias("cs"))
+                 .filter(_pl.col("cs").list.len() > 1))
+        out_a, out_b = [], []
+        for cs in posts["cs"].to_list():
+            m = len(cs)
+            for i in range(m - 1):
+                for j in range(i + 1, m):
+                    out_a.append(cs[i])
+                    out_b.append(cs[j])
+        if not out_a:
+            return pa.table({
+                "pb": pa.array([], pa.int32()),
+                "conv_a": pa.array([], pa.string()),
+                "conv_b": pa.array([], pa.string()),
+                "c": pa.array([], pa.int64())})
+        part = (_pl.DataFrame({"conv_a": out_a, "conv_b": out_b})
+                .group_by(["conv_a", "conv_b"])
+                .agg(_pl.len().alias("c"))
+                .with_columns(_pl.col("c").cast(_pl.Int64)))
+        pb = np.fromiter(
+            (token_hash_u64(a + "|" + b) % num_buckets
+             for a, b in zip(part["conv_a"].to_list(),
+                             part["conv_b"].to_list())),
+            dtype=np.int32, count=len(part))
+        return pa.table({
+            "pb": pa.array(pb),
+            "conv_a": part["conv_a"].to_arrow(),
+            "conv_b": part["conv_b"].to_arrow(),
+            "c": part["c"].to_arrow(),
+        })
+
+    def pairs_merge(g: pa.Table) -> pa.Table:
+        df = (_pl.from_arrow(g)
+              .group_by(["conv_a", "conv_b"])
+              .agg(_pl.col("c").sum().alias("n_shared"))
+              .with_columns(_pl.col("n_shared").cast(_pl.Int64)))
+        return df.to_arrow().cast(pa.schema([
+            ("conv_a", pa.string()), ("conv_b", pa.string()),
+            ("n_shared", pa.int64())]))
+
+    shared = (hashed.drop_columns(["cb"]).groupby("hb")
+              .map_groups(pairs_local, batch_format="pyarrow")
+              .groupby("pb")
+              .map_groups(pairs_merge, batch_format="pyarrow"))
+
+    # attach set sizes: two distributed hash joins, materialize between
+    sizes_a = sizes.map_batches(
+        lambda t: pa.table({"ca": t["conv_id"], "n_a": t["n"]}),
+        batch_format="pyarrow")
+    sizes_b = sizes.map_batches(
+        lambda t: pa.table({"cbk": t["conv_id"], "n_b": t["n"]}),
+        batch_format="pyarrow")
+    nparts = max(4, num_buckets // 4)
+    j1 = shared.join(sizes_a, join_type="inner", num_partitions=nparts,
+                     on=("conv_a",), right_on=("ca",)).materialize()
+    j2 = j1.join(sizes_b, join_type="inner", num_partitions=nparts,
+                 on=("conv_b",), right_on=("cbk",))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        sh = batch["n_shared"].to_numpy(zero_copy_only=False)
+        na = batch["n_a"].to_numpy(zero_copy_only=False)
+        nb = batch["n_b"].to_numpy(zero_copy_only=False)
+        keep = 3 * sh >= na + nb
+        jm = (1000 * sh[keep]) // (na[keep] + nb[keep] - sh[keep])
+        return pa.table({
+            "conv_a": batch["conv_a"].filter(pa.array(keep)),
+            "conv_b": batch["conv_b"].filter(pa.array(keep)),
+            "n_shared": pa.array(sh[keep].astype(np.int64)),
+            "n_a": pa.array(na[keep].astype(np.int64)),
+            "n_b": pa.array(nb[keep].astype(np.int64)),
+            "jaccard_milli": pa.array(jm.astype(np.int64)),
+        })
+
+    return j2.map_batches(finish, batch_format="pyarrow")
