@@ -311,6 +311,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             M.event_value_percentiles_refine,
         "user_running_totals": M.user_running_totals,
         "distinct_users_by_event_type": M.distinct_users_by_event_type,
+        # retention triangle: first-day cohorts x day offset, distinct
+        # users — bucketed-local per-user cohorting
+        "user_retention_cohorts": M.user_retention_cohorts,
         "users_without_purchase": M.users_without_purchase,
         # semi-join / EXISTS dual of the anti-join, via a distributed
         # hash join (no broadcast — holds when purchasers don't fit)
@@ -1336,6 +1339,20 @@ SELECT event_id, user_id,
         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_milli
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+        # retention triangle: integer epoch-day cohorts, distinct
+        # active users per (cohort, offset)
+        "user_retention_cohorts": """
+WITH d AS (
+  SELECT DISTINCT user_id,
+    CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+  FROM events),
+f AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1)
+SELECT CAST(f.cohort_day AS BIGINT) AS cohort_day,
+  CAST(d.day - f.cohort_day AS BIGINT) AS day_offset,
+  CAST(COUNT(*) AS BIGINT) AS n_users
+FROM d JOIN f USING (user_id)
+GROUP BY 1, 2
 """,
         # broadcast semi-join: docs from the top-3 sources by count
         "docs_from_top_sources": f"""

@@ -1488,3 +1488,71 @@ def event_value_mad(sf_dir: str):
                            zero_copy_batch=True)
             .groupby("event_type")
             .map_groups(mad, batch_format="pandas"))
+
+
+US_PER_DAY = 86_400_000_000
+
+
+def user_retention_cohorts(sf_dir: str, num_buckets: int = 0):
+    """(cohort_day, day_offset, n_users): classic retention triangle —
+    users cohorted by their FIRST active day (integer epoch-day), and
+    for every later day each cohort's distinct active-user count at
+    that day offset (offset 0 row = cohort size). Pure integer day
+    arithmetic on both engines.
+
+    Shape: per-batch distinct-(user, day) combiner, then ONE shuffle on
+    user-bucket — a user's whole history lands in one bucket, so the
+    per-user MIN (cohort) and the (cohort, offset) distinct counts
+    complete locally (never a #users-output Ray aggregate; CLAUDE.md
+    huge-group-count rule); the final merge groups only
+    (cohort_day × offset) partials — time-span-bounded, not
+    corpus-proportional.
+    """
+    import polars as pl
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    num_buckets = num_buckets or cluster_buckets(minimum=32)
+    ds = _events(sf_dir, columns=["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        day = pc.cast(batch["ts"], pa.int64()).to_numpy() // US_PER_DAY
+        df = pl.DataFrame({"user_id": u, "day": day}).unique()
+        uu = df["user_id"].to_numpy()
+        return pa.table({
+            "bucket": pa.array((uu % num_buckets).astype(np.int32)),
+            "user_id": pa.array(uu),
+            "day": pa.array(df["day"].to_numpy().astype(np.int64)),
+        })
+
+    def local(g: pa.Table) -> pa.Table:
+        df = pl.from_arrow(g).unique(["user_id", "day"])
+        f = df.group_by("user_id").agg(
+            pl.col("day").min().alias("cohort_day"))
+        out = (df.join(f, on="user_id")
+               .with_columns((pl.col("day") - pl.col("cohort_day"))
+                             .alias("day_offset"))
+               .group_by(["cohort_day", "day_offset"])
+               .agg(pl.len().alias("c"))
+               .with_columns(pl.col("c").cast(pl.Int64)))
+        return out.to_arrow().cast(pa.schema([
+            ("cohort_day", pa.int64()), ("day_offset", pa.int64()),
+            ("c", pa.int64())]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("bucket")
+           .map_groups(local, batch_format="pyarrow")
+           .groupby(["cohort_day", "day_offset"])
+           .aggregate(Sum("c", alias_name="n_users")))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        return pa.table({
+            "cohort_day": _pc.cast(batch["cohort_day"], pa.int64()),
+            "day_offset": _pc.cast(batch["day_offset"], pa.int64()),
+            "n_users": _pc.cast(batch["n_users"], pa.int64()),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
