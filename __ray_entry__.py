@@ -314,6 +314,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # retention triangle: first-day cohorts x day offset, distinct
         # users — bucketed-local per-user cohorting
         "user_retention_cohorts": M.user_retention_cohorts,
+        # LAG-based telemetry debounce: drop same-(user, type) repeats
+        # within 10 min; bucketed per-user ordered scan
+        "debounced_events": M.debounced_events,
         "users_without_purchase": M.users_without_purchase,
         # semi-join / EXISTS dual of the anti-join, via a distributed
         # hash join (no broadcast — holds when purchasers don't fit)
@@ -352,6 +355,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": _orders_by_nation,
         "revenue_by_brand": _revenue_by_brand,
         "lineitem_pricing_summary": _lineitem_pricing_summary,
+        # TPC-H Q3 analog: 3-way join (both date predicates pushed to
+        # the scans) + deterministic top-K by revenue
+        "shipping_priority_revenue": _shipping_priority_revenue,
         "top_orders_per_customer": _top_orders_per_customer,
         "regional_revenue": _regional_revenue,
         "orders_rollup": _orders_rollup,
@@ -594,6 +600,13 @@ def _supplier_balance_by_nation(sf_dir: str):
     return supplier_balance_by_nation(sf_dir)
 
 
+def _shipping_priority_revenue(sf_dir: str):
+    from dataquality_ray.pipelines.relational import (
+        shipping_priority_revenue,
+    )
+    return shipping_priority_revenue(sf_dir)
+
+
 def _lineitem_pricing_summary(sf_dir: str):
     from dataquality_ray.pipelines.relational import lineitem_pricing_summary
     return lineitem_pricing_summary(sf_dir)
@@ -787,12 +800,16 @@ def _oracle_sql_impl() -> dict[str, str]:
         FUNNEL_STAGES as M_FUNNEL,
         HLL_REG_BITS as M_HLL_REG_BITS,
         HIGH_VALUE_MIN as M_HIGH_VALUE_MIN,
+        DEBOUNCE_US as M_DEBOUNCE_US,
         RANGE_JOIN_WINDOW_US as M_RANGE_WINDOW_US,
         SKETCH_BINS as M_SKETCH_BINS,
     )
     from dataquality_ray.pipelines.relational import (
         EVENT_TYPES as REL_EVENT_TYPES,
         Q1_SHIP_CUTOFF as REL_Q1_CUTOFF,
+        Q3_CUTOFF as REL_Q3_CUTOFF,
+        Q3_SEGMENT as REL_Q3_SEGMENT,
+        Q3_TOP_K as REL_Q3_TOP_K,
         TOP_ORDERS_PER_CUSTOMER_K as REL_TOP_ORDERS_K,
     )
     from dataquality_ray.pipelines.documents import (
@@ -1339,6 +1356,18 @@ SELECT event_id, user_id,
         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_value_milli
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+        # telemetry debounce: keep rows with no same-(user, type)
+        # predecessor within the window (LAG total order)
+        "debounced_events": f"""
+WITH g AS (
+  SELECT event_id, user_id, event_type,
+    epoch_us(ts) - lag(epoch_us(ts)) OVER
+      (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS gap
+  FROM events)
+SELECT event_id, user_id, event_type,
+  CAST(COALESCE(gap, -1) AS BIGINT) AS gap_us
+FROM g WHERE gap IS NULL OR gap > {M_DEBOUNCE_US}
 """,
         # retention triangle: integer epoch-day cohorts, distinct
         # active users per (cohort, offset)
@@ -2099,6 +2128,28 @@ hitg AS (
   HAVING COUNT(*) = {BLOOM_K})
 SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
 FROM hitg GROUP BY doc_id
+""",
+        # TPC-H Q3 analog: 3-way join, both date predicates + the
+        # segment filter; revenue fixed-pointed per row; top-K on the
+        # (revenue desc, orderkey) total order
+        "shipping_priority_revenue": f"""
+WITH r AS (
+  SELECT l.l_orderkey,
+    CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100)
+                  AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM lineitem l
+  JOIN orders o ON o.o_orderkey = l.l_orderkey
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  WHERE l.l_shipdate > TIMESTAMP '{REL_Q3_CUTOFF}'
+    AND o.o_orderdate < TIMESTAMP '{REL_Q3_CUTOFF}'
+    AND c.c_mktsegment = '{REL_Q3_SEGMENT}'
+  GROUP BY 1)
+SELECT r.l_orderkey AS o_orderkey, r.revenue_cents,
+  strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+  o.o_orderpriority
+FROM r JOIN orders o ON o.o_orderkey = r.l_orderkey
+ORDER BY r.revenue_cents DESC, r.l_orderkey
+LIMIT {REL_Q3_TOP_K}
 """,
         # TPC-H Q1 analog: predicate pushed to the scan on the Ray side;
         # all money/qty fixed-pointed per row before summation

@@ -1556,3 +1556,54 @@ def user_retention_cohorts(sf_dir: str, num_buckets: int = 0):
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+DEBOUNCE_US = 600_000_000     # drop repeats within 10 min of the prior
+
+
+def debounced_events(sf_dir: str, num_buckets: int = 0):
+    """(event_id, user_id, event_type, gap_us): telemetry debounce —
+    keep an event only if MORE than DEBOUNCE_US passed since the
+    PREVIOUS event of the same (user, event_type) in (ts, event_id)
+    order (first occurrence kept, gap_us = -1). The repeated-signal
+    cleanup every event pipeline runs before sessionization; LAG
+    semantics so both engines pick identical rows.
+
+    Shape: ONE user-bucket shuffle; per bucket a vectorized pandas
+    ordered scan computes the per-(user, type) LAG diff — the
+    user_sessions topology, no corpus-proportional group count.
+    """
+    import pyarrow.compute as pc
+
+    num_buckets = num_buckets or cluster_buckets(minimum=16)
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id",
+                                  "event_type"])
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((u % num_buckets).astype(np.int32)),
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "event_type": batch["event_type"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+        })
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_type", "ts_us",
+                             "event_id"], kind="mergesort")
+        g = df.groupby(["user_id", "event_type"], sort=False)
+        gap = (df["ts_us"] - g["ts_us"].shift()).fillna(-1) \
+            .astype(np.int64)
+        keep = (gap.to_numpy() == -1) | (gap.to_numpy() > DEBOUNCE_US)
+        out = df[keep]
+        return pd.DataFrame({
+            "event_id": out["event_id"].astype(np.int64),
+            "user_id": out["user_id"].astype(np.int64),
+            "event_type": out["event_type"],
+            "gap_us": gap.to_numpy()[keep],
+        })
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(scan, batch_format="pandas"))

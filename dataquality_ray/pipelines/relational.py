@@ -596,3 +596,83 @@ def revenue_cube(sf_dir: str, num_partitions: int = 8):
         })
 
     return agg.map_batches(clean, batch_format="pyarrow")
+
+
+Q3_CUTOFF = "1998-01-01"      # o_orderdate < cutoff, l_shipdate > cutoff
+Q3_SEGMENT = "BUILDING"
+Q3_TOP_K = 20
+
+
+def shipping_priority_revenue(sf_dir: str, num_partitions: int = 8):
+    """TPC-H Q3 analog: top-K unshipped-revenue orders for one market
+    segment — (o_orderkey, revenue_cents, o_orderdate, o_orderpriority)
+    for customers in Q3_SEGMENT, orders placed before Q3_CUTOFF,
+    lineitems shipping after it; ranked by (revenue desc, o_orderkey)
+    so the LIMIT is a total order.
+
+    Scale shape: BOTH date predicates are pushed into the parquet scans
+    (row-group pruning); revenue is combined per orderkey inside
+    map_batches before any shuffle; lineitem⋈orders then ⋈customer
+    (segment-filtered at ITS scan) are bucketed hash joins with a
+    materialize between (CLAUDE.md invariant); the final top-K sorts
+    only the per-order aggregate rows that survive all three filters.
+    """
+    import pyarrow.compute as _pc
+    from ray.data.aggregate import Sum
+
+    cutoff = np.datetime64(Q3_CUTOFF, "us")
+    li = ray.data.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+        filter=(_pc.field("l_shipdate") > cutoff)) \
+        .map_batches(strip_meta, batch_format="pyarrow",
+                     zero_copy_batch=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ep = batch["l_extendedprice"].to_numpy(zero_copy_only=False)
+        dc = batch["l_discount"].to_numpy(zero_copy_only=False)
+        g = (pd.DataFrame({
+            "l_orderkey": batch["l_orderkey"].to_numpy(
+                zero_copy_only=False),
+            "c": np.floor(ep * (1 - dc) * 100).astype(np.int64),
+        }).groupby("l_orderkey", sort=False)
+          .agg(c=("c", "sum")).reset_index())
+        return from_pandas_clean(g)
+
+    per_order = li.map_batches(partial, batch_format="pyarrow") \
+        .groupby("l_orderkey").aggregate(Sum("c", alias_name="c"))
+
+    orders = ray.data.read_parquet(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate",
+                 "o_orderpriority"],
+        filter=(_pc.field("o_orderdate") < cutoff)) \
+        .map_batches(strip_meta, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    j1 = per_order.join(orders, join_type="inner",
+                        num_partitions=num_partitions,
+                        on=("l_orderkey",), right_on=("o_orderkey",)) \
+        .materialize()
+
+    cust = ray.data.read_parquet(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"],
+        filter=(_pc.field("c_mktsegment") == Q3_SEGMENT)) \
+        .map_batches(strip_meta, batch_format="pyarrow",
+                     zero_copy_batch=True)
+    j2 = j1.join(cust, join_type="inner",
+                 num_partitions=num_partitions,
+                 on=("o_custkey",), right_on=("c_custkey",))
+
+    top = j2.sort(["c", "l_orderkey"], descending=[True, False]) \
+        .limit(Q3_TOP_K)
+    df = top.to_pandas()
+    out = pd.DataFrame({
+        "o_orderkey": df["l_orderkey"].astype("int64"),
+        "revenue_cents": df["c"].astype("int64"),
+        "o_orderdate": pd.to_datetime(df["o_orderdate"])
+            .dt.strftime("%Y-%m-%d"),
+        "o_orderpriority": df["o_orderpriority"],
+    })
+    return from_pandas_clean(out)
