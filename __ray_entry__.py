@@ -239,6 +239,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # conversation-level near-dup: turn-hash-set Jaccard >= 0.5
         # via exact-recall inverted-index candidates + integer verify
         "conv_near_dup_pairs": _conv_near_dup_pairs_q,
+        # the REMOVAL side of conversation-level dedup: connected
+        # components, non-canonical members -> cluster min
+        "conv_dup_drops": _conv_dup_drops_q,
         "corpus_vocab_stats": D.corpus_vocab_stats,
         "token_count_documents": D.token_count_documents,
         # training-data prep: context-window chunking (flat-map
@@ -574,6 +577,12 @@ def _turn_context_windows_q(sf_dir: str):
 def _conv_near_dup_pairs_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import conv_near_dup_pairs
     return conv_near_dup_pairs(
+        _transcript_ds(sf_dir, columns=["conv_id", "text"]))
+
+
+def _conv_dup_drops_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import conv_dup_drops
+    return conv_dup_drops(
         _transcript_ds(sf_dir, columns=["conv_id", "text"]))
 
 
@@ -983,6 +992,40 @@ SELECT p.conv_a, p.conv_b, p.n_shared,
 FROM p JOIN sz sa ON sa.conv_id = p.conv_a
        JOIN sz sb ON sb.conv_id = p.conv_b
 WHERE 3 * p.n_shared >= sa.n + sb.n
+""",
+        # conversation-dedup removal surface: recursive-CTE components
+        # over the qualifying pairs, dropped members -> cluster min
+        "conv_dup_drops": f"""
+WITH RECURSIVE h AS MATERIALIZED (
+  SELECT DISTINCT conv_id,
+    md5(regexp_replace(
+      regexp_replace(lower(text), '{spec.EDGE_WS_PATTERN}', '', 'g'),
+      '{spec.WS_PLUS_PATTERN}', ' ', 'g')) AS ch
+  FROM read_parquet('{tr_glob}')
+  WHERE length(regexp_replace(
+      regexp_replace(lower(text), '{spec.EDGE_WS_PATTERN}', '', 'g'),
+      '{spec.WS_PLUS_PATTERN}', ' ', 'g')) > 0),
+sz AS MATERIALIZED (
+  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY 1),
+p AS MATERIALIZED (
+  SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
+         CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM h a JOIN h b ON a.ch = b.ch AND a.conv_id < b.conv_id
+  GROUP BY 1, 2),
+q AS MATERIALIZED (
+  SELECT p.conv_a, p.conv_b
+  FROM p JOIN sz sa ON sa.conv_id = p.conv_a
+         JOIN sz sb ON sb.conv_id = p.conv_b
+  WHERE 3 * p.n_shared >= sa.n + sb.n),
+e(src, dst) AS MATERIALIZED (
+  SELECT conv_a, conv_b FROM q UNION ALL SELECT conv_b, conv_a FROM q),
+r(key, lab) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.dst, r.lab FROM r JOIN e ON e.src = r.key),
+c AS (SELECT key, MIN(lab) AS cluster FROM r GROUP BY key)
+SELECT key AS conv_id, cluster AS canonical_conv_id
+FROM c WHERE key <> cluster
 """,
         # leakage audit: exact-content TURN groups whose copies span
         # conversation-level splits (same split hash + same content

@@ -97,7 +97,11 @@ def _query_benches(sf_dir: str) -> dict:
              "event_type_transitions", "kept_conversations",
              "duplicate_span_documents", "user_moving_window",
              "orders_above_customer_avg", "source_vocab_overlap",
-             "event_value_percentiles_refine", "events_in_error_bursts"]
+             "event_value_percentiles_refine", "events_in_error_bursts",
+             "bloom_contaminated_documents", "source_embedding_centroids",
+             "transcript_split_leakage", "conv_near_dup_pairs",
+             "user_retention_cohorts", "debounced_events",
+             "shipping_priority_revenue"]
     out = {}
     for name in names:
         t0 = time.time()

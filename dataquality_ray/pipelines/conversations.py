@@ -709,3 +709,33 @@ def conv_near_dup_pairs(ds, num_buckets: int = 0):
         })
 
     return j2.map_batches(finish, batch_format="pyarrow")
+
+
+def conv_dup_drops(ds, num_buckets: int = 0):
+    """(conv_id, canonical_conv_id): the conversations REMOVED by
+    whole-dialog near-dup dedup — connected components over
+    conv_near_dup_pairs (same dup_clusters_auto dispatch: driver
+    union-find under a provable pair limit, hash-join min-label
+    propagation beyond it), every non-canonical member mapped to its
+    cluster's min conv_id. The application side of conversation-level
+    dedup; SQL-checked against a recursive-CTE component oracle.
+    """
+    import ray
+
+    from dataquality_ray.stages.clustering import dup_clusters_auto
+
+    pairs = conv_near_dup_pairs(ds, num_buckets).map_batches(
+        lambda t: pa.table({"key_a": t["conv_a"], "key_b": t["conv_b"]}),
+        batch_format="pyarrow")
+    clusters = dup_clusters_auto(pairs)          # (key, cluster)
+    if isinstance(clusters, pa.Table):           # driver union-find path
+        clusters = ray.data.from_arrow(clusters)
+
+    def drops(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        mask = pc.not_equal(t["key"], t["cluster"])
+        f = t.filter(mask)
+        return pa.table({"conv_id": f["key"],
+                         "canonical_conv_id": f["cluster"]})
+
+    return clusters.map_batches(drops, batch_format="pyarrow")
