@@ -283,6 +283,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_length_histogram": conv_length_histogram,
         "conv_turn_gaps": _conv_turn_gaps_q,
         "role_tool_stats": _role_tool_stats_q,
+        # Deequ-style table analyzers: per-column profile (exact
+        # distinct via value-hash-bucketed local dedup) and a
+        # declarative constraint suite — both SQL-checked
+        "transcript_column_profile": _transcript_column_profile_q,
+        "transcript_constraint_checks": _transcript_constraint_checks_q,
         # turns -> training documents (string_agg ORDER BY as the
         # bucketed ordered scan) — SQL-checked
         "conv_training_docs": _conv_training_docs_q,
@@ -541,6 +546,16 @@ def _revenue_by_brand(sf_dir: str):
     return revenue_by_brand(sf_dir)
 
 
+def _transcript_column_profile_q(sf_dir: str):
+    from dataquality_ray.pipelines.profiling import column_profile
+    return column_profile(_transcript_ds(sf_dir))
+
+
+def _transcript_constraint_checks_q(sf_dir: str):
+    from dataquality_ray.pipelines.profiling import constraint_checks
+    return constraint_checks(_transcript_ds(sf_dir))
+
+
 def _conv_turn_gaps_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import conv_turn_gaps
     return conv_turn_gaps(_transcript_ds(
@@ -746,6 +761,88 @@ def _langid_parts() -> tuple[str, str]:
         case.append(f"WHEN {conds} THEN '{lang}'")
     case_sql = "CASE " + " ".join(case) + f" ELSE '{langs[-1]}' END"
     return ", ".join(count_exprs), case_sql
+
+
+def _profile_oracle_sql(tr_glob: str) -> str:
+    """DuckDB twin of pipelines.profiling.column_profile, generated
+    from the SAME PROFILE_COLUMNS registry (min/max taken on the native
+    type FIRST, then rendered — never string-compared numerics)."""
+    from dataquality_ray.pipelines.profiling import PROFILE_COLUMNS
+    parts = []
+    for name, kind in PROFILE_COLUMNS:
+        e = f"epoch_us({name})" if kind == "ts" else name
+        parts.append(f"""
+SELECT '{name}' AS col_name,
+  CAST(COUNT(*) AS BIGINT) AS n_rows,
+  CAST(COUNT(*) - COUNT({e}) AS BIGINT) AS n_null,
+  CAST(COUNT(DISTINCT {e}) AS BIGINT) AS n_distinct,
+  CAST(MIN({e}) AS VARCHAR) AS min_repr,
+  CAST(MAX({e}) AS VARCHAR) AS max_repr
+FROM t""")
+    return (f"WITH t AS (SELECT * FROM read_parquet('{tr_glob}'))"
+            + "\nUNION ALL".join(parts))
+
+
+def _constraint_oracle_sql(tr_glob: str) -> str:
+    """DuckDB twin of pipelines.profiling.constraint_checks, generated
+    from the SAME constants (ROLE_SET, TS_LO_US/TS_HI_US)."""
+    from dataquality_ray.pipelines.profiling import (
+        ROLE_SET,
+        TS_HI_US,
+        TS_LO_US,
+    )
+    roles = ", ".join(f"'{r}'" for r in ROLE_SET)
+    return f"""
+WITH t AS (SELECT * FROM read_parquet('{tr_glob}')),
+rowchk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+    CAST(SUM(CASE WHEN role NOT IN ({roles}) THEN 1 ELSE 0 END)
+      AS BIGINT) AS v_role,
+    CAST(SUM(CASE WHEN length(text) = 0 THEN 1 ELSE 0 END)
+      AS BIGINT) AS v_empty,
+    CAST(SUM(CASE WHEN (tool = '') <> (role <> 'tool') THEN 1 ELSE 0
+      END) AS BIGINT) AS v_tool,
+    CAST(SUM(CASE WHEN turn_idx < 0 THEN 1 ELSE 0 END)
+      AS BIGINT) AS v_neg,
+    CAST(SUM(CASE WHEN epoch_us(ts) < {TS_LO_US}
+      OR epoch_us(ts) >= {TS_HI_US} THEN 1 ELSE 0 END)
+      AS BIGINT) AS v_ts
+  FROM t),
+pk AS (
+  SELECT CAST((SELECT COUNT(*) FROM t) - COUNT(*) AS BIGINT) AS v_dup
+  FROM (SELECT DISTINCT conv_id, turn_idx FROM t)),
+conv AS (
+  SELECT conv_id, MIN(turn_idx) AS mn, MAX(turn_idx) AS mx,
+    COUNT(DISTINCT turn_idx) AS d
+  FROM t GROUP BY conv_id),
+convchk AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_convs,
+    CAST(SUM(CASE WHEN mn <> 0 OR mx + 1 <> d THEN 1 ELSE 0 END)
+      AS BIGINT) AS v_contig
+  FROM conv),
+mono AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS v_mono FROM (
+    SELECT conv_id FROM (
+      SELECT conv_id, CASE WHEN lag(epoch_us(ts)) OVER
+          (PARTITION BY conv_id ORDER BY turn_idx, epoch_us(ts))
+          > epoch_us(ts) THEN 1 ELSE 0 END AS bad
+      FROM t) GROUP BY conv_id HAVING MAX(bad) = 1))
+SELECT check_name, n_evaluated, n_violations,
+  CAST(CASE WHEN n_violations = 0 THEN 1 ELSE 0 END AS BIGINT)
+    AS passed
+FROM (
+  SELECT 'pk_unique' AS check_name, n_rows AS n_evaluated,
+    v_dup AS n_violations FROM rowchk, pk
+  UNION ALL SELECT 'role_in_set', n_rows, v_role FROM rowchk
+  UNION ALL SELECT 'text_not_empty', n_rows, v_empty FROM rowchk
+  UNION ALL SELECT 'tool_role_consistent', n_rows, v_tool FROM rowchk
+  UNION ALL SELECT 'ts_in_range', n_rows, v_ts FROM rowchk
+  UNION ALL SELECT 'ts_monotone_per_conv', n_convs, v_mono
+    FROM convchk, mono
+  UNION ALL SELECT 'turn_idx_contiguous', n_convs, v_contig
+    FROM convchk
+  UNION ALL SELECT 'turn_idx_nonneg', n_rows, v_neg FROM rowchk)
+"""
 
 
 def _langid_sql() -> str:
@@ -1587,6 +1684,10 @@ SELECT role, tool,
 FROM read_parquet('{tr_glob}')
 GROUP BY 1, 2
 """,
+        # Deequ-style analyzers over the transcript table, generated
+        # from the pipelines.profiling registries/constants
+        "transcript_column_profile": _profile_oracle_sql(tr_glob),
+        "transcript_constraint_checks": _constraint_oracle_sql(tr_glob),
         # LAG window function: per-turn inter-arrival gap within the
         # conversation (first turn -> -1)
         "conv_turn_gaps": f"""

@@ -101,7 +101,8 @@ def _query_benches(sf_dir: str) -> dict:
              "bloom_contaminated_documents", "source_embedding_centroids",
              "transcript_split_leakage", "conv_near_dup_pairs",
              "user_retention_cohorts", "debounced_events",
-             "shipping_priority_revenue"]
+             "shipping_priority_revenue", "transcript_column_profile",
+             "transcript_constraint_checks"]
     out = {}
     for name in names:
         t0 = time.time()
