@@ -288,6 +288,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # declarative constraint suite — both SQL-checked
         "transcript_column_profile": _transcript_column_profile_q,
         "transcript_constraint_checks": _transcript_constraint_checks_q,
+        # exact heavy hitters behind a CMS prefilter (no false
+        # negatives — oracle is the plain GROUP BY ... HAVING)
+        "transcript_heavy_hitters": _transcript_heavy_hitters_q,
         # turns -> training documents (string_agg ORDER BY as the
         # bucketed ordered scan) — SQL-checked
         "conv_training_docs": _conv_training_docs_q,
@@ -554,6 +557,13 @@ def _transcript_column_profile_q(sf_dir: str):
 def _transcript_constraint_checks_q(sf_dir: str):
     from dataquality_ray.pipelines.profiling import constraint_checks
     return constraint_checks(_transcript_ds(sf_dir))
+
+
+def _transcript_heavy_hitters_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import \
+        transcript_heavy_hitters
+    return transcript_heavy_hitters(
+        _transcript_ds(sf_dir, columns=["text"]))
 
 
 def _conv_turn_gaps_q(sf_dir: str):
@@ -860,6 +870,7 @@ def _oracle_sql_impl() -> dict[str, str]:
     import os
 
     from dataquality_ray.fixtures import transcripts_path
+    from dataquality_ray.pipelines.conversations import HH_MIN_DIV
     from dataquality_ray.pipelines.documents import (
         ANN_K,
         ANN_QUERY_IDS,
@@ -1688,6 +1699,18 @@ GROUP BY 1, 2
         # from the pipelines.profiling registries/constants
         "transcript_column_profile": _profile_oracle_sql(tr_glob),
         "transcript_constraint_checks": _constraint_oracle_sql(tr_glob),
+        # exact heavy hitters: the sketch is only a prefilter on the
+        # Ray side (over-estimate ⇒ exact recall), so the oracle is
+        # the plain full-vocabulary GROUP BY with the HAVING threshold
+        "transcript_heavy_hitters": f"""
+WITH t AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{_TOK}')) AS term
+  FROM read_parquet('{tr_glob}'))
+SELECT term, CAST(COUNT(*) AS BIGINT) AS cf
+FROM t GROUP BY term
+HAVING COUNT(*) >= GREATEST(1,
+  (SELECT COUNT(*) FROM read_parquet('{tr_glob}')) // {HH_MIN_DIV})
+""",
         # LAG window function: per-turn inter-arrival gap within the
         # conversation (first turn -> -1)
         "conv_turn_gaps": f"""

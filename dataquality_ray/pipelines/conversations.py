@@ -739,3 +739,124 @@ def conv_dup_drops(ds, num_buckets: int = 0):
                          "canonical_conv_id": f["cluster"]})
 
     return clusters.map_batches(drops, batch_format="pyarrow")
+
+
+# --- heavy hitters -----------------------------------------------------
+
+# prefilter count-min sketch, sized so cell noise (total_tokens/WIDTH)
+# is ~0.5% of the threshold (total/20 / HH_CMS_WIDTH-to-threshold
+# ratio) at ANY corpus size — the candidate set stays within a few
+# percent of the true heavy-hitter set as the corpus grows. These are
+# prefilter-internal constants (the OUTPUT is exact counts, so unlike
+# term_counts_cms nothing here needs a DuckDB twin).
+HH_CMS_DEPTH = 4
+HH_CMS_WIDTH = 4096
+HH_MIN_DIV = 20      # threshold = n_turns // HH_MIN_DIV
+
+
+def transcript_heavy_hitters(ds, min_div: int = HH_MIN_DIV,
+                             cms_width: int = HH_CMS_WIDTH):
+    """(term, cf): EXACT corpus heavy hitters — every token (lowercased
+    ``spec.TOKEN_PATTERN``) whose collection frequency is at least
+    ``n_turns // min_div``.
+
+    The naive shape — GROUP BY term over the full token stream — moves
+    a vocabulary that scales with the corpus through the shuffle to
+    discard almost all of it. Instead this is the classic two-pass
+    sketch-prefiltered exact aggregate:
+
+    1. ONE tokenize pass builds a count-min sketch from mergeable
+       per-batch partial cells (≤ DEPTH×WIDTH int64 rows per batch,
+       constant-size reduce); the driver broadcasts the ≤128 KiB table
+       via ray.put.
+    2. A second pass counts terms per batch and forwards ONLY terms
+       whose sketch estimate clears the threshold. CMS estimates never
+       under-count, so the prefilter has NO false negatives — the
+       final small groupby + exact HAVING filter returns exactly what
+       the full-vocab groupby would (the DuckDB twin is the plain
+       GROUP BY ... HAVING, no sketch involved).
+
+    At 10^12 tokens the tail (≈ all of the vocabulary) never leaves
+    its batch; only the few-hundred-term candidate set is shuffled.
+    """
+    import ray
+    import polars as pl
+    from ray.data.aggregate import Sum
+    from dataquality_ray.spec import TOKEN_PATTERN, token_hash_u64
+
+    n_rows = ds.count()                    # parquet metadata only
+    threshold = max(1, n_rows // min_div)
+
+    def _term_counts(batch: pa.Table) -> "pl.DataFrame":
+        toks = (pl.from_arrow(batch["text"]).str.to_lowercase()
+                .str.extract_all(TOKEN_PATTERN))
+        return (pl.DataFrame({"term": toks}).explode("term")
+                .drop_nulls().group_by("term")
+                .agg(pl.len().cast(pl.Int64).alias("n")))
+
+    def _cell_hashes(terms: list[str], row_i: int) -> np.ndarray:
+        return np.fromiter(
+            (token_hash_u64(f"hh{row_i}:{t}") % cms_width
+             for t in terms),
+            dtype=np.int64, count=len(terms))
+
+    def cms_partial(batch: pa.Table) -> pa.Table:
+        cnt = _term_counts(batch)
+        terms = cnt["term"].to_list()
+        n = cnt["n"].to_numpy()
+        rows, cols, cnts = [], [], []
+        for i in range(HH_CMS_DEPTH):
+            rows.append(np.full(len(terms), i, dtype=np.int64))
+            cols.append(_cell_hashes(terms, i))
+            cnts.append(n)
+        df = pl.DataFrame({
+            "row_i": np.concatenate(rows) if terms
+            else np.empty(0, np.int64),
+            "col": np.concatenate(cols) if terms
+            else np.empty(0, np.int64),
+            "cnt": np.concatenate(cnts) if terms
+            else np.empty(0, np.int64),
+        }).group_by(["row_i", "col"]).agg(pl.col("cnt").sum())
+        return df.to_arrow().cast(pa.schema([
+            ("row_i", pa.int64()), ("col", pa.int64()),
+            ("cnt", pa.int64())]))
+
+    cells = (ds.map_batches(cms_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["row_i", "col"])
+             .aggregate(Sum("cnt", alias_name="cnt"))
+             .to_pandas())      # ≤ DEPTH×WIDTH rows by construction
+    table = np.zeros((HH_CMS_DEPTH, cms_width), dtype=np.int64)
+    table[cells["row_i"].to_numpy(),
+          cells["col"].to_numpy()] = cells["cnt"].to_numpy()
+    cms_ref = ray.put(table)
+
+    import functools
+
+    def candidates(batch: pa.Table, *, ref) -> pa.Table:
+        cms = ray.get(ref)
+        cnt = _term_counts(batch)
+        terms = cnt["term"].to_list()
+        if not terms:
+            return pa.table({"term": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        est = np.min(np.stack([
+            cms[i, _cell_hashes(terms, i)]
+            for i in range(HH_CMS_DEPTH)]), axis=0)
+        keep = est >= threshold        # over-estimate only → exact recall
+        out = cnt.filter(pl.Series(keep))
+        return out.to_arrow().cast(pa.schema([
+            ("term", pa.string()), ("n", pa.int64())]))
+
+    agg = (ds.map_batches(functools.partial(candidates, ref=cms_ref),
+                          batch_format="pyarrow", zero_copy_batch=True)
+           .groupby("term").aggregate(Sum("n", alias_name="cf")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = pa.table({"term": t["term"],
+                      "cf": pc.cast(t["cf"], pa.int64())})
+        return t.filter(pc.greater_equal(t["cf"], threshold))
+
+    return agg.map_batches(finish, batch_format="pyarrow") \
+        .sort("term")

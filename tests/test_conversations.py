@@ -117,3 +117,80 @@ class TestBucketedOpsInvariance:
         first = a["turn_idx"] == a.groupby("conv_id")["turn_idx"] \
             .transform("min")
         assert (a.loc[first, "prev_text"] == "").all()
+
+
+class TestHeavyHitters:
+    def _exact(self, table):
+        import polars as pl
+        from dataquality_ray.spec import TOKEN_PATTERN
+        toks = (pl.from_arrow(table["text"]).str.to_lowercase()
+                .str.extract_all(TOKEN_PATTERN))
+        cf = (pl.DataFrame({"term": toks}).explode("term").drop_nulls()
+              .group_by("term").agg(pl.len().cast(pl.Int64).alias("cf")))
+        thr = max(1, table.num_rows // 20)
+        return (cf.filter(pl.col("cf") >= thr).sort("term")
+                .to_pandas())
+
+    def test_matches_exact_groupby(self, ray_session, small_transcripts):
+        import ray
+        from dataquality_ray.pipelines.conversations import (
+            transcript_heavy_hitters,
+        )
+        got = transcript_heavy_hitters(
+            ray.data.from_arrow(small_transcripts)).to_pandas() \
+            .reset_index(drop=True)
+        want = self._exact(small_transcripts).reset_index(drop=True)
+        assert got.equals(want)
+        assert len(got) > 0          # non-trivial on the fixture
+
+    def test_prefilter_has_no_false_negatives_under_collisions(
+            self, ray_session, small_transcripts):
+        """A pathologically narrow sketch (width 4 → massive
+        over-counting) must only ENLARGE the candidate set — the exact
+        final filter still returns the exact answer."""
+        import ray
+        from dataquality_ray.pipelines.conversations import (
+            transcript_heavy_hitters,
+        )
+        got = transcript_heavy_hitters(
+            ray.data.from_arrow(small_transcripts),
+            cms_width=4).to_pandas().reset_index(drop=True)
+        want = self._exact(small_transcripts).reset_index(drop=True)
+        assert got.equals(want)
+
+    def test_prefilter_prunes_the_tail(self, ray_session,
+                                       small_transcripts):
+        """With the real width the candidate set must be a small
+        fraction of the vocabulary (the whole point of the sketch)."""
+        import numpy as np
+        import polars as pl
+        import ray
+        from dataquality_ray.pipelines.conversations import (
+            HH_CMS_DEPTH,
+            HH_CMS_WIDTH,
+        )
+        from dataquality_ray.spec import TOKEN_PATTERN, token_hash_u64
+        toks = (pl.from_arrow(small_transcripts["text"])
+                .str.to_lowercase().str.extract_all(TOKEN_PATTERN))
+        cf = (pl.DataFrame({"term": toks}).explode("term").drop_nulls()
+              .group_by("term")
+              .agg(pl.len().cast(pl.Int64).alias("cf")))
+        table = np.zeros((HH_CMS_DEPTH, HH_CMS_WIDTH), np.int64)
+        terms = cf["term"].to_list()
+        n = cf["cf"].to_numpy()
+        for i in range(HH_CMS_DEPTH):
+            h = np.fromiter(
+                (token_hash_u64(f"hh{i}:{t}") % HH_CMS_WIDTH
+                 for t in terms), dtype=np.int64, count=len(terms))
+            np.add.at(table[i], h, n)
+        est = np.min(np.stack([
+            table[i, np.fromiter(
+                (token_hash_u64(f"hh{i}:{t}") % HH_CMS_WIDTH
+                 for t in terms), dtype=np.int64, count=len(terms))]
+            for i in range(HH_CMS_DEPTH)]), axis=0)
+        thr = max(1, small_transcripts.num_rows // 20)
+        n_candidates = int((est >= thr).sum())
+        n_true = int((n >= thr).sum())
+        assert (est >= n).all()                  # never under-counts
+        assert n_candidates >= n_true            # exact recall
+        assert n_candidates <= max(2 * n_true, n_true + 20)
