@@ -291,6 +291,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact heavy hitters behind a CMS prefilter (no false
         # negatives — oracle is the plain GROUP BY ... HAVING)
         "transcript_heavy_hitters": _transcript_heavy_hitters_q,
+        # BPE merge-candidate mining: top-K adjacent token pairs via
+        # pair-hash-bucketed local totals (no corpus-sized aggregate)
+        "token_bigram_merges": _token_bigram_merges_q,
+        # snapshot reconciliation: added/removed/changed/unchanged per
+        # doc — both sides slim-hashed and co-bucketed (FULL OUTER
+        # completes locally; neither snapshot broadcast)
+        "corpus_snapshot_diff": D.corpus_snapshot_diff,
         # turns -> training documents (string_agg ORDER BY as the
         # bucketed ordered scan) — SQL-checked
         "conv_training_docs": _conv_training_docs_q,
@@ -564,6 +571,12 @@ def _transcript_heavy_hitters_q(sf_dir: str):
         transcript_heavy_hitters
     return transcript_heavy_hitters(
         _transcript_ds(sf_dir, columns=["text"]))
+
+
+def _token_bigram_merges_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import \
+        token_bigram_merges
+    return token_bigram_merges(_transcript_ds(sf_dir, columns=["text"]))
 
 
 def _conv_turn_gaps_q(sf_dir: str):
@@ -870,7 +883,16 @@ def _oracle_sql_impl() -> dict[str, str]:
     import os
 
     from dataquality_ray.fixtures import transcripts_path
-    from dataquality_ray.pipelines.conversations import HH_MIN_DIV
+    from dataquality_ray.pipelines.conversations import (
+        BIGRAM_TOP_K,
+        HH_MIN_DIV,
+    )
+    from dataquality_ray.pipelines.documents import (
+        DIFF_ADDED_MOD,
+        DIFF_ADDED_OFFSET,
+        DIFF_CHANGED_MOD,
+        DIFF_REMOVED_MOD,
+    )
     from dataquality_ray.pipelines.documents import (
         ANN_K,
         ANN_QUERY_IDS,
@@ -1710,6 +1732,40 @@ SELECT term, CAST(COUNT(*) AS BIGINT) AS cf
 FROM t GROUP BY term
 HAVING COUNT(*) >= GREATEST(1,
   (SELECT COUNT(*) FROM read_parquet('{tr_glob}')) // {HH_MIN_DIV})
+""",
+        # adjacent-pair statistics (one BPE merge round): list lateral
+        # expansion, deterministic tie-break (cf DESC, a, b)
+        "token_bigram_merges": f"""
+WITH t AS (
+  SELECT regexp_extract_all(lower(text), '{_TOK}') AS ts
+  FROM read_parquet('{tr_glob}')),
+p AS (
+  SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                i -> struct_pack(a := ts[i], b := ts[i + 1]))) AS pr
+  FROM t)
+SELECT pr.a AS a, pr.b AS b, CAST(COUNT(*) AS BIGINT) AS cf
+FROM p GROUP BY 1, 2
+ORDER BY cf DESC, a, b
+LIMIT {BIGRAM_TOP_K}
+""",
+        # snapshot reconciliation over the deterministic v2 synthesis
+        # (same three rules as pipelines.documents constants)
+        "corpus_snapshot_diff": f"""
+WITH v1 AS (SELECT doc_id, text FROM documents),
+v2 AS (
+  SELECT doc_id,
+    CASE WHEN doc_id % {DIFF_CHANGED_MOD} = 3 THEN text || ' v2'
+         ELSE text END AS text
+  FROM documents WHERE doc_id % {DIFF_REMOVED_MOD} <> 0
+  UNION ALL
+  SELECT doc_id + {DIFF_ADDED_OFFSET}, text || ' new'
+  FROM documents WHERE doc_id % {DIFF_ADDED_MOD} = 1)
+SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+  CASE WHEN v1.doc_id IS NULL THEN 'added'
+       WHEN v2.doc_id IS NULL THEN 'removed'
+       WHEN v1.text = v2.text THEN 'unchanged'
+       ELSE 'changed' END AS status
+FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
 """,
         # LAG window function: per-turn inter-arrival gap within the
         # conversation (first turn -> -1)

@@ -102,7 +102,8 @@ def _query_benches(sf_dir: str) -> dict:
              "transcript_split_leakage", "conv_near_dup_pairs",
              "user_retention_cohorts", "debounced_events",
              "shipping_priority_revenue", "transcript_column_profile",
-             "transcript_constraint_checks", "transcript_heavy_hitters"]
+             "transcript_constraint_checks", "transcript_heavy_hitters",
+             "token_bigram_merges", "corpus_snapshot_diff"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -860,3 +860,61 @@ def transcript_heavy_hitters(ds, min_div: int = HH_MIN_DIV,
 
     return agg.map_batches(finish, batch_format="pyarrow") \
         .sort("term")
+
+
+BIGRAM_TOP_K = 50
+
+
+def token_bigram_merges(ds, num_buckets: int = 0,
+                        top_k: int = BIGRAM_TOP_K):
+    """(a, b, cf): the top-K most frequent ADJACENT token pairs across
+    the corpus — BPE merge-candidate mining, the inner statistic of one
+    tokenizer-training round (pairs are within-turn, lowercased
+    ``spec.TOKEN_PATTERN`` tokens in document order).
+
+    Scale shape: distinct pairs grow with the corpus, so the pair
+    totals never touch a Ray aggregate — per-batch vectorized pair
+    combiner (polars shift-over-row), ONE pair-hash bucketed shuffle
+    (each pair lives in exactly one bucket → local sums are the exact
+    totals), per-bucket local top-K, then a tiny global top-K over
+    ≤ buckets×K candidate rows. Ties break (cf desc, a asc, b asc) on
+    both engines.
+    """
+    import polars as pl
+    from dataquality_ray.spec import TOKEN_PATTERN, token_hash_u64
+
+    nb = num_buckets or cluster_buckets()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = (pl.from_arrow(batch["text"]).str.to_lowercase()
+                .str.extract_all(TOKEN_PATTERN))
+        e = (pl.DataFrame({"toks": toks}).with_row_index("rid")
+             .explode("toks").drop_nulls("toks"))
+        e = e.with_columns(b=pl.col("toks").shift(-1).over("rid")) \
+             .drop_nulls("b")
+        g = (e.group_by(["toks", "b"])
+             .agg(pl.len().cast(pl.Int64).alias("cf"))
+             .rename({"toks": "a"}))
+        part = np.fromiter(
+            (token_hash_u64(f"{x}\x1f{y}") % nb
+             for x, y in zip(g["a"].to_list(), g["b"].to_list())),
+            dtype=np.int64, count=g.height).astype(np.int32)
+        return g.with_columns(part=pl.Series(part)).to_arrow().cast(
+            pa.schema([("a", pa.string()), ("b", pa.string()),
+                       ("cf", pa.int64()), ("part", pa.int32())]))
+
+    def per_bucket(t: pa.Table) -> pa.Table:
+        g = (pl.from_arrow(t.select(["a", "b", "cf"]))
+             .group_by(["a", "b"]).agg(pl.col("cf").sum())
+             .sort(["cf", "a", "b"], descending=[True, False, False])
+             .head(top_k))
+        return g.to_arrow().cast(pa.schema([
+            ("a", pa.string()), ("b", pa.string()),
+            ("cf", pa.int64())]))
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("part").map_groups(per_bucket,
+                                        batch_format="pyarrow")
+            .sort(["cf", "a", "b"], descending=[True, False, False])
+            .limit(top_k))

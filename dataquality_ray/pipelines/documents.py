@@ -2457,3 +2457,114 @@ def source_vocab_overlap(sf_dir: str, num_buckets: int = 0):
     pair["jaccard_micro"] = (1_000_000 * pair["n_common"]) // union
     from dataquality_ray.arrowutil import from_pandas_clean
     return from_pandas_clean(pair.reset_index(drop=True))
+
+
+# --- snapshot diff ------------------------------------------------------
+
+# deterministic v2 synthesis from the v1 documents table (the DuckDB
+# twin applies the same three rules, so both engines diff the same
+# pair of snapshots): removed, changed-in-place, and added rows
+DIFF_REMOVED_MOD = 17          # doc_id % 17 == 0 → dropped in v2
+DIFF_CHANGED_MOD = 10          # doc_id % 10 == 3 → text || ' v2'
+DIFF_ADDED_MOD = 25            # doc_id % 25 == 1 → new row
+DIFF_ADDED_OFFSET = 1_000_000  # new row id = doc_id + offset
+
+
+def _raw_md5_hex(text) -> list:
+    """md5 hex of the RAW (un-normalized) text, read zero-copy off the
+    Arrow utf-8 buffer — snapshot equality is byte equality, unlike the
+    dedup path's normalized content_hash."""
+    import hashlib
+    if isinstance(text, pa.ChunkedArray):
+        text = text.combine_chunks()
+    n = len(text)
+    off_dtype = np.int64 if pa.types.is_large_string(text.type) \
+        else np.int32
+    offs = np.frombuffer(text.buffers()[1], dtype=off_dtype)[
+        text.offset: text.offset + n + 1]
+    data = memoryview(text.buffers()[2] or b"")
+    md5 = hashlib.md5
+    return [md5(data[offs[i]:offs[i + 1]]).hexdigest() for i in range(n)]
+
+
+def corpus_snapshot_diff(sf_dir: str, num_buckets: int = 0):
+    """(doc_id, status): reconcile two corpus snapshots —
+    'added' / 'removed' / 'changed' / 'unchanged' per document, the
+    ingest-audit shape for an evolving training corpus (which shards
+    need re-processing, which are stable).
+
+    v2 is synthesized deterministically from v1 (rules above) so the
+    operator is SQL-checkable end-to-end. Scale shape: ONE scan emits
+    BOTH sides' slim rows (doc_id, raw-md5, side) — texts never leave
+    their batch; both sides co-shuffle into the same doc_id-hash
+    buckets and the FULL OUTER diff completes locally per bucket with
+    one vectorized polars join (the customer_event_reconciliation
+    pattern — neither snapshot is broadcast, so the shape holds when
+    both are 100 TB)."""
+    from dataquality_ray.stages.bucketing import (
+        cluster_buckets,
+        splitmix_bucket,
+    )
+
+    nb = num_buckets or cluster_buckets()
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def both_sides(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        h1 = _raw_md5_hex(text)
+        v1 = pa.table({
+            "doc_id": pa.array(ids),
+            "h": pa.array(h1, pa.string()),
+            "side": pa.array(np.full(len(ids), "a"), pa.string()),
+            "bucket": pa.array(splitmix_bucket(ids, nb)),
+        })
+        # v2: drop removed, rewrite changed, append added — suffixes
+        # via one vectorized polars when/then
+        df = pl.DataFrame({"doc_id": ids, "text": pl.from_arrow(text)})
+        kept = (df.filter(pl.col("doc_id") % DIFF_REMOVED_MOD != 0)
+                .with_columns(
+                    text=pl.when(pl.col("doc_id")
+                                 % DIFF_CHANGED_MOD == 3)
+                    .then(pl.col("text") + pl.lit(" v2"))
+                    .otherwise(pl.col("text"))))
+        added = (df.filter(pl.col("doc_id") % DIFF_ADDED_MOD == 1)
+                 .with_columns(
+                     doc_id=pl.col("doc_id") + DIFF_ADDED_OFFSET,
+                     text=pl.col("text") + pl.lit(" new")))
+        v2df = pl.concat([kept, added])
+        ids2 = v2df["doc_id"].to_numpy().astype(np.int64)
+        h2 = _raw_md5_hex(v2df["text"].to_arrow())
+        v2 = pa.table({
+            "doc_id": pa.array(ids2),
+            "h": pa.array(h2, pa.string()),
+            "side": pa.array(np.full(len(ids2), "b"), pa.string()),
+            "bucket": pa.array(splitmix_bucket(ids2, nb)),
+        })
+        return pa.concat_tables([v1, v2])
+
+    def diff(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["doc_id", "h", "side"]))
+        a = df.filter(pl.col("side") == "a").select(
+            "doc_id", ha=pl.col("h"))
+        b = df.filter(pl.col("side") == "b").select(
+            "doc_id", hb=pl.col("h"))
+        m = a.join(b, on="doc_id", how="full", coalesce=True)
+        m = m.with_columns(
+            status=pl.when(pl.col("ha").is_null())
+            .then(pl.lit("added"))
+            .when(pl.col("hb").is_null()).then(pl.lit("removed"))
+            .when(pl.col("ha") == pl.col("hb"))
+            .then(pl.lit("unchanged"))
+            .otherwise(pl.lit("changed")))
+        return m.select(["doc_id", "status"]).to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()),
+                       ("status", pa.string())]))
+
+    return (ds.map_batches(both_sides, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(diff, batch_format="pyarrow"))

@@ -194,3 +194,35 @@ class TestHeavyHitters:
         assert (est >= n).all()                  # never under-counts
         assert n_candidates >= n_true            # exact recall
         assert n_candidates <= max(2 * n_true, n_true + 20)
+
+
+class TestBigramMerges:
+    def test_matches_brute_force_and_partition_invariant(
+            self, ray_session, small_transcripts):
+        import polars as pl
+        import ray
+        from dataquality_ray.pipelines.conversations import (
+            token_bigram_merges,
+        )
+        from dataquality_ray.spec import TOKEN_PATTERN
+
+        toks = (pl.from_arrow(small_transcripts["text"])
+                .str.to_lowercase().str.extract_all(TOKEN_PATTERN))
+        e = (pl.DataFrame({"toks": toks}).with_row_index("rid")
+             .explode("toks").drop_nulls("toks"))
+        e = e.with_columns(b=pl.col("toks").shift(-1).over("rid")) \
+             .drop_nulls("b")
+        want = (e.group_by(["toks", "b"])
+                .agg(pl.len().cast(pl.Int64).alias("cf"))
+                .rename({"toks": "a"})
+                .sort(["cf", "a", "b"],
+                      descending=[True, False, False])
+                .head(50).to_pandas())
+
+        ds = ray.data.from_arrow(small_transcripts)
+        a = token_bigram_merges(ds, num_buckets=3).to_pandas() \
+            .reset_index(drop=True)
+        b2 = token_bigram_merges(ds.repartition(7), num_buckets=11) \
+            .to_pandas().reset_index(drop=True)
+        assert a.equals(want.reset_index(drop=True))
+        assert a.equals(b2)

@@ -136,3 +136,27 @@ def test_column_profile_partition_invariance(dirty_parquet):
         ray.data.from_arrow(t).repartition(7), num_buckets=9) \
         .to_pandas()
     _assert_frames_equal(a, b)
+
+
+def test_corpus_snapshot_diff_statuses():
+    """Every status appears; the v2-synthesis rules are reflected
+    exactly (added ids are offset; removed ids are the %17 class)."""
+    from dataquality_ray.pipelines.documents import (
+        DIFF_ADDED_OFFSET,
+        corpus_snapshot_diff,
+    )
+    got = corpus_snapshot_diff("/root/testdata/sf0.001",
+                               num_buckets=4).to_pandas()
+    by = got.groupby("status")["doc_id"].apply(list).to_dict()
+    assert set(by) == {"added", "removed", "changed", "unchanged"}
+    assert all(i >= DIFF_ADDED_OFFSET for i in by["added"])
+    assert all(i % 17 == 0 for i in by["removed"])
+    assert all(i % 10 == 3 and i % 17 != 0 for i in by["changed"])
+    # a doc in both the removed and changed classes is removed
+    assert all(i % 17 != 0 for i in by["changed"])
+    # partition-invariant
+    again = corpus_snapshot_diff("/root/testdata/sf0.001",
+                                 num_buckets=9).to_pandas()
+    key = ["doc_id", "status"]
+    assert got.sort_values(key).reset_index(drop=True).equals(
+        again.sort_values(key).reset_index(drop=True))
