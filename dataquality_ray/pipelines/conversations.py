@@ -754,6 +754,19 @@ HH_CMS_WIDTH = 4096
 HH_MIN_DIV = 20      # threshold = n_turns // HH_MIN_DIV
 
 
+def _hh_cell_hashes(terms, row_i: int, width: int) -> np.ndarray:
+    """Vectorized CMS cell index per term (polars xxhash, seeded by the
+    sketch row). Prefilter-internal only: the hash never reaches an
+    output or an oracle, so it needs determinism across this run's
+    worker processes (polars' hash seed is fixed), not the frozen md5
+    contract."""
+    import polars as pl
+    h = terms if isinstance(terms, pl.Series) \
+        else pl.Series(list(terms), dtype=pl.String)
+    return (h.hash(seed=row_i).to_numpy()
+            % np.uint64(width)).astype(np.int64)
+
+
 def transcript_heavy_hitters(ds, min_div: int = HH_MIN_DIV,
                              cms_width: int = HH_CMS_WIDTH):
     """(term, cf): EXACT corpus heavy hitters — every token (lowercased
@@ -765,92 +778,92 @@ def transcript_heavy_hitters(ds, min_div: int = HH_MIN_DIV,
     discard almost all of it. Instead this is the classic two-pass
     sketch-prefiltered exact aggregate:
 
-    1. ONE tokenize pass builds a count-min sketch from mergeable
-       per-batch partial cells (≤ DEPTH×WIDTH int64 rows per batch,
-       constant-size reduce); the driver broadcasts the ≤128 KiB table
-       via ray.put.
-    2. A second pass counts terms per batch and forwards ONLY terms
-       whose sketch estimate clears the threshold. CMS estimates never
-       under-count, so the prefilter has NO false negatives — the
-       final small groupby + exact HAVING filter returns exactly what
-       the full-vocab groupby would (the DuckDB twin is the plain
+    1. ONE tokenize pass reduces each batch to its local (term, count)
+       partials — the corpus's only text-proportional work — and
+       MATERIALIZES them (vocab-compressed: orders of magnitude
+       smaller than the corpus; the object store spills if needed).
+    2. A constant-size count-min sketch folds up from the partials
+       (≤ DEPTH×WIDTH int64 cells per batch, tiny reduce); the driver
+       broadcasts the ≤128 KiB table via ray.put.
+    3. A probe pass over the SAME materialized partials forwards only
+       terms whose sketch estimate clears the threshold. CMS estimates
+       never under-count, so the prefilter has NO false negatives —
+       the final small groupby + exact HAVING filter returns exactly
+       what the full-vocab groupby would (the DuckDB twin is the plain
        GROUP BY ... HAVING, no sketch involved).
 
-    At 10^12 tokens the tail (≈ all of the vocabulary) never leaves
-    its batch; only the few-hundred-term candidate set is shuffled.
+    At 10^12 tokens the vocabulary tail (≈ all of it) never leaves its
+    batch; only the few-hundred-term candidate set is shuffled, and
+    the text is tokenized exactly once.
     """
     import ray
     import polars as pl
     from ray.data.aggregate import Sum
-    from dataquality_ray.spec import TOKEN_PATTERN, token_hash_u64
+    from dataquality_ray.spec import TOKEN_PATTERN
 
     n_rows = ds.count()                    # parquet metadata only
     threshold = max(1, n_rows // min_div)
 
-    def _term_counts(batch: pa.Table) -> "pl.DataFrame":
+    def term_partial(batch: pa.Table) -> pa.Table:
         toks = (pl.from_arrow(batch["text"]).str.to_lowercase()
                 .str.extract_all(TOKEN_PATTERN))
-        return (pl.DataFrame({"term": toks}).explode("term")
-                .drop_nulls().group_by("term")
-                .agg(pl.len().cast(pl.Int64).alias("n")))
+        cnt = (pl.DataFrame({"term": toks}).explode("term")
+               .drop_nulls().group_by("term")
+               .agg(pl.len().cast(pl.Int64).alias("n")))
+        return cnt.to_arrow().cast(pa.schema([
+            ("term", pa.string()), ("n", pa.int64())]))
 
-    def _cell_hashes(terms: list[str], row_i: int) -> np.ndarray:
-        return np.fromiter(
-            (token_hash_u64(f"hh{row_i}:{t}") % cms_width
-             for t in terms),
-            dtype=np.int64, count=len(terms))
+    partials = ds.map_batches(term_partial, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
 
-    def cms_partial(batch: pa.Table) -> pa.Table:
-        cnt = _term_counts(batch)
-        terms = cnt["term"].to_list()
-        n = cnt["n"].to_numpy()
-        rows, cols, cnts = [], [], []
+    # the sketch merges by ADDITION over a constant-size dense array,
+    # so the reduce is a blob fold (one 128 KiB binary row per block,
+    # tree-folded to ≤ cluster_buckets rows before the driver sums) —
+    # never a multi-million-cell-row Ray sort aggregate
+    def dense_cms(batch: pa.Table) -> pa.Table:
+        terms = pl.from_arrow(batch["term"])
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        tbl = np.zeros((HH_CMS_DEPTH, cms_width), dtype=np.int64)
         for i in range(HH_CMS_DEPTH):
-            rows.append(np.full(len(terms), i, dtype=np.int64))
-            cols.append(_cell_hashes(terms, i))
-            cnts.append(n)
-        df = pl.DataFrame({
-            "row_i": np.concatenate(rows) if terms
-            else np.empty(0, np.int64),
-            "col": np.concatenate(cols) if terms
-            else np.empty(0, np.int64),
-            "cnt": np.concatenate(cnts) if terms
-            else np.empty(0, np.int64),
-        }).group_by(["row_i", "col"]).agg(pl.col("cnt").sum())
-        return df.to_arrow().cast(pa.schema([
-            ("row_i", pa.int64()), ("col", pa.int64()),
-            ("cnt", pa.int64())]))
+            np.add.at(tbl[i], _hh_cell_hashes(terms, i, cms_width), n)
+        return pa.table({"cms": pa.array([tbl.tobytes()],
+                                         pa.binary())})
 
-    cells = (ds.map_batches(cms_partial, batch_format="pyarrow",
-                            zero_copy_batch=True)
-             .groupby(["row_i", "col"])
-             .aggregate(Sum("cnt", alias_name="cnt"))
-             .to_pandas())      # ≤ DEPTH×WIDTH rows by construction
-    table = np.zeros((HH_CMS_DEPTH, cms_width), dtype=np.int64)
-    table[cells["row_i"].to_numpy(),
-          cells["col"].to_numpy()] = cells["cnt"].to_numpy()
+    def fold_blobs(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(HH_CMS_DEPTH * cms_width, dtype=np.int64)
+        for b in batch["cms"].to_pylist():
+            acc += np.frombuffer(b, dtype=np.int64)
+        return pa.table({"cms": pa.array([acc.tobytes()],
+                                         pa.binary())})
+
+    folded = (partials.map_batches(dense_cms, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+              .repartition(cluster_buckets(minimum=8))
+              .map_batches(fold_blobs, batch_format="pyarrow")
+              .take_all())
+    table = np.zeros(HH_CMS_DEPTH * cms_width, dtype=np.int64)
+    for r in folded:
+        table += np.frombuffer(r["cms"], dtype=np.int64)
+    table = table.reshape(HH_CMS_DEPTH, cms_width)
     cms_ref = ray.put(table)
 
     import functools
 
     def candidates(batch: pa.Table, *, ref) -> pa.Table:
         cms = ray.get(ref)
-        cnt = _term_counts(batch)
-        terms = cnt["term"].to_list()
-        if not terms:
-            return pa.table({"term": pa.array([], pa.string()),
-                             "n": pa.array([], pa.int64())})
+        terms = pl.from_arrow(batch["term"])
+        if not len(terms):
+            return batch
         est = np.min(np.stack([
-            cms[i, _cell_hashes(terms, i)]
+            cms[i, _hh_cell_hashes(terms, i, cms_width)]
             for i in range(HH_CMS_DEPTH)]), axis=0)
-        keep = est >= threshold        # over-estimate only → exact recall
-        out = cnt.filter(pl.Series(keep))
-        return out.to_arrow().cast(pa.schema([
-            ("term", pa.string()), ("n", pa.int64())]))
+        # over-estimate only → exact recall
+        return batch.filter(pa.array(est >= threshold))
 
-    agg = (ds.map_batches(functools.partial(candidates, ref=cms_ref),
-                          batch_format="pyarrow", zero_copy_batch=True)
-           .groupby("term").aggregate(Sum("n", alias_name="cf")))
+    agg = (partials.map_batches(
+        functools.partial(candidates, ref=cms_ref),
+        batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("term").aggregate(Sum("n", alias_name="cf")))
 
     def finish(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -881,7 +894,7 @@ def token_bigram_merges(ds, num_buckets: int = 0,
     both engines.
     """
     import polars as pl
-    from dataquality_ray.spec import TOKEN_PATTERN, token_hash_u64
+    from dataquality_ray.spec import TOKEN_PATTERN
 
     nb = num_buckets or cluster_buckets()
 
@@ -895,11 +908,11 @@ def token_bigram_merges(ds, num_buckets: int = 0,
         g = (e.group_by(["toks", "b"])
              .agg(pl.len().cast(pl.Int64).alias("cf"))
              .rename({"toks": "a"}))
-        part = np.fromiter(
-            (token_hash_u64(f"{x}\x1f{y}") % nb
-             for x, y in zip(g["a"].to_list(), g["b"].to_list())),
-            dtype=np.int64, count=g.height).astype(np.int32)
-        return g.with_columns(part=pl.Series(part)).to_arrow().cast(
+        # routing-only hash (every pair still lands in exactly one
+        # bucket) — vectorized xxhash, not the frozen md5 contract
+        part = ((pl.col("a") + "\x1f" + pl.col("b")).hash(seed=0)
+                % nb).cast(pl.Int32)
+        return g.with_columns(part=part).to_arrow().cast(
             pa.schema([("a", pa.string()), ("b", pa.string()),
                        ("cf", pa.int64()), ("part", pa.int32())]))
 

@@ -168,25 +168,22 @@ class TestHeavyHitters:
         from dataquality_ray.pipelines.conversations import (
             HH_CMS_DEPTH,
             HH_CMS_WIDTH,
+            _hh_cell_hashes,
         )
-        from dataquality_ray.spec import TOKEN_PATTERN, token_hash_u64
+        from dataquality_ray.spec import TOKEN_PATTERN
         toks = (pl.from_arrow(small_transcripts["text"])
                 .str.to_lowercase().str.extract_all(TOKEN_PATTERN))
         cf = (pl.DataFrame({"term": toks}).explode("term").drop_nulls()
               .group_by("term")
               .agg(pl.len().cast(pl.Int64).alias("cf")))
         table = np.zeros((HH_CMS_DEPTH, HH_CMS_WIDTH), np.int64)
-        terms = cf["term"].to_list()
+        terms = cf["term"]
         n = cf["cf"].to_numpy()
         for i in range(HH_CMS_DEPTH):
-            h = np.fromiter(
-                (token_hash_u64(f"hh{i}:{t}") % HH_CMS_WIDTH
-                 for t in terms), dtype=np.int64, count=len(terms))
-            np.add.at(table[i], h, n)
+            np.add.at(table[i],
+                      _hh_cell_hashes(terms, i, HH_CMS_WIDTH), n)
         est = np.min(np.stack([
-            table[i, np.fromiter(
-                (token_hash_u64(f"hh{i}:{t}") % HH_CMS_WIDTH
-                 for t in terms), dtype=np.int64, count=len(terms))]
+            table[i, _hh_cell_hashes(terms, i, HH_CMS_WIDTH)]
             for i in range(HH_CMS_DEPTH)]), axis=0)
         thr = max(1, small_transcripts.num_rows // 20)
         n_candidates = int((est >= thr).sum())
