@@ -274,6 +274,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_documents": D.weighted_sample_documents,
         "event_outliers": M.event_outliers,
         "approx_event_percentiles": M.approx_event_percentiles,
+        # two-sample KS drift (first vs second half of the timeline)
+        # in exact integer milli — SQL-checked
+        "event_value_drift": M.event_value_drift,
         # --- transcripts: entity extraction + per-turn heuristics
         #     (SQL-checked via a direct read_parquet of the fixture) ---
         "transcript_entities": transcript_entities,
@@ -892,6 +895,11 @@ def _oracle_sql_impl() -> dict[str, str]:
         DIFF_ADDED_OFFSET,
         DIFF_CHANGED_MOD,
         DIFF_REMOVED_MOD,
+    )
+    from dataquality_ray.pipelines.metrics import (
+        _DAY_US as _DRIFT_DAY_US,
+        DRIFT_BIN_SCALE,
+        DRIFT_BINS,
     )
     from dataquality_ray.pipelines.documents import (
         ANN_K,
@@ -1766,6 +1774,41 @@ SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
        WHEN v1.text = v2.text THEN 'unchanged'
        ELSE 'changed' END AS status
 FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+""",
+        # two-sample KS drift: integer-milli CDF gap between the two
+        # timeline halves, evaluated on the union of observed bins
+        # (the sup of a step-CDF difference is attained at a jump)
+        "event_value_drift": f"""
+WITH b AS (
+  SELECT (MIN(epoch_us(ts) // {_DRIFT_DAY_US})
+        + MAX(epoch_us(ts) // {_DRIFT_DAY_US}) + 1) // 2 AS split
+  FROM events),
+e AS (
+  SELECT event_type,
+    CASE WHEN epoch_us(ts) // {_DRIFT_DAY_US} < b.split
+         THEN 0 ELSE 1 END AS side,
+    LEAST(GREATEST(CAST(floor(value * {DRIFT_BIN_SCALE}) AS BIGINT),
+                   0), {DRIFT_BINS - 1}) AS bin
+  FROM events, b),
+g AS (
+  SELECT event_type, bin,
+    SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS ca,
+    SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS cb
+  FROM e GROUP BY 1, 2),
+w AS (
+  SELECT event_type,
+    SUM(ca) OVER (PARTITION BY event_type ORDER BY bin) AS cuma,
+    SUM(cb) OVER (PARTITION BY event_type ORDER BY bin) AS cumb,
+    SUM(ca) OVER (PARTITION BY event_type) AS ta,
+    SUM(cb) OVER (PARTITION BY event_type) AS tb
+  FROM g)
+SELECT event_type,
+  CAST(MAX(ta) AS BIGINT) AS n_first,
+  CAST(MAX(tb) AS BIGINT) AS n_second,
+  CAST(CASE WHEN MAX(ta) = 0 OR MAX(tb) = 0 THEN 1000
+       ELSE MAX(ABS(cuma * 1000 // ta - cumb * 1000 // tb))
+       END AS BIGINT) AS d_milli
+FROM w GROUP BY 1
 """,
         # LAG window function: per-turn inter-arrival gap within the
         # conversation (first turn -> -1)

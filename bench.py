@@ -103,7 +103,8 @@ def _query_benches(sf_dir: str) -> dict:
              "user_retention_cohorts", "debounced_events",
              "shipping_priority_revenue", "transcript_column_profile",
              "transcript_constraint_checks", "transcript_heavy_hitters",
-             "token_bigram_merges", "corpus_snapshot_diff"]
+             "token_bigram_merges", "corpus_snapshot_diff",
+             "event_value_drift"]
     out = {}
     for name in names:
         t0 = time.time()

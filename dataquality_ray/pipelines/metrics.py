@@ -1607,3 +1607,92 @@ def debounced_events(sf_dir: str, num_buckets: int = 0):
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("bucket")
             .map_groups(scan, batch_format="pandas"))
+
+
+# --- distribution drift --------------------------------------------------
+
+DRIFT_BINS = 8192       # value histogram resolution (floor(value*10))
+DRIFT_BIN_SCALE = 10
+_DAY_US = 86_400_000_000
+
+
+def event_value_drift(sf_dir: str):
+    """(event_type, n_first, n_second, d_milli): two-sample
+    Kolmogorov–Smirnov drift statistic per event type — the value
+    distribution of the FIRST half of the event timeline (by epoch
+    day, split at the midpoint) vs the SECOND half, as the max
+    CDF gap in exact integer milli (``cum*1000 // total``). The
+    monitoring primitive for "did this feed's distribution move?".
+
+    Exactness: the KS sup over step CDFs is attained at an observed
+    bin, so evaluating |F_a − F_b| on the union of observed bins is
+    the exact statistic at the chosen bin resolution; all arithmetic
+    is integer, so the DuckDB twin matches bit-for-bit.
+
+    Scale shape: a tiny min/max-day pre-pass (O(#blocks) driver rows),
+    then ONE scan producing per-batch (type, side, bin) histogram
+    partials — bounded by types × 2 × DRIFT_BINS per batch regardless
+    of corpus size — and a per-type local CDF fold (output groups =
+    #types)."""
+    import polars as pl
+    import pyarrow.compute as pc
+
+    span = _events(sf_dir, columns=["ts"])
+
+    def day_bounds(batch: pa.Table) -> pa.Table:
+        d = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // _DAY_US
+        return pa.table({"mn": pa.array([int(d.min())], pa.int64()),
+                         "mx": pa.array([int(d.max())], pa.int64())})
+
+    rows = span.map_batches(day_bounds, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    mn = min(r["mn"] for r in rows)
+    mx = max(r["mx"] for r in rows)
+    split = (mn + mx + 1) // 2
+
+    ds = _events(sf_dir, columns=["ts", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        day = pc.cast(batch["ts"], pa.int64()).to_numpy(
+            zero_copy_only=False) // _DAY_US
+        v = np.floor(batch["value"].to_numpy(zero_copy_only=False)
+                     * DRIFT_BIN_SCALE).astype(np.int64)
+        df = pl.DataFrame({
+            "event_type": pl.from_arrow(batch["event_type"]),
+            "side": (day >= split).astype(np.int64),
+            "bin": np.clip(v, 0, DRIFT_BINS - 1),
+        })
+        g = (df.group_by(["event_type", "bin"])
+             .agg(ca=(pl.col("side") == 0).sum().cast(pl.Int64),
+                  cb=(pl.col("side") == 1).sum().cast(pl.Int64)))
+        return g.to_arrow().cast(pa.schema([
+            ("event_type", pa.string()), ("bin", pa.int64()),
+            ("ca", pa.int64()), ("cb", pa.int64())]))
+
+    def ks(t: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(t.select(["event_type", "bin", "ca", "cb"]))
+              .group_by("bin")
+              .agg(pl.col("ca").sum(), pl.col("cb").sum())
+              .sort("bin"))
+        ta = int(df["ca"].sum())
+        tb = int(df["cb"].sum())
+        if ta == 0 or tb == 0:
+            d = 1000
+        else:
+            cuma = df["ca"].cum_sum().cast(pl.Int64)
+            cumb = df["cb"].cum_sum().cast(pl.Int64)
+            d = int((cuma * 1000 // ta - cumb * 1000 // tb)
+                    .abs().max())
+        et = t["event_type"][0].as_py()
+        return pa.table({
+            "event_type": pa.array([et], pa.string()),
+            "n_first": pa.array([ta], pa.int64()),
+            "n_second": pa.array([tb], pa.int64()),
+            "d_milli": pa.array([d], pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("event_type")
+            .map_groups(ks, batch_format="pyarrow"))

@@ -160,3 +160,56 @@ def test_corpus_snapshot_diff_statuses():
     key = ["doc_id", "status"]
     assert got.sort_values(key).reset_index(drop=True).equals(
         again.sort_values(key).reset_index(drop=True))
+
+
+def test_event_value_drift_detects_injected_shift(tmp_path):
+    """Synthetic events where the second half's values are shifted by
+    +50: KS must be near-maximal there, and ~0 for an unshifted type.
+    Cross-checked against scipy-free brute force (numpy step CDFs)."""
+    import pyarrow.parquet as pq
+    from dataquality_ray.pipelines.metrics import event_value_drift
+
+    n = 4000
+    rng_vals = (np.arange(n) * 37 % 100).astype(np.float64) / 2.0
+    day_us = 86_400_000_000
+    ts = (20_000 * day_us + (np.arange(n) % 20) * day_us
+          + np.arange(n))            # 20 days, split at day 10
+    second = (ts // day_us - 20_000) >= 10
+    shifted = rng_vals + np.where(second, 50.0, 0.0)
+    t = pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("us")),
+        "user_id": pa.array(np.arange(n) % 7, pa.int64()),
+        "event_type": pa.array(
+            np.where(np.arange(n) % 2 == 0, "drifty", "stable")),
+        "value": pa.array(
+            np.where(np.frombuffer(
+                np.array(np.arange(n) % 2 == 0).tobytes(),
+                dtype=np.bool_), shifted, rng_vals), pa.float64()),
+        "props": pa.array(["{}"] * n, pa.string()),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(t, str(d / "events.parquet"))
+    got = event_value_drift(str(d)).to_pandas() \
+        .set_index("event_type")
+    # the shifted type is near-maximal, the unshifted one far below it
+    # (not zero: the value pattern's period overlaps the day period)
+    assert int(got.loc["drifty", "d_milli"]) >= 900
+    assert int(got.loc["stable", "d_milli"]) <= 300
+
+    vals_all = np.where(np.arange(n) % 2 == 0, shifted, rng_vals)
+
+    def brute(mask):
+        vals = np.floor(vals_all[mask] * 10).clip(0, 8191) \
+            .astype(np.int64)
+        sec = second[mask]
+        a, b = np.sort(vals[~sec]), np.sort(vals[sec])
+        bins = np.unique(vals)
+        ca = np.searchsorted(a, bins, side="right") * 1000 // len(a)
+        cb = np.searchsorted(b, bins, side="right") * 1000 // len(b)
+        return int(np.abs(ca - cb).max())
+
+    even = np.arange(n) % 2 == 0
+    assert int(got.loc["drifty", "d_milli"]) == brute(even)
+    assert int(got.loc["stable", "d_milli"]) == brute(~even)
