@@ -105,7 +105,10 @@ def run_partitioned(input_path: str, out_dir: str, partitions: int = 16,
     # pipelines/quality.py). Full rows move exactly once: in the sort.
     import functools
 
-    from dataquality_ray.pipelines.quality import bucketed_sort
+    from dataquality_ray.pipelines.quality import (
+        _sort_partitions,
+        bucketed_sort,
+    )
     from dataquality_ray.stages.dedup import (
         assign_dup_from_map,
         compute_dup_map_from_hashed,
@@ -123,8 +126,11 @@ def run_partitioned(input_path: str, out_dir: str, partitions: int = 16,
         functools.partial(assign_dup_from_map, map_ref=map_ref),
         batch_format="pyarrow", zero_copy_batch=True)
     # deterministic bucketed ordered exchange (no sampling pass; output
-    # partition i = conv bucket i, (conv_id, turn_idx)-sorted within)
-    final = bucketed_sort(final)
+    # partition i = conv bucket i, (conv_id, turn_idx)-sorted within).
+    # K is recorded in the run manifest: incremental patches must hash
+    # conversations into the SAME bucket space on any later cluster.
+    sort_buckets = _sort_partitions()
+    final = bucketed_sort(final, num_buckets=sort_buckets)
     final_dir = os.path.join(out_dir, "final")
     tmp_final = final_dir + ".tmp"
     if os.path.isdir(tmp_final):
@@ -168,6 +174,7 @@ def run_partitioned(input_path: str, out_dir: str, partitions: int = 16,
     payload = {
         "input": input_path,
         "partitions": len(plan),
+        "sort_buckets": sort_buckets,
         "total_rows": total_rows,
         "kept": kept,
         "duplicates": dups,
@@ -181,12 +188,17 @@ def run_partitioned(input_path: str, out_dir: str, partitions: int = 16,
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True)
+    ap.add_argument("--input", required=False)
     ap.add_argument("--output", required=True)
     ap.add_argument("--partitions", type=int, default=16)
     ap.add_argument("--num-cpus", type=int,
                     default=int(os.environ.get("RAY_GRAFT_CPUS", "32")))
     ap.add_argument("--fail-after", type=int, default=None)
+    ap.add_argument("--patch-edits", default=None,
+                    help="parquet of edited conversations: re-score "
+                         "only those, patch only the affected conv "
+                         "buckets of an existing --output run "
+                         "(pipelines/incremental.py)")
     args = ap.parse_args()
 
     if not ray.is_initialized():
@@ -194,9 +206,16 @@ def main() -> None:
                  include_dashboard=False, logging_level="ERROR")
     ray.data.DataContext.get_current().enable_progress_bars = False
     try:
-        payload = run_partitioned(args.input, args.output,
-                                  partitions=args.partitions,
-                                  fail_after=args.fail_after)
+        if args.patch_edits:
+            from dataquality_ray.pipelines.incremental import \
+                incremental_update
+            payload = incremental_update(args.output, args.patch_edits)
+        else:
+            if not args.input:
+                ap.error("--input is required unless --patch-edits")
+            payload = run_partitioned(args.input, args.output,
+                                      partitions=args.partitions,
+                                      fail_after=args.fail_after)
         print(payload)
     finally:
         ray.shutdown()
