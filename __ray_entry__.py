@@ -224,6 +224,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_dedup_documents": D.union_dedup_documents,
         "langid_documents": D.langid_documents,
         "quality_by_source": D.quality_by_source,
+        # temperature-0.5 data-mixing weights (exact integer ppm) and
+        # the filter-threshold survival curve — both SQL-checked
+        "source_mixture_weights": D.source_mixture_weights,
+        "quality_threshold_curve": D.quality_threshold_curve,
         # partitioned PERCENT_RANK window via broadcast histogram
         # (integer scores collapse the window to a lookup)
         "quality_percentile_by_source": D.quality_percentile_by_source,
@@ -1775,6 +1779,21 @@ SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
        ELSE 'changed' END AS status
 FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
 """,
+        # temperature-0.5 mixing weights: IEEE sqrt is correctly
+        # rounded, so floor(sqrt(int)) is engine-exact; ppm division
+        # is integer
+        "source_mixture_weights": """
+WITH a AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+  FROM documents GROUP BY 1),
+s AS (SELECT *, CAST(floor(sqrt(sum_chars * 1000000.0)) AS BIGINT)
+        AS sq FROM a)
+SELECT source, n_docs, sum_chars,
+  CAST(sq * 1000000 // GREATEST((SELECT SUM(sq) FROM s), 1)
+       AS BIGINT) AS weight_ppm
+FROM s ORDER BY source
+""",
         # two-sample KS drift: integer-milli CDF gap between the two
         # timeline halves, evaluated on the union of observed bins
         # (the sup of a step-CDF difference is attained at a jump)
@@ -3042,4 +3061,19 @@ FROM r2 WHERE rank <= 5
     # quantiles (different distributed shape, same contract)
     sql["event_value_percentiles_refine"] = \
         sql["event_value_percentiles"]
+    # filter-threshold survival curve over the SAME hash-checked
+    # quality_documents scores (composition keeps the two in lockstep)
+    sql["quality_threshold_curve"] = f"""
+WITH q AS ({sql['quality_documents']}),
+t AS (SELECT unnest(generate_series(0, 100)) AS threshold),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM q)
+SELECT CAST(t.threshold AS BIGINT) AS threshold,
+  CAST((SELECT COUNT(*) FROM q
+        WHERE overall_quality_score >= t.threshold) AS BIGINT)
+    AS n_kept,
+  CAST((SELECT COUNT(*) FROM q
+        WHERE overall_quality_score >= t.threshold) * 1000000
+       // GREATEST(n.total, 1) AS BIGINT) AS kept_ppm
+FROM t, n
+"""
     return sql

@@ -104,7 +104,8 @@ def _query_benches(sf_dir: str) -> dict:
              "shipping_priority_revenue", "transcript_column_profile",
              "transcript_constraint_checks", "transcript_heavy_hitters",
              "token_bigram_merges", "corpus_snapshot_diff",
-             "event_value_drift"]
+             "event_value_drift", "source_mixture_weights",
+             "quality_threshold_curve"]
     out = {}
     for name in names:
         t0 = time.time()

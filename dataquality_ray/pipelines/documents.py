@@ -2568,3 +2568,87 @@ def corpus_snapshot_diff(sf_dir: str, num_buckets: int = 0):
                            zero_copy_batch=True)
             .groupby("bucket")
             .map_groups(diff, batch_format="pyarrow"))
+
+
+# --- training-mixture utilities -----------------------------------------
+
+MIXTURE_SQRT_SCALE = 1_000_000   # s = floor(sqrt(chars * SCALE))
+MIXTURE_PPM = 1_000_000
+
+
+def source_mixture_weights(sf_dir: str):
+    """(source, n_docs, sum_chars, weight_ppm): temperature-0.5 data
+    mixing weights per source — w_s ∝ sqrt(size_s), the standard
+    corpus-mixing rule that upweights small domains (used for
+    multilingual / multi-domain training mixtures). All math is exact:
+    IEEE sqrt is correctly rounded, so floor(sqrt(int)) matches DuckDB
+    bit-for-bit, and the normalization is integer ppm (``s * 1e6 //
+    Σs``). One constant-size groupby over per-batch partials."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, columns=["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (pl.DataFrame({
+            "source": pl.from_arrow(batch["source"]),
+            "c": pl.from_arrow(batch["n_chars"]),
+        }).group_by("source")
+            .agg(n=pl.len().cast(pl.Int64),
+                 c=pl.col("c").sum().cast(pl.Int64)))
+        return g.to_arrow().cast(pa.schema([
+            ("source", pa.string()), ("n", pa.int64()),
+            ("c", pa.int64())]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("source")
+           .aggregate(Sum("n", alias_name="n_docs"),
+                      Sum("c", alias_name="sum_chars"))
+           .to_pandas())       # #sources rows — constant-size result
+
+    s = np.floor(np.sqrt(agg["sum_chars"].to_numpy().astype(np.float64)
+                         * MIXTURE_SQRT_SCALE)).astype(np.int64)
+    tot = int(s.sum())
+    w = (s * MIXTURE_PPM) // max(tot, 1)
+    out = pa.table({
+        "source": pa.array(agg["source"].tolist(), pa.string()),
+        "n_docs": pa.array(agg["n_docs"].to_numpy().astype(np.int64)),
+        "sum_chars": pa.array(
+            agg["sum_chars"].to_numpy().astype(np.int64)),
+        "weight_ppm": pa.array(w),
+    })
+    return out.sort_by("source")
+
+
+def quality_threshold_curve(sf_dir: str,
+                            cfg: PipelineConfig = DEFAULT_CONFIG):
+    """(threshold, n_kept, kept_ppm): how many documents survive a
+    quality filter at every integer cutoff 0..100 — the curve you read
+    before choosing a corpus filter threshold. Scores are the
+    hash-checked quality_documents overall (integer 0..100), so the
+    whole curve folds up from a 101-cell histogram: per-batch bincount
+    partials, O(#blocks × 101) driver reduce, reverse cumulative sum.
+    No shuffle at all."""
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+    ds = ds.map_batches(functools.partial(heuristics_batch, cfg=cfg),
+                        batch_format="pyarrow", zero_copy_batch=True)
+
+    def hist(batch: pa.Table) -> pa.Table:
+        from dataquality_ray.stages.heuristics import heuristic_overall4
+        h = np.bincount(np.clip(heuristic_overall4(batch), 0, 100),
+                        minlength=101)
+        return pa.table({"hist": pa.array([h.tobytes()], pa.binary())})
+
+    rows = ds.map_batches(hist, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    total = np.zeros(101, dtype=np.int64)
+    for r in rows:
+        total += np.frombuffer(r["hist"], dtype=np.int64)
+    n = int(total.sum())
+    kept = np.cumsum(total[::-1])[::-1]      # n_kept at threshold t
+    return pa.table({
+        "threshold": pa.array(np.arange(101, dtype=np.int64)),
+        "n_kept": pa.array(kept.astype(np.int64)),
+        "kept_ppm": pa.array(kept.astype(np.int64) * 1_000_000
+                             // max(n, 1)),
+    })
