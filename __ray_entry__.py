@@ -423,6 +423,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # enforces determinism + single-process-reference equality)
         "kmeans_assign_embeddings": D.kmeans_assign_embeddings,
         "kmeans_embeddings": D.kmeans_embeddings,
+        # SemDeDup (Abbas et al. 2023): cluster-local cosine dedup —
+        # SQL-checked end to end (assignment + drop decisions)
+        "semantic_dedup_embeddings": D.semantic_dedup_embeddings,
         # --- transcripts: flagship pipeline (rows-only; pytest-verified
         #     against the single-process oracle labeler) ---
         "transcript_pipeline": transcript_pipeline,
@@ -976,7 +979,7 @@ def _oracle_sql_impl() -> dict[str, str]:
         HASH_BUCKETS as EMB_HASH_BUCKETS,
         PROJ_Q as EMB_PROJ_Q,
     )
-    from dataquality_ray.stages.clustering import KMEANS_K
+    from dataquality_ray.stages.clustering import KMEANS_K, SEMDEDUP_TAU
     lid_counts, lid_case = _langid_parts()
     contam_shingle = " || ' ' || ".join(
         f"ts[i+{k}]" if k else "ts[i]" for k in range(CONTAM_NGRAM))
@@ -2935,6 +2938,36 @@ s AS (
   FROM e, c)
 SELECT vec_id, cid AS centroid_id, sim AS cosine_sim
 FROM s WHERE rn = 1
+""",
+        # SemDeDup: the kmeans_assign oracle composed with a
+        # within-cluster EXISTS self-join — a vector is dropped iff a
+        # LOWER-id member of its own cluster has round-6 cosine >= tau
+        # (identical rounded compare on the Ray side)
+        "semantic_dedup_embeddings": f"""
+WITH c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+  FROM embeddings WHERE vec_id < {KMEANS_K}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings),
+s AS (
+  SELECT e.vec_id, c.cid,
+    row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY round(list_cosine_similarity(e.emb, c.ce), 6) DESC,
+               c.cid) AS rn
+  FROM e, c),
+asn AS (SELECT vec_id, cid AS centroid_id FROM s WHERE rn = 1),
+hits AS (
+  SELECT DISTINCT a.vec_id
+  FROM asn a
+  JOIN asn b ON a.centroid_id = b.centroid_id AND b.vec_id < a.vec_id
+  JOIN e ea ON ea.vec_id = a.vec_id
+  JOIN e eb ON eb.vec_id = b.vec_id
+  WHERE round(list_cosine_similarity(ea.emb, eb.emb), 6)
+        >= {SEMDEDUP_TAU})
+SELECT asn.vec_id, asn.centroid_id,
+       (hits.vec_id IS NULL) AS kept
+FROM asn LEFT JOIN hits ON asn.vec_id = hits.vec_id
 """,
         # rolling fingerprint: same fold as spec.rolling_fingerprint —
         # HUGEINT accumulator keeps h*FP_MULT (< 2^84) exact; % 2^64 each

@@ -1386,6 +1386,18 @@ def kmeans_embeddings(sf_dir: str):
     return labels
 
 
+def semantic_dedup_embeddings(sf_dir: str):
+    """(vec_id, centroid_id, kept): SemDeDup over the embeddings table —
+    assign every vector to its nearest deterministic seed centroid
+    (the kmeans_assign kernel), then within each cluster drop vectors
+    with cosine >= SEMDEDUP_TAU to any lower-id cluster member. One
+    centroid_id shuffle + local tiled matmuls; SQL-checked (assignment
+    oracle composed with a within-cluster EXISTS self-join)."""
+    from dataquality_ray.stages.clustering import semantic_dedup
+
+    return semantic_dedup(_emb(sf_dir))
+
+
 SEARCH_TERMS = ("data", "join", "stream")
 
 

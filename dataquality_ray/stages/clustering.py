@@ -601,3 +601,87 @@ def ivf_exact_topk(ds, query_ids: List[int], k: int = 10,
 
     return reduce_topk(
         ds.map_batches(partial_topk, batch_format="pyarrow"), k)
+
+
+SEMDEDUP_TAU = 0.4
+
+
+def semantic_dedup(ds, tau: float = SEMDEDUP_TAU, k: int = KMEANS_K,
+                   id_col: str = "vec_id", emb_col: str = "embedding",
+                   tile: int = 4096):
+    """(id, centroid_id, kept): SemDeDup-style semantic deduplication
+    (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
+    through semantic deduplication"): cluster the embedding space, then
+    within each cluster drop every vector that has cosine similarity
+    >= tau (round-6, the ann_topk float convention) to ANY lower-id
+    member of the same cluster — the deterministic "keep first by id"
+    variant of the paper's within-cluster epsilon-ball rule.
+
+    Shape: nearest-seed-centroid assignment is a stateless broadcast
+    map (identical round-6/tie arithmetic to ``kmeans_assign``); the
+    pairwise check then happens INSIDE each cluster only — one shuffle
+    on ``centroid_id``, a local tiled matmul per cluster, never a
+    corpus-wide O(n^2) scan. At 100 TB k scales with the corpus
+    (SemDeDup uses ~#docs/1000 clusters) so per-cluster pair work stays
+    bounded; here k is the deterministic seed-centroid count
+    (vectors with id < k) so the WHOLE surface — assignment and drop
+    decisions — is SQL-checkable. Reference analog: the gated
+    cosine>=0.95 duplicate rule
+    (/root/reference/backend/app/services/metadata.py:599), recast from
+    a corpus-wide O(n^2) loop to cluster-local comparisons.
+    """
+    import ray as _ray
+
+    def grab_cents(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return batch.filter(pc.less(batch[id_col], k))
+
+    side = ds.map_batches(grab_cents, batch_format="pyarrow",
+                          zero_copy_batch=True).to_pandas() \
+        .sort_values(id_col)
+    cents = np.stack([np.asarray(v, np.float64) for v in side[emb_col]])
+    cents_ref = _ray.put(cents)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = _ray.get(cents_ref)
+        cid, _ = _assign_batch(_emb_matrix(batch, emb_col), c)
+        return pa.table({
+            id_col: batch[id_col],
+            "centroid_id": pa.array(cid),
+            emb_col: batch[emb_col],
+        })
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def dedup_cluster(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[id_col].to_pylist(), dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        m = _emb_matrix(group, emb_col)[order]
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            mn = np.where(norms > 0, m / norms, 0.0)
+        n = len(ids)
+        hit = np.zeros(n, dtype=bool)
+        # tile over the row blocks: block rows vs ALL strictly-lower-id
+        # rows (ids are sorted, so "lower id" == "lower index")
+        for lo in range(1, n, tile):
+            hi = min(lo + tile, n)
+            sims = np.round(mn[lo:hi] @ mn[:hi].T, 6)
+            # mask j >= i inside the block's own columns
+            col_idx = np.arange(hi)
+            row_idx = np.arange(lo, hi)[:, None]
+            sims[col_idx[None, :] >= row_idx] = -2.0
+            hit[lo:hi] = (sims >= tau).any(axis=1)
+        cid = group["centroid_id"].to_pylist()
+        cid0 = int(cid[0]) if cid else 0
+        return pa.table({
+            id_col: pa.array(ids),
+            "centroid_id": pa.array(
+                np.full(n, cid0, dtype=np.int64)),
+            "kept": pa.array(~hit),
+        })
+
+    return assigned.groupby("centroid_id").map_groups(
+        dedup_cluster, batch_format="pyarrow")
