@@ -247,6 +247,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # components, non-canonical members -> cluster min
         "conv_dup_drops": _conv_dup_drops_q,
         "corpus_vocab_stats": D.corpus_vocab_stats,
+        # tokenizer-coverage signal: per-doc OOV rate vs the broadcast
+        # top-K corpus vocabulary (integer milli rate)
+        "doc_oov_rate": D.doc_oov_rate,
         "token_count_documents": D.token_count_documents,
         # training-data prep: context-window chunking (flat-map
         # explode), greedy sequence packing (bucketed prefix scan),
@@ -932,6 +935,7 @@ def _oracle_sql_impl() -> dict[str, str]:
         TFIDF_TOP_K,
         TOP_SOURCES_K as D_TOP_SOURCES_K,
         VOCAB_TOP_K,
+        OOV_VOCAB_K,
     )
     shingle_expr = " || ' ' || ".join(
         f"ts[i+{k}]" if k else "ts[i]" for k in range(SHINGLE_NGRAM))
@@ -1098,6 +1102,32 @@ f AS (
   FROM t GROUP BY term)
 SELECT term, CAST(cf AS BIGINT) AS cf, CAST(df AS BIGINT) AS df
 FROM f ORDER BY cf DESC, term LIMIT {VOCAB_TOP_K}
+""",
+        # per-doc OOV rate vs the top-K vocab (cf desc, term asc —
+        # the same deterministic tie-break as the Ray top-k sort);
+        # token-less docs -> (0, 0, 0) via the doc-spine LEFT JOIN
+        "doc_oov_rate": f"""
+WITH t AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(lower(text), '{_TOK}')) AS term
+  FROM documents),
+v AS (
+  SELECT term FROM (
+    SELECT term, COUNT(*) AS cf FROM t GROUP BY term
+    ORDER BY cf DESC, term LIMIT {OOV_VOCAB_K})),
+per AS (
+  SELECT t.doc_id,
+    COUNT(*) AS n_tokens,
+    COUNT(CASE WHEN v.term IS NULL THEN 1 END) AS n_oov
+  FROM t LEFT JOIN v ON t.term = v.term
+  GROUP BY t.doc_id)
+SELECT d.doc_id,
+  CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+  CAST(COALESCE(per.n_oov, 0) AS BIGINT) AS n_oov,
+  CAST(CASE WHEN COALESCE(per.n_tokens, 0) = 0 THEN 0
+       ELSE per.n_oov * 1000 // per.n_tokens END AS BIGINT)
+    AS oov_milli
+FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
 """,
         # md5_number_upper(CAST(id AS VARCHAR)) == spec.token_hash_u64
         # of str(id) — the shared frozen hash, so both engines bucket

@@ -651,6 +651,64 @@ def corpus_vocab_stats(sf_dir: str):
     return top.map_batches(clean, batch_format="pyarrow")
 
 
+OOV_VOCAB_K = 20             # top-K corpus terms form the "tokenizer" vocab
+
+
+def doc_oov_rate(sf_dir: str):
+    """(doc_id, n_tokens, n_oov, oov_milli): per-document
+    out-of-vocabulary rate against the corpus's top-OOV_VOCAB_K terms
+    by collection frequency (ties → term asc) — the tokenizer-coverage
+    / vocab-pruning health signal a training pipeline runs before
+    committing to a vocabulary. Two stages: the tiny vocab is computed
+    with the corpus_vocab_stats two-phase aggregate and BROADCAST
+    (ray.put once); the per-doc pass is one vectorized polars
+    membership map — the corpus never shuffles. oov_milli =
+    n_oov*1000 // n_tokens (0 for token-less docs) keeps the rate
+    integer-exact for the value-hash gate."""
+    from ray.data.aggregate import Sum
+    from dataquality_ray.arrowutil import from_pandas_clean
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = (pl.from_arrow(batch["text"])
+                .str.to_lowercase().str.extract_all(TOKEN_PATTERN))
+        g = pl.DataFrame({"term": toks}).explode("term").drop_nulls() \
+            .group_by("term").agg(cf=pl.len()).to_pandas()
+        g["cf"] = g["cf"].astype("int64")
+        return from_pandas_clean(g)
+
+    vocab_tbl = (ds.map_batches(partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+                 .groupby("term").aggregate(Sum("cf", alias_name="cf"))
+                 .sort(["cf", "term"], descending=[True, False])
+                 .limit(OOV_VOCAB_K).to_pandas())
+    vocab_ref = ray.put(frozenset(vocab_tbl["term"].tolist()))
+
+    def per_doc(batch: pa.Table) -> pa.Table:
+        vocab = ray.get(vocab_ref)
+        df = pl.DataFrame({
+            "doc_id": pl.Series(batch["doc_id"].to_pandas()),
+            "toks": (pl.from_arrow(batch["text"])
+                     .str.to_lowercase()
+                     .str.extract_all(TOKEN_PATTERN)),
+        })
+        out = df.with_columns(
+            n_tokens=pl.col("toks").list.len().cast(pl.Int64),
+            n_oov=pl.col("toks").list.eval(
+                (~pl.element().is_in(sorted(vocab))).cast(pl.Int64)
+            ).list.sum().fill_null(0).cast(pl.Int64),
+        ).with_columns(
+            oov_milli=pl.when(pl.col("n_tokens") > 0)
+            .then(pl.col("n_oov") * 1000 // pl.col("n_tokens"))
+            .otherwise(0).cast(pl.Int64),
+        ).drop("toks")
+        return out.to_arrow()
+
+    return ds.map_batches(per_doc, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 SPLIT_BUCKETS = 100          # md5(doc_id) % 100 → deterministic split
 SPLIT_TRAIN_LT = 80          # [0, 80) train
 SPLIT_VAL_LT = 90            # [80, 90) val; [90, 100) test
