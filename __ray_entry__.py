@@ -293,6 +293,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_length_histogram": conv_length_histogram,
         "conv_turn_gaps": _conv_turn_gaps_q,
         "role_tool_stats": _role_tool_stats_q,
+        # per-conversation majority language (multilingual routing
+        # gate) — bucketed majority vote, SQL-checked
+        "conv_lang_majority": _conv_lang_majority_q,
         # Deequ-style table analyzers: per-column profile (exact
         # distinct via value-hash-bucketed local dedup) and a
         # declarative constraint suite — both SQL-checked
@@ -602,6 +605,12 @@ def _role_tool_stats_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import role_tool_stats
     return role_tool_stats(_transcript_ds(
         sf_dir, columns=["conv_id", "role", "tool", "text"]))
+
+
+def _conv_lang_majority_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import conv_lang_majority
+    return conv_lang_majority(_transcript_ds(
+        sf_dir, columns=["conv_id", "text"]))
 
 
 def _conv_training_docs_q(sf_dir: str):
@@ -1761,6 +1770,29 @@ SELECT role, tool,
   CAST(SUM(length(text)) AS BIGINT) AS sum_chars
 FROM read_parquet('{tr_glob}')
 GROUP BY 1, 2
+""",
+        # per-conversation majority language: the per-turn langid
+        # fragment (shared _langid_parts) + a windowed majority vote
+        # with the Ray side's exact tie-break (n DESC, lang asc)
+        "conv_lang_majority": f"""
+WITH t AS (
+  SELECT conv_id,
+    regexp_extract_all(lower(text), '{_TOK}') AS toks
+  FROM read_parquet('{tr_glob}')),
+c AS (SELECT conv_id, {lid_counts} FROM t),
+per AS (SELECT conv_id, {lid_case} AS pred_lang FROM c),
+cnt AS (
+  SELECT conv_id, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+  FROM per GROUP BY 1, 2),
+win AS (
+  SELECT conv_id, pred_lang, n,
+    SUM(n) OVER (PARTITION BY conv_id) AS n_turns,
+    row_number() OVER (
+      PARTITION BY conv_id ORDER BY n DESC, pred_lang) AS rn
+  FROM cnt)
+SELECT conv_id, pred_lang AS majority_lang,
+  n AS n_majority, CAST(n_turns AS BIGINT) AS n_turns
+FROM win WHERE rn = 1
 """,
         # Deequ-style analyzers over the transcript table, generated
         # from the pipelines.profiling registries/constants

@@ -203,6 +203,59 @@ def role_tool_stats(ds, num_buckets: int = 64):
     return agg.map_batches(clean, batch_format="pyarrow")
 
 
+def conv_lang_majority(ds, num_buckets: int = 0):
+    """(conv_id, majority_lang, n_majority, n_turns): each
+    conversation's majority per-turn language under the pinned
+    spec.STOPWORD_MARKERS rule (ties → lang asc) — the
+    "which language is this dialog in" gate a multilingual training
+    pipeline applies before routing to per-language filters.
+
+    Shape: language prediction is the vectorized stateless map
+    (documents._pred_lang_of); per-batch polars partials shrink the
+    exchange to distinct (conv, lang) count pairs, then ONE
+    conv-bucket shuffle completes the majority vote locally per bucket
+    (the modal_event_type bucketed-argmax topology — never a
+    conv-proportional Ray aggregate)."""
+    import polars as _pl
+    from dataquality_ray.pipelines.quality import conv_bucket_of
+
+    num_buckets = num_buckets or cluster_buckets(minimum=16)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from dataquality_ray.pipelines.documents import _pred_lang_of
+        pred = _pred_lang_of(batch["text"])
+        g = (_pl.DataFrame({
+                "conv_id": _pl.from_arrow(batch["conv_id"]),
+                "pred_lang": _pl.Series(pred),
+             }).group_by(["conv_id", "pred_lang"])
+             .agg(n=_pl.len().cast(_pl.Int64)))
+        t = g.to_arrow()
+        return t.append_column(
+            "bucket", pa.array(conv_bucket_of(t["conv_id"],
+                                              num_buckets)))
+
+    def majority(t: pa.Table) -> pa.Table:
+        g = (_pl.from_arrow(t.select(["conv_id", "pred_lang", "n"]))
+             .group_by(["conv_id", "pred_lang"])
+             .agg(_pl.col("n").sum()))
+        g = g.with_columns(
+            n_turns=_pl.col("n").sum().over("conv_id"))
+        w = (g.sort(["conv_id", "n", "pred_lang"],
+                    descending=[False, True, False])
+             .unique(subset="conv_id", keep="first",
+                     maintain_order=True))
+        return w.select(
+            _pl.col("conv_id"),
+            _pl.col("pred_lang").alias("majority_lang"),
+            _pl.col("n").alias("n_majority"),
+            _pl.col("n_turns"),
+        ).to_arrow()
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("bucket").map_groups(majority, batch_format="pyarrow")
+
+
 def conv_training_docs(ds, num_buckets: int = 0):
     """(conv_id, n_turns, n_chars, doc_text): reassemble each
     conversation into ONE training document — 'role: text' lines joined
