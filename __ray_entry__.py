@@ -227,6 +227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # temperature-0.5 data-mixing weights (exact integer ppm) and
         # the filter-threshold survival curve — both SQL-checked
         "source_mixture_weights": D.source_mixture_weights,
+        # largest-remainder integer sampling plan over the sqrt weights
+        "mixture_allocation_plan": D.mixture_allocation_plan,
         "quality_threshold_curve": D.quality_threshold_curve,
         # partitioned PERCENT_RANK window via broadcast histogram
         # (integer scores collapse the window to a lookup)
@@ -945,6 +947,7 @@ def _oracle_sql_impl() -> dict[str, str]:
         TOP_SOURCES_K as D_TOP_SOURCES_K,
         VOCAB_TOP_K,
         OOV_VOCAB_K,
+        MIXTURE_BUDGET_DOCS,
     )
     shingle_expr = " || ' ' || ".join(
         f"ts[i+{k}]" if k else "ts[i]" for k in range(SHINGLE_NGRAM))
@@ -1858,6 +1861,32 @@ SELECT source, n_docs, sum_chars,
   CAST(sq * 1000000 // GREATEST((SELECT SUM(sq) FROM s), 1)
        AS BIGINT) AS weight_ppm
 FROM s ORDER BY source
+""",
+        # largest-remainder apportionment of the doc budget over the
+        # sqrt weights — rank remainders (DESC, source asc) in SQL,
+        # +1 for the first (B - Σbase) of them
+        "mixture_allocation_plan": f"""
+WITH a AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+  FROM documents GROUP BY 1),
+s AS (SELECT *, CAST(floor(sqrt(sum_chars * 1000000.0)) AS BIGINT)
+        AS sq FROM a),
+t AS (SELECT *, GREATEST((SELECT SUM(sq) FROM s), 1) AS tot FROM s),
+q AS (
+  SELECT source, n_docs,
+    ({MIXTURE_BUDGET_DOCS} * sq) // tot AS base,
+    ({MIXTURE_BUDGET_DOCS} * sq) % tot AS rem
+  FROM t),
+r AS (
+  SELECT *,
+    row_number() OVER (ORDER BY rem DESC, source) AS rk,
+    {MIXTURE_BUDGET_DOCS} - (SELECT SUM(base) FROM q) AS leftover
+  FROM q)
+SELECT source, n_docs,
+  CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+    AS alloc_docs
+FROM r
 """,
         # two-sample KS drift: integer-milli CDF gap between the two
         # timeline halves, evaluated on the union of observed bins

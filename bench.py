@@ -106,7 +106,8 @@ def _query_benches(sf_dir: str) -> dict:
              "token_bigram_merges", "corpus_snapshot_diff",
              "event_value_drift", "source_mixture_weights",
              "quality_threshold_curve", "semantic_dedup_embeddings",
-             "doc_oov_rate", "conv_lang_majority"]
+             "doc_oov_rate", "conv_lang_majority",
+             "mixture_allocation_plan"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -2690,6 +2690,62 @@ def source_mixture_weights(sf_dir: str):
     return out.sort_by("source")
 
 
+MIXTURE_BUDGET_DOCS = 1000   # total sampling budget the plan allocates
+
+
+def mixture_allocation_plan(sf_dir: str):
+    """(source, n_docs, alloc_docs): turn the sqrt mixing weights into
+    an INTEGER per-source sampling plan for a fixed document budget —
+    largest-remainder (Hamilton) apportionment, the step between
+    "weights" and "how many docs to actually draw per source".
+    base_s = B*sq_s // Σsq; the leftover B - Σbase goes to the largest
+    exact remainders ((B*sq_s) mod Σsq, ties → source asc). All integer
+    arithmetic on the constant-size per-source aggregate — same
+    distributed two-phase front half as source_mixture_weights; the
+    apportionment itself touches |sources| rows."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, columns=["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (pl.DataFrame({
+            "source": pl.from_arrow(batch["source"]),
+            "c": pl.from_arrow(batch["n_chars"]),
+        }).group_by("source")
+            .agg(n=pl.len().cast(pl.Int64),
+                 c=pl.col("c").sum().cast(pl.Int64)))
+        return g.to_arrow().cast(pa.schema([
+            ("source", pa.string()), ("n", pa.int64()),
+            ("c", pa.int64())]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("source")
+           .aggregate(Sum("n", alias_name="n_docs"),
+                      Sum("c", alias_name="sum_chars"))
+           .to_pandas())       # #sources rows — constant-size result
+    agg = agg.sort_values("source").reset_index(drop=True)
+
+    sq = np.floor(np.sqrt(agg["sum_chars"].to_numpy()
+                          .astype(np.float64)
+                          * MIXTURE_SQRT_SCALE)).astype(np.int64)
+    tot = max(int(sq.sum()), 1)
+    b = MIXTURE_BUDGET_DOCS
+    base = (b * sq) // tot
+    rem = (b * sq) % tot
+    leftover = b - int(base.sum())
+    # largest remainder, ties -> source asc (agg is source-sorted, and
+    # mergesort is stable, so equal remainders keep source order)
+    order = np.argsort(-rem, kind="mergesort")
+    extra = np.zeros(len(sq), dtype=np.int64)
+    extra[order[:leftover]] = 1
+    return pa.table({
+        "source": pa.array(agg["source"].tolist(), pa.string()),
+        "n_docs": pa.array(agg["n_docs"].to_numpy().astype(np.int64)),
+        "alloc_docs": pa.array(base + extra),
+    })
+
+
 def quality_threshold_curve(sf_dir: str,
                             cfg: PipelineConfig = DEFAULT_CONFIG):
     """(threshold, n_kept, kept_ppm): how many documents survive a
