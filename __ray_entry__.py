@@ -298,6 +298,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-conversation majority language (multilingual routing
         # gate) — bucketed majority vote, SQL-checked
         "conv_lang_majority": _conv_lang_majority_q,
+        # dialog-structure pattern mining + dialog-balance ratio
+        "conv_role_patterns": _conv_role_patterns_q,
+        "conv_response_ratio": _conv_response_ratio_q,
         # Deequ-style table analyzers: per-column profile (exact
         # distinct via value-hash-bucketed local dedup) and a
         # declarative constraint suite — both SQL-checked
@@ -613,6 +616,18 @@ def _conv_lang_majority_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import conv_lang_majority
     return conv_lang_majority(_transcript_ds(
         sf_dir, columns=["conv_id", "text"]))
+
+
+def _conv_role_patterns_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import conv_role_patterns
+    return conv_role_patterns(_transcript_ds(
+        sf_dir, columns=["conv_id", "turn_idx", "role"]))
+
+
+def _conv_response_ratio_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import conv_response_ratio
+    return conv_response_ratio(_transcript_ds(
+        sf_dir, columns=["conv_id", "role", "text"]))
 
 
 def _conv_training_docs_q(sf_dir: str):
@@ -952,6 +967,7 @@ def _oracle_sql_impl() -> dict[str, str]:
     shingle_expr = " || ' ' || ".join(
         f"ts[i+{k}]" if k else "ts[i]" for k in range(SHINGLE_NGRAM))
     from dataquality_ray.pipelines.conversations import (
+        CONV_DEDUP_DF_CAP,
         CONV_KEEP_FRAC_MILLI,
         FUZZY_MIN_LEN as CONV_FUZZY_MIN_LEN,
     )
@@ -1166,11 +1182,15 @@ WITH h AS (
   WHERE length(regexp_replace(
       regexp_replace(lower(text), '{spec.EDGE_WS_PATTERN}', '', 'g'),
       '{spec.WS_PLUS_PATTERN}', ' ', 'g')) > 0),
-sz AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY 1),
+keep AS (SELECT ch FROM h GROUP BY ch
+         HAVING COUNT(*) <= {CONV_DEDUP_DF_CAP}),
+hh AS (SELECT h.* FROM h JOIN keep USING (ch)),
+sz AS (SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n
+       FROM hh GROUP BY 1),
 p AS (
   SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
          CAST(COUNT(*) AS BIGINT) AS n_shared
-  FROM h a JOIN h b ON a.ch = b.ch AND a.conv_id < b.conv_id
+  FROM hh a JOIN hh b ON a.ch = b.ch AND a.conv_id < b.conv_id
   GROUP BY 1, 2)
 SELECT p.conv_a, p.conv_b, p.n_shared,
   sa.n AS n_a, sb.n AS n_b,
@@ -1192,12 +1212,16 @@ WITH RECURSIVE h AS MATERIALIZED (
   WHERE length(regexp_replace(
       regexp_replace(lower(text), '{spec.EDGE_WS_PATTERN}', '', 'g'),
       '{spec.WS_PLUS_PATTERN}', ' ', 'g')) > 0),
+keep AS MATERIALIZED (
+  SELECT ch FROM h GROUP BY ch
+  HAVING COUNT(*) <= {CONV_DEDUP_DF_CAP}),
+hh AS MATERIALIZED (SELECT h.* FROM h JOIN keep USING (ch)),
 sz AS MATERIALIZED (
-  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY 1),
+  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n FROM hh GROUP BY 1),
 p AS MATERIALIZED (
   SELECT a.conv_id AS conv_a, b.conv_id AS conv_b,
          CAST(COUNT(*) AS BIGINT) AS n_shared
-  FROM h a JOIN h b ON a.ch = b.ch AND a.conv_id < b.conv_id
+  FROM hh a JOIN hh b ON a.ch = b.ch AND a.conv_id < b.conv_id
   GROUP BY 1, 2),
 q AS MATERIALIZED (
   SELECT p.conv_a, p.conv_b
@@ -1773,6 +1797,32 @@ SELECT role, tool,
   CAST(SUM(length(text)) AS BIGINT) AS sum_chars
 FROM read_parquet('{tr_glob}')
 GROUP BY 1, 2
+""",
+        # dialog-structure mining: turn-ordered role sequence per
+        # conversation (string_agg ORDER BY), counted per pattern
+        "conv_role_patterns": f"""
+WITH p AS (
+  SELECT conv_id,
+    string_agg(role, ',' ORDER BY turn_idx) AS role_pattern
+  FROM read_parquet('{tr_glob}') GROUP BY conv_id)
+SELECT role_pattern, CAST(COUNT(*) AS BIGINT) AS n_convs
+FROM p GROUP BY 1
+""",
+        # dialog balance: assistant-to-user char-volume ratio per
+        # conversation (integer milli; -1 when no user text)
+        "conv_response_ratio": f"""
+WITH g AS (
+  SELECT conv_id,
+    CAST(SUM(CASE WHEN role = 'assistant' THEN length(text)
+             ELSE 0 END) AS BIGINT) AS assistant_chars,
+    CAST(SUM(CASE WHEN role = 'user' THEN length(text)
+             ELSE 0 END) AS BIGINT) AS user_chars
+  FROM read_parquet('{tr_glob}') GROUP BY conv_id)
+SELECT conv_id, assistant_chars, user_chars,
+  CAST(CASE WHEN user_chars > 0
+       THEN assistant_chars * 1000 // user_chars
+       ELSE -1 END AS BIGINT) AS ratio_milli
+FROM g
 """,
         # per-conversation majority language: the per-turn langid
         # fragment (shared _langid_parts) + a windowed majority vote

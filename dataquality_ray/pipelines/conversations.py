@@ -256,6 +256,104 @@ def conv_lang_majority(ds, num_buckets: int = 0):
         .groupby("bucket").map_groups(majority, batch_format="pyarrow")
 
 
+def conv_role_patterns(ds, num_buckets: int = 0):
+    """(role_pattern, n_convs): dialog-structure mining — each
+    conversation's turn_idx-ordered role sequence collapsed to a
+    comma-joined pattern string, counted across the corpus (the
+    "what dialog shapes exist / which are malformed" audit run before
+    choosing a chat template).
+
+    Shape: ONE conv-bucket shuffle of slim (conv_id, turn_idx, role)
+    rows; pattern assembly is a local polars sort + join per bucket
+    (string_agg ORDER BY — the conv_training_docs topology), then the
+    tiny pattern-count aggregate."""
+    import polars as _pl
+    from ray.data.aggregate import Sum
+    from dataquality_ray.pipelines.quality import conv_bucket_of
+
+    num_buckets = num_buckets or cluster_buckets(minimum=16)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return batch.select(["conv_id", "turn_idx", "role"]) \
+            .append_column("bucket",
+                           conv_bucket_of(batch["conv_id"],
+                                          num_buckets))
+
+    def patterns(t: pa.Table) -> pa.Table:
+        g = (_pl.from_arrow(t.select(["conv_id", "turn_idx", "role"]))
+             .sort(["conv_id", "turn_idx"])
+             .group_by("conv_id", maintain_order=True)
+             .agg(role_pattern=_pl.col("role").str.join(","))
+             .group_by("role_pattern")
+             .agg(n_convs=_pl.len().cast(_pl.Int64)))
+        return g.to_arrow()
+
+    agg = ds.map_batches(bucket, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("bucket").map_groups(patterns, batch_format="pyarrow") \
+        .groupby("role_pattern").aggregate(
+            Sum("n_convs", alias_name="n_convs"))
+
+    def clean(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "role_pattern": t["role_pattern"],
+            "n_convs": pc.cast(t["n_convs"], pa.int64()),
+        })
+
+    return agg.map_batches(clean, batch_format="pyarrow")
+
+
+def conv_response_ratio(ds, num_buckets: int = 0):
+    """(conv_id, assistant_chars, user_chars, ratio_milli): per-
+    conversation assistant-to-user text volume ratio (integer milli;
+    -1 when the conversation has no user text) — the "is the model
+    doing all the talking" dialog-balance signal used when curating
+    chat training data.
+
+    Shape: per-batch polars partials reduce the exchange to
+    (conv, a_chars, u_chars) pairs; ONE conv-bucket shuffle; the merge
+    + ratio complete locally per bucket (the kept_conversations
+    bucketed-local shape)."""
+    import polars as _pl
+    from dataquality_ray.pipelines.quality import conv_bucket_of
+
+    num_buckets = num_buckets or cluster_buckets(minimum=16)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        g = (_pl.DataFrame({
+                "conv_id": _pl.from_arrow(batch["conv_id"]),
+                "role": _pl.from_arrow(batch["role"]),
+                "c": _pl.from_arrow(pc.cast(
+                    pc.utf8_length(batch["text"]), pa.int64())),
+             })
+             .group_by("conv_id")
+             .agg(a=_pl.col("c").filter(_pl.col("role") == "assistant")
+                  .sum().fill_null(0).cast(_pl.Int64),
+                  u=_pl.col("c").filter(_pl.col("role") == "user")
+                  .sum().fill_null(0).cast(_pl.Int64)))
+        t = g.to_arrow()
+        return t.append_column(
+            "bucket", conv_bucket_of(t["conv_id"], num_buckets))
+
+    def ratio(t: pa.Table) -> pa.Table:
+        g = (_pl.from_arrow(t.select(["conv_id", "a", "u"]))
+             .group_by("conv_id")
+             .agg(assistant_chars=_pl.col("a").sum(),
+                  user_chars=_pl.col("u").sum())
+             .with_columns(
+                 ratio_milli=_pl.when(_pl.col("user_chars") > 0)
+                 .then(_pl.col("assistant_chars") * 1000
+                       // _pl.col("user_chars"))
+                 .otherwise(-1).cast(_pl.Int64)))
+        return g.to_arrow()
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("bucket").map_groups(ratio, batch_format="pyarrow")
+
+
 def conv_training_docs(ds, num_buckets: int = 0):
     """(conv_id, n_turns, n_chars, doc_text): reassemble each
     conversation into ONE training document — 'role: text' lines joined
@@ -603,32 +701,47 @@ def transcript_split_leakage(ds, num_buckets: int = 0):
 
 
 CONV_NEAR_DUP_JACCARD_MILLI = 500   # pairs kept at Jaccard >= 0.5
+# Boilerplate df cap: a normalized turn text occurring in more than
+# this many DISTINCT conversations carries no retake evidence (it is
+# corpus boilerplate — "ok", "thanks") and is EXCLUDED from every
+# conversation's signature set, exactly like stopword/idf pruning in
+# token-set similarity. This is what makes the operator scale-correct:
+# measured at the 4M-turn fixture, the un-capped inverted index has a
+# 13,523-conversation posting and 4.19e9 candidate pairs (3.93e9 from
+# just 127 boilerplate hashes); with the cap, per-hash pair work is
+# bounded by DF_CAP^2 and boilerplate cliques cannot explode the
+# answer either.
+CONV_DEDUP_DF_CAP = 100
 
 
 def conv_near_dup_pairs(ds, num_buckets: int = 0):
     """(conv_a, conv_b, n_shared, n_a, n_b, jaccard_milli):
     CONVERSATION-level near-dup — pairs of conversations whose sets of
-    distinct (normalized, non-empty) turn content hashes have Jaccard
+    distinct (normalized, non-empty, non-boilerplate: conversation
+    frequency <= CONV_DEDUP_DF_CAP) turn content hashes have Jaccard
     >= 0.5. The whole-dialog dedup a transcript pipeline runs after
-    turn-level dedup: two conversations that share most of their turns
-    are retakes/re-logs of each other even when no single turn group
-    flags them.
+    turn-level dedup: two conversations that share most of their
+    DISTINCTIVE turns are retakes/re-logs of each other even when no
+    single turn group flags them.
 
-    Exactness: a qualifying pair shares >= 1 turn hash, so the
-    inverted-index candidate generator (posting lists per hash) has
-    EXACT recall; the verify is pure integer math
-    (3*shared >= n_a + n_b  <=>  Jaccard >= 0.5) — SQL-checkable with
-    no float anywhere.
+    Exactness: a qualifying pair shares >= 1 surviving turn hash, so
+    the inverted-index candidate generator (posting lists per hash)
+    has EXACT recall over the capped sets; the verify is pure integer
+    math (3*shared >= n_a + n_b  <=>  Jaccard >= 0.5) — SQL-checkable
+    with no float anywhere (the DuckDB twin applies the identical
+    HAVING df <= cap filter).
 
-    Shape: two independent narrow shuffles of the (conv, hash) rows —
-    (1) by CONV bucket: per-conv distinct-hash sizes complete locally
-    (never a #convs-output Ray aggregate); (2) by HASH bucket: global
-    (conv, hash) dedup + posting-list pair partials complete locally
-    (each hash lives in one bucket), a pair-hash bucket merges
-    per-bucket shared counts. Sizes attach to the (small) pair table
-    via two distributed hash joins with a materialize between
-    (CLAUDE.md join-starvation invariant). Python loops touch only
-    multi-conversation posting lists, never corpus rows.
+    Shape: ONE hash-bucket pass over the distinct (conv, hash) rows —
+    every copy of a hash lives in exactly one bucket, so the df
+    computation, the boilerplate filter, AND the posting-list pair
+    partials all complete locally there (per-hash pair work is
+    <= DF_CAP^2 by construction); the same pass emits the surviving
+    rows, which a second narrow shuffle folds into per-conv sizes
+    locally per CONV bucket (never a #convs-output Ray aggregate).
+    Sizes attach to the (small) pair table via two distributed hash
+    joins with a materialize between (CLAUDE.md join-starvation
+    invariant). Python loops touch only multi-conversation posting
+    lists, never corpus rows.
     """
     import hashlib
 
@@ -667,42 +780,41 @@ def conv_near_dup_pairs(ds, num_buckets: int = 0):
         })
 
     hashed = ds.map_batches(hash_turns, batch_format="pyarrow",
-                            zero_copy_batch=True).materialize()
+                            zero_copy_batch=True)
 
-    # (1) per-conv distinct-hash set sizes: conv-bucket shuffle, every
-    # row of a conversation lands in one bucket -> local dedup + count
-    def sizes_local(g: pa.Table) -> pa.Table:
-        df = (_pl.from_arrow(g).unique(["conv_id", "ch"])
-              .group_by("conv_id").agg(_pl.len().alias("n"))
-              .with_columns(_pl.col("n").cast(_pl.Int64)))
-        return df.to_arrow().cast(pa.schema([
-            ("conv_id", pa.string()), ("n", pa.int64())]))
-
-    sizes = (hashed.drop_columns(["hb"]).groupby("cb")
-             .map_groups(sizes_local, batch_format="pyarrow")
-             .materialize())
-
-    # (2) posting-list pair partials: hash-bucket shuffle, every copy
-    # of a hash lands in one bucket -> local (conv, ch) dedup, pair
-    # expansion per multi-conv posting, local per-pair partial counts
+    # ONE hash-bucket pass: every copy of a hash lands in one bucket,
+    # so the global (conv, ch) dedup, the df computation, the
+    # boilerplate cap, and the posting-list pair partials ALL complete
+    # locally here. The pass emits a discriminated union — kind=0
+    # surviving rows (feed the size count) and kind=1 pair partials —
+    # so the expensive exchange happens exactly once.
     def pairs_local(g: pa.Table) -> pa.Table:
-        df = _pl.from_arrow(g).unique(["conv_id", "ch"])
+        df = (_pl.from_arrow(g.select(["cb", "conv_id", "ch"]))
+              .unique(["conv_id", "ch"]))
+        df = df.with_columns(m=_pl.len().over("ch")) \
+            .filter(_pl.col("m") <= CONV_DEDUP_DF_CAP)
         posts = (df.group_by("ch")
                  .agg(_pl.col("conv_id").sort().alias("cs"))
                  .filter(_pl.col("cs").list.len() > 1))
         out_a, out_b = [], []
         for cs in posts["cs"].to_list():
-            m = len(cs)
+            m = len(cs)                      # m <= DF_CAP by the filter
             for i in range(m - 1):
                 for j in range(i + 1, m):
                     out_a.append(cs[i])
                     out_b.append(cs[j])
+        n_rows = len(df)
+        rows_tbl = pa.table({
+            "kind": pa.array(np.zeros(n_rows, dtype=np.int8)),
+            "cb": df["cb"].to_arrow(),
+            "conv_id": df["conv_id"].to_arrow(),
+            "pb": pa.nulls(n_rows, pa.int32()),
+            "conv_a": pa.nulls(n_rows, pa.string()),
+            "conv_b": pa.nulls(n_rows, pa.string()),
+            "c": pa.nulls(n_rows, pa.int64()),
+        })
         if not out_a:
-            return pa.table({
-                "pb": pa.array([], pa.int32()),
-                "conv_a": pa.array([], pa.string()),
-                "conv_b": pa.array([], pa.string()),
-                "c": pa.array([], pa.int64())})
+            return rows_tbl
         part = (_pl.DataFrame({"conv_a": out_a, "conv_b": out_b})
                 .group_by(["conv_a", "conv_b"])
                 .agg(_pl.len().alias("c"))
@@ -712,15 +824,43 @@ def conv_near_dup_pairs(ds, num_buckets: int = 0):
              for a, b in zip(part["conv_a"].to_list(),
                              part["conv_b"].to_list())),
             dtype=np.int32, count=len(part))
-        return pa.table({
+        pairs_tbl = pa.table({
+            "kind": pa.array(np.ones(len(part), dtype=np.int8)),
+            "cb": pa.nulls(len(part), pa.int32()),
+            "conv_id": pa.nulls(len(part), pa.string()),
             "pb": pa.array(pb),
             "conv_a": part["conv_a"].to_arrow(),
             "conv_b": part["conv_b"].to_arrow(),
             "c": part["c"].to_arrow(),
-        })
+        }).cast(rows_tbl.schema)   # polars emits large_string; unify
+        return pa.concat_tables([rows_tbl, pairs_tbl])
+
+    union = (hashed.groupby("hb")
+             .map_groups(pairs_local, batch_format="pyarrow")
+             .materialize())
+
+    # per-conv sizes over the SURVIVING rows (already globally
+    # distinct): conv-bucket shuffle, local count per bucket
+    def sizes_local(g: pa.Table) -> pa.Table:
+        df = (_pl.from_arrow(g.select(["conv_id"]))
+              .group_by("conv_id").agg(_pl.len().alias("n"))
+              .with_columns(_pl.col("n").cast(_pl.Int64)))
+        return df.to_arrow().cast(pa.schema([
+            ("conv_id", pa.string()), ("n", pa.int64())]))
+
+    def _rows_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        keep = _pc.equal(t["kind"], 0)
+        return t.filter(keep).select(["cb", "conv_id"])
+
+    sizes = (union.map_batches(_rows_only, batch_format="pyarrow",
+                               zero_copy_batch=True)
+             .groupby("cb")
+             .map_groups(sizes_local, batch_format="pyarrow")
+             .materialize())
 
     def pairs_merge(g: pa.Table) -> pa.Table:
-        df = (_pl.from_arrow(g)
+        df = (_pl.from_arrow(g.select(["conv_a", "conv_b", "c"]))
               .group_by(["conv_a", "conv_b"])
               .agg(_pl.col("c").sum().alias("n_shared"))
               .with_columns(_pl.col("n_shared").cast(_pl.Int64)))
@@ -728,8 +868,13 @@ def conv_near_dup_pairs(ds, num_buckets: int = 0):
             ("conv_a", pa.string()), ("conv_b", pa.string()),
             ("n_shared", pa.int64())]))
 
-    shared = (hashed.drop_columns(["cb"]).groupby("hb")
-              .map_groups(pairs_local, batch_format="pyarrow")
+    def _pairs_only(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+        keep = _pc.equal(t["kind"], 1)
+        return t.filter(keep).select(["pb", "conv_a", "conv_b", "c"])
+
+    shared = (union.map_batches(_pairs_only, batch_format="pyarrow",
+                                zero_copy_batch=True)
               .groupby("pb")
               .map_groups(pairs_merge, batch_format="pyarrow"))
 
