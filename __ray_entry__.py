@@ -329,6 +329,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_term_matches": _fuzzy_term_matches_q,
         # --- events: metrics (SQL-checked) ---
         "daily_event_metrics": M.daily_event_metrics,
+        # gap-filled calendar-spine variant (dense (day x type) grid)
+        "daily_event_type_dense": M.daily_event_type_dense,
         "top_users_by_value": M.top_users_by_value,
         "timeliness_events": M.timeliness_events,
         "latest_event_per_user": M.latest_event_per_user,
@@ -2920,6 +2922,25 @@ SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
   CAST(SUM(CAST(floor(value * 1000) AS BIGINT)) // COUNT(*) AS BIGINT)
     AS avg_value_milli
 FROM events GROUP BY 1, 2
+""",
+        # gap-filled calendar spine: generate_series over the observed
+        # day range x the type domain, zero-filled LEFT JOIN
+        "daily_event_type_dense": """
+WITH e AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type FROM events),
+a AS (
+  SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS n
+  FROM e GROUP BY 1, 2),
+spine AS (
+  SELECT strftime(unnest(generate_series(
+    (SELECT CAST(MIN(CAST(day AS DATE)) AS TIMESTAMP) FROM a),
+    (SELECT CAST(MAX(CAST(day AS DATE)) AS TIMESTAMP) FROM a),
+    INTERVAL '1' DAY)), '%Y-%m-%d') AS day),
+ty AS (SELECT DISTINCT event_type FROM e)
+SELECT spine.day, ty.event_type,
+  COALESCE(a.n, 0) AS n_events
+FROM spine CROSS JOIN ty
+LEFT JOIN a ON a.day = spine.day AND a.event_type = ty.event_type
 """,
         "top_users_by_value": """
 SELECT user_id,

@@ -68,6 +68,54 @@ def daily_event_metrics(sf_dir: str):
     return agg.map_batches(finish, batch_format="pyarrow")
 
 
+def daily_event_type_dense(sf_dir: str):
+    """(day, event_type, n_events): the gap-filled calendar-spine
+    variant of the daily trend — EVERY (day in [min_day, max_day],
+    event_type) cell is present, zero-filled where no events occurred
+    (dashboards and drift monitors need the dense grid; a sparse
+    groupby silently hides outage days). The aggregate side is the
+    same two-phase partial → small groupby; the spine is generated
+    from the (bounded, output-sized) day range × type domain and
+    merged with one vectorized outer join on the driver-side result —
+    spine size is calendar-days × |types|, never corpus-proportional.
+    """
+    import polars as _pl
+    from datetime import date, timedelta
+    from ray.data.aggregate import Sum
+
+    ds = _events(sf_dir, columns=["ts", "event_type"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+        g = (df.groupby(["day", "event_type"], sort=False)
+             .size().rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return from_pandas_clean(g)
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby(["day", "event_type"])
+           .aggregate(Sum("n", alias_name="n_events"))
+           .to_pandas())        # days × types rows — output-sized
+    days = sorted(agg["day"])
+    d0 = date.fromisoformat(days[0])
+    d1 = date.fromisoformat(days[-1])
+    spine_days = [(d0 + timedelta(days=i)).isoformat()
+                  for i in range((d1 - d0).days + 1)]
+    types = sorted(set(agg["event_type"]))
+    spine = _pl.DataFrame({
+        "day": [d for d in spine_days for _ in types],
+        "event_type": types * len(spine_days),
+    })
+    got = _pl.from_pandas(agg).with_columns(
+        _pl.col("n_events").cast(_pl.Int64))
+    dense = (spine.join(got, on=["day", "event_type"], how="left")
+             .with_columns(_pl.col("n_events").fill_null(0)))
+    return dense.to_arrow().cast(pa.schema([
+        ("day", pa.string()), ("event_type", pa.string()),
+        ("n_events", pa.int64())]))
+
+
 def top_users_by_value(sf_dir: str, k: int = 20):
     """O3/O4 analog: groupby user → sum(value), sort desc, limit k
     (deterministic tie-break on user_id). Fixed-point integer sums so the
