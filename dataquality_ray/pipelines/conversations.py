@@ -879,15 +879,34 @@ def conv_near_dup_pairs(ds, num_buckets: int = 0):
               .map_groups(pairs_merge, batch_format="pyarrow"))
 
     # attach set sizes: two distributed hash joins, materialize between
-    sizes_a = sizes.map_batches(
-        lambda t: pa.table({"ca": t["conv_id"], "n_a": t["n"]}),
-        batch_format="pyarrow")
-    sizes_b = sizes.map_batches(
-        lambda t: pa.table({"cbk": t["conv_id"], "n_b": t["n"]}),
-        batch_format="pyarrow")
+    def _as_sizes(key_name: str, n_name: str):
+        empty = pa.schema([(key_name, pa.string()),
+                           (n_name, pa.int64())]).empty_table()
+
+        def rename(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return empty
+            return pa.table({key_name: pc.cast(t["conv_id"],
+                                               pa.string()),
+                             n_name: pc.cast(t["n"], pa.int64())})
+        return rename
+
+    sizes_a = sizes.map_batches(_as_sizes("ca", "n_a"),
+                                batch_format="pyarrow")
+    sizes_b = sizes.map_batches(_as_sizes("cbk", "n_b"),
+                                batch_format="pyarrow")
     nparts = max(4, num_buckets // 4)
+    # the repartition between the joins is load-bearing beyond the
+    # starvation invariant: Ray's join operator emits schemaless
+    # zero-row blocks for hash partitions that received no rows, and a
+    # SECOND join chained onto them fails FieldRef resolution in its
+    # aggregator ("No match or multiple matches for key field
+    # reference") — coalescing rewrites the empties into real blocks
+    # (caught by the df-cap unit test on a 7-conversation input; cheap,
+    # the pair table is small relative to the corpus)
     j1 = shared.join(sizes_a, join_type="inner", num_partitions=nparts,
-                     on=("conv_a",), right_on=("ca",)).materialize()
+                     on=("conv_a",), right_on=("ca",)) \
+        .repartition(nparts).materialize()
     j2 = j1.join(sizes_b, join_type="inner", num_partitions=nparts,
                  on=("conv_b",), right_on=("cbk",))
 

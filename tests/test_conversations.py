@@ -223,3 +223,87 @@ class TestBigramMerges:
             .to_pandas().reset_index(drop=True)
         assert a.equals(want.reset_index(drop=True))
         assert a.equals(b2)
+
+
+class TestConvNearDupBoilerplateCap:
+    """CONV_DEDUP_DF_CAP semantics: turn hashes shared by more than the
+    cap's worth of conversations are corpus boilerplate and carry no
+    retake evidence — a clique of conversations related ONLY through a
+    boilerplate turn must produce no pairs, while genuine retakes
+    (distinctive shared turns) are still detected."""
+
+    def _make_ds(self, n_boiler):
+        import pyarrow as pa
+        import ray
+        from datetime import datetime
+
+        rows = {"conv_id": [], "turn_idx": [], "role": [], "text": [],
+                "tool": [], "ts": []}
+        ts = datetime(2026, 1, 1)
+
+        def add(conv, idx, text):
+            rows["conv_id"].append(conv)
+            rows["turn_idx"].append(idx)
+            rows["role"].append("user")
+            rows["text"].append(text)
+            rows["tool"].append("")
+            rows["ts"].append(ts)
+
+        # n_boiler tiny conversations sharing ONE boilerplate turn and
+        # otherwise unique content: 2 distinct hashes each, 1 shared ->
+        # Jaccard(a, b) = 1/3 < 0.5 even un-capped, BUT the clique's
+        # candidate set is n_boiler^2 — the cap must keep it out of the
+        # index entirely. Give each pair of neighbours one more shared
+        # turn so some pairs WOULD qualify without the cap: conv k and
+        # k+1 share "ok" and "filler k" -> without the cap, Jaccard =
+        # 2/4 = 0.5 (qualifying). With the cap "ok" is pruned, leaving
+        # 1 shared of 3 union -> 0.33 (dropped).
+        for k in range(n_boiler):
+            c = f"boiler-{k:04d}"
+            add(c, 0, "ok")
+            add(c, 1, f"filler {k}")
+            add(c, 2, f"filler {k + 1}")
+        # two genuine retakes: 3 turns, 2 shared distinctive ones
+        for c, extra in (("retake-a", "unique a"),
+                         ("retake-b", "unique b")):
+            add(c, 0, "let us plan the data migration")
+            add(c, 1, "step one export the tables")
+            add(c, 2, extra)
+        tbl = pa.table({
+            "conv_id": pa.array(rows["conv_id"]),
+            "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
+            "role": pa.array(rows["role"]),
+            "text": pa.array(rows["text"]),
+            "tool": pa.array(rows["tool"]),
+            "ts": pa.array(rows["ts"], pa.timestamp("us")),
+        })
+        return ray.data.from_arrow(tbl).repartition(4)
+
+    def test_cap_prunes_boilerplate_keeps_retakes(self, ray_session):
+        from dataquality_ray.pipelines.conversations import (
+            CONV_DEDUP_DF_CAP,
+            conv_near_dup_pairs,
+        )
+
+        n_boiler = CONV_DEDUP_DF_CAP + 30     # "ok" is over the cap
+        got = conv_near_dup_pairs(self._make_ds(n_boiler)).to_pandas()
+        # exactly the retake pair survives
+        assert len(got) == 1
+        row = got.iloc[0]
+        assert row["conv_a"] == "retake-a" and row["conv_b"] == "retake-b"
+        assert row["n_shared"] == 2 and row["n_a"] == 3 and row["n_b"] == 3
+        assert row["jaccard_milli"] == 500
+
+    def test_below_cap_chain_pairs_detected(self, ray_session):
+        from dataquality_ray.pipelines.conversations import (
+            conv_near_dup_pairs,
+        )
+
+        # with only a few boiler convs, "ok" is under the cap and the
+        # neighbour chain (2 shared of 4 union = 0.5) qualifies
+        got = conv_near_dup_pairs(self._make_ds(5)).to_pandas()
+        chain = got[got["conv_a"].str.startswith("boiler")]
+        assert len(chain) == 4          # k ~ k+1 for k in 0..3
+        assert (chain["jaccard_milli"] == 500).all()
+        retake = got[got["conv_a"] == "retake-a"]
+        assert len(retake) == 1
