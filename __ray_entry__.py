@@ -264,6 +264,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_stats": D.dup_ngram_stats,
         # cross-doc exact-substring dedup signal (Lee et al. 2022)
         "duplicate_span_documents": D.duplicate_span_documents,
+        # the REMOVAL surface of exact-substring dedup: covered tokens
+        # dropped, docs reassembled from survivors
+        "duplicate_span_removed_documents":
+            D.duplicate_span_removed_documents,
         # group-level set similarity (vocabulary Jaccard between sources)
         "source_vocab_overlap": D.source_vocab_overlap,
         "contaminated_documents": D.contaminated_documents,
@@ -2510,6 +2514,54 @@ c AS (
 SELECT doc_id, n_windows, n_dup_windows,
   CAST((1000 * n_dup_windows) // n_windows AS BIGINT) AS dup_frac_milli
 FROM c
+""",
+        # exact-substring REMOVAL: tokens covered by any duplicated
+        # window (same md5_number_upper window identity and >= 2
+        # distinct docs rule as the signal oracle) are dropped; docs
+        # reassembled by string_agg over the surviving positions.
+        # Parallel unnests in one SELECT zip (positions with window
+        # hashes, positions with tokens)
+        "duplicate_span_removed_documents": f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS ts
+  FROM documents),
+w AS (
+  SELECT doc_id,
+    unnest(generate_series(1, len(ts) - 7)) AS start,
+    unnest(list_transform(generate_series(1, len(ts) - 7),
+           i -> md5_number_upper(
+                  array_to_string(list_slice(ts, i, i + 7), ' '))))
+      AS h
+  FROM t WHERE len(ts) >= 8),
+dup AS (
+  SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+rem AS (
+  SELECT DISTINCT doc_id,
+    unnest(generate_series(start, start + 7)) AS p
+  FROM w WHERE h IN (SELECT h FROM dup)),
+pos AS (
+  SELECT doc_id,
+    unnest(generate_series(1, len(ts))) AS p,
+    unnest(ts) AS tk
+  FROM t),
+k AS (
+  SELECT pos.doc_id, pos.p, pos.tk,
+    (rem.p IS NOT NULL) AS removed
+  FROM pos LEFT JOIN rem
+    ON rem.doc_id = pos.doc_id AND rem.p = pos.p),
+a AS (
+  SELECT doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+    CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_removed,
+    COALESCE(string_agg(CASE WHEN NOT removed THEN tk END, ' '
+                        ORDER BY p), '') AS kept_text
+  FROM k GROUP BY 1)
+SELECT d.doc_id,
+  COALESCE(a.n_tokens, 0) AS n_tokens,
+  COALESCE(a.n_removed, 0) AS n_removed,
+  COALESCE(a.kept_text, '') AS kept_text
+FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id
 """,
         # benchmark decontamination: word-n-gram shingle collision with
         # the deterministic pseudo-benchmark (doc_id % MOD == 0)

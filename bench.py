@@ -107,7 +107,9 @@ def _query_benches(sf_dir: str) -> dict:
              "event_value_drift", "source_mixture_weights",
              "quality_threshold_curve", "semantic_dedup_embeddings",
              "doc_oov_rate", "conv_lang_majority",
-             "mixture_allocation_plan"]
+             "mixture_allocation_plan",
+             "duplicate_span_removed_documents", "daily_event_type_dense",
+             "conv_role_patterns", "conv_response_ratio"]
     out = {}
     for name in names:
         t0 = time.time()

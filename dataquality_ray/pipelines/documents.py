@@ -1188,6 +1188,152 @@ def global_sentence_dedup(sf_dir: str, num_partitions: int = 8,
 
 
 
+def duplicate_span_removed_documents(sf_dir: str, num_buckets: int = 0):
+    """(doc_id, n_tokens, n_removed, kept_text): the REMOVAL surface of
+    exact-substring dedup (Lee et al. 2022) — every token covered by
+    any rolling DUP_SPAN_K-token window whose identical text occurs in
+    >= 2 distinct documents is dropped, and documents are reassembled
+    from the surviving tokens (space-joined, order preserved).
+    Complements duplicate_span_documents, which only reports the
+    per-doc statistic.
+
+    Scale shape (the global_sentence_dedup topology at window grain):
+    windows explode once with their 1-based start positions; ONE
+    window-hash bucket shuffle decides cross-doc duplication locally
+    (every copy of a window hash lives in one bucket) and emits only
+    the duplicated (doc_id, start) occurrences; a doc-hash bucket
+    packs each doc's dup starts into one list row; ONE left-outer hash
+    join attaches the (small) dup-start lists back to the full docs;
+    the rebuild is pure vectorized polars (explode tokens with
+    positions, anti-join the expanded removed ranges, ordered
+    re-join). Full text crosses the network once (the join), the
+    window exchange carries only (hash, doc, start) triples, and no
+    Ray aggregate has corpus-proportional output groups.
+    """
+    import pandas as pd
+
+    from dataquality_ray.spec import token_hash_u64
+    from dataquality_ray.stages.bucketing import (
+        cluster_buckets,
+        splitmix_bucket,
+    )
+
+    nb = num_buckets or cluster_buckets()
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def windows(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch["text"])
+        if isinstance(s, pl.DataFrame):
+            s = s.to_series()
+        toks = s.fill_null("").str.to_lowercase() \
+            .str.extract_all(TOKEN_PATTERN)
+        expr = pl.element()
+        for j in range(1, DUP_SPAN_K):
+            expr = expr + " " + pl.element().shift(-j)
+        wins = toks.list.eval(expr.drop_nulls())
+        df = (pl.DataFrame({
+            "doc_id": pl.from_arrow(batch["doc_id"]),
+            "w": wins,
+        }).with_columns(
+            start=pl.int_ranges(1, pl.col("w").list.len() + 1,
+                                dtype=pl.Int64))
+          .explode(["w", "start"]).drop_nulls("w"))
+        wcol = df["w"].to_arrow()
+        if isinstance(wcol, pa.ChunkedArray):
+            wcol = wcol.combine_chunks()
+        enc = wcol.dictionary_encode()
+        lut = np.fromiter(
+            (token_hash_u64(u) for u in enc.dictionary.to_pylist()),
+            dtype=np.uint64, count=len(enc.dictionary))
+        h = lut[enc.indices.to_numpy(zero_copy_only=False)]
+        return pa.table({
+            "spart": pa.array((h % np.uint64(nb)).astype(np.int32)),
+            "h": pa.array(h.view(np.int64)),
+            "doc_id": df["doc_id"].to_arrow(),
+            "start": df["start"].to_arrow(),
+        })
+
+    def dup_occ(df: "pd.DataFrame") -> "pd.DataFrame":
+        # a window hash lives entirely in this bucket -> the distinct-
+        # doc test is exact here; only duplicated occurrences survive
+        nd = df.groupby("h", sort=False)["doc_id"].transform("nunique")
+        out = df.loc[nd >= 2, ["doc_id", "start"]].copy()
+        out["dpart"] = splitmix_bucket(
+            out["doc_id"].to_numpy().astype(np.int64), nb)
+        return out
+
+    occ = (docs.map_batches(windows, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("spart")
+           .map_groups(dup_occ, batch_format="pandas"))
+
+    def pack(t: pa.Table) -> pa.Table:
+        # comma-joined string, not list<int64>: Acero joins reject
+        # list-typed non-key fields
+        g = (pl.from_arrow(t.select(["doc_id", "start"]))
+             .group_by("doc_id")
+             .agg(starts=pl.col("start").sort()
+                  .cast(pl.String).str.join(",")))
+        return g.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()),
+            ("starts", pa.string())]))
+
+    # the repartition coalesces the schemaless zero-row blocks Ray's
+    # groupby emits for dup-free buckets — a join cannot resolve its
+    # key FieldRefs on those (same Ray issue conv_near_dup_pairs hit)
+    packed = occ.groupby("dpart").map_groups(
+        pack, batch_format="pyarrow").repartition(max(4, nb // 4))
+
+    joined = docs.join(packed, join_type="left_outer",
+                       num_partitions=max(4, nb // 4),
+                       on=("doc_id",), right_on=("doc_id",))
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        d = pl.from_arrow(batch.select(["doc_id", "text", "starts"]))
+        d = d.with_columns(
+            toks=pl.col("text").fill_null("").str.to_lowercase()
+            .str.extract_all(TOKEN_PATTERN))
+        tokrows = (d.select(["doc_id", "toks"])
+                   .with_columns(
+                       p=pl.int_ranges(1, pl.col("toks").list.len() + 1,
+                                       dtype=pl.Int64))
+                   .explode(["toks", "p"])
+                   .drop_nulls("toks")
+                   .rename({"toks": "tk"}))
+        rem = (d.select(["doc_id", "starts"])
+               .drop_nulls("starts")
+               .with_columns(
+                   st=pl.col("starts").str.split(",")
+                   .cast(pl.List(pl.Int64)))
+               .explode("st").drop_nulls("st")
+               .with_columns(
+                   p=pl.int_ranges(pl.col("st"),
+                                   pl.col("st") + DUP_SPAN_K,
+                                   dtype=pl.Int64))
+               .explode("p").select(["doc_id", "p"]).unique())
+        kept = tokrows.join(rem, on=["doc_id", "p"], how="anti")
+        stats = tokrows.group_by("doc_id").agg(
+            n_tokens=pl.len().cast(pl.Int64))
+        texts = (kept.sort(["doc_id", "p"])
+                 .group_by("doc_id", maintain_order=True)
+                 .agg(n_kept=pl.len().cast(pl.Int64),
+                      kept_text=pl.col("tk").str.join(" ")))
+        out = (d.select(["doc_id"])
+               .join(stats, on="doc_id", how="left")
+               .join(texts, on="doc_id", how="left")
+               .with_columns(
+                   n_tokens=pl.col("n_tokens").fill_null(0),
+                   n_removed=(pl.col("n_tokens").fill_null(0)
+                              - pl.col("n_kept").fill_null(0)),
+                   kept_text=pl.col("kept_text").fill_null("")))
+        return out.select(["doc_id", "n_tokens", "n_removed",
+                           "kept_text"]).to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+            ("n_removed", pa.int64()), ("kept_text", pa.string())]))
+
+    return joined.map_batches(rebuild, batch_format="pyarrow")
+
+
 def dup_ngram_stats(sf_dir: str):
     """(doc_id, n_bigrams, n_distinct_bigrams, dup_frac_milli,
     max_bigram_count): Gopher-style intra-document repetition signals
