@@ -305,6 +305,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dialog-structure pattern mining + dialog-balance ratio
         "conv_role_patterns": _conv_role_patterns_q,
         "conv_response_ratio": _conv_response_ratio_q,
+        # time-windowed exact dedup (streaming-ingest rule: only
+        # repeats within the 7-day horizon are duplicates)
+        "windowed_turn_dedup": _windowed_turn_dedup_q,
         # Deequ-style table analyzers: per-column profile (exact
         # distinct via value-hash-bucketed local dedup) and a
         # declarative constraint suite — both SQL-checked
@@ -622,6 +625,12 @@ def _conv_lang_majority_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import conv_lang_majority
     return conv_lang_majority(_transcript_ds(
         sf_dir, columns=["conv_id", "text"]))
+
+
+def _windowed_turn_dedup_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import windowed_turn_dedup
+    return windowed_turn_dedup(_transcript_ds(
+        sf_dir, columns=["conv_id", "turn_idx", "text", "ts"]))
 
 
 def _conv_role_patterns_q(sf_dir: str):
@@ -976,6 +985,7 @@ def _oracle_sql_impl() -> dict[str, str]:
         CONV_DEDUP_DF_CAP,
         CONV_KEEP_FRAC_MILLI,
         FUZZY_MIN_LEN as CONV_FUZZY_MIN_LEN,
+        TURN_DEDUP_WINDOW_US as CONV_TURN_DEDUP_WINDOW_US,
     )
     from dataquality_ray.pipelines.documents import (
         CMS_DEPTH,
@@ -1803,6 +1813,30 @@ SELECT role, tool,
   CAST(SUM(length(text)) AS BIGINT) AS sum_chars
 FROM read_parquet('{tr_glob}')
 GROUP BY 1, 2
+""",
+        # time-windowed exact dedup: LAG gap within content-hash
+        # groups ((ts, conv, turn) total order); empty-normalized
+        # turns are never duplicates
+        "windowed_turn_dedup": f"""
+WITH n AS (
+  SELECT conv_id, turn_idx, ts,
+    regexp_replace(regexp_replace(lower(text),
+      '{spec.EDGE_WS_PATTERN}', '', 'g'),
+      '{spec.WS_PLUS_PATTERN}', ' ', 'g') AS s
+  FROM read_parquet('{tr_glob}')),
+h AS (
+  SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us,
+    CASE WHEN length(s) = 0 THEN NULL ELSE md5(s) END AS ch
+  FROM n),
+w AS (
+  SELECT conv_id, turn_idx,
+    CASE WHEN ch IS NULL THEN FALSE
+    ELSE COALESCE(ts_us - LAG(ts_us) OVER (
+           PARTITION BY ch
+           ORDER BY ts_us, conv_id, turn_idx)
+         <= {CONV_TURN_DEDUP_WINDOW_US}, FALSE) END AS is_dup
+  FROM h)
+SELECT conv_id, turn_idx, is_dup FROM w
 """,
         # dialog-structure mining: turn-ordered role sequence per
         # conversation (string_agg ORDER BY), counted per pattern

@@ -109,7 +109,8 @@ def _query_benches(sf_dir: str) -> dict:
              "doc_oov_rate", "conv_lang_majority",
              "mixture_allocation_plan",
              "duplicate_span_removed_documents", "daily_event_type_dense",
-             "conv_role_patterns", "conv_response_ratio"]
+             "conv_role_patterns", "conv_response_ratio",
+             "windowed_turn_dedup"]
     out = {}
     for name in names:
         t0 = time.time()

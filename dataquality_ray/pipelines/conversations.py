@@ -700,6 +700,82 @@ def transcript_split_leakage(ds, num_buckets: int = 0):
             .map_groups(local, batch_format="pyarrow"))
 
 
+TURN_DEDUP_WINDOW_US = 7 * 86_400_000_000   # 7-day dedup horizon
+
+
+def windowed_turn_dedup(ds, window_us: int = TURN_DEDUP_WINDOW_US,
+                        num_buckets: int = 0):
+    """(conv_id, turn_idx, is_dup): TIME-WINDOWED exact dedup — a turn
+    is a duplicate iff an identical (normalized, non-empty) turn
+    occurred within the previous `window_us` microseconds. The
+    streaming-ingest rule production pipelines apply (recent repeats
+    are spam/retries; the same content a year later is legitimately
+    re-collectable), in contrast to the flagship's corpus-global
+    exact dedup.
+
+    Sufficiency: the predecessor in (ts, conv_id, turn_idx) order
+    within the same content group is the LATEST earlier occurrence, so
+    "any earlier occurrence within the window" reduces to ONE LAG gap
+    check — SQL twin: LAG OVER (PARTITION BY content_hash ORDER BY
+    ts, conv_id, turn_idx).
+
+    Shape: one stateless hash map (same normalization as
+    conv_near_dup_pairs), ONE content-hash bucket shuffle — every copy
+    of a hash lands in one bucket, so the ordered LAG scan completes
+    locally per bucket as a vectorized polars shift. Empty-normalized
+    turns are never duplicates and bypass the group logic.
+    """
+    import hashlib
+
+    import polars as _pl
+    import pyarrow.compute as pc
+
+    from dataquality_ray.spec import EDGE_WS_PATTERN, WS_PLUS_PATTERN
+
+    num_buckets = num_buckets or cluster_buckets(minimum=32)
+
+    def hash_map(batch: pa.Table) -> pa.Table:
+        norm = pc.replace_substring_regex(
+            pc.replace_substring_regex(
+                pc.utf8_lower(batch["text"]),
+                EDGE_WS_PATTERN, ""),
+            WS_PLUS_PATTERN, " ")
+        empty = pc.equal(pc.utf8_length(norm), 0)
+        digests = [
+            "" if e else hashlib.md5(s.encode()).hexdigest()
+            for s, e in zip(norm.to_pylist(),
+                            empty.to_pylist())]
+        hb = np.fromiter(
+            ((0 if d == "" else
+              int.from_bytes(bytes.fromhex(d)[:4], "little")
+              % num_buckets)
+             for d in digests), dtype=np.int32, count=len(digests))
+        return pa.table({
+            "hb": pa.array(hb),
+            "ch": pa.array(digests, pa.string()),
+            "conv_id": batch["conv_id"],
+            "turn_idx": batch["turn_idx"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+        })
+
+    def lag_scan(t: pa.Table) -> pa.Table:
+        d = (_pl.from_arrow(t.select(["ch", "conv_id", "turn_idx",
+                                      "ts_us"]))
+             .sort(["ch", "ts_us", "conv_id", "turn_idx"]))
+        d = d.with_columns(
+            gap=(_pl.col("ts_us")
+                 - _pl.col("ts_us").shift(1).over("ch")))
+        d = d.with_columns(
+            is_dup=_pl.when(_pl.col("ch") == "")
+            .then(False)
+            .otherwise(_pl.col("gap").le(window_us).fill_null(False)))
+        return d.select(["conv_id", "turn_idx", "is_dup"]).to_arrow()
+
+    return ds.map_batches(hash_map, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .groupby("hb").map_groups(lag_scan, batch_format="pyarrow")
+
+
 CONV_NEAR_DUP_JACCARD_MILLI = 500   # pairs kept at Jaccard >= 0.5
 # Boilerplate df cap: a normalized turn text occurring in more than
 # this many DISTINCT conversations carries no retake evidence (it is
