@@ -224,6 +224,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_dedup_documents": D.union_dedup_documents,
         "langid_documents": D.langid_documents,
         "quality_by_source": D.quality_by_source,
+        # per-source KS drift of the quality-score distribution vs the
+        # rest of the corpus (exact integer milli)
+        "quality_drift_by_source": D.quality_drift_by_source,
         # temperature-0.5 data-mixing weights (exact integer ppm) and
         # the filter-threshold survival curve — both SQL-checked
         "source_mixture_weights": D.source_mixture_weights,
@@ -2989,6 +2992,39 @@ GROUP BY doc_id
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(SUM(overall) // COUNT(*) AS BIGINT) AS avg_quality
 FROM q GROUP BY source
+""",
+        # per-source two-sample KS vs the rest of the corpus: CDFs on
+        # the union of observed scores (sup attained at a jump),
+        # cross-multiplied compare in HUGEINT, milli floor at the end
+        "quality_drift_by_source": _QUALITY_CTE + """
+, c AS (
+  SELECT source, overall, CAST(COUNT(*) AS BIGINT) AS n
+  FROM q GROUP BY 1, 2),
+tot AS (SELECT source, SUM(n) AS ns FROM c GROUP BY 1),
+gtot AS (SELECT SUM(n) AS ng FROM c),
+grid AS (
+  SELECT s.source, v.overall
+  FROM (SELECT DISTINCT source FROM c) s,
+       (SELECT DISTINCT overall FROM c) v),
+cum AS (
+  SELECT g.source, g.overall,
+    COALESCE((SELECT SUM(n) FROM c
+              WHERE c.source = g.source
+                AND c.overall <= g.overall), 0) AS cs,
+    (SELECT SUM(n) FROM c WHERE c.overall <= g.overall) AS cg
+  FROM grid g),
+k AS (
+  SELECT cum.source, tot.ns, gtot.ng,
+    MAX(abs(CAST(cs AS HUGEINT) * (gtot.ng - tot.ns)
+            - CAST(cg - cs AS HUGEINT) * tot.ns)) AS num
+  FROM cum JOIN tot ON tot.source = cum.source, gtot
+  GROUP BY 1, 2, 3)
+SELECT source, CAST(ns AS BIGINT) AS n_docs,
+  CAST(CASE WHEN ng = ns THEN 0
+       ELSE (1000 * num)
+            // (CAST(ns AS HUGEINT) * (ng - ns)) END AS BIGINT)
+    AS ks_milli
+FROM k
 """,
         # partitioned PERCENT_RANK as an exact integer (micro units):
         # RANK with ties = 1 + count of strictly-lower scores, so the

@@ -280,6 +280,78 @@ def langid_documents(sf_dir: str):
 # per-source aggregate (A3 analog)
 # ---------------------------------------------------------------------------
 
+def quality_drift_by_source(sf_dir: str,
+                            cfg: PipelineConfig = DEFAULT_CONFIG):
+    """(source, n_docs, ks_milli): per-source distribution drift — the
+    two-sample Kolmogorov–Smirnov statistic between each source's
+    heuristic quality-score distribution and the REST of the corpus,
+    in exact integer milli ("which domain's quality profile deviates",
+    the per-source companion of event_value_drift). The sup of a
+    step-CDF difference is attained at an observed score, so
+    evaluating on the distinct observed scores is exact; the compare
+    is cross-multiplied (|cs*(ng-ns) − (cg−cs)*ns|) so no division
+    happens before the final milli floor.
+
+    Shape: per-batch bincount partials shrink everything to
+    (source, score) cells — a BOUNDED aggregate (|sources| × 101
+    rows regardless of corpus size); the KS fold runs on that
+    constant-size table."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, columns=["doc_id", "text", "source"])
+    ds = ds.map_batches(functools.partial(heuristics_batch, cfg=cfg),
+                        batch_format="pyarrow", zero_copy_batch=True)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from dataquality_ray.stages.heuristics import heuristic_overall4
+        ov = heuristic_overall4(batch)
+        g = (pl.DataFrame({
+            "source": pl.from_arrow(batch["source"]),
+            "overall": pl.Series(ov.astype(np.int64)),
+        }).group_by(["source", "overall"])
+            .agg(n=pl.len().cast(pl.Int64)))
+        return g.to_arrow().cast(pa.schema([
+            ("source", pa.string()), ("overall", pa.int64()),
+            ("n", pa.int64())]))
+
+    cells = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["source", "overall"])
+             .aggregate(Sum("n", alias_name="n"))
+             .to_pandas())          # |sources| x 101 rows — bounded
+
+    scores = np.sort(cells["overall"].unique())
+    sources = sorted(cells["source"].unique())
+    pivot = {s: np.zeros(len(scores), dtype=np.int64) for s in sources}
+    pos = {int(v): i for i, v in enumerate(scores)}
+    for s, ov, n in zip(cells["source"], cells["overall"], cells["n"]):
+        pivot[s][pos[int(ov)]] += int(n)
+    total = np.zeros(len(scores), dtype=np.int64)
+    for s in sources:
+        total += pivot[s]
+    cg = np.cumsum(total)
+    ng = int(cg[-1])
+    out_s, out_n, out_k = [], [], []
+    for s in sources:
+        cs = np.cumsum(pivot[s])
+        ns = int(cs[-1])
+        nr = ng - ns
+        if nr == 0:
+            ks = 0
+        else:
+            # python ints: cs*nr products exceed int64 at full scale
+            num = max(abs(int(a) * nr - (int(b) - int(a)) * ns)
+                      for a, b in zip(cs, cg))
+            ks = (1000 * num) // (ns * nr)
+        out_s.append(s)
+        out_n.append(ns)
+        out_k.append(ks)
+    return pa.table({
+        "source": pa.array(out_s, pa.string()),
+        "n_docs": pa.array(out_n, pa.int64()),
+        "ks_milli": pa.array(out_k, pa.int64()),
+    })
+
+
 def quality_by_source(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG):
     """source → n_docs, avg overall quality (integer mean: sum // count)."""
     from ray.data.aggregate import Count, Sum
