@@ -227,6 +227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source KS drift of the quality-score distribution vs the
         # rest of the corpus (exact integer milli)
         "quality_drift_by_source": D.quality_drift_by_source,
+        # datasheet length profile: log2 length buckets per source
+        "doc_length_histogram": D.doc_length_histogram,
         # temperature-0.5 data-mixing weights (exact integer ppm) and
         # the filter-threshold survival curve — both SQL-checked
         "source_mixture_weights": D.source_mixture_weights,
@@ -2992,6 +2994,16 @@ GROUP BY doc_id
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(SUM(overall) // COUNT(*) AS BIGINT) AS avg_quality
 FROM q GROUP BY source
+""",
+        # log2 length buckets: bit length via the binary rendering's
+        # string length (exact; float log2 misrounds near powers of 2)
+        "doc_length_histogram": """
+SELECT source,
+  CAST(CASE WHEN n_chars = 0 THEN 0
+       ELSE length(printf('%b', n_chars)) END AS BIGINT)
+    AS len_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM documents GROUP BY 1, 2
 """,
         # per-source two-sample KS vs the rest of the corpus: CDFs on
         # the union of observed scores (sup attained at a jump),

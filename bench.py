@@ -110,7 +110,8 @@ def _query_benches(sf_dir: str) -> dict:
              "mixture_allocation_plan",
              "duplicate_span_removed_documents", "daily_event_type_dense",
              "conv_role_patterns", "conv_response_ratio",
-             "windowed_turn_dedup", "quality_drift_by_source"]
+             "windowed_turn_dedup", "quality_drift_by_source",
+             "doc_length_histogram"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -280,6 +280,53 @@ def langid_documents(sf_dir: str):
 # per-source aggregate (A3 analog)
 # ---------------------------------------------------------------------------
 
+def doc_length_histogram(sf_dir: str):
+    """(source, len_bucket, n_docs): per-source document-length
+    distribution in log2 buckets (len_bucket = bit length of n_chars;
+    0 for empty docs) — the datasheet/"dataset card" length profile.
+    Exactness: bit length is computed with the vectorized integer
+    binary search (float log2 misrounds near powers of two); the
+    DuckDB twin measures the binary rendering's string length, which
+    is exact by construction. Bounded two-phase aggregate
+    (|sources| × ~64 cells)."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, columns=["doc_id", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = batch["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        bitlen = np.zeros(len(n), dtype=np.int64)
+        v = n.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            big = v >= np.uint64(1 << shift)
+            bitlen[big] += shift
+            v[big] >>= np.uint64(shift)
+        bitlen[n > 0] += 1
+        g = (pl.DataFrame({
+            "source": pl.from_arrow(batch["source"]),
+            "len_bucket": pl.Series(bitlen),
+        }).group_by(["source", "len_bucket"])
+            .agg(n=pl.len().cast(pl.Int64)))
+        return g.to_arrow().cast(pa.schema([
+            ("source", pa.string()), ("len_bucket", pa.int64()),
+            ("n", pa.int64())]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["source", "len_bucket"])
+           .aggregate(Sum("n", alias_name="n_docs")))
+
+    def clean(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "source": t["source"],
+            "len_bucket": pc.cast(t["len_bucket"], pa.int64()),
+            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+        })
+
+    return agg.map_batches(clean, batch_format="pyarrow")
+
+
 def quality_drift_by_source(sf_dir: str,
                             cfg: PipelineConfig = DEFAULT_CONFIG):
     """(source, n_docs, ks_milli): per-source distribution drift — the
