@@ -782,6 +782,11 @@ _TOK = spec.TOKEN_PATTERN
 _SYM = spec.SYMBOL_PATTERN
 _BP = spec.BOILERPLATE_PATTERN
 
+# window size for the exact-substring-dedup oracles — interpolated so
+# the SQL twins track dataquality_ray.pipelines.documents.DUP_SPAN_K
+# (CLAUDE.md: oracle SQL is generated from spec constants).
+from dataquality_ray.pipelines.documents import DUP_SPAN_K as _SPAN_K  # noqa: E402
+
 _AFTER_EMAIL = f"regexp_replace(text, '{_EMAIL}', '<EMAIL>', 'g')"
 _AFTER_SSN = f"regexp_replace({_AFTER_EMAIL}, '{_SSN}', '<SSN>', 'g')"
 _SCRUBBED = f"regexp_replace({_AFTER_SSN}, '{_PHONE}', '<PHONE>', 'g')"
@@ -2537,10 +2542,10 @@ WITH t AS (
   FROM documents),
 w AS (
   SELECT doc_id,
-    list_transform(generate_series(1, len(ts) - 7),
-                   i -> array_to_string(list_slice(ts, i, i + 7), ' '))
+    list_transform(generate_series(1, len(ts) - {_SPAN_K - 1}),
+                   i -> array_to_string(list_slice(ts, i, i + {_SPAN_K - 1}), ' '))
       AS ws
-  FROM t WHERE len(ts) >= 8),
+  FROM t WHERE len(ts) >= {_SPAN_K}),
 h AS (SELECT doc_id, md5_number_upper(unnest(ws)) AS h FROM w),
 ph AS (SELECT doc_id, h, COUNT(*) AS n_pos FROM h GROUP BY 1, 2),
 dup AS (SELECT h FROM ph GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
@@ -2566,17 +2571,17 @@ WITH t AS (
   FROM documents),
 w AS (
   SELECT doc_id,
-    unnest(generate_series(1, len(ts) - 7)) AS start,
-    unnest(list_transform(generate_series(1, len(ts) - 7),
+    unnest(generate_series(1, len(ts) - {_SPAN_K - 1})) AS start,
+    unnest(list_transform(generate_series(1, len(ts) - {_SPAN_K - 1}),
            i -> md5_number_upper(
-                  array_to_string(list_slice(ts, i, i + 7), ' '))))
+                  array_to_string(list_slice(ts, i, i + {_SPAN_K - 1}), ' '))))
       AS h
-  FROM t WHERE len(ts) >= 8),
+  FROM t WHERE len(ts) >= {_SPAN_K}),
 dup AS (
   SELECT h FROM w GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
 rem AS (
   SELECT DISTINCT doc_id,
-    unnest(generate_series(start, start + 7)) AS p
+    unnest(generate_series(start, start + {_SPAN_K - 1})) AS p
   FROM w WHERE h IN (SELECT h FROM dup)),
 pos AS (
   SELECT doc_id,

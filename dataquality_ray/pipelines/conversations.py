@@ -740,6 +740,10 @@ def windowed_turn_dedup(ds, window_us: int = TURN_DEDUP_WINDOW_US,
                 pc.utf8_lower(batch["text"]),
                 EDGE_WS_PATTERN, ""),
             WS_PLUS_PATTERN, " ")
+        # NULL text behaves like empty-normalized (ch='' -> never a
+        # duplicate), matching the SQL twin where ch IS NULL -> LAG
+        # partition membership is moot and is_dup stays FALSE.
+        norm = pc.fill_null(norm, "")
         empty = pc.equal(pc.utf8_length(norm), 0)
         digests = [
             "" if e else hashlib.md5(s.encode()).hexdigest()

@@ -97,6 +97,10 @@ def daily_event_type_dense(sf_dir: str):
            .groupby(["day", "event_type"])
            .aggregate(Sum("n", alias_name="n_events"))
            .to_pandas())        # days × types rows — output-sized
+    if len(agg) == 0:           # empty events -> empty grid (SQL twin)
+        return pa.table({"day": pa.array([], pa.string()),
+                         "event_type": pa.array([], pa.string()),
+                         "n_events": pa.array([], pa.int64())})
     days = sorted(agg["day"])
     d0 = date.fromisoformat(days[0])
     d1 = date.fromisoformat(days[-1])

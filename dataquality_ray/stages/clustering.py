@@ -660,15 +660,21 @@ def semantic_dedup(ds, tau: float = SEMDEDUP_TAU, k: int = KMEANS_K,
         ids = ids[order]
         m = _emb_matrix(group, emb_col)[order]
         norms = np.linalg.norm(m, axis=1, keepdims=True)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            mn = np.where(norms > 0, m / norms, 0.0)
         n = len(ids)
         hit = np.zeros(n, dtype=bool)
         # tile over the row blocks: block rows vs ALL strictly-lower-id
-        # rows (ids are sorted, so "lower id" == "lower index")
+        # rows (ids are sorted, so "lower id" == "lower index").
+        # Dot-then-divide in the SAME operation order as _assign_batch
+        # (the pinned round-6 recipe) — pre-normalizing the matrix
+        # would change float summation order and can flip a round-6
+        # value at the tau boundary vs the DuckDB twin.
         for lo in range(1, n, tile):
             hi = min(lo + tile, n)
-            sims = np.round(mn[lo:hi] @ mn[:hi].T, 6)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sims = (m[lo:hi] @ m[:hi].T) / (norms[lo:hi]
+                                                * norms[:hi].T)
+            sims = np.where(np.isfinite(sims), sims, 0.0)
+            sims = np.round(sims, 6)
             # mask j >= i inside the block's own columns
             col_idx = np.arange(hi)
             row_idx = np.arange(lo, hi)[:, None]

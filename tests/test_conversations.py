@@ -307,3 +307,27 @@ class TestConvNearDupBoilerplateCap:
         assert (chain["jaccard_milli"] == 500).all()
         retake = got[got["conv_a"] == "retake-a"]
         assert len(retake) == 1
+
+
+def test_windowed_turn_dedup_null_text(ray_session):
+    """NULL text must behave like empty-normalized (ch='' -> is_dup
+    False), matching the DuckDB twin where ch IS NULL, instead of
+    crashing on None.encode() (round-5 ADVICE fix)."""
+    import pyarrow as pa
+
+    from dataquality_ray.pipelines.conversations import (
+        windowed_turn_dedup,
+    )
+
+    tbl = pa.table({
+        "conv_id": pa.array(["c1", "c1", "c2", "c2"]),
+        "turn_idx": pa.array([0, 1, 0, 1], pa.int64()),
+        "text": pa.array(["hello", None, None, "hello"]),
+        "ts": pa.array([1, 2, 3, 4], pa.timestamp("us")),
+    })
+    got = (windowed_turn_dedup(ray.data.from_arrow(tbl))
+           .to_pandas().set_index(["conv_id", "turn_idx"]))
+    assert not got.loc[("c1", 1), "is_dup"]      # null -> never dup
+    assert not got.loc[("c2", 0), "is_dup"]
+    assert got.loc[("c2", 1), "is_dup"]          # real repeat in window
+    assert not got.loc[("c1", 0), "is_dup"]

@@ -181,3 +181,24 @@ def test_duplicate_spans_vs_brute_force(ray_session, tmp_path):
         assert got.loc[d, "n_windows"] == n, d
         assert got.loc[d, "n_dup_windows"] == ndup, d
         assert got.loc[d, "dup_frac_milli"] == (1000 * ndup) // n, d
+
+
+def test_daily_event_type_dense_empty_events(ray_session, tmp_path):
+    """An empty events table must yield an empty dense grid like the
+    DuckDB twin, not IndexError on days[0] (round-5 ADVICE fix)."""
+    from dataquality_ray.pipelines.metrics import daily_event_type_dense
+
+    out = os.path.join(str(tmp_path), "empty_sf")
+    os.makedirs(out, exist_ok=True)
+    empty = pa.table({
+        "event_id": pa.array([], pa.int64()),
+        "ts": pa.array([], pa.timestamp("us")),
+        "user_id": pa.array([], pa.int64()),
+        "event_type": pa.array([], pa.string()),
+        "value": pa.array([], pa.float64()),
+        "props": pa.array([], pa.string()),
+    })
+    pq.write_table(empty, os.path.join(out, "events.parquet"))
+    got = daily_event_type_dense(out)
+    assert got.num_rows == 0
+    assert got.schema.names == ["day", "event_type", "n_events"]
