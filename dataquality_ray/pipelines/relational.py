@@ -269,12 +269,17 @@ def regional_revenue(sf_dir: str, num_partitions: int = 8):
     through orders → customer → nation → region — the deepest join chain
     in the repo (two hash joins + one broadcast dim lookup).
 
-    Scale shape: revenue is pre-aggregated per orderkey INSIDE
-    map_batches before any shuffle (the combiner halves the join
-    payload); lineitem⋈orders and orders⋈customer are bucketed hash
-    joins with a materialize between them (CLAUDE.md invariant: never
-    chain two Ray joins lazily on a small cluster); nation+region
-    (25+5 rows) are a driver broadcast via ``ray.put``.
+    Scale shape: revenue is combined per orderkey INSIDE map_batches
+    (batch-local combiner — lineitems of an order are near-contiguous,
+    so partial rows ≈ #orders) and the partials join DIRECTLY against
+    orders: because everything re-aggregates to 5 regions at the end,
+    a GLOBAL per-orderkey aggregate (output ∝ corpus rows — the shape
+    CLAUDE.md forbids) buys nothing and was the round-4 regression.
+    lineitem⋈orders and orders⋈customer are bucketed hash joins with a
+    materialize between them (CLAUDE.md invariant: never chain two Ray
+    joins lazily on a small cluster); nation+region (25+5 rows) are a
+    driver broadcast via ``ray.put``; the region rollup is a per-batch
+    5-row partial → tiny final groupby.
     """
     from ray.data.aggregate import Sum
 
@@ -283,9 +288,15 @@ def regional_revenue(sf_dir: str, num_partitions: int = 8):
     region = _table(sf_dir, "region",
                     columns=["r_regionkey", "r_name"]).to_pandas()
     r_name = dict(zip(region["r_regionkey"].astype(int), region["r_name"]))
-    n2r_ref = ray.put({int(nk): r_name[int(rk)]
-                       for nk, rk in zip(nation["n_nationkey"],
-                                         nation["n_regionkey"])})
+    n2r = {int(nk): r_name[int(rk)]
+           for nk, rk in zip(nation["n_nationkey"],
+                             nation["n_regionkey"])}
+    # dense np lookup table (nationkeys are small ints) — vectorized
+    # region attach instead of a per-row dict comprehension
+    lut = np.empty(max(n2r) + 1, dtype=object)
+    for k, v in n2r.items():
+        lut[k] = v
+    lut_ref = ray.put(lut)
 
     li = _table(sf_dir, "lineitem",
                 columns=["l_orderkey", "l_extendedprice", "l_discount"])
@@ -302,9 +313,7 @@ def regional_revenue(sf_dir: str, num_partitions: int = 8):
           .agg(n=("n", "sum"), c=("c", "sum")).reset_index())
         return from_pandas_clean(g)
 
-    per_order = li.map_batches(partial, batch_format="pyarrow") \
-        .groupby("l_orderkey").aggregate(Sum("n", alias_name="n"),
-                                         Sum("c", alias_name="c"))
+    per_order = li.map_batches(partial, batch_format="pyarrow")
     orders = _table(sf_dir, "orders",
                     columns=["o_orderkey", "o_custkey"])
     j1 = per_order.join(orders, join_type="inner",
@@ -317,15 +326,20 @@ def regional_revenue(sf_dir: str, num_partitions: int = 8):
                  num_partitions=num_partitions,
                  on=("o_custkey",), right_on=("c_custkey",))
 
-    def attach_region(batch: pa.Table) -> pa.Table:
-        m = ray.get(n2r_ref)
-        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False)
-        return pa.table({
-            "region": pa.array([m[int(x)] for x in nk], pa.string()),
-            "n": batch["n"], "c": batch["c"],
-        })
+    def region_partial(batch: pa.Table) -> pa.Table:
+        m = ray.get(lut_ref)
+        nk = batch["c_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        g = (pd.DataFrame({
+            "region": m[nk],
+            "n": batch["n"].to_numpy(zero_copy_only=False),
+            "c": batch["c"].to_numpy(zero_copy_only=False),
+        }).groupby("region", sort=False)
+          .agg(n=("n", "sum"), c=("c", "sum")).reset_index())
+        g["region"] = g["region"].astype(str)
+        return from_pandas_clean(g)
 
-    agg = j2.map_batches(attach_region, batch_format="pyarrow") \
+    agg = j2.map_batches(region_partial, batch_format="pyarrow") \
         .groupby("region").aggregate(Sum("n", alias_name="n_items"),
                                      Sum("c", alias_name="revenue_cents"))
 
