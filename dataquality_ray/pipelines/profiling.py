@@ -71,6 +71,16 @@ def _md5_u64_lut(strings: list[str]) -> np.ndarray:
         dtype=np.uint64, count=len(strings))
 
 
+def _md5_digests(strings: list[str]) -> list[bytes]:
+    """Full 16-byte md5 per string — the COUNT(DISTINCT) exchange key.
+    Shipping the digest instead of the value bounds the per-distinct
+    exchange at 16 B regardless of value width (whole ``text`` values
+    would otherwise approach corpus size at scale); md5-collision
+    exactness is the same assumption the repo's content-hash dedup
+    already makes."""
+    return [hashlib.md5(s.encode()).digest() for s in strings]
+
+
 def _col_as_string_and_minmax(col: pa.Array, kind: str):
     """(repr string array with nulls preserved, min_repr, max_repr) for
     one column chunk; min/max are taken on the NATIVE type first and
@@ -95,9 +105,13 @@ def _col_as_string_and_minmax(col: pa.Array, kind: str):
 def column_profile(ds, num_buckets: int = 0):
     """Per-column profile of the transcript table: ``(col_name, n_rows,
     n_null, n_distinct, min_repr, max_repr)`` — exact distinct counts
-    via per-batch local dedup → one value-hash-bucketed exchange →
-    per-bucket exact dedup by value (each value lives in exactly one
-    bucket) → O(buckets) final sum. SQL twin: UNION ALL of per-column
+    via per-batch local dedup → one digest-bucketed exchange carrying
+    the 16-byte md5 of each distinct value (never the value itself, so
+    the exchange for wide columns like ``text`` is 16 B/distinct) →
+    per-bucket dedup by digest (each digest lives in exactly one
+    bucket; md5-collision exact, the same assumption as content-hash
+    dedup) → O(buckets) final sum. min/max stay in the per-batch
+    native-type partial stream. SQL twin: UNION ALL of per-column
     COUNT / COUNT(DISTINCT) / MIN / MAX aggregates."""
     import polars as pl
 
@@ -113,13 +127,19 @@ def column_profile(ds, num_buckets: int = 0):
                 col = col.combine_chunks()
             vals, mn_r, mx_r = _col_as_string_and_minmax(col, kind)
             uniq = pc.unique(pc.drop_null(vals))
-            part = (_md5_u64_lut(uniq.to_pylist())
-                    % np.uint64(nb)).astype(np.int32)
+            digs = _md5_digests(uniq.to_pylist())
+            part = (np.fromiter(
+                (int.from_bytes(d[:8], "little") for d in digs),
+                dtype=np.uint64, count=len(digs))
+                % np.uint64(nb)).astype(np.int32)
             k = len(uniq)
             pieces.append(pa.table({
                 "kind": pa.array(np.zeros(k, np.int32)),
                 "col": pa.array([name] * k, pa.string()),
-                "v": uniq,
+                # 16-byte digest (hex) rides the exchange, NOT the
+                # value — bounds the distinct exchange for wide
+                # columns (text) at 16 B/distinct
+                "v": pa.array([d.hex() for d in digs], pa.string()),
                 "v2": pa.array([None] * k, pa.string()),
                 "a": pa.array(np.zeros(k, np.int64)),
                 "b": pa.array(np.zeros(k, np.int64)),
