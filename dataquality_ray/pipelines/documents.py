@@ -1574,7 +1574,10 @@ def bloom_contaminated_documents(sf_dir: str):
 
     Build: per-batch bitmap partials (np.bitwise_or over bit positions
     token_hash_u64(f"bloom:{{j}}:{{g}}") % BLOOM_BITS) — merge = OR, so
-    ANY reduce order is exact; the driver ORs #batches 128 KiB rows.
+    ANY reduce order is exact; partials fold in a two-level
+    repartition tree (the CMS dense-blob pattern), so the driver
+    receives exactly ONE 128-KiB blob however many batches the suite
+    spans — never #batches blobs.
     Probe: one map_batches over the corpus; a shingle hits iff all K
     bits are set. False positives are DETERMINISTIC (md5 bits), so the
     DuckDB oracle replays the identical probe — the operator is
@@ -1600,11 +1603,22 @@ def bloom_contaminated_documents(sf_dir: str):
                         bm[b >> 3] |= 1 << (b & 7)
         return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
 
-    parts = docs.map_batches(bench_bitmap, batch_format="pyarrow",
-                             batch_size=4096).take_all()
-    bitmap = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
-    for p in parts:
-        bitmap |= np.frombuffer(p["bm"], dtype=np.uint8)
+    def or_fold(batch: pa.Table) -> pa.Table:
+        bm = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+        for b in batch["bm"].to_pylist():
+            bm |= np.frombuffer(b, dtype=np.uint8)
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    folded = (docs.map_batches(bench_bitmap, batch_format="pyarrow",
+                               batch_size=4096)
+              .repartition(16)
+              .map_batches(or_fold, batch_format="pyarrow",
+                           batch_size=None)
+              .repartition(1)
+              .map_batches(or_fold, batch_format="pyarrow",
+                           batch_size=None)
+              .take_all())          # exactly one 128-KiB row
+    bitmap = np.frombuffer(folded[0]["bm"], dtype=np.uint8).copy()
     bm_ref = ray.put(bitmap)
 
     def flag(batch: pa.Table) -> pa.Table:

@@ -83,17 +83,51 @@ class HashedProjectionEmbedder:
     def _acc_rows(self, texts) -> np.ndarray:
         """Exact int64 tf x weight accumulators, one row per text —
         the order/partition-independent integer half of the embedding
-        (all-zero row for token-less texts)."""
-        out = np.zeros((len(texts), self.dim), dtype=np.int64)
-        for i, t in enumerate(texts):
-            toks = self.token_rx.findall((t or "")[: self.max_chars]
-                                         .lower())
-            if not toks:
-                continue
-            idx = np.fromiter((self._bucket(tok) for tok in toks),
-                              dtype=np.int64, count=len(toks))
-            buckets, tf = np.unique(idx, return_counts=True)
-            out[i] = tf.astype(np.int64) @ self.proj[buckets]  # exact
+        (all-zero row for token-less texts).
+
+        Vectorized (the MinHashSimHash pattern, adapted after an A/B):
+        Python truncate+lower per text (the pinned per-text semantics),
+        ONE polars extract_all over the batch (TOKEN_PATTERN is
+        quote-free ASCII — Rust regex == Python re here), token→bucket
+        via ONE flat pass over the actor cache (np.unique on the
+        string occurrences was measured 1.6x SLOWER than the dict —
+        sort-based object unique costs more than 600k cached gets; see
+        PERF_NOTES round 5), then one lexsort + segmented reduceat.
+        All accumulation is exact int64, so the result is bit-identical
+        to the original per-row scalar recipe (A/B-verified on fixture
+        + adversarial-unicode inputs, tests/test_embeddings.py)."""
+        import polars as pl
+        n = len(texts)
+        out = np.zeros((n, self.dim), dtype=np.int64)
+        if n == 0:
+            return out
+        lowered = [(t or "")[: self.max_chars].lower() for t in texts]
+        toks = pl.Series(lowered).str.extract_all(TOKEN_PATTERN)
+        lens = toks.list.len().to_numpy().astype(np.int64)
+        flat = toks.explode(empty_as_null=False).to_numpy()
+        if len(flat) == 0:
+            return out
+        row_idx = np.repeat(np.arange(n), lens)
+        cache, miss = self._cache, self._bucket
+        bflat = np.fromiter(
+            (cache.get(t) if t in cache else miss(t) for t in flat),
+            dtype=np.int64, count=len(flat))
+        # unique (row, bucket) pairs with tf, then one segmented sum of
+        # tf * proj[bucket] per row (buckets ascending within a row —
+        # the same order as the scalar np.unique path; int64 addition
+        # is exact either way)
+        order = np.lexsort((bflat, row_idx))
+        r_s, b_s = row_idx[order], bflat[order]
+        new = np.ones(len(r_s), dtype=bool)
+        new[1:] = (r_s[1:] != r_s[:-1]) | (b_s[1:] != b_s[:-1])
+        starts_pair = np.flatnonzero(new)
+        tf = np.diff(np.append(starts_pair, len(r_s)))
+        rows_u, buckets_u = r_s[starts_pair], b_s[starts_pair]
+        contrib = tf[:, None] * self.proj[buckets_u]      # exact int64
+        row_new = np.ones(len(rows_u), dtype=bool)
+        row_new[1:] = rows_u[1:] != rows_u[:-1]
+        seg = np.flatnonzero(row_new)
+        out[rows_u[seg]] = np.add.reduceat(contrib, seg, axis=0)
         return out
 
     def _embed_rows(self, texts) -> np.ndarray:

@@ -50,3 +50,62 @@ class TestHashedProjectionEmbedder:
         top = cosine_topk(ds, [0, 1], k=3, id_col="doc_id").to_pandas()
         assert set(top["query_id"]) == {0, 1}
         assert (top.groupby("query_id").size() == 3).all()
+
+
+class TestAccRowsVectorizedParity:
+    """The vectorized _acc_rows must be BIT-identical to the original
+    per-row scalar recipe (frozen-hot-path rule) — including on
+    adversarial unicode where truncate/lower interact."""
+
+    @staticmethod
+    def _scalar_acc(emb, texts):
+        import re
+
+        from dataquality_ray.spec import TOKEN_PATTERN, token_hash_u64
+        rx = re.compile(TOKEN_PATTERN, re.ASCII)
+        out = np.zeros((len(texts), emb.dim), dtype=np.int64)
+        for i, t in enumerate(texts):
+            toks = rx.findall((t or "")[: emb.max_chars].lower())
+            if not toks:
+                continue
+            idx = np.fromiter(
+                (int(token_hash_u64(tok) % emb.buckets) for tok in toks),
+                dtype=np.int64, count=len(toks))
+            buckets, tf = np.unique(idx, return_counts=True)
+            out[i] = tf.astype(np.int64) @ emb.proj[buckets]
+        return out
+
+    def test_bit_identical_adversarial(self):
+        from dataquality_ray.stages.embeddings import (
+            HashedProjectionEmbedder,
+        )
+        emb = HashedProjectionEmbedder()
+        texts = [
+            "", None, "   ", "a", "A" * 9000,            # truncate edge
+            "İstanbul STRASSE ẞ ß Σίσυφος ΟΔΥΣΣΕΥΣ",     # case folding
+            "naïve café résumé — em–dash …ellipsis",
+            "𝔘𝔫𝔦𝔠𝔬𝔡𝔢 𝕥𝕖𝕩𝕥 🎉🎊 İı ﬀﬁ",  # astral+ligatures
+            "tab\tnew\nline\r\nmixed  spaces",
+            "x" * 7999 + "Ω" + "y" * 50,                 # boundary char
+            "1234 mixed99alpha 0x1F upper LOWER MiXeD",
+            "é́ combining ́ marks",
+        ]
+        got = emb._acc_rows(texts)
+        want = self._scalar_acc(emb, texts)
+        assert np.array_equal(got, want)
+
+    def test_bit_identical_fixture_sample(self):
+        from dataquality_ray.fixtures import transcripts_path
+        import pyarrow.parquet as pq
+        import glob, os
+
+        from dataquality_ray.stages.embeddings import (
+            HashedProjectionEmbedder,
+        )
+        root = transcripts_path(20_000, seed=42)
+        f = sorted(glob.glob(os.path.join(root, "*.parquet")))[0]
+        texts = pq.read_table(f, columns=["text"])["text"] \
+            .to_pylist()[:3000]
+        emb = HashedProjectionEmbedder()
+        assert np.array_equal(emb._acc_rows(texts),
+                              self._scalar_acc(emb, texts))
