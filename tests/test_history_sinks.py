@@ -106,3 +106,44 @@ class TestUriListing:
         # plain local path unchanged
         local = list_transcript_files(str(tmp_path / "shards"))
         assert local == got
+
+
+class TestMissingPathSuggestions:
+    """Missing local source paths raise with 'Did you mean' delete-1
+    suggestions from the parent listing (reference S3 surface,
+    s3.py:203-248)."""
+
+    def test_typo_dir_suggested(self, tmp_path):
+        import pytest
+
+        from dataquality_ray.sources.transcripts import (
+            list_transcript_files,
+        )
+        (tmp_path / "transcripts_v2").mkdir()
+        (tmp_path / "archive").mkdir()
+        with pytest.raises(FileNotFoundError) as ei:
+            list_transcript_files(str(tmp_path / "transcripts_v"))
+        assert "Did you mean" in str(ei.value)
+        assert "transcripts_v2" in str(ei.value)
+        assert "archive" not in str(ei.value)
+
+    def test_case_whitespace_match(self, tmp_path):
+        import pytest
+
+        from dataquality_ray.sources.transcripts import (
+            read_transcripts,
+        )
+        (tmp_path / "Data").mkdir()
+        with pytest.raises(FileNotFoundError) as ei:
+            read_transcripts(str(tmp_path / "data"))
+        assert "Data" in str(ei.value)
+
+    def test_no_match_message(self, tmp_path):
+        import pytest
+
+        from dataquality_ray.sources.transcripts import (
+            list_transcript_files,
+        )
+        with pytest.raises(FileNotFoundError) as ei:
+            list_transcript_files(str(tmp_path / "nothing_like_this"))
+        assert "no close match" in str(ei.value)

@@ -71,18 +71,45 @@ _QUERIES = entrymod.queries()
 
 _ORACLE_CACHE: dict = {}
 
+# composite oracles embed another oracle's FULL SQL as a parenthesized
+# subquery (e.g. transcript_dup_clusters wraps transcript_near_dup_pairs
+# — 52 s of MinHash-in-SQL — in a recursive CTE). The leaf oracle is
+# verified verbatim by its own test; re-running its text inside every
+# composite only re-pays that cost, so the gate substitutes the leaf's
+# MEMOIZED RESULT (registered as a DuckDB table) for the embedded text.
+# Leaves are checked verbatim; composites are checked modulo their
+# already-verified sub-results — the same memoization the string-level
+# cache already does for aliased oracles, one level deeper.
+_EMBEDDABLE = ("transcript_near_dup_pairs", "doc_embedding_values")
+
+
+def _oracle_want(name: str):
+    sql_text = _SQL[name]
+    want = _ORACLE_CACHE.get(sql_text)
+    if want is not None:
+        return want
+    con = _duck(SF_DIR)
+    exec_text = sql_text
+    for leaf in _EMBEDDABLE:
+        leaf_sql = _SQL.get(leaf)
+        if not leaf_sql or leaf == name \
+                or f"({leaf_sql})" not in exec_text:
+            continue
+        leaf_df = _oracle_want(leaf)          # memoized leaf result
+        con.register(f"__memo_{leaf}", leaf_df)
+        exec_text = exec_text.replace(
+            f"({leaf_sql})", f"(SELECT * FROM __memo_{leaf})")
+    want = con.execute(exec_text).df()
+    _ORACLE_CACHE[sql_text] = want
+    return want
+
 
 @pytest.mark.parametrize("name", sorted(_SQL))
 def test_query_matches_oracle(name):
     # memoize by SQL string: aliased oracles (e.g. the two near-dup
     # strategies share one heavy MinHash-in-SQL query) run DuckDB once
-    want = _ORACLE_CACHE.get(_SQL[name])
-    if want is None:
-        con = _duck(SF_DIR)
-        want = con.execute(_SQL[name]).df()
-        _ORACLE_CACHE[_SQL[name]] = want
     got = _to_df(_QUERIES[name](SF_DIR))
-    _compare(name, got, want)
+    _compare(name, got, _oracle_want(name))
 
 
 @pytest.mark.parametrize("name", sorted(set(_QUERIES) - set(_SQL)))
