@@ -317,6 +317,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # distinct via value-hash-bucketed local dedup) and a
         # declarative constraint suite — both SQL-checked
         "transcript_column_profile": _transcript_column_profile_q,
+        "transcript_column_profile_hll": _transcript_column_profile_hll_q,
         "transcript_constraint_checks": _transcript_constraint_checks_q,
         # exact heavy hitters behind a CMS prefilter (no false
         # negatives — oracle is the plain GROUP BY ... HAVING)
@@ -596,6 +597,11 @@ def _transcript_column_profile_q(sf_dir: str):
     return column_profile(_transcript_ds(sf_dir))
 
 
+def _transcript_column_profile_hll_q(sf_dir: str):
+    from dataquality_ray.pipelines.profiling import column_profile_hll
+    return column_profile_hll(_transcript_ds(sf_dir))
+
+
 def _transcript_constraint_checks_q(sf_dir: str):
     from dataquality_ray.pipelines.profiling import constraint_checks
     return constraint_checks(_transcript_ds(sf_dir))
@@ -866,6 +872,35 @@ SELECT '{name}' AS col_name,
   CAST(MIN({e}) AS VARCHAR) AS min_repr,
   CAST(MAX({e}) AS VARCHAR) AS max_repr
 FROM t""")
+    return (f"WITH t AS (SELECT * FROM read_parquet('{tr_glob}'))"
+            + "\nUNION ALL".join(parts))
+
+
+def _profile_hll_oracle_sql(tr_glob: str) -> str:
+    """DuckDB twin of pipelines.profiling.column_profile_hll —
+    register/rho arithmetic generated from the SAME constants as the
+    distinct_users_hll twin (top HLL_REG_BITS bits / low-bit
+    bit_length), hashing the SAME per-kind VARCHAR value reprs the Ray
+    partial hashes."""
+    from dataquality_ray.pipelines.metrics import (
+        _HLL_MASK,
+        _HLL_VALUE_BITS,
+    )
+    from dataquality_ray.pipelines.profiling import PROFILE_COLUMNS
+    rho0 = _HLL_VALUE_BITS + 1
+    parts = []
+    for name, kind in PROFILE_COLUMNS:
+        e = f"epoch_us({name})" if kind == "ts" else name
+        parts.append(f"""
+SELECT '{name}' AS col_name,
+  CAST(hv >> {_HLL_VALUE_BITS} AS BIGINT) AS reg,
+  MAX(CAST(CASE WHEN (hv & {_HLL_MASK}::UBIGINT) = 0
+           THEN {rho0}
+      ELSE {rho0} - length(bin(hv & {_HLL_MASK}::UBIGINT))
+      END AS BIGINT)) AS rho
+FROM (SELECT DISTINCT md5_number_upper(CAST({e} AS VARCHAR)) AS hv
+      FROM t WHERE {e} IS NOT NULL)
+GROUP BY 1, 2""")
     return (f"WITH t AS (SELECT * FROM read_parquet('{tr_glob}'))"
             + "\nUNION ALL".join(parts))
 
@@ -1900,6 +1935,7 @@ FROM win WHERE rn = 1
         # Deequ-style analyzers over the transcript table, generated
         # from the pipelines.profiling registries/constants
         "transcript_column_profile": _profile_oracle_sql(tr_glob),
+        "transcript_column_profile_hll": _profile_hll_oracle_sql(tr_glob),
         "transcript_constraint_checks": _constraint_oracle_sql(tr_glob),
         # exact heavy hitters: the sketch is only a prefilter on the
         # Ray side (over-estimate ⇒ exact recall), so the oracle is

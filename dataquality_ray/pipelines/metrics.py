@@ -1195,6 +1195,26 @@ _HLL_VALUE_BITS = 64 - HLL_REG_BITS
 _HLL_MASK = (1 << _HLL_VALUE_BITS) - 1
 
 
+def hll_reg_rho(hv: np.ndarray) -> tuple:
+    """(register, rho) per 64-bit hash — register = top HLL_REG_BITS
+    bits, rho = leading-zero count of the low bits + 1. bit_length must
+    be EXACT (float log2 misrounds near powers of two), so it is a
+    vectorized integer binary search. Shared by every HLL surface
+    (distinct_users_hll, column_profile_hll) so the register arithmetic
+    cannot fork."""
+    reg = (hv >> np.uint64(_HLL_VALUE_BITS)).astype(np.int64)
+    val = (hv & np.uint64(_HLL_MASK)).astype(np.uint64)
+    bitlen = np.zeros(len(val), dtype=np.int64)
+    v = val.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = v >= np.uint64(1 << shift)
+        bitlen[big] += shift
+        v[big] >>= np.uint64(shift)
+    bitlen[val > 0] += 1
+    rho = _HLL_VALUE_BITS + 1 - bitlen
+    return reg, rho
+
+
 def distinct_users_hll(sf_dir: str):
     """(event_type, reg, rho): HyperLogLog register sketch of distinct
     users per event type — register = top 6 bits of the frozen
@@ -1223,19 +1243,7 @@ def distinct_users_hll(sf_dir: str):
         users = df["user_id"].to_list()
         hv = np.fromiter((token_hash_u64(str(u)) for u in users),
                          dtype=np.uint64, count=len(users))
-        reg = (hv >> np.uint64(_HLL_VALUE_BITS)).astype(np.int64)
-        val = (hv & np.uint64(_HLL_MASK)).astype(np.uint64)
-        # rho = leading zeros within the 58-bit value + 1. bit_length
-        # must be EXACT (float log2 misrounds near powers of two), so
-        # compute it with a vectorized integer binary search.
-        bitlen = np.zeros(len(val), dtype=np.int64)
-        v = val.copy()
-        for shift in (32, 16, 8, 4, 2, 1):
-            big = v >= np.uint64(1 << shift)
-            bitlen[big] += shift
-            v[big] >>= np.uint64(shift)
-        bitlen[val > 0] += 1
-        rho = _HLL_VALUE_BITS + 1 - bitlen
+        reg, rho = hll_reg_rho(hv)
         g = (df.with_columns(reg=_pl.Series(reg), rho=_pl.Series(rho))
              .group_by(["event_type", "reg"])
              .agg(_pl.col("rho").max()))

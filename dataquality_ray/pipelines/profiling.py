@@ -8,10 +8,13 @@ per-document validation and completeness checks
 dimension with defaults for missing ones) and its scan-statistics
 surface (/root/reference/backend/app/api/routes.py run summaries).
 
-Two operators, both SQL-checked:
+Three operators, all SQL-checked:
 
 ``column_profile``  — per-column (rows, nulls, exact distinct count,
 min, max) over every transcript column.
+``column_profile_hll`` — the 100-TB default: per-column HyperLogLog
+register sketch of the distinct count (exchange bounded at #cols × 64
+integer rows at any corpus size).
 ``constraint_checks`` — a declarative expectation suite: one row per
 check with (n_evaluated, n_violations, passed).
 
@@ -217,6 +220,68 @@ def column_profile(ds, num_buckets: int = 0):
         "min_repr": pa.array([agg[n]["mn"] for n in names], pa.string()),
         "max_repr": pa.array([agg[n]["mx"] for n in names], pa.string()),
     })
+
+
+def column_profile_hll(ds):
+    """(col_name, reg, rho): HyperLogLog register sketch of per-column
+    distinct counts — the documented 100-TB DEFAULT profile. Where
+    ``column_profile`` ships one 16-byte digest per distinct value
+    (exact, but the exchange still grows with the distinct count),
+    this variant's exchange is <= #cols × 64 integer rows TOTAL at any
+    corpus size: per-batch register partials merge by MAX under any
+    partitioning. Register/rho arithmetic is byte-identical to
+    distinct_users_hll (shared hll_reg_rho kernel over the frozen
+    md5-u64 of the same per-kind value reprs column_profile uses), so
+    the register surface is exact integers and SQL-checkable; the
+    float estimate derives from the registers driver-side."""
+    import polars as pl
+    from ray.data.aggregate import Max
+
+    from dataquality_ray.pipelines.metrics import hll_reg_rho
+    from dataquality_ray.spec import token_hash_u64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, regs, rhos = [], [], []
+        for name, kind in PROFILE_COLUMNS:
+            col = batch[name]
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            vals, _, _ = _col_as_string_and_minmax(col, kind)
+            uniq = pc.unique(pc.drop_null(vals)).to_pylist()
+            if not uniq:
+                continue
+            hv = np.fromiter((token_hash_u64(s) for s in uniq),
+                             dtype=np.uint64, count=len(uniq))
+            reg, rho = hll_reg_rho(hv)
+            names.append(np.full(len(reg), name, dtype=object))
+            regs.append(reg)
+            rhos.append(rho)
+        if not names:
+            return pa.table({"col_name": pa.array([], pa.string()),
+                             "reg": _EMPTY_I64, "rho": _EMPTY_I64})
+        g = (pl.DataFrame({
+            "col_name": np.concatenate(names),
+            "reg": np.concatenate(regs),
+            "rho": np.concatenate(rhos),
+        }).group_by(["col_name", "reg"])
+          .agg(pl.col("rho").max()))
+        return g.to_arrow().cast(pa.schema([
+            ("col_name", pa.string()), ("reg", pa.int64()),
+            ("rho", pa.int64())]))
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby(["col_name", "reg"]).aggregate(
+            Max("rho", alias_name="rho"))
+
+    def clean(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "col_name": t["col_name"],
+            "reg": pc.cast(t["reg"], pa.int64()),
+            "rho": pc.cast(t["rho"], pa.int64()),
+        })
+
+    return agg.map_batches(clean, batch_format="pyarrow")
 
 
 # (check_name, scope) in output order; scope decides n_evaluated

@@ -213,3 +213,32 @@ def test_event_value_drift_detects_injected_shift(tmp_path):
     even = np.arange(n) % 2 == 0
     assert int(got.loc["drifty", "d_milli"]) == brute(even)
     assert int(got.loc["stable", "d_milli"]) == brute(~even)
+
+
+def test_column_profile_hll_estimate_within_bound(ray_session):
+    """The HLL profile's register estimates must track the exact
+    per-column distinct counts from the digest-exact profile (the
+    documented 100-TB default vs the exact path — same fixture, two
+    operators)."""
+    from dataquality_ray.fixtures import transcripts_path
+    from dataquality_ray.pipelines.metrics import (
+        HLL_REGISTERS,
+        hll_estimate,
+    )
+    from dataquality_ray.pipelines.profiling import (
+        column_profile,
+        column_profile_hll,
+    )
+    import ray
+
+    path = transcripts_path(20_000, seed=42)
+    ds = ray.data.read_parquet(path)
+    exact = column_profile(ds).to_pandas().set_index("col_name")
+    regs = column_profile_hll(ray.data.read_parquet(path)).to_pandas()
+    assert len(regs) > 0
+    for col, part in regs.groupby("col_name"):
+        r = dict(zip(part["reg"], part["rho"]))
+        est = hll_estimate(r, HLL_REGISTERS)
+        truth = exact.loc[col, "n_distinct"]
+        # 1.04/sqrt(64) ~ 13% standard error; allow 3 sigma
+        assert abs(est - truth) <= 0.40 * truth, (col, est, truth)
