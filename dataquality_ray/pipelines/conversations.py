@@ -744,16 +744,28 @@ def windowed_turn_dedup(ds, window_us: int = TURN_DEDUP_WINDOW_US,
         # duplicate), matching the SQL twin where ch IS NULL -> LAG
         # partition membership is moot and is_dup stays FALSE.
         norm = pc.fill_null(norm, "")
-        empty = pc.equal(pc.utf8_length(norm), 0)
-        digests = [
-            "" if e else hashlib.md5(s.encode()).hexdigest()
-            for s, e in zip(norm.to_pylist(),
-                            empty.to_pylist())]
-        hb = np.fromiter(
-            ((0 if d == "" else
-              int.from_bytes(bytes.fromhex(d)[:4], "little")
-              % num_buckets)
-             for d in digests), dtype=np.int32, count=len(digests))
+        if isinstance(norm, pa.ChunkedArray):
+            norm = norm.combine_chunks()
+        # md5 over zero-copy utf-8 slices straight off the Arrow
+        # buffer (content_hash_batch recipe); empty-normalized rows
+        # keep ch='' / hb=0 exactly as before
+        n = len(norm)
+        off_dtype = np.int64 if pa.types.is_large_string(norm.type) \
+            else np.int32
+        offs = np.frombuffer(norm.buffers()[1], dtype=off_dtype)[
+            norm.offset: norm.offset + n + 1]
+        data = memoryview(norm.buffers()[2])
+        md5 = hashlib.md5
+        from_bytes = int.from_bytes
+        digests = [""] * n
+        hb = np.zeros(n, dtype=np.int32)
+        for i in range(n):
+            lo, hi = offs[i], offs[i + 1]
+            if lo == hi:
+                continue
+            d = md5(data[lo:hi]).digest()
+            digests[i] = d.hex()
+            hb[i] = from_bytes(d[:4], "little") % num_buckets
         return pa.table({
             "hb": pa.array(hb),
             "ch": pa.array(digests, pa.string()),
