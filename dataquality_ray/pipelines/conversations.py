@@ -660,8 +660,8 @@ def transcript_split_leakage(ds, num_buckets: int = 0):
         norm = norm.filter(keep) if isinstance(norm, pa.ChunkedArray) \
             else pa.chunked_array([norm]).filter(keep)
         convs = batch["conv_id"].filter(keep).to_pylist()
-        digests = [hashlib.md5(s.encode()).digest()
-                   for s in norm.to_pylist()]
+        from dataquality_ray.arrowutil import md5_digests
+        digests = md5_digests(norm)
         b = np.fromiter(
             (token_hash_u64(c) % SPLIT_BUCKETS for c in convs),
             dtype=np.int64, count=len(convs))

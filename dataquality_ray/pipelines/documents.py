@@ -153,8 +153,8 @@ def exact_dedup_documents(sf_dir: str,
             pc.replace_substring_regex(
                 pc.utf8_lower(batch["text"]), EDGE_WS_PATTERN, ""),
             WS_PLUS_PATTERN, " ")
-        hashes = [hashlib.md5(s.encode()).hexdigest()
-                  for s in norm.to_pylist()]
+        from dataquality_ray.arrowutil import md5_digests
+        hashes = [d.hex() for d in md5_digests(norm)]
         return pa.table({
             "doc_id": batch["doc_id"],
             "content_hash": pa.array(hashes, pa.string()),
@@ -1815,8 +1815,9 @@ def curated_documents(sf_dir: str, cfg: PipelineConfig = DEFAULT_CONFIG,
             pc.replace_substring_regex(
                 pc.utf8_lower(batch["text"]), EDGE_WS_PATTERN, ""),
             WS_PLUS_PATTERN, " ")
-        dig = [hashlib.md5(x.encode()).digest()
-               for x in norm.to_pylist()]
+        from dataquality_ray.arrowutil import md5_digests
+        dig = md5_digests(norm if not isinstance(norm, pa.ChunkedArray)
+                          else norm.combine_chunks())
         ch = [d.hex() for d in dig]
         hpart = np.fromiter(
             (int.from_bytes(d[:4], "little") % num_buckets

@@ -74,14 +74,16 @@ def _md5_u64_lut(strings: list[str]) -> np.ndarray:
         dtype=np.uint64, count=len(strings))
 
 
-def _md5_digests(strings: list[str]) -> list[bytes]:
-    """Full 16-byte md5 per string — the COUNT(DISTINCT) exchange key.
-    Shipping the digest instead of the value bounds the per-distinct
-    exchange at 16 B regardless of value width (whole ``text`` values
-    would otherwise approach corpus size at scale); md5-collision
-    exactness is the same assumption the repo's content-hash dedup
-    already makes."""
-    return [hashlib.md5(s.encode()).digest() for s in strings]
+def _md5_digests(uniq: pa.Array) -> list[bytes]:
+    """Full 16-byte md5 per distinct value — the COUNT(DISTINCT)
+    exchange key. Shipping the digest instead of the value bounds the
+    per-distinct exchange at 16 B regardless of value width (whole
+    ``text`` values would otherwise approach corpus size at scale);
+    md5-collision exactness is the same assumption the repo's
+    content-hash dedup already makes. Hashes the utf-8 bytes zero-copy
+    off the Arrow buffer (arrowutil.md5_digests)."""
+    from dataquality_ray.arrowutil import md5_digests
+    return md5_digests(uniq)
 
 
 def _col_as_string_and_minmax(col: pa.Array, kind: str):
@@ -130,7 +132,7 @@ def column_profile(ds, num_buckets: int = 0):
                 col = col.combine_chunks()
             vals, mn_r, mx_r = _col_as_string_and_minmax(col, kind)
             uniq = pc.unique(pc.drop_null(vals))
-            digs = _md5_digests(uniq.to_pylist())
+            digs = _md5_digests(uniq)
             part = (np.fromiter(
                 (int.from_bytes(d[:8], "little") for d in digs),
                 dtype=np.uint64, count=len(digs))
@@ -237,8 +239,8 @@ def column_profile_hll(ds):
     import polars as pl
     from ray.data.aggregate import Max
 
+    from dataquality_ray.arrowutil import md5_digests
     from dataquality_ray.pipelines.metrics import hll_reg_rho
-    from dataquality_ray.spec import token_hash_u64
 
     def partial(batch: pa.Table) -> pa.Table:
         names, regs, rhos = [], [], []
@@ -247,11 +249,15 @@ def column_profile_hll(ds):
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
             vals, _, _ = _col_as_string_and_minmax(col, kind)
-            uniq = pc.unique(pc.drop_null(vals)).to_pylist()
-            if not uniq:
+            uniq = pc.unique(pc.drop_null(vals))
+            if len(uniq) == 0:
                 continue
-            hv = np.fromiter((token_hash_u64(s) for s in uniq),
-                             dtype=np.uint64, count=len(uniq))
+            # token_hash_u64 == first 8 md5 bytes LE; hash the utf-8
+            # bytes zero-copy off the Arrow buffer
+            hv = np.fromiter(
+                (int.from_bytes(d[:8], "little")
+                 for d in md5_digests(uniq)),
+                dtype=np.uint64, count=len(uniq))
             reg, rho = hll_reg_rho(hv)
             names.append(np.full(len(reg), name, dtype=object))
             regs.append(reg)
