@@ -137,6 +137,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.map_batches(lambda t: t.select(cols),
                               batch_format="pyarrow")
 
+    def transcript_dim_evidence(sf_dir: str):
+        """Per-turn {score, evidence} surface of the 17-dim analysis
+        record (reference metadata.py:437-451), through the PRODUCTION
+        decision path (decision_batch(with_evidence=True)) — flattened
+        to the 11 SQL-expressible dimensions so the evidence strings
+        themselves are value-hash-checked against the oracle (the
+        lang/ppl-backed dims ride the same struct but have no SQL
+        twin)."""
+        import pyarrow.compute as _pc
+        from dataquality_ray.pipelines.quality import quality_pipeline
+
+        scored = quality_pipeline(_transcript_ds(sf_dir), cfg=CFG,
+                                  with_dedup=False, with_evidence=True,
+                                  sort_output=False)
+
+        def flatten(t):
+            import pyarrow as _pa
+            dims = t["dimensions"]
+            if isinstance(dims, _pa.ChunkedArray):
+                dims = dims.combine_chunks()
+            out = {"conv_id": t["conv_id"], "turn_idx": t["turn_idx"]}
+            for name in SQL_EVIDENCE_DIMS:
+                out[f"ev_{name}"] = _pc.struct_field(dims,
+                                                     [name, "evidence"])
+            return _pa.table(out)
+
+        return scored.map_batches(flatten, batch_format="pyarrow")
+
     def transcript_sentence_dedup(sf_dir: str):
         """Per-turn intra-document repetition counts (C4-style sentence
         dedup signal) — SQL-checked."""
@@ -299,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         #     (SQL-checked via a direct read_parquet of the fixture) ---
         "transcript_entities": transcript_entities,
         "transcript_turn_quality": transcript_turn_quality,
+        "transcript_dim_evidence": transcript_dim_evidence,
         "transcript_sentence_dedup": transcript_sentence_dedup,
         "transcript_conv_heuristics": transcript_conv_heuristics,
         "conv_length_histogram": conv_length_histogram,
@@ -792,6 +821,30 @@ _BP = spec.BOILERPLATE_PATTERN
 # the SQL twins track dataquality_ray.pipelines.documents.DUP_SPAN_K
 # (CLAUDE.md: oracle SQL is generated from spec constants).
 from dataquality_ray.pipelines.documents import DUP_SPAN_K as _SPAN_K  # noqa: E402
+
+# the dimensions whose scores (and therefore evidence strings) are pure
+# functions of the SQL-recomputable heuristic/timeliness signals — the
+# lang/ppl-backed dims (Accuracy, Reliability, Accessibility,
+# Interpretability, Credibility, Value) have no SQL twin. Score exprs in
+# terms of transcript_turn_quality's oracle output columns; evidence
+# strings are generated from spec.DIM_EVIDENCE_TEMPLATES (split on
+# {score}) so template edits cannot desync the twins.
+_HEUR_MEAN_SQL = ("(length_score + repetition_score + symbol_score"
+                  " + boilerplate_score) // 4")
+SQL_EVIDENCE_DIM_EXPRS: "dict[str, str]" = {
+    "Completeness": "length_score",
+    "Consistency": "(repetition_score + symbol_score) // 2",
+    "Timeliness": "timeliness_score",
+    "Validity": "symbol_score",
+    "Uniqueness": "repetition_score",
+    "Relevance": "boilerplate_score",
+    "Precision": "symbol_score",
+    "Integrity": "length_score",
+    "Conformity": "boilerplate_score",
+    "Traceability": "100",
+    "Fitness_for_Use": _HEUR_MEAN_SQL,
+}
+SQL_EVIDENCE_DIMS = tuple(SQL_EVIDENCE_DIM_EXPRS)
 
 _AFTER_EMAIL = f"regexp_replace(text, '{_EMAIL}', '<EMAIL>', 'g')"
 _AFTER_SSN = f"regexp_replace({_AFTER_EMAIL}, '{_SSN}', '<SSN>', 'g')"
@@ -3381,6 +3434,28 @@ LEFT JOIN band b ON b.doc_id = d.doc_id AND b.band_id = r.range
 
 def oracle_sql() -> dict[str, str]:
     sql = _oracle_sql_impl()
+    # evidence strings for the SQL-expressible dims, generated from
+    # spec.DIM_EVIDENCE_TEMPLATES over the turn-quality oracle's score
+    # columns — template edits flow into BOTH engines from one place
+    ev_cols = []
+    for name in SQL_EVIDENCE_DIMS:
+        tmpl = spec.DIM_EVIDENCE_TEMPLATES[name]
+        expr = SQL_EVIDENCE_DIM_EXPRS[name]
+        if "{score}" in tmpl:
+            pre, suf = tmpl.split("{score}")
+            e = f"'{pre}' || CAST({expr} AS VARCHAR)"
+            if suf:
+                e += f" || '{suf}'"
+        else:
+            e = f"'{tmpl}'"
+        ev_cols.append(f"{e} AS ev_{name}")
+    ev_select = ",\n  ".join(ev_cols)
+    sql["transcript_dim_evidence"] = f"""
+WITH q AS ({sql['transcript_turn_quality']})
+SELECT conv_id, turn_idx,
+  {ev_select}
+FROM q
+"""
     # the join-strategy LSH variant is output-identical to the carry
     # variant (tested in tests/test_pipeline_e2e.py) — same oracle
     sql["transcript_near_dup_pairs_join"] = sql["transcript_near_dup_pairs"]
