@@ -874,16 +874,19 @@ def conv_near_dup_pairs(ds, num_buckets: int = 0):
         hb = np.empty(n, dtype=np.int32)
         for i in range(n):
             d = md5(data[offs[i]:offs[i + 1]]).digest()
-            hashes[i] = d.hex()
+            hashes[i] = d
             hb[i] = from_bytes(d[:4], "little") % num_buckets
         cb = np.fromiter(
             (token_hash_u64(c) % num_buckets for c in convs),
             dtype=np.int32, count=len(convs))
+        # ch rides the big shuffle as the RAW 16-byte digest (binary),
+        # not 32-char hex — halves the widest exchanged column; only
+        # hash identity matters downstream
         return pa.table({
             "hb": pa.array(hb),
             "cb": pa.array(cb),
             "conv_id": pa.array(convs, pa.string()),
-            "ch": pa.array(hashes, pa.string()),
+            "ch": pa.array(hashes, pa.binary()),
         })
 
     hashed = ds.map_batches(hash_turns, batch_format="pyarrow",
