@@ -1667,22 +1667,33 @@ def doc_token_buckets(sf_dir: str):
     docs = _docs(sf_dir, columns=["doc_id", "text"])
 
     def buckets(batch: pa.Table) -> pa.Table:
-        import re as _re
-        rx = _re.compile(TOKEN_PATTERN, _re.ASCII)
+        # one polars extract_all over the batch + flat cached
+        # token->bucket lookup (the embedder _acc_rows shape) instead
+        # of a per-row Python findall loop; the (doc, bucket) counts
+        # are integers, so the groupby reduce is exact either way
+        import polars as _pl
         ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        lowered = [(t or "")[:8000].lower()
+                   for t in batch["text"].to_pylist()]
+        toks = _pl.Series(lowered).str.extract_all(TOKEN_PATTERN)
+        lens = toks.list.len().to_numpy().astype(np.int64)
+        flat = toks.explode(empty_as_null=False).to_numpy()
+        if len(flat) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "bucket": pa.array([], pa.int64()),
+                             "tf": pa.array([], pa.int64())})
         cache: dict = {}
-        out_id, out_b = [], []
-        for i, t in enumerate(batch["text"].to_pylist()):
-            toks = rx.findall((t or "")[:8000].lower())
-            for tok in toks:
-                b = cache.get(tok)
-                if b is None:
-                    b = int(token_hash_u64(tok) % HASH_BUCKETS)
-                    cache[tok] = b
-                out_id.append(ids[i])
-                out_b.append(b)
-        g = (pd.DataFrame({"doc_id": np.asarray(out_id, np.int64),
-                           "bucket": np.asarray(out_b, np.int64)})
+
+        def miss(tok):
+            b = cache[tok] = int(token_hash_u64(tok) % HASH_BUCKETS)
+            return b
+
+        bflat = np.fromiter(
+            (cache.get(t) if t in cache else miss(t) for t in flat),
+            dtype=np.int64, count=len(flat))
+        g = (pd.DataFrame({"doc_id": np.repeat(ids, lens)
+                           .astype(np.int64),
+                           "bucket": bflat})
              .groupby(["doc_id", "bucket"], sort=False)
              .size().rename("tf").reset_index())
         g["tf"] = g["tf"].astype(np.int64)
