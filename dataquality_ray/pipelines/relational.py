@@ -626,13 +626,20 @@ def shipping_priority_revenue(sf_dir: str, num_partitions: int = 8):
 
     Scale shape: BOTH date predicates are pushed into the parquet scans
     (row-group pruning); revenue is combined per orderkey inside
-    map_batches before any shuffle; lineitem⋈orders then ⋈customer
-    (segment-filtered at ITS scan) are bucketed hash joins with a
-    materialize between (CLAUDE.md invariant); the final top-K sorts
-    only the per-order aggregate rows that survive all three filters.
+    map_batches, and the BATCH-LOCAL partials join straight through —
+    there is NO global per-orderkey aggregate (that output-∝-orders
+    sort-based groupby is the shape CLAUDE.md forbids; both joins are
+    1:1 on the partial side, so every partial row survives iff its
+    order survives). Totals are completed AFTER the segment+date
+    filters shrink the row set: orderkey-hash buckets → one local
+    polars groupby per bucket, pruned to the bucket's own top-K, so
+    the final sort sees only K_buckets × Q3_TOP_K rows. lineitem⋈orders
+    then ⋈customer (segment-filtered at ITS scan) are bucketed hash
+    joins with a materialize between (CLAUDE.md invariant). Sums are
+    int64 cents — exact under any accumulation split.
     """
+    import polars as pl
     import pyarrow.compute as _pc
-    from ray.data.aggregate import Sum
 
     cutoff = np.datetime64(Q3_CUTOFF, "us")
     li = ray.data.read_parquet(
@@ -654,8 +661,7 @@ def shipping_priority_revenue(sf_dir: str, num_partitions: int = 8):
           .agg(c=("c", "sum")).reset_index())
         return from_pandas_clean(g)
 
-    per_order = li.map_batches(partial, batch_format="pyarrow") \
-        .groupby("l_orderkey").aggregate(Sum("c", alias_name="c"))
+    per_order = li.map_batches(partial, batch_format="pyarrow")
 
     orders = ray.data.read_parquet(
         os.path.join(sf_dir, "orders.parquet"),
@@ -679,7 +685,36 @@ def shipping_priority_revenue(sf_dir: str, num_partitions: int = 8):
                  num_partitions=num_partitions,
                  on=("o_custkey",), right_on=("c_custkey",))
 
-    top = j2.sort(["c", "l_orderkey"], descending=[True, False]) \
+    n_buckets = 32
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        ok = batch["l_orderkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "c": batch["c"],
+            "o_orderdate": batch["o_orderdate"],
+            "o_orderpriority": batch["o_orderpriority"],
+            "part": pa.array(ok % n_buckets),
+        })
+
+    def per_bucket(group: pa.Table) -> pa.Table:
+        # each orderkey lives in exactly one bucket, so the local
+        # groupby COMPLETES its total; the bucket's own top-K prune is
+        # then safe (a global winner wins its bucket too).
+        g = (pl.from_arrow(group)
+             .group_by("l_orderkey")
+             .agg(pl.col("c").sum(),
+                  pl.col("o_orderdate").first(),
+                  pl.col("o_orderpriority").first())
+             .sort(["c", "l_orderkey"], descending=[True, False])
+             .head(Q3_TOP_K))
+        return g.to_arrow()
+
+    agg = j2.map_batches(bucketize, batch_format="pyarrow") \
+        .groupby("part").map_groups(per_bucket, batch_format="pyarrow")
+
+    top = agg.sort(["c", "l_orderkey"], descending=[True, False]) \
         .limit(Q3_TOP_K)
     df = top.to_pandas()
     out = pd.DataFrame({
