@@ -285,6 +285,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tokenizer-coverage signal: per-doc OOV rate vs the broadcast
         # top-K corpus vocabulary (integer milli rate)
         "doc_oov_rate": D.doc_oov_rate,
+        # data SELECTION toward a target distribution: DSIR hashed-ngram
+        # importance weights with an exact integer (log2-quantized) LLR
+        "dsir_importance_documents": D.dsir_importance_documents,
         "token_count_documents": D.token_count_documents,
         # training-data prep: context-window chunking (flat-map
         # explode), greedy sequence packing (bucketed prefix scan),
@@ -1076,6 +1079,8 @@ def _oracle_sql_impl() -> dict[str, str]:
         VOCAB_TOP_K,
         OOV_VOCAB_K,
         MIXTURE_BUDGET_DOCS,
+        DSIR_BUCKETS,
+        DSIR_TARGET_SOURCE,
     )
     shingle_expr = " || ' ' || ".join(
         f"ts[i+{k}]" if k else "ts[i]" for k in range(SHINGLE_NGRAM))
@@ -1270,6 +1275,36 @@ SELECT d.doc_id,
        ELSE per.n_oov * 1000 // per.n_tokens END AS BIGINT)
     AS oov_milli
 FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+""",
+        # DSIR importance weights: hashed-unigram features (the frozen
+        # md5-u64 token hash mod DSIR_BUCKETS), target = one source
+        # slice, weight = bit_length(t+1) - bit_length(r+1) — DuckDB's
+        # length(bin(x)) equals Python int.bit_length for x >= 1, so
+        # the log2-quantized LLR is engine-exact end to end
+        "dsir_importance_documents": f"""
+WITH toks AS (
+  SELECT doc_id, source,
+    CAST(md5_number_upper(t) % {DSIR_BUCKETS} AS BIGINT) AS bucket
+  FROM (
+    SELECT doc_id, source,
+      unnest(regexp_extract_all(lower(text), '{_TOK}')) AS t
+    FROM documents)),
+raw AS (SELECT bucket, COUNT(*) AS r FROM toks GROUP BY 1),
+tgt AS (SELECT bucket, COUNT(*) AS t FROM toks
+        WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY 1),
+w AS (
+  SELECT raw.bucket,
+    CAST(length(bin(COALESCE(tgt.t, 0) + 1))
+         - length(bin(raw.r + 1)) AS BIGINT) AS w
+  FROM raw LEFT JOIN tgt ON tgt.bucket = raw.bucket),
+sc AS (
+  SELECT toks.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(w.w) AS BIGINT) AS importance
+  FROM toks JOIN w USING (bucket) GROUP BY 1)
+SELECT d.doc_id,
+  COALESCE(sc.n_tokens, 0) AS n_tokens,
+  COALESCE(sc.importance, 0) AS importance
+FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
 """,
         # md5_number_upper(CAST(id AS VARCHAR)) == spec.token_hash_u64
         # of str(id) — the shared frozen hash, so both engines bucket

@@ -111,7 +111,8 @@ def _query_benches(sf_dir: str) -> dict:
              "duplicate_span_removed_documents", "daily_event_type_dense",
              "conv_role_patterns", "conv_response_ratio",
              "windowed_turn_dedup", "quality_drift_by_source",
-             "doc_length_histogram", "transcript_column_profile_hll"]
+             "doc_length_histogram", "transcript_column_profile_hll",
+             "dsir_importance_documents"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -828,6 +828,107 @@ def doc_oov_rate(sf_dir: str):
                           zero_copy_batch=True)
 
 
+DSIR_BUCKETS = 4096          # hashed-feature dimensionality
+DSIR_TARGET_SOURCE = "src0"  # the "target distribution" exemplar slice
+
+
+def dsir_importance_documents(sf_dir: str):
+    """(doc_id, n_tokens, importance): DSIR-style hashed-n-gram
+    importance weights (Xie et al. 2023, "Data Selection for Language
+    Models via Importance Resampling") — the data-SELECTION primitive
+    that reweights a raw corpus toward a target distribution. Target =
+    the ``DSIR_TARGET_SOURCE`` slice; features = unigram occurrences of
+    the lowered text hashed into DSIR_BUCKETS buckets with the frozen
+    md5-u64 token hash; per-doc importance = Σ over token occurrences
+    of a log2-QUANTIZED log-likelihood ratio
+    ``bit_length(t[b]+1) - bit_length(r[b]+1)`` (t = target bucket
+    count, r = raw/corpus bucket count). The quantization trades the
+    paper's float log for exact integers so the whole surface is
+    value-hash-checkable (DuckDB ``length(bin(x))`` == Python
+    ``int.bit_length``, parity asserted in the oracle) — the repo's
+    fixed-point precedent (CLAUDE.md exactness rule).
+
+    Scale shape: learn pass emits ≤ 2×DSIR_BUCKETS bounded rows per
+    batch into a constant-size aggregate (never a vocab groupby); the
+    4096-int8-range weight table broadcasts via ``ray.put``; the score
+    pass is one vectorized tokenize + gather + segmented reduceat per
+    batch — the corpus never shuffles in either pass.
+    """
+    from ray.data.aggregate import Sum
+    from dataquality_ray.spec import token_hash_u64
+
+    ds = _docs(sf_dir, columns=["doc_id", "text", "source"])
+
+    def _bucketize(texts: pa.ChunkedArray):
+        """lowered-unigram → bucket codes; returns (lens, flat_buckets)."""
+        toks = (pl.from_arrow(texts).str.to_lowercase()
+                .str.extract_all(TOKEN_PATTERN))
+        lens = toks.list.len().to_numpy().astype(np.int64)
+        flat = toks.explode(empty_as_null=False).to_numpy()
+        if len(flat) == 0:
+            return lens, np.empty(0, np.int64)
+        cache: dict = {}
+
+        def miss(tok):
+            b = cache[tok] = int(token_hash_u64(tok) % DSIR_BUCKETS)
+            return b
+
+        bflat = np.fromiter(
+            (cache.get(t) if t in cache else miss(t) for t in flat),
+            dtype=np.int64, count=len(flat))
+        return lens, bflat
+
+    def learn_partial(batch: pa.Table) -> pa.Table:
+        lens, bflat = _bucketize(batch["text"])
+        raw = np.bincount(bflat, minlength=DSIR_BUCKETS)
+        is_tgt = pc.equal(batch["source"],
+                          DSIR_TARGET_SOURCE).to_numpy(
+                              zero_copy_only=False)
+        tgt_mask = np.repeat(is_tgt, lens)
+        tgt = np.bincount(bflat[tgt_mask], minlength=DSIR_BUCKETS)
+        kinds, buckets, cnts = [], [], []
+        for kind, cnt in ((0, raw), (1, tgt)):
+            nz = np.nonzero(cnt)[0]
+            kinds.append(np.full(len(nz), kind, np.int64))
+            buckets.append(nz.astype(np.int64))
+            cnts.append(cnt[nz].astype(np.int64))
+        return pa.table({"kind": np.concatenate(kinds),
+                         "bucket": np.concatenate(buckets),
+                         "cnt": np.concatenate(cnts)})
+
+    cells = (ds.map_batches(learn_partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["kind", "bucket"])
+             .aggregate(Sum("cnt", alias_name="cnt"))
+             .to_pandas())    # ≤ 2×DSIR_BUCKETS rows by construction
+    r = np.zeros(DSIR_BUCKETS, np.int64)
+    t = np.zeros(DSIR_BUCKETS, np.int64)
+    for kind, arr in ((0, r), (1, t)):
+        sel = cells[cells["kind"] == kind]
+        arr[sel["bucket"].to_numpy()] = sel["cnt"].to_numpy()
+    w = np.array([int(ti + 1).bit_length() - int(ri + 1).bit_length()
+                  for ti, ri in zip(t, r)], dtype=np.int64)
+    w_ref = ray.put(w)
+
+    def score(batch: pa.Table) -> pa.Table:
+        wt = ray.get(w_ref)
+        lens, bflat = _bucketize(batch["text"])
+        offsets = np.zeros(len(lens) + 1, np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        contrib = wt[bflat]
+        csum = np.zeros(len(contrib) + 1, np.int64)
+        np.cumsum(contrib, out=csum[1:])
+        imp = csum[offsets[1:]] - csum[offsets[:-1]]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_tokens": pa.array(lens, pa.int64()),
+            "importance": pa.array(imp, pa.int64()),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
 SPLIT_BUCKETS = 100          # md5(doc_id) % 100 → deterministic split
 SPLIT_TRAIN_LT = 80          # [0, 80) train
 SPLIT_VAL_LT = 90            # [80, 90) val; [90, 100) test
