@@ -310,6 +310,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fixed-128KiB-broadcast decontamination (mergeable Bloom
         # bitmap); hash-checked including deterministic false positives
         "bloom_contaminated_documents": D.bloom_contaminated_documents,
+        # span-level decontamination: only benchmark-colliding windows
+        # removed, docs reassembled — zero-shuffle (broadcast set)
+        "decontaminated_span_documents": D.decontaminated_span_documents,
         # the end-to-end corpus-curation surface (exact dedup + near
         # dedup + langid + toxicity + quality in ONE pipeline with
         # precedence-ordered drop reasons) — SQL-checked
@@ -2748,6 +2751,55 @@ SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
 FROM sh s JOIN bset b ON b.g = s.g
 WHERE s.doc_id % {CONTAM_BENCH_MOD} <> 0
 GROUP BY 1
+""",
+        # span-level decontamination: tokens covered by any
+        # benchmark-colliding word-CONTAM_NGRAM window removed, docs
+        # reassembled (duplicate_span_removed's rebuild contract with
+        # set membership replacing the cross-doc distinct-doc test)
+        "decontaminated_span_documents": f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_TOK}') AS ts
+  FROM documents),
+bset AS (
+  SELECT DISTINCT unnest(list_distinct(
+    list_transform(generate_series(1, len(ts) - {CONTAM_NGRAM - 1}),
+                   i -> {contam_shingle}))) AS g
+  FROM t WHERE doc_id % {CONTAM_BENCH_MOD} = 0),
+w AS (
+  SELECT doc_id,
+    unnest(generate_series(1, len(ts) - {CONTAM_NGRAM - 1})) AS start,
+    unnest(list_transform(generate_series(1, len(ts) - {CONTAM_NGRAM - 1}),
+                          i -> {contam_shingle})) AS g
+  FROM t
+  WHERE len(ts) >= {CONTAM_NGRAM} AND doc_id % {CONTAM_BENCH_MOD} <> 0),
+rem AS (
+  SELECT DISTINCT doc_id,
+    unnest(generate_series(start, start + {CONTAM_NGRAM - 1})) AS p
+  FROM w WHERE g IN (SELECT g FROM bset)),
+pos AS (
+  SELECT doc_id,
+    unnest(generate_series(1, len(ts))) AS p,
+    unnest(ts) AS tk
+  FROM t WHERE doc_id % {CONTAM_BENCH_MOD} <> 0),
+k AS (
+  SELECT pos.doc_id, pos.p, pos.tk,
+    (rem.p IS NOT NULL) AS removed
+  FROM pos LEFT JOIN rem
+    ON rem.doc_id = pos.doc_id AND rem.p = pos.p),
+a AS (
+  SELECT doc_id,
+    CAST(COUNT(*) AS BIGINT) AS n_tokens,
+    CAST(SUM(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT)
+      AS n_removed,
+    COALESCE(string_agg(CASE WHEN NOT removed THEN tk END, ' '
+                        ORDER BY p), '') AS kept_text
+  FROM k GROUP BY 1)
+SELECT d.doc_id,
+  COALESCE(a.n_tokens, 0) AS n_tokens,
+  COALESCE(a.n_removed, 0) AS n_removed,
+  COALESCE(a.kept_text, '') AS kept_text
+FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id
+WHERE d.doc_id % {CONTAM_BENCH_MOD} <> 0
 """,
         # Bloom-filter decontamination: identical probe replayed in SQL
         # (bit positions = md5_number_upper('bloom:'||j||':'||g) % M),

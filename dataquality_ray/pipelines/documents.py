@@ -1747,6 +1747,89 @@ def bloom_contaminated_documents(sf_dir: str):
                             zero_copy_batch=True)
 
 
+def decontaminated_span_documents(sf_dir: str):
+    """(doc_id, n_tokens, n_removed, kept_text) for non-benchmark docs:
+    SPAN-level decontamination — instead of dropping a contaminated
+    document wholesale (contaminated_documents), only the tokens
+    covered by a benchmark-colliding word-CONTAM_NGRAM window are
+    removed and the document is reassembled from the survivors (the
+    FLAN-style surgical variant that keeps the clean remainder of a
+    long document). Same window/tokenize recipe as the flag-side
+    operators; same rebuild contract as duplicate_span_removed.
+
+    Scale shape: strictly BETTER than duplicate_span_removed — the
+    duplication decision is membership in the broadcast benchmark
+    shingle set, not a cross-doc exchange, so window marking, span
+    union and text rebuild all complete inside ONE map_batches; the
+    corpus never shuffles and full text never crosses the network.
+    """
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    shingles_of = _contam_shingles
+
+    def bench_shingles(batch: pa.Table) -> pa.Table:
+        _, sh = shingles_of(batch, bench=True)
+        return pa.table({"g": pa.array(
+            sorted({g for row in sh.to_list() for g in row}),
+            pa.string())})
+
+    bench = docs.map_batches(bench_shingles, batch_format="pyarrow") \
+        .to_pandas()
+    bset_ref = ray.put(sorted(set(bench["g"])))
+
+    def rebuild(batch: pa.Table) -> pa.Table:
+        bset = ray.get(bset_ref)
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        t = batch.filter(pa.array(ids % CONTAM_BENCH_MOD != 0))
+        d = pl.DataFrame({
+            "doc_id": pl.from_arrow(t["doc_id"]),
+            "toks": pl.from_arrow(t["text"]).fill_null("")
+            .str.to_lowercase().str.extract_all(TOKEN_PATTERN),
+        })
+        expr = pl.element()
+        for k in range(1, CONTAM_NGRAM):
+            expr = expr + " " + pl.element().shift(-k)
+        wdf = (d.with_columns(
+            w=pl.col("toks").list.eval(expr.drop_nulls()))
+            .select(["doc_id", "w"])
+            .with_columns(
+                start=pl.int_ranges(1, pl.col("w").list.len() + 1,
+                                    dtype=pl.Int64))
+            .explode(["w", "start"]).drop_nulls("w"))
+        rem = (wdf.filter(pl.col("w").is_in(bset))
+               .with_columns(
+                   p=pl.int_ranges(pl.col("start"),
+                                   pl.col("start") + CONTAM_NGRAM,
+                                   dtype=pl.Int64))
+               .explode("p").select(["doc_id", "p"]).unique())
+        tokrows = (d.with_columns(
+            p=pl.int_ranges(1, pl.col("toks").list.len() + 1,
+                            dtype=pl.Int64))
+            .explode(["toks", "p"])
+            .drop_nulls("toks").rename({"toks": "tk"}))
+        kept = tokrows.join(rem, on=["doc_id", "p"], how="anti")
+        stats = tokrows.group_by("doc_id").agg(
+            n_tokens=pl.len().cast(pl.Int64))
+        texts = (kept.sort(["doc_id", "p"])
+                 .group_by("doc_id", maintain_order=True)
+                 .agg(n_kept=pl.len().cast(pl.Int64),
+                      kept_text=pl.col("tk").str.join(" ")))
+        out = (d.select(["doc_id"])
+               .join(stats, on="doc_id", how="left")
+               .join(texts, on="doc_id", how="left")
+               .with_columns(
+                   n_tokens=pl.col("n_tokens").fill_null(0),
+                   n_removed=(pl.col("n_tokens").fill_null(0)
+                              - pl.col("n_kept").fill_null(0)),
+                   kept_text=pl.col("kept_text").fill_null("")))
+        return out.select(["doc_id", "n_tokens", "n_removed",
+                           "kept_text"]).to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("n_tokens", pa.int64()),
+            ("n_removed", pa.int64()), ("kept_text", pa.string())]))
+
+    return docs.map_batches(rebuild, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def doc_token_buckets(sf_dir: str):
     """(doc_id, bucket, tf): the DETERMINISTIC front half of the
     feature-hash embedder (stages/embeddings.HashedProjectionEmbedder)
