@@ -288,6 +288,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # data SELECTION toward a target distribution: DSIR hashed-ngram
         # importance weights with an exact integer (log2-quantized) LLR
         "dsir_importance_documents": D.dsir_importance_documents,
+        # ...and the selection step: top-N by length-normalized
+        # importance (deterministic stand-in for Gumbel resampling)
+        "dsir_selected_documents": D.dsir_selected_documents,
         "token_count_documents": D.token_count_documents,
         # training-data prep: context-window chunking (flat-map
         # explode), greedy sequence packing (bucketed prefix scan),
@@ -1084,6 +1087,7 @@ def _oracle_sql_impl() -> dict[str, str]:
         MIXTURE_BUDGET_DOCS,
         DSIR_BUCKETS,
         DSIR_TARGET_SOURCE,
+        DSIR_SELECT_N,
     )
     shingle_expr = " || ' ' || ".join(
         f"ts[i+{k}]" if k else "ts[i]" for k in range(SHINGLE_NGRAM))
@@ -1308,6 +1312,41 @@ SELECT d.doc_id,
   COALESCE(sc.n_tokens, 0) AS n_tokens,
   COALESCE(sc.importance, 0) AS importance
 FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id
+""",
+        # the DSIR selection step: deterministic top-N by
+        # length-normalized importance (trunc-div // on both engines)
+        "dsir_selected_documents": f"""
+WITH toks AS (
+  SELECT doc_id, source,
+    CAST(md5_number_upper(t) % {DSIR_BUCKETS} AS BIGINT) AS bucket
+  FROM (
+    SELECT doc_id, source,
+      unnest(regexp_extract_all(lower(text), '{_TOK}')) AS t
+    FROM documents)),
+raw AS (SELECT bucket, COUNT(*) AS r FROM toks GROUP BY 1),
+tgt AS (SELECT bucket, COUNT(*) AS t FROM toks
+        WHERE source = '{DSIR_TARGET_SOURCE}' GROUP BY 1),
+w AS (
+  SELECT raw.bucket,
+    CAST(length(bin(COALESCE(tgt.t, 0) + 1))
+         - length(bin(raw.r + 1)) AS BIGINT) AS w
+  FROM raw LEFT JOIN tgt ON tgt.bucket = raw.bucket),
+sc AS (
+  SELECT toks.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         CAST(SUM(w.w) AS BIGINT) AS importance
+  FROM toks JOIN w USING (bucket) GROUP BY 1),
+full_sc AS (
+  SELECT d.doc_id,
+    COALESCE(sc.n_tokens, 0) AS n_tokens,
+    COALESCE(sc.importance, 0) AS importance
+  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)
+SELECT doc_id, n_tokens, importance,
+  CAST(CASE WHEN n_tokens = 0 THEN 0
+       ELSE (importance * 1000) // n_tokens END AS BIGINT)
+    AS rate_milli
+FROM full_sc
+ORDER BY rate_milli DESC, doc_id
+LIMIT {DSIR_SELECT_N}
 """,
         # md5_number_upper(CAST(id AS VARCHAR)) == spec.token_hash_u64
         # of str(id) — the shared frozen hash, so both engines bucket

@@ -113,7 +113,8 @@ def _query_benches(sf_dir: str) -> dict:
              "windowed_turn_dedup", "quality_drift_by_source",
              "doc_length_histogram", "transcript_column_profile_hll",
              "dsir_importance_documents",
-             "decontaminated_span_documents"]
+             "decontaminated_span_documents",
+             "dsir_selected_documents"]
     out = {}
     for name in names:
         t0 = time.time()

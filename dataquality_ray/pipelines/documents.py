@@ -929,6 +929,50 @@ def dsir_importance_documents(sf_dir: str):
                           zero_copy_batch=True)
 
 
+DSIR_SELECT_N = 100          # documents kept by the selection step
+
+
+def dsir_selected_documents(sf_dir: str):
+    """(doc_id, n_tokens, importance, rate_milli): the SELECTION step
+    completing DSIR — the DSIR_SELECT_N documents whose
+    length-normalized importance (`importance*1000` trunc-div
+    `n_tokens`, DuckDB ``//`` semantics; 0 for token-less docs) ranks
+    highest, ties → doc_id asc. Deterministic top-N rather than the
+    paper's Gumbel resampling so the selected SET is value-hash
+    checkable (the repo-wide no-RNG rule; weighted_sample_documents is
+    the sampling-flavored counterpart).
+
+    Scale shape: composes on dsir_importance_documents (two
+    non-shuffling passes) + the weighted_sample two-phase top-N —
+    per-batch local top-N partials, then one tiny sort+limit over
+    ≤ N·batches rows; the corpus never shuffles here either.
+    """
+    ds = dsir_importance_documents(sf_dir)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        nt = batch["n_tokens"].to_numpy(zero_copy_only=False)
+        imp = batch["importance"].to_numpy(zero_copy_only=False)
+        num = imp * 1000
+        rate = np.where(nt > 0,
+                        np.where(num >= 0, num // np.maximum(nt, 1),
+                                 -((-num) // np.maximum(nt, 1))),
+                        0).astype(np.int64)
+        order = np.lexsort((ids, -rate))
+        keep = order[:DSIR_SELECT_N]
+        return pa.table({
+            "doc_id": pa.array(ids[keep].astype(np.int64)),
+            "n_tokens": pa.array(nt[keep].astype(np.int64)),
+            "importance": pa.array(imp[keep].astype(np.int64)),
+            "rate_milli": pa.array(rate[keep]),
+        })
+
+    return ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True) \
+        .sort(["rate_milli", "doc_id"], descending=[True, False]) \
+        .limit(DSIR_SELECT_N)
+
+
 SPLIT_BUCKETS = 100          # md5(doc_id) % 100 → deterministic split
 SPLIT_TRAIN_LT = 80          # [0, 80) train
 SPLIT_VAL_LT = 90            # [80, 90) val; [90, 100) test
