@@ -165,6 +165,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return scored.map_batches(flatten, batch_format="pyarrow")
 
+    def transcript_dim_cofail(sf_dir: str):
+        """(dim_a, dim_b, n_cofail): co-failure matrix of the
+        SQL-expressible quality dimensions — on how many turns do
+        dimensions a and b BOTH score below the review threshold
+        (diagonal = per-dim failure counts). The filter-redundancy
+        introspection a pipeline owner reads before tuning thresholds:
+        a pair with n_cofail ≈ the diagonal counts is two filters
+        doing one job. Runs through the PRODUCTION decision path
+        (no forked formulas — CLAUDE.md single-source rule); per-batch
+        partial = one 11×11 boolean-matrix matmul, so the exchange is
+        ≤ 66 rows per batch into a constant-size aggregate at ANY
+        corpus size."""
+        import numpy as _np
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+        from ray.data.aggregate import Sum
+        from dataquality_ray.pipelines.quality import quality_pipeline
+
+        scored = quality_pipeline(_transcript_ds(sf_dir), cfg=CFG,
+                                  with_dedup=False, with_evidence=True,
+                                  sort_output=False)
+        names = sorted(SQL_EVIDENCE_DIMS)
+        thresh = CFG.review_action_threshold
+
+        def partial(t):
+            dims = t["dimensions"]
+            if isinstance(dims, _pa.ChunkedArray):
+                dims = dims.combine_chunks()
+            cols = [_pc.struct_field(dims, [n, "score"])
+                    .to_numpy(zero_copy_only=False) for n in names]
+            fails = (_np.stack(cols, axis=1) < thresh).astype(_np.int64)
+            co = fails.T @ fails
+            iu = _np.triu_indices(len(names))
+            return _pa.table({
+                "dim_a": _pa.array([names[i] for i in iu[0]]),
+                "dim_b": _pa.array([names[j] for j in iu[1]]),
+                "n": _pa.array(co[iu], type=_pa.int64()),
+            })
+
+        agg = scored.map_batches(partial, batch_format="pyarrow") \
+            .groupby(["dim_a", "dim_b"]) \
+            .aggregate(Sum("n", alias_name="n_cofail"))
+        def trim(t):
+            t = t.filter(_pc.greater(t["n_cofail"], 0))
+            idx = t.schema.get_field_index("n_cofail")
+            return t.set_column(idx, "n_cofail",
+                                _pc.cast(t["n_cofail"], _pa.int64()))
+
+        return agg.map_batches(trim, batch_format="pyarrow")
+
     def transcript_sentence_dedup(sf_dir: str):
         """Per-turn intra-document repetition counts (C4-style sentence
         dedup signal) — SQL-checked."""
@@ -337,6 +387,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "transcript_entities": transcript_entities,
         "transcript_turn_quality": transcript_turn_quality,
         "transcript_dim_evidence": transcript_dim_evidence,
+        # filter-redundancy introspection: 11x11 dimension co-failure
+        # matrix through the production decision path
+        "transcript_dim_cofail": transcript_dim_cofail,
         "transcript_sentence_dedup": transcript_sentence_dedup,
         "transcript_conv_heuristics": transcript_conv_heuristics,
         "conv_length_histogram": conv_length_histogram,
@@ -3581,6 +3634,29 @@ WITH q AS ({sql['transcript_turn_quality']})
 SELECT conv_id, turn_idx,
   {ev_select}
 FROM q
+"""
+    # dimension co-failure matrix over the same score expressions —
+    # zipped parallel unnests pivot the 11 dims long, then a
+    # within-turn self-join counts pairs below the review threshold
+    cf_names = sorted(SQL_EVIDENCE_DIMS)
+    cf_name_list = ", ".join(f"'{n}'" for n in cf_names)
+    cf_expr_list = ", ".join(SQL_EVIDENCE_DIM_EXPRS[n] for n in cf_names)
+    sql["transcript_dim_cofail"] = f"""
+WITH q AS ({sql['transcript_turn_quality']}),
+d AS (
+  SELECT conv_id, turn_idx,
+    unnest([{cf_name_list}]) AS dim,
+    unnest([{cf_expr_list}]) AS score
+  FROM q),
+f AS (
+  SELECT conv_id, turn_idx, dim FROM d
+  WHERE score < {CFG.review_action_threshold})
+SELECT a.dim AS dim_a, b.dim AS dim_b,
+  CAST(COUNT(*) AS BIGINT) AS n_cofail
+FROM f a JOIN f b
+  ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
+ AND a.dim <= b.dim
+GROUP BY 1, 2
 """
     # the join-strategy LSH variant is output-identical to the carry
     # variant (tested in tests/test_pipeline_e2e.py) — same oracle
