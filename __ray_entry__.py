@@ -297,6 +297,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_documents": D.near_dup_documents,
         "shingle_near_dup_documents": D.shingle_near_dup_documents,
         "near_dup_kept_documents": D.near_dup_kept_documents,
+        # duplication provenance: near-dup pair mass per unordered
+        # source pair (diagonal = within-source template reuse)
+        "near_dup_source_matrix": D.near_dup_source_matrix,
         "stratified_sample_documents": D.stratified_sample_documents,
         "max_similarity_per_doc": D.max_similarity_per_doc,
         "union_dedup_documents": D.union_dedup_documents,
@@ -3191,6 +3194,19 @@ FROM documents GROUP BY 1
 """,
         "near_dup_documents": _PAIR_CTE + f"""
 SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= {NEAR_DUP_DOC_JACCARD}
+""",
+        # near-dup pair mass per unordered source pair — LEAST/GREATEST
+        # normalizes the pair exactly like the Ray-side np.minimum/
+        # maximum on the source strings
+        "near_dup_source_matrix": _PAIR_CTE + f"""
+SELECT LEAST(da.source, db.source) AS source_a,
+  GREATEST(da.source, db.source) AS source_b,
+  CAST(COUNT(*) AS BIGINT) AS n_pairs
+FROM (SELECT id_a, id_b FROM p
+      WHERE jaccard >= {NEAR_DUP_DOC_JACCARD}) q
+JOIN documents da ON da.doc_id = q.id_a
+JOIN documents db ON db.doc_id = q.id_b
+GROUP BY 1, 2
 """,
         # dedup APPLICATION: connected components over the near-dup
         # graph (recursive min-label CTE), keep the min doc_id per

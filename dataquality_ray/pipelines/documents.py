@@ -198,6 +198,64 @@ def shingle_near_dup_documents(sf_dir: str):
                                id_col="doc_id", ngram=SHINGLE_NGRAM)
 
 
+def near_dup_source_matrix(sf_dir: str, num_partitions: int = 8):
+    """(source_a, source_b, n_pairs): WHERE the near-duplication lives —
+    near-dup pair mass between each unordered source pair (diagonal =
+    within-source pairs). The datasheet stat that tells a corpus owner
+    whether duplication is a mirror-site pair (one hot off-diagonal
+    cell) or template reuse inside one source (a hot diagonal) before
+    spending a full dedup pass.
+
+    Scale shape: composes the LSH pair generator (already bounded) with
+    two slim hash joins against the (doc_id, source) projection —
+    repartition before/between the joins and a materialize in the
+    middle per the chained-join invariant (CLAUDE.md); the per-batch
+    pair-normalize + count partial keeps the final aggregate at
+    ≤ |sources|² rows.
+    """
+    import pandas as pd
+
+    from ray.data.aggregate import Sum
+    from dataquality_ray.arrowutil import from_pandas_clean
+
+    pairs = near_dup_documents(sf_dir)
+    docs = _docs(sf_dir, columns=["doc_id", "source"])
+
+    def _as_src(key, col):
+        def rn(t: pa.Table) -> pa.Table:
+            return pa.table({key: pc.cast(t["doc_id"], pa.int64()),
+                             col: t["source"]})
+        return rn
+
+    src_a = docs.map_batches(_as_src("ka", "source_x"),
+                             batch_format="pyarrow")
+    src_b = docs.map_batches(_as_src("kb", "source_y"),
+                             batch_format="pyarrow")
+    slim = pairs.map_batches(lambda t: t.select(["id_a", "id_b"]),
+                             batch_format="pyarrow")
+    nparts = num_partitions
+    j1 = slim.repartition(nparts) \
+        .join(src_a, join_type="inner", num_partitions=nparts,
+              on=("id_a",), right_on=("ka",)) \
+        .repartition(nparts).materialize()
+    j2 = j1.join(src_b, join_type="inner", num_partitions=nparts,
+                 on=("id_b",), right_on=("kb",))
+
+    def partial(t: pa.Table) -> pa.Table:
+        sx = np.asarray(t["source_x"].to_pylist(), dtype=object)
+        sy = np.asarray(t["source_y"].to_pylist(), dtype=object)
+        g = (pd.DataFrame({"source_a": np.minimum(sx, sy),
+                           "source_b": np.maximum(sx, sy)})
+             .groupby(["source_a", "source_b"], sort=False)
+             .size().rename("n").reset_index())
+        g["n"] = g["n"].astype(np.int64)
+        return from_pandas_clean(g)
+
+    return j2.map_batches(partial, batch_format="pyarrow") \
+        .groupby(["source_a", "source_b"]) \
+        .aggregate(Sum("n", alias_name="n_pairs"))
+
+
 def max_similarity_per_doc(sf_dir: str):
     """Per doc appearing in near-dup pairs: its max Jaccard (A6 analog,
     reference routes.py:378)."""
