@@ -419,6 +419,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BPE merge-candidate mining: top-K adjacent token pairs via
         # pair-hash-bucketed local totals (no corpus-sized aggregate)
         "token_bigram_merges": _token_bigram_merges_q,
+        # memorization/PII-risk audit: per-turn corpus-unique token
+        # counts (uniqueness decided on the frozen md5-u64 hash)
+        "transcript_rare_tokens": _transcript_rare_tokens_q,
         # snapshot reconciliation: added/removed/changed/unchanged per
         # doc — both sides slim-hashed and co-bucketed (FULL OUTER
         # completes locally; neither snapshot broadcast)
@@ -712,6 +715,13 @@ def _token_bigram_merges_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import \
         token_bigram_merges
     return token_bigram_merges(_transcript_ds(sf_dir, columns=["text"]))
+
+
+def _transcript_rare_tokens_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import \
+        transcript_rare_tokens
+    return transcript_rare_tokens(
+        _transcript_ds(sf_dir, columns=["conv_id", "turn_idx", "text"]))
 
 
 def _conv_turn_gaps_q(sf_dir: str):
@@ -2149,6 +2159,24 @@ SELECT pr.a AS a, pr.b AS b, CAST(COUNT(*) AS BIGINT) AS cf
 FROM p GROUP BY 1, 2
 ORDER BY cf DESC, a, b
 LIMIT {BIGRAM_TOP_K}
+""",
+        # per-turn corpus-unique token counts: uniqueness decided on
+        # md5_number_upper(term) == spec.token_hash_u64, so hash
+        # collisions merge identically on both engines; the MIN over a
+        # COUNT(*)=1 group is the group's single row
+        "transcript_rare_tokens": f"""
+WITH t AS (
+  SELECT conv_id, turn_idx,
+    unnest(regexp_extract_all(lower(text), '{_TOK}')) AS term
+  FROM read_parquet('{tr_glob}')),
+h AS (
+  SELECT conv_id, turn_idx, md5_number_upper(term) AS hh FROM t),
+u AS (
+  SELECT hh, MIN(conv_id) AS conv_id, MIN(turn_idx) AS turn_idx
+  FROM h GROUP BY hh HAVING COUNT(*) = 1)
+SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+  CAST(COUNT(*) AS BIGINT) AS n_rare
+FROM u GROUP BY 1, 2
 """,
         # snapshot reconciliation over the deterministic v2 synthesis
         # (same three rules as pipelines.documents constants)

@@ -114,7 +114,8 @@ def _query_benches(sf_dir: str) -> dict:
              "doc_length_histogram", "transcript_column_profile_hll",
              "dsir_importance_documents",
              "decontaminated_span_documents",
-             "dsir_selected_documents"]
+             "dsir_selected_documents", "transcript_rare_tokens",
+             "near_dup_source_matrix"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -1280,3 +1280,109 @@ def token_bigram_merges(ds, num_buckets: int = 0,
                                         batch_format="pyarrow")
             .sort(["cf", "a", "b"], descending=[True, False, False])
             .limit(top_k))
+
+
+def transcript_rare_tokens(ds, num_buckets: int = 0):
+    """(conv_id, turn_idx, n_rare): memorization / PII-risk audit — per
+    turn, how many of its tokens are CORPUS-UNIQUE, i.e. their frozen
+    md5-u64 token hash occurs exactly once across the whole corpus. A
+    corpus-unique string is learnable from exactly one place (the
+    Carlini-style memorization-risk shape) and is where unscrubbed
+    identifiers hide after the regex pass. Only turns with n_rare > 0
+    are emitted (the contaminated_documents convention). Uniqueness is
+    defined ON THE HASH so DuckDB's md5_number_upper replays the
+    decision exactly, collisions included.
+
+    Scale shape: the distinct-token space grows with the corpus, so
+    totals never touch a Ray aggregate — per-batch tokenize (dictionary
+    encode → one md5 per distinct term) with batch-local counts;
+    batch-singleton hashes ship as slim (h, conv, turn) rows while
+    multi-occurrence hashes collapse to ONE tombstone row each (no
+    posting explosion, cf CONV_DEDUP_DF_CAP); ONE hash-bucket shuffle
+    decides global uniqueness locally (every copy of a hash lives in
+    one bucket); surviving per-turn partials complete in a turn-keyed
+    bucket pass — each turn in exactly one bucket, never a
+    corpus-proportional Ray aggregate.
+    """
+    import polars as pl
+
+    from dataquality_ray.spec import TOKEN_PATTERN, token_hash_u64
+
+    nb = num_buckets or cluster_buckets()
+
+    _sing = pa.schema([
+        ("hpart", pa.int32()), ("h", pa.int64()),
+        ("conv_id", pa.string()), ("turn_idx", pa.int64()),
+        ("n", pa.int64())])
+    _part = pa.schema([
+        ("part", pa.int32()), ("conv_id", pa.string()),
+        ("turn_idx", pa.int64()), ("n_rare", pa.int64())])
+    _out = pa.schema([
+        ("conv_id", pa.string()), ("turn_idx", pa.int64()),
+        ("n_rare", pa.int64())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = (pl.from_arrow(batch["text"]).str.to_lowercase()
+                .str.extract_all(TOKEN_PATTERN))
+        e = (pl.DataFrame({
+            "conv_id": pl.from_arrow(batch["conv_id"]),
+            "turn_idx": pl.from_arrow(batch["turn_idx"])
+            .cast(pl.Int64),
+            "toks": toks,
+        }).explode("toks").drop_nulls("toks"))
+        tcol = e["toks"].to_arrow()
+        if isinstance(tcol, pa.ChunkedArray):
+            tcol = tcol.combine_chunks()
+        if len(tcol) == 0:
+            return _sing.empty_table()
+        enc = tcol.dictionary_encode()
+        lut = np.fromiter(
+            (token_hash_u64(u) for u in enc.dictionary.to_pylist()),
+            dtype=np.uint64, count=len(enc.dictionary))
+        h = lut[enc.indices.to_numpy(zero_copy_only=False)]
+        df = (e.drop("toks")
+              .with_columns(h=pl.Series("h", h.view(np.int64))))
+        cnt = df.group_by("h").agg(n=pl.len().cast(pl.Int64))
+        singles = df.join(cnt.filter(pl.col("n") == 1), on="h",
+                          how="inner")
+        tomb = (cnt.filter(pl.col("n") >= 2)
+                .with_columns(conv_id=pl.lit("", dtype=pl.String),
+                              turn_idx=pl.lit(-1, dtype=pl.Int64),
+                              n=pl.lit(2, dtype=pl.Int64)))
+        rows = pl.concat([singles.select(["h", "conv_id", "turn_idx",
+                                          "n"]),
+                          tomb.select(["h", "conv_id", "turn_idx",
+                                       "n"])])
+        hp = (rows["h"].to_numpy().view(np.uint64)
+              % np.uint64(nb)).astype(np.int32)
+        return rows.with_columns(
+            hpart=pl.Series("hpart", hp)).select(
+            ["hpart", "h", "conv_id", "turn_idx", "n"]) \
+            .to_arrow().cast(_sing)
+
+    def decide(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["h", "conv_id", "turn_idx", "n"]))
+        tot = df.group_by("h").agg(tot=pl.col("n").sum())
+        singles = (df.filter(pl.col("turn_idx") >= 0)
+                   .join(tot.filter(pl.col("tot") == 1), on="h",
+                         how="inner"))
+        g = (singles.group_by(["conv_id", "turn_idx"])
+             .agg(n_rare=pl.len().cast(pl.Int64)))
+        # routing-only hash for the turn-keyed completion pass
+        part = ((pl.col("conv_id") + "\x1f"
+                 + pl.col("turn_idx").cast(pl.String)).hash(seed=0)
+                % nb).cast(pl.Int32)
+        return g.with_columns(part=part).select(
+            ["part", "conv_id", "turn_idx", "n_rare"]) \
+            .to_arrow().cast(_part)
+
+    def finish(t: pa.Table) -> pa.Table:
+        g = (pl.from_arrow(t.select(["conv_id", "turn_idx", "n_rare"]))
+             .group_by(["conv_id", "turn_idx"])
+             .agg(pl.col("n_rare").sum()))
+        return g.to_arrow().cast(_out)
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("hpart").map_groups(decide, batch_format="pyarrow")
+            .groupby("part").map_groups(finish, batch_format="pyarrow"))
