@@ -331,6 +331,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # conversation-level near-dup: turn-hash-set Jaccard >= 0.5
         # via exact-recall inverted-index candidates + integer verify
         "conv_near_dup_pairs": _conv_near_dup_pairs_q,
+        # NEAR-dup split leakage: near-dup pairs straddling the frozen
+        # train/val/test split — the audit exact-content checks miss
+        "conv_near_dup_split_leakage": _conv_near_dup_split_leakage_q,
         # the REMOVAL side of conversation-level dedup: connected
         # components, non-canonical members -> cluster min
         "conv_dup_drops": _conv_dup_drops_q,
@@ -784,6 +787,13 @@ def _turn_context_windows_q(sf_dir: str):
 def _conv_near_dup_pairs_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import conv_near_dup_pairs
     return conv_near_dup_pairs(
+        _transcript_ds(sf_dir, columns=["conv_id", "text"]))
+
+
+def _conv_near_dup_split_leakage_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import \
+        conv_near_dup_split_leakage
+    return conv_near_dup_split_leakage(
         _transcript_ds(sf_dir, columns=["conv_id", "text"]))
 
 
@@ -3701,6 +3711,29 @@ FROM f a JOIN f b
   ON a.conv_id = b.conv_id AND a.turn_idx = b.turn_idx
  AND a.dim <= b.dim
 GROUP BY 1, 2
+"""
+    # near-dup split leakage: the conv near-dup pair table joined with
+    # the frozen md5 80/10/10 split rule (a pure function of conv_id)
+    from dataquality_ray.pipelines.documents import (
+        SPLIT_BUCKETS as _SB,
+        SPLIT_TRAIN_LT as _ST,
+        SPLIT_VAL_LT as _SV,
+    )
+
+    def _split_case(col: str) -> str:
+        return (f"CASE WHEN md5_number_upper({col}) % {_SB} < {_ST} "
+                f"THEN 'train' WHEN md5_number_upper({col}) % {_SB} "
+                f"< {_SV} THEN 'val' ELSE 'test' END")
+
+    sql["conv_near_dup_split_leakage"] = f"""
+WITH p AS ({sql['conv_near_dup_pairs']}),
+s AS (
+  SELECT conv_a, conv_b, jaccard_milli,
+    {_split_case('conv_a')} AS split_a,
+    {_split_case('conv_b')} AS split_b
+  FROM p)
+SELECT conv_a, conv_b, split_a, split_b, jaccard_milli
+FROM s WHERE split_a <> split_b
 """
     # the join-strategy LSH variant is output-identical to the carry
     # variant (tested in tests/test_pipeline_e2e.py) — same oracle

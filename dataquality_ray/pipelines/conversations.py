@@ -1386,3 +1386,46 @@ def transcript_rare_tokens(ds, num_buckets: int = 0):
                            zero_copy_batch=True)
             .groupby("hpart").map_groups(decide, batch_format="pyarrow")
             .groupby("part").map_groups(finish, batch_format="pyarrow"))
+
+
+def conv_near_dup_split_leakage(ds, num_buckets: int = 0):
+    """(conv_a, conv_b, split_a, split_b, jaccard_milli): NEAR-DUP
+    split leakage — conversation near-dup pairs whose endpoints were
+    assigned DIFFERENT train/val/test splits. The leakage exact-content
+    audits miss: after exact dedup, what invalidates an eval is a val
+    conversation that is a light retake of a train conversation. Splits
+    are the frozen md5 80/10/10 rule (same as transcript_split_leakage
+    / dataset_split_documents), a pure function of conv_id — so the
+    flag pass needs NO join: one map over the (already bounded)
+    near-dup pair table.
+    """
+    from dataquality_ray.pipelines.documents import (
+        SPLIT_BUCKETS,
+        SPLIT_TRAIN_LT,
+        SPLIT_VAL_LT,
+    )
+    from dataquality_ray.spec import token_hash_u64
+
+    pairs = conv_near_dup_pairs(ds, num_buckets)
+
+    def flag(t: pa.Table) -> pa.Table:
+        def split_of(ids):
+            b = np.fromiter((token_hash_u64(c) % SPLIT_BUCKETS
+                             for c in ids), dtype=np.int64,
+                            count=len(ids))
+            return np.where(b < SPLIT_TRAIN_LT, "train",
+                            np.where(b < SPLIT_VAL_LT, "val", "test"))
+
+        sa = split_of(t["conv_a"].to_pylist())
+        sb = split_of(t["conv_b"].to_pylist())
+        keep = sa != sb
+        tt = t.filter(pa.array(keep))
+        return pa.table({
+            "conv_a": tt["conv_a"],
+            "conv_b": tt["conv_b"],
+            "split_a": pa.array(sa[keep], pa.string()),
+            "split_b": pa.array(sb[keep], pa.string()),
+            "jaccard_milli": tt["jaccard_milli"],
+        })
+
+    return pairs.map_batches(flag, batch_format="pyarrow")

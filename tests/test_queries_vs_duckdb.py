@@ -80,7 +80,8 @@ _ORACLE_CACHE: dict = {}
 # Leaves are checked verbatim; composites are checked modulo their
 # already-verified sub-results — the same memoization the string-level
 # cache already does for aliased oracles, one level deeper.
-_EMBEDDABLE = ("transcript_near_dup_pairs", "doc_embedding_values")
+_EMBEDDABLE = ("transcript_near_dup_pairs", "doc_embedding_values",
+               "conv_near_dup_pairs")
 
 
 def _oracle_want(name: str):
