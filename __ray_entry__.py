@@ -357,6 +357,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_metadata_gate": D.doc_metadata_gate,
         "global_sentence_dedup": D.global_sentence_dedup,
         "dup_ngram_stats": D.dup_ngram_stats,
+        # Gopher-style repetition filter (dup-line / top-2-gram /
+        # dup-5-gram char mass + composite flag)
+        "gopher_repetition_documents": D.gopher_repetition_documents,
         # cross-doc exact-substring dedup signal (Lee et al. 2022)
         "duplicate_span_documents": D.duplicate_span_documents,
         # the REMOVAL surface of exact-substring dedup: covered tokens
@@ -1204,6 +1207,10 @@ def _oracle_sql_impl() -> dict[str, str]:
         _SENT_IDX_BITS as SENT_IDX_BITS,
         CONTAM_BENCH_MOD,
         CONTAM_NGRAM,
+        GOPHER_DUP5_CHAR_PCT,
+        GOPHER_DUP_LINE_CHAR_PCT,
+        GOPHER_DUP_LINE_PCT,
+        GOPHER_TOP2_CHAR_PCT,
         INCR_NEW_MOD as D_INCR_NEW_MOD,
         INT8_SCALE as D_INT8_SCALE,
         SEARCH_TERMS as D_SEARCH_TERMS,
@@ -2754,6 +2761,75 @@ SELECT t.doc_id,
        THEN (1000 * (a.n - a.d)) // a.n ELSE 0 END AS dup_frac_milli,
   COALESCE(a.mx, 0) AS max_bigram_count
 FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id
+""",
+        # Gopher-style repetition filter (Rae et al. 2021 §A1.1,
+        # integer arithmetic; thresholds interpolated from
+        # pipelines.documents.GOPHER_* so both engines move together)
+        "gopher_repetition_documents": f"""
+WITH t AS (
+  SELECT doc_id, length(text) AS n_chars,
+    list_filter(string_split(text, chr(10)), x -> x <> '') AS ls,
+    regexp_extract_all(lower(text), '{_TOK}') AS ts
+  FROM documents),
+lc AS (
+  SELECT doc_id, ln, CAST(COUNT(*) AS BIGINT) AS c, length(ln) AS llen
+  FROM (SELECT doc_id, unnest(ls) AS ln FROM t) GROUP BY doc_id, ln),
+la AS (
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_lines,
+    CAST(SUM(c * llen) AS BIGINT) AS line_chars,
+    CAST(SUM(c - 1) AS BIGINT) AS dup_line_count,
+    CAST(SUM((c - 1) * llen) AS BIGINT) AS dup_line_chars
+  FROM lc GROUP BY doc_id),
+bg AS (
+  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT doc_id,
+      unnest(list_transform(generate_series(1, len(ts) - 1),
+                            i -> ts[i] || ' ' || ts[i+1])) AS g
+    FROM t) GROUP BY doc_id, g),
+top2 AS (
+  SELECT doc_id, g AS top2_gram, c AS top2_count,
+    c * length(g) AS top2_chars
+  FROM (SELECT doc_id, g, c, row_number()
+          OVER (PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn
+        FROM bg)
+  WHERE rn = 1),
+g5 AS (
+  SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c FROM (
+    SELECT doc_id,
+      unnest(list_transform(generate_series(1, len(ts) - 4),
+        i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] || ' '
+             || ts[i+3] || ' ' || ts[i+4])) AS g
+    FROM t) GROUP BY doc_id, g),
+d5 AS (
+  SELECT doc_id, CAST(SUM((c - 1) * length(g)) AS BIGINT) AS dup5_chars
+  FROM g5 WHERE c > 1 GROUP BY doc_id),
+j AS (
+  SELECT t.doc_id, CAST(t.n_chars AS BIGINT) AS n_chars,
+    COALESCE(la.n_lines, 0) AS n_lines,
+    COALESCE(la.dup_line_count, 0) AS dup_line_count,
+    COALESCE(la.dup_line_chars, 0) AS dup_line_chars,
+    COALESCE(la.line_chars, 0) AS line_chars,
+    COALESCE(top2.top2_gram, '') AS top2_gram,
+    COALESCE(top2.top2_count, 0) AS top2_count,
+    COALESCE(top2.top2_chars, 0) AS top2_chars,
+    COALESCE(d5.dup5_chars, 0) AS dup5_chars
+  FROM t
+  LEFT JOIN la ON la.doc_id = t.doc_id
+  LEFT JOIN top2 ON top2.doc_id = t.doc_id
+  LEFT JOIN d5 ON d5.doc_id = t.doc_id)
+SELECT doc_id, n_chars, n_lines, dup_line_count, dup_line_chars,
+  top2_gram, top2_count, top2_chars, dup5_chars,
+  CASE WHEN (n_lines > 0
+             AND 100 * dup_line_count > {GOPHER_DUP_LINE_PCT} * n_lines)
+         OR (line_chars > 0
+             AND 100 * dup_line_chars
+                 > {GOPHER_DUP_LINE_CHAR_PCT} * line_chars)
+         OR (n_chars > 0
+             AND 100 * top2_chars > {GOPHER_TOP2_CHAR_PCT} * n_chars)
+         OR (n_chars > 0
+             AND 100 * dup5_chars > {GOPHER_DUP5_CHAR_PCT} * n_chars)
+       THEN 1 ELSE 0 END AS rep_flag
+FROM j
 """,
         # robust stats: exact discrete median + median absolute
         # deviation (nested quantile_disc composition)

@@ -3355,3 +3355,113 @@ def quality_threshold_curve(sf_dir: str,
         "kept_ppm": pa.array(kept.astype(np.int64) * 1_000_000
                              // max(n, 1)),
     })
+
+
+# Gopher-style repetition thresholds (Rae et al. 2021 §A1.1, adapted to
+# integer arithmetic): a document is repetition-flagged when any of the
+# four signals crosses its percentage threshold. Interpolated into the
+# DuckDB oracle — change here, and both engines move together.
+GOPHER_DUP_LINE_PCT = 30        # duplicate line occurrences / lines
+GOPHER_DUP_LINE_CHAR_PCT = 30   # chars in duplicate line occurrences
+GOPHER_TOP2_CHAR_PCT = 20       # chars covered by the top 2-gram
+GOPHER_DUP5_CHAR_PCT = 15       # chars in duplicate 5-gram occurrences
+
+
+def _gopher_repetition_batch(batch: pa.Table) -> pa.Table:
+    """Per-document repetition signals, entirely batch-local (one doc =
+    one row, so there is no cross-batch entity-splitting hazard). All
+    arithmetic is int64 in polars (nulls, never NaN — the
+    user_funnel_stages exactness rule), so the DuckDB twin is
+    bit-identical by construction."""
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    base = df.select(
+        "doc_id",
+        n_chars=pl.col("text").str.len_chars().cast(pl.Int64))
+
+    # duplicate-line stats over non-empty lines (no trimming — the SQL
+    # twin filters x <> '' on the raw split the same way)
+    ln = (df.select("doc_id", l=pl.col("text").str.split("\n"))
+            .explode("l")
+            .filter(pl.col("l").is_not_null() & (pl.col("l") != "")))
+    la = (ln.group_by("doc_id", "l")
+            .agg(c=pl.len().cast(pl.Int64))
+            .with_columns(L=pl.col("l").str.len_chars().cast(pl.Int64))
+            .group_by("doc_id")
+            .agg(n_lines=pl.col("c").sum(),
+                 line_chars=(pl.col("c") * pl.col("L")).sum(),
+                 dup_line_count=(pl.col("c") - 1).sum(),
+                 dup_line_chars=((pl.col("c") - 1) * pl.col("L")).sum()))
+
+    # token n-grams (the pinned quote-free ASCII TOKEN_PATTERN — same
+    # regex string runs in polars' Rust regex and DuckDB's RE2)
+    flat = (df.select("doc_id",
+                      t=pl.col("text").str.to_lowercase()
+                      .str.extract_all(TOKEN_PATTERN))
+            .with_row_index("rid")
+            .explode("t")
+            .filter(pl.col("t").is_not_null()))
+    sh = [pl.col("t").shift(-k).over("rid") for k in range(1, 5)]
+    grams = flat.with_columns(
+        g2=pl.col("t") + " " + sh[0],
+        g5=pl.col("t") + " " + sh[0] + " " + sh[1] + " " + sh[2]
+           + " " + sh[3])
+
+    bgc = (grams.drop_nulls("g2")
+           .group_by("doc_id", "g2").agg(c=pl.len().cast(pl.Int64)))
+    top2 = (bgc.filter(pl.col("c") == pl.col("c").max().over("doc_id"))
+            .group_by("doc_id")
+            .agg(top2_gram=pl.col("g2").min(),
+                 top2_count=pl.col("c").first())
+            .with_columns(top2_chars=pl.col("top2_count")
+                          * pl.col("top2_gram").str.len_chars()
+                          .cast(pl.Int64)))
+
+    d5 = (grams.drop_nulls("g5")
+          .group_by("doc_id", "g5").agg(c=pl.len().cast(pl.Int64))
+          .filter(pl.col("c") > 1)
+          .with_columns(L=pl.col("g5").str.len_chars().cast(pl.Int64))
+          .group_by("doc_id")
+          .agg(dup5_chars=((pl.col("c") - 1) * pl.col("L")).sum()))
+
+    out = (base.join(la, on="doc_id", how="left")
+           .join(top2, on="doc_id", how="left")
+           .join(d5, on="doc_id", how="left")
+           .with_columns(pl.col("n_lines", "line_chars",
+                                "dup_line_count", "dup_line_chars",
+                                "top2_count", "top2_chars",
+                                "dup5_chars").fill_null(0),
+                         pl.col("top2_gram").fill_null("")))
+    flag = (((pl.col("n_lines") > 0)
+             & (100 * pl.col("dup_line_count")
+                > GOPHER_DUP_LINE_PCT * pl.col("n_lines")))
+            | ((pl.col("line_chars") > 0)
+               & (100 * pl.col("dup_line_chars")
+                  > GOPHER_DUP_LINE_CHAR_PCT * pl.col("line_chars")))
+            | ((pl.col("n_chars") > 0)
+               & (100 * pl.col("top2_chars")
+                  > GOPHER_TOP2_CHAR_PCT * pl.col("n_chars")))
+            | ((pl.col("n_chars") > 0)
+               & (100 * pl.col("dup5_chars")
+                  > GOPHER_DUP5_CHAR_PCT * pl.col("n_chars"))))
+    out = out.select(
+        "doc_id", "n_chars", "n_lines", "dup_line_count",
+        "dup_line_chars", "top2_gram", "top2_count", "top2_chars",
+        "dup5_chars",
+        rep_flag=flag.cast(pl.Int64))
+    return out.to_arrow()
+
+
+def gopher_repetition_documents(sf_dir: str):
+    """(doc_id, n_chars, n_lines, dup_line_count, dup_line_chars,
+    top2_gram, top2_count, top2_chars, dup5_chars, rep_flag):
+    Gopher-style repetition quality filter (duplicate-line fraction,
+    top-2-gram character coverage, duplicate-5-gram character mass —
+    Rae et al. 2021), complementing dup_ngram_stats' bigram
+    diversity counts with the char-mass signals and the composite
+    keep/drop flag. Zero shuffle: every signal is a function of one
+    document row, so the whole operator is one vectorized
+    map_batches."""
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return docs.map_batches(_gopher_repetition_batch,
+                            batch_format="pyarrow",
+                            zero_copy_batch=True)
