@@ -409,6 +409,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_lang_majority": _conv_lang_majority_q,
         # dialog-structure pattern mining + dialog-balance ratio
         "conv_role_patterns": _conv_role_patterns_q,
+        # per-conversation dialog-structure validation (role
+        # alternation, orphan tool turns, ts/idx monotonicity)
+        "conv_structure_violations": _conv_structure_violations_q,
         "conv_response_ratio": _conv_response_ratio_q,
         # time-windowed exact dedup (streaming-ingest rule: only
         # repeats within the 7-day horizon are duplicates)
@@ -758,6 +761,14 @@ def _conv_role_patterns_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import conv_role_patterns
     return conv_role_patterns(_transcript_ds(
         sf_dir, columns=["conv_id", "turn_idx", "role"]))
+
+
+def _conv_structure_violations_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import (
+        conv_structure_violations,
+    )
+    return conv_structure_violations(_transcript_ds(
+        sf_dir, columns=["conv_id", "turn_idx", "role", "ts"]))
 
 
 def _conv_response_ratio_q(sf_dir: str):
@@ -2298,6 +2309,39 @@ SELECT conv_id, turn_idx,
        (PARTITION BY conv_id ORDER BY turn_idx), -1) AS BIGINT)
     AS gap_us
 FROM read_parquet('{tr_glob}')
+""",
+        # per-conversation dialog-structure validation (LAG window
+        # comparisons → per-conv violation counters)
+        "conv_structure_violations": f"""
+WITH o AS (
+  SELECT conv_id, turn_idx, role, epoch_us(ts) AS ts_us,
+    lag(role) OVER w AS prev_role,
+    lag(epoch_us(ts)) OVER w AS prev_ts,
+    lag(turn_idx) OVER w AS prev_idx,
+    row_number() OVER w AS rn
+  FROM read_parquet('{tr_glob}')
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+v AS (
+  SELECT conv_id,
+    CAST(SUM(CASE WHEN rn = 1 AND role NOT IN ('user', 'system')
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_start,
+    CAST(SUM(CASE WHEN prev_role IS NOT NULL AND role = prev_role
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_role_repeat,
+    CAST(SUM(CASE WHEN role = 'tool'
+                   AND (prev_role IS NULL OR prev_role <> 'assistant')
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_orphan_tool,
+    CAST(SUM(CASE WHEN prev_ts IS NOT NULL AND ts_us < prev_ts
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_ts_regress,
+    CAST(SUM(CASE WHEN (rn = 1 AND turn_idx <> 0)
+                    OR (prev_idx IS NOT NULL
+                        AND turn_idx <> prev_idx + 1)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_idx_gaps
+  FROM o GROUP BY conv_id)
+SELECT *,
+  CASE WHEN n_bad_start + n_role_repeat + n_orphan_tool
+            + n_ts_regress + n_idx_gaps = 0
+       THEN 1 ELSE 0 END AS is_valid
+FROM v
 """,
         # FULL OUTER JOIN reconciliation: every row of both sides
         # survives with a match-status tag

@@ -1429,3 +1429,77 @@ def conv_near_dup_split_leakage(ds, num_buckets: int = 0):
         })
 
     return pairs.map_batches(flag, batch_format="pyarrow")
+
+
+def conv_structure_violations(ds, num_buckets: int = 0):
+    """(conv_id, n_bad_start, n_role_repeat, n_orphan_tool,
+    n_ts_regress, n_idx_gaps, is_valid): per-conversation structural
+    validation of the transcript contract — the dialog-shape analog of
+    the reference's per-record dimension validator
+    (reference backend/app/services/metadata.py:425-451):
+
+    - n_bad_start: first turn's role is neither 'user' nor 'system';
+    - n_role_repeat: turns whose role equals the previous turn's role;
+    - n_orphan_tool: 'tool' turns not directly preceded by an
+      'assistant' turn (a tool result with no tool call);
+    - n_ts_regress: turns whose timestamp precedes the previous turn's;
+    - n_idx_gaps: first turn_idx != 0, plus any non-consecutive
+      turn_idx step;
+    - is_valid: 1 iff all counters are zero.
+
+    Shape: ONE conv-bucket shuffle of slim (conv_id, turn_idx, role,
+    ts_us) rows; every LAG comparison and the per-conv rollup complete
+    LOCALLY per bucket in one vectorized polars pass (each conversation
+    lives in exactly one bucket), so nothing downstream scales with
+    corpus size beyond #conversations."""
+    import polars as _pl
+    import pyarrow.compute as pc
+    from dataquality_ray.pipelines.quality import conv_bucket_of
+
+    num_buckets = num_buckets or cluster_buckets(minimum=16)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket": conv_bucket_of(batch["conv_id"], num_buckets),
+            "conv_id": batch["conv_id"],
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "role": batch["role"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+        })
+
+    def scan(t: pa.Table) -> pa.Table:
+        d = (_pl.from_arrow(t.select(["conv_id", "turn_idx", "role",
+                                      "ts_us"]))
+             .sort(["conv_id", "turn_idx"])
+             .with_columns(
+                 prev_role=_pl.col("role").shift(1).over("conv_id"),
+                 prev_ts=_pl.col("ts_us").shift(1).over("conv_id"),
+                 prev_idx=_pl.col("turn_idx").shift(1).over("conv_id")))
+        first = _pl.col("prev_idx").is_null()
+        g = d.group_by("conv_id").agg(
+            n_bad_start=(first & ~_pl.col("role")
+                         .is_in(["user", "system"]))
+            .cast(_pl.Int64).sum(),
+            n_role_repeat=(_pl.col("role") == _pl.col("prev_role"))
+            .fill_null(False).cast(_pl.Int64).sum(),
+            n_orphan_tool=((_pl.col("role") == "tool")
+                           & (_pl.col("prev_role") != "assistant")
+                           .fill_null(True))
+            .cast(_pl.Int64).sum(),
+            n_ts_regress=(_pl.col("ts_us") < _pl.col("prev_ts"))
+            .fill_null(False).cast(_pl.Int64).sum(),
+            n_idx_gaps=((first & (_pl.col("turn_idx") != 0))
+                        | (~first & (_pl.col("turn_idx")
+                                     != _pl.col("prev_idx") + 1)))
+            .cast(_pl.Int64).sum())
+        g = g.with_columns(
+            is_valid=((_pl.col("n_bad_start") + _pl.col("n_role_repeat")
+                       + _pl.col("n_orphan_tool")
+                       + _pl.col("n_ts_regress")
+                       + _pl.col("n_idx_gaps")) == 0).cast(_pl.Int64))
+        return g.to_arrow()
+
+    return (ds.map_batches(bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(scan, batch_format="pyarrow"))
