@@ -412,6 +412,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-conversation dialog-structure validation (role
         # alternation, orphan tool turns, ts/idx monotonicity)
         "conv_structure_violations": _conv_structure_violations_q,
+        # per-conversation context-window accounting (prefix-sum
+        # truncation plan against a fixed char budget)
+        "conv_context_budget": _conv_context_budget_q,
         "conv_response_ratio": _conv_response_ratio_q,
         # time-windowed exact dedup (streaming-ingest rule: only
         # repeats within the 7-day horizon are duplicates)
@@ -761,6 +764,12 @@ def _conv_role_patterns_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import conv_role_patterns
     return conv_role_patterns(_transcript_ds(
         sf_dir, columns=["conv_id", "turn_idx", "role"]))
+
+
+def _conv_context_budget_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import conv_context_budget
+    return conv_context_budget(_transcript_ds(
+        sf_dir, columns=["conv_id", "turn_idx", "text"]))
 
 
 def _conv_structure_violations_q(sf_dir: str):
@@ -1182,6 +1191,7 @@ def _oracle_sql_impl() -> dict[str, str]:
     shingle_expr = " || ' ' || ".join(
         f"ts[i+{k}]" if k else "ts[i]" for k in range(SHINGLE_NGRAM))
     from dataquality_ray.pipelines.conversations import (
+        CONTEXT_BUDGET_CHARS as CONV_CONTEXT_BUDGET,
         CONV_DEDUP_DF_CAP,
         CONV_KEEP_FRAC_MILLI,
         FUZZY_MIN_LEN as CONV_FUZZY_MIN_LEN,
@@ -2342,6 +2352,24 @@ SELECT *,
             + n_ts_regress + n_idx_gaps = 0
        THEN 1 ELSE 0 END AS is_valid
 FROM v
+""",
+        # per-conversation context-window accounting: inclusive prefix
+        # sum of text length in turn order vs a fixed char budget
+        "conv_context_budget": f"""
+WITH c AS (
+  SELECT conv_id, turn_idx, length(text) AS len,
+    SUM(length(text)) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM read_parquet('{tr_glob}'))
+SELECT conv_id,
+  CAST(COUNT(*) AS BIGINT) AS n_turns,
+  CAST(SUM(len) AS BIGINT) AS total_chars,
+  CAST(COUNT(*) FILTER (cum <= {CONV_CONTEXT_BUDGET}) AS BIGINT)
+    AS fit_turns,
+  CAST(COALESCE(MIN(turn_idx)
+                FILTER (cum > {CONV_CONTEXT_BUDGET}), -1) AS BIGINT)
+    AS truncate_turn_idx
+FROM c GROUP BY conv_id
 """,
         # FULL OUTER JOIN reconciliation: every row of both sides
         # survives with a match-status tag

@@ -1503,3 +1503,58 @@ def conv_structure_violations(ds, num_buckets: int = 0):
                            zero_copy_batch=True)
             .groupby("bucket")
             .map_groups(scan, batch_format="pyarrow"))
+
+
+# context-assembly budget (chars) for conv_context_budget — interpolated
+# into the DuckDB oracle; chars, not tokens, so the rule is exact on
+# both engines without a tokenizer in SQL.
+CONTEXT_BUDGET_CHARS = 600
+
+
+def conv_context_budget(ds, num_buckets: int = 0,
+                        budget: int = CONTEXT_BUDGET_CHARS):
+    """(conv_id, n_turns, total_chars, fit_turns, truncate_turn_idx):
+    per-conversation context-window accounting — the running prefix sum
+    of turn text length in (conv_id, turn_idx) order, reduced to how
+    many leading turns fit a fixed context budget and the first turn
+    index that overflows it (-1 if the whole conversation fits). The
+    truncation plan a chat-training data builder computes before
+    packing transcripts into fixed-length sequences
+    (cf. packed_sequence_documents, which packs whole docs).
+
+    Shape: ONE conv-bucket shuffle of slim (conv_id, turn_idx, len)
+    rows; the cumulative sum and rollup complete LOCALLY per bucket in
+    one vectorized polars pass."""
+    import polars as _pl
+    import pyarrow.compute as pc
+    from dataquality_ray.pipelines.quality import conv_bucket_of
+
+    num_buckets = num_buckets or cluster_buckets(minimum=16)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket": conv_bucket_of(batch["conv_id"], num_buckets),
+            "conv_id": batch["conv_id"],
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "len": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+        })
+
+    def scan(t: pa.Table) -> pa.Table:
+        d = (_pl.from_arrow(t.select(["conv_id", "turn_idx", "len"]))
+             .sort(["conv_id", "turn_idx"])
+             .with_columns(cum=_pl.col("len").cum_sum()
+                           .over("conv_id")))
+        over = _pl.col("cum") > budget
+        g = d.group_by("conv_id").agg(
+            n_turns=_pl.len().cast(_pl.Int64),
+            total_chars=_pl.col("len").sum(),
+            fit_turns=(~over).cast(_pl.Int64).sum(),
+            truncate_turn_idx=_pl.when(over.any())
+            .then(_pl.col("turn_idx").filter(over).min())
+            .otherwise(-1).cast(_pl.Int64))
+        return g.to_arrow()
+
+    return (ds.map_batches(bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(scan, batch_format="pyarrow"))
