@@ -360,6 +360,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Gopher-style repetition filter (dup-line / top-2-gram /
         # dup-5-gram char mass + composite flag)
         "gopher_repetition_documents": D.gopher_repetition_documents,
+        # tokenizer-fertility audit by source (BPE-ish pre-tokens per
+        # whitespace token / per 100 chars)
+        "source_token_fertility": D.source_token_fertility,
         # cross-doc exact-substring dedup signal (Lee et al. 2022)
         "duplicate_span_documents": D.duplicate_span_documents,
         # the REMOVAL surface of exact-substring dedup: covered tokens
@@ -415,6 +418,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-conversation context-window accounting (prefix-sum
         # truncation plan against a fixed char budget)
         "conv_context_budget": _conv_context_budget_q,
+        # inactivity-based sessionization within conversations
+        "conv_session_splits": _conv_session_splits_q,
         "conv_response_ratio": _conv_response_ratio_q,
         # time-windowed exact dedup (streaming-ingest rule: only
         # repeats within the 7-day horizon are duplicates)
@@ -764,6 +769,12 @@ def _conv_role_patterns_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import conv_role_patterns
     return conv_role_patterns(_transcript_ds(
         sf_dir, columns=["conv_id", "turn_idx", "role"]))
+
+
+def _conv_session_splits_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import conv_session_splits
+    return conv_session_splits(_transcript_ds(
+        sf_dir, columns=["conv_id", "turn_idx", "ts"]))
 
 
 def _conv_context_budget_q(sf_dir: str):
@@ -1192,6 +1203,7 @@ def _oracle_sql_impl() -> dict[str, str]:
         f"ts[i+{k}]" if k else "ts[i]" for k in range(SHINGLE_NGRAM))
     from dataquality_ray.pipelines.conversations import (
         CONTEXT_BUDGET_CHARS as CONV_CONTEXT_BUDGET,
+        SESSION_GAP_US as CONV_SESSION_GAP_US,
         CONV_DEDUP_DF_CAP,
         CONV_KEEP_FRAC_MILLI,
         FUZZY_MIN_LEN as CONV_FUZZY_MIN_LEN,
@@ -1347,6 +1359,29 @@ SELECT doc_id,
        AS BIGINT) AS n_bpe_tokens,
   CAST(length(text) AS BIGINT) AS n_chars
 FROM documents
+""",
+        # tokenizer fertility rollup by source (integer ratios, -1 on
+        # zero denominators)
+        "source_token_fertility": f"""
+WITH t AS (
+  SELECT source,
+    len(regexp_extract_all(text, '{spec.WS_TOKEN_PATTERN}')) AS ws,
+    len(regexp_extract_all(lower(text), '{spec.BPE_TOKEN_PATTERN}'))
+      AS bpe,
+    length(text) AS c
+  FROM documents)
+SELECT source,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
+  CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+  CAST(SUM(c) AS BIGINT) AS n_chars,
+  CASE WHEN SUM(ws) > 0
+       THEN CAST((1000 * SUM(bpe)) // SUM(ws) AS BIGINT)
+       ELSE -1 END AS bpe_per_ws_milli,
+  CASE WHEN SUM(c) > 0
+       THEN CAST((100 * SUM(bpe)) // SUM(c) AS BIGINT)
+       ELSE -1 END AS bpe_per_100_chars
+FROM t GROUP BY source
 """,
         # note LIMIT is deterministic: (cf DESC, term ASC) is a total
         # order over distinct terms
@@ -2370,6 +2405,31 @@ SELECT conv_id,
                 FILTER (cum > {CONV_CONTEXT_BUDGET}), -1) AS BIGINT)
     AS truncate_turn_idx
 FROM c GROUP BY conv_id
+""",
+        # inactivity-based sessionization within conversations: a new
+        # session when the gap to the previous turn exceeds the frozen
+        # SESSION_GAP_US threshold
+        "conv_session_splits": f"""
+WITH g AS (
+  SELECT conv_id, turn_idx,
+    CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+              OVER (PARTITION BY conv_id ORDER BY turn_idx)
+              > {CONV_SESSION_GAP_US}
+         THEN 1 ELSE 0 END AS newsess
+  FROM read_parquet('{tr_glob}')),
+s AS (
+  SELECT conv_id,
+    SUM(newsess) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                       ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g),
+per_sess AS (
+  SELECT conv_id, sid, CAST(COUNT(*) AS BIGINT) AS n
+  FROM s GROUP BY conv_id, sid)
+SELECT conv_id,
+  CAST(SUM(n) AS BIGINT) AS n_turns,
+  CAST(COUNT(*) AS BIGINT) AS n_sessions,
+  CAST(MAX(n) AS BIGINT) AS max_session_turns
+FROM per_sess GROUP BY conv_id
 """,
         # FULL OUTER JOIN reconciliation: every row of both sides
         # survives with a match-status tag

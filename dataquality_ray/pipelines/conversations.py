@@ -1558,3 +1558,60 @@ def conv_context_budget(ds, num_buckets: int = 0,
                            zero_copy_batch=True)
             .groupby("bucket")
             .map_groups(scan, batch_format="pyarrow"))
+
+
+# inactivity threshold for conv_session_splits — interpolated into the
+# DuckDB oracle (change here, both engines move).
+SESSION_GAP_US = 240_000_000   # 4 minutes
+
+
+def conv_session_splits(ds, num_buckets: int = 0,
+                        gap_us: int = SESSION_GAP_US):
+    """(conv_id, n_turns, n_sessions, max_session_turns):
+    inactivity-based sessionization WITHIN each conversation — a new
+    session starts when the gap to the previous turn exceeds
+    ``gap_us``. The transcript-native sibling of user_sessions (which
+    sessionizes the events table per user): long multi-sitting
+    conversations get split before packing/dedup so one transcript
+    doesn't span days of context.
+
+    Shape: ONE conv-bucket shuffle of slim (conv_id, turn_idx, ts_us)
+    rows; the gap flags, the running session index (cum_sum of flags)
+    and the two-level rollup all complete LOCALLY per bucket in one
+    vectorized polars pass."""
+    import polars as _pl
+    import pyarrow.compute as pc
+    from dataquality_ray.pipelines.quality import conv_bucket_of
+
+    num_buckets = num_buckets or cluster_buckets(minimum=16)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket": conv_bucket_of(batch["conv_id"], num_buckets),
+            "conv_id": batch["conv_id"],
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+        })
+
+    def scan(t: pa.Table) -> pa.Table:
+        d = (_pl.from_arrow(t.select(["conv_id", "turn_idx", "ts_us"]))
+             .sort(["conv_id", "turn_idx"])
+             .with_columns(
+                 newsess=(_pl.col("ts_us")
+                          - _pl.col("ts_us").shift(1).over("conv_id")
+                          > gap_us).fill_null(False)))
+        d = d.with_columns(
+            sid=_pl.col("newsess").cast(_pl.Int64).cum_sum()
+            .over("conv_id"))
+        per_sess = d.group_by("conv_id", "sid").agg(
+            n=_pl.len().cast(_pl.Int64))
+        g = per_sess.group_by("conv_id").agg(
+            n_turns=_pl.col("n").sum(),
+            n_sessions=_pl.len().cast(_pl.Int64),
+            max_session_turns=_pl.col("n").max())
+        return g.to_arrow()
+
+    return (ds.map_batches(bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(scan, batch_format="pyarrow"))

@@ -3465,3 +3465,62 @@ def gopher_repetition_documents(sf_dir: str):
     return docs.map_batches(_gopher_repetition_batch,
                             batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+def source_token_fertility(sf_dir: str):
+    """(source, n_docs, n_ws_tokens, n_bpe_tokens, n_chars,
+    bpe_per_ws_milli, bpe_per_100_chars): tokenizer-fertility audit by
+    source — how many BPE-ish pre-tokens (spec.BPE_TOKEN_PATTERN) a
+    source costs per whitespace token and per 100 chars. The number a
+    mixture planner multiplies into its token budget before choosing
+    per-source sampling rates (cf. source_mixture_weights). Per-batch
+    polars partials reduce the exchange to one row per (batch, source);
+    the final groupby is #sources-sized. Integer ratios (-1 when the
+    denominator is 0) keep the DuckDB twin bit-identical."""
+    from ray.data.aggregate import Sum
+
+    from dataquality_ray.spec import BPE_TOKEN_PATTERN, WS_TOKEN_PATTERN
+
+    ds = _docs(sf_dir, columns=["doc_id", "source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.DataFrame({
+            "source": pl.from_arrow(batch["source"]),
+            "ws": pl.from_arrow(batch["text"])
+            .str.count_matches(WS_TOKEN_PATTERN).cast(pl.Int64),
+            "bpe": pl.from_arrow(batch["text"]).str.to_lowercase()
+            .str.count_matches(BPE_TOKEN_PATTERN).cast(pl.Int64),
+            "c": pl.from_arrow(pc.cast(pc.utf8_length(batch["text"]),
+                                       pa.int64())),
+        })
+        g = df.group_by("source").agg(
+            n_docs=pl.len().cast(pl.Int64),
+            ws=pl.col("ws").sum(), bpe=pl.col("bpe").sum(),
+            c=pl.col("c").sum())
+        return g.to_arrow()
+
+    agg = ds.map_batches(partial, batch_format="pyarrow",
+                         zero_copy_batch=True) \
+        .groupby("source").aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("ws", alias_name="ws"),
+            Sum("bpe", alias_name="bpe"),
+            Sum("c", alias_name="c"))
+
+    def finish(t: pa.Table) -> pa.Table:
+        ws = t["ws"].to_numpy(zero_copy_only=False).astype(np.int64)
+        bpe = t["bpe"].to_numpy(zero_copy_only=False).astype(np.int64)
+        c = t["c"].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({
+            "source": t["source"],
+            "n_docs": pc.cast(t["n_docs"], pa.int64()),
+            "n_ws_tokens": pa.array(ws),
+            "n_bpe_tokens": pa.array(bpe),
+            "n_chars": pa.array(c),
+            "bpe_per_ws_milli": pa.array(
+                np.where(ws > 0, 1000 * bpe // np.maximum(ws, 1), -1)),
+            "bpe_per_100_chars": pa.array(
+                np.where(c > 0, 100 * bpe // np.maximum(c, 1), -1)),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
