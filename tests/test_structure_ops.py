@@ -1,0 +1,118 @@
+"""Edge-case pins for the round-5 structural/repetition operators
+(gopher_repetition_documents, conv_structure_violations,
+conv_context_budget, conv_session_splits) on crafted inputs — the
+DuckDB gate checks them corpus-wide; these pin the boundary semantics
+(thresholds, ties, exact-at-budget, gap-equal-to-threshold)."""
+
+import pyarrow as pa
+import ray
+
+
+def _gopher(texts):
+    from dataquality_ray.pipelines.documents import (
+        _gopher_repetition_batch,
+    )
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    return _gopher_repetition_batch(t).to_pandas().set_index("doc_id")
+
+
+def test_gopher_duplicate_lines_flag():
+    r = _gopher(["spam\nspam\nspam\nunique line here"])
+    row = r.loc[0]
+    assert row.n_lines == 4
+    assert row.dup_line_count == 2          # 2 extra 'spam' occurrences
+    assert row.dup_line_chars == 8          # 2 * len('spam')
+    assert row.rep_flag == 1                # 2/4 > 30%
+
+
+def test_gopher_top2gram_tiebreak_and_flag():
+    # 'a b' and 'b a' both occur 3x in 'a b a b a b a'; lexicographic
+    # min 'a b' must win on both engines
+    r = _gopher(["a b a b a b a"])
+    row = r.loc[0]
+    assert row.top2_gram == "a b"
+    assert row.top2_count == 3
+    assert row.top2_chars == 9
+    assert row.rep_flag == 1                # 9/13 chars > 20%
+
+
+def test_gopher_empty_and_clean_docs():
+    clean = ("the quick brown fox jumps over one lazy dog while "
+             "seven other animals watch quietly from a distant hill")
+    r = _gopher(["", clean])
+    assert r.loc[0].n_lines == 0 and r.loc[0].rep_flag == 0
+    assert r.loc[0].top2_gram == ""
+    assert r.loc[1].rep_flag == 0
+    assert r.loc[1].dup5_chars == 0
+
+
+def _conv_table(rows):
+    return pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows], pa.string()),
+        "text": pa.array([r[3] for r in rows], pa.string()),
+        "ts": pa.array([r[4] for r in rows], pa.timestamp("us")),
+    })
+
+
+def test_conv_structure_violations_counters(ray_session):
+    from dataquality_ray.pipelines.conversations import (
+        conv_structure_violations,
+    )
+    rows = [
+        # well-formed conversation
+        ("good", 0, "user", "hi", 1_000_000),
+        ("good", 1, "assistant", "hello", 2_000_000),
+        ("good", 2, "tool", "result", 3_000_000),
+        # malformed: assistant start, role repeat, orphan tool,
+        # ts regression, turn_idx gap
+        ("bad", 1, "assistant", "a", 5_000_000),   # bad start + idx!=0
+        ("bad", 2, "assistant", "b", 4_000_000),   # repeat + ts regress
+        ("bad", 4, "tool", "c", 6_000_000),        # orphan? prev=assistant
+        ("bad", 5, "tool", "d", 7_000_000),        # orphan (prev=tool) + repeat
+    ]
+    got = (conv_structure_violations(
+        ray.data.from_arrow(_conv_table(rows)), num_buckets=4)
+        .to_pandas().set_index("conv_id"))
+    g, b = got.loc["good"], got.loc["bad"]
+    assert g.is_valid == 1 and g.n_orphan_tool == 0
+    assert b.n_bad_start == 1
+    assert b.n_role_repeat == 2       # assistant->assistant, tool->tool
+    assert b.n_orphan_tool == 1       # only the second tool turn
+    assert b.n_ts_regress == 1
+    assert b.n_idx_gaps == 2          # first idx != 0, 2 -> 4 jump
+    assert b.is_valid == 0
+
+
+def test_conv_context_budget_exact_boundary(ray_session):
+    from dataquality_ray.pipelines.conversations import (
+        conv_context_budget,
+    )
+    # budget 10: cum sums 4, 10, 11 -> exactly-at-budget turn FITS,
+    # truncation starts at the next turn
+    rows = [("c", 0, "user", "aaaa", 1), ("c", 1, "assistant",
+             "bbbbbb", 2), ("c", 2, "user", "x", 3)]
+    got = (conv_context_budget(
+        ray.data.from_arrow(_conv_table(rows)), num_buckets=2,
+        budget=10).to_pandas().iloc[0])
+    assert got.fit_turns == 2
+    assert got.truncate_turn_idx == 2
+    assert got.total_chars == 11
+
+
+def test_conv_session_splits_gap_equal_not_split(ray_session):
+    from dataquality_ray.pipelines.conversations import (
+        conv_session_splits,
+    )
+    # gaps: exactly threshold (no split), threshold+1 (split)
+    rows = [("c", 0, "user", "a", 0),
+            ("c", 1, "assistant", "b", 100),      # gap == 100
+            ("c", 2, "user", "c", 201)]           # gap == 101 > 100
+    got = (conv_session_splits(
+        ray.data.from_arrow(_conv_table(rows)), num_buckets=2,
+        gap_us=100).to_pandas().iloc[0])
+    assert got.n_sessions == 2
+    assert got.max_session_turns == 2
+    assert got.n_turns == 3
