@@ -420,6 +420,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_context_budget": _conv_context_budget_q,
         # inactivity-based sessionization within conversations
         "conv_session_splits": _conv_session_splits_q,
+        # agent-loop detection: exact within-conversation repeats
+        "conv_loop_turns": _conv_loop_turns_q,
+        # consecutive-turn token-overlap (near-echo) signal
+        "turn_echo_jaccard": _turn_echo_jaccard_q,
         "conv_response_ratio": _conv_response_ratio_q,
         # time-windowed exact dedup (streaming-ingest rule: only
         # repeats within the 7-day horizon are duplicates)
@@ -769,6 +773,18 @@ def _conv_role_patterns_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import conv_role_patterns
     return conv_role_patterns(_transcript_ds(
         sf_dir, columns=["conv_id", "turn_idx", "role"]))
+
+
+def _conv_loop_turns_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import conv_loop_turns
+    return conv_loop_turns(_transcript_ds(
+        sf_dir, columns=["conv_id", "turn_idx", "text"]))
+
+
+def _turn_echo_jaccard_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import turn_echo_jaccard
+    return turn_echo_jaccard(_transcript_ds(
+        sf_dir, columns=["conv_id", "turn_idx", "text"]))
 
 
 def _conv_session_splits_q(sf_dir: str):
@@ -2405,6 +2421,41 @@ SELECT conv_id,
                 FILTER (cum > {CONV_CONTEXT_BUDGET}), -1) AS BIGINT)
     AS truncate_turn_idx
 FROM c GROUP BY conv_id
+""",
+        # agent-loop detection: a turn is an echo when its exact text
+        # appeared at an earlier turn of the same conversation
+        "conv_loop_turns": f"""
+WITH r AS (
+  SELECT conv_id, turn_idx,
+    row_number() OVER (PARTITION BY conv_id, text
+                       ORDER BY turn_idx) AS k
+  FROM read_parquet('{tr_glob}'))
+SELECT conv_id,
+  CAST(COUNT(*) AS BIGINT) AS n_turns,
+  CAST(COUNT(*) FILTER (k > 1) AS BIGINT) AS n_echo_turns,
+  CAST(COALESCE(MIN(turn_idx) FILTER (k > 1), -1) AS BIGINT)
+    AS first_echo_idx
+FROM r GROUP BY conv_id
+""",
+        # distinct-token Jaccard between consecutive turns of a
+        # conversation (integer milli; -1 on an empty side; turn 0
+        # excluded — it has no predecessor)
+        "turn_echo_jaccard": f"""
+WITH t AS (
+  SELECT conv_id, turn_idx,
+    list_distinct(regexp_extract_all(lower(text), '{_TOK}')) AS toks
+  FROM read_parquet('{tr_glob}')),
+o AS (
+  SELECT conv_id, turn_idx, toks,
+    lag(toks) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM t)
+SELECT conv_id, turn_idx,
+  CASE WHEN len(toks) > 0 AND len(prev) > 0
+       THEN CAST((1000 * len(list_intersect(toks, prev)))
+                 // (len(toks) + len(prev)
+                     - len(list_intersect(toks, prev))) AS BIGINT)
+       ELSE -1 END AS jaccard_milli
+FROM o WHERE prev IS NOT NULL
 """,
         # inactivity-based sessionization within conversations: a new
         # session when the gap to the previous turn exceeds the frozen

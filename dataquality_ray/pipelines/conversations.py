@@ -1615,3 +1615,101 @@ def conv_session_splits(ds, num_buckets: int = 0,
                            zero_copy_batch=True)
             .groupby("bucket")
             .map_groups(scan, batch_format="pyarrow"))
+
+
+def conv_loop_turns(ds, num_buckets: int = 0):
+    """(conv_id, n_turns, n_echo_turns, first_echo_idx): agent-loop
+    detection — a turn is an "echo" when its exact text already
+    appeared at an earlier turn of the SAME conversation (the stuck
+    tool-retry / repeated-assistant-reply pathology filtered out of
+    agent-transcript training data). Complements windowed_turn_dedup
+    (global, time-windowed) with the conversation-local exact repeat.
+
+    Shape: ONE conv-bucket shuffle; the per-(conv, text) running
+    occurrence count and the rollup complete LOCALLY per bucket in one
+    vectorized polars pass."""
+    import polars as _pl
+    import pyarrow.compute as pc
+    from dataquality_ray.pipelines.quality import conv_bucket_of
+
+    num_buckets = num_buckets or cluster_buckets(minimum=16)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket": conv_bucket_of(batch["conv_id"], num_buckets),
+            "conv_id": batch["conv_id"],
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "text": batch["text"],
+        })
+
+    def scan(t: pa.Table) -> pa.Table:
+        d = (_pl.from_arrow(t.select(["conv_id", "turn_idx", "text"]))
+             .sort(["conv_id", "turn_idx"])
+             .with_columns(k=_pl.col("turn_idx").cum_count()
+                           .over(["conv_id", "text"])))
+        echo = _pl.col("k") > 1
+        g = d.group_by("conv_id").agg(
+            n_turns=_pl.len().cast(_pl.Int64),
+            n_echo_turns=echo.cast(_pl.Int64).sum(),
+            first_echo_idx=_pl.when(echo.any())
+            .then(_pl.col("turn_idx").filter(echo).min())
+            .otherwise(-1).cast(_pl.Int64))
+        return g.to_arrow()
+
+    return (ds.map_batches(bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(scan, batch_format="pyarrow"))
+
+
+def turn_echo_jaccard(ds, num_buckets: int = 0):
+    """(conv_id, turn_idx, jaccard_milli): distinct-token Jaccard
+    between each turn and its predecessor in the same conversation
+    (integer milli; -1 when either side has no tokens; turn 0 of each
+    conversation is excluded). The "assistant parrots the user /
+    itself" near-echo signal read alongside conv_loop_turns' exact
+    repeats.
+
+    Shape: raw (conv_id, turn_idx, text) rows through ONE conv-bucket
+    shuffle; tokenization (pinned TOKEN_PATTERN), the LAG, and the
+    set-intersection arithmetic are all bucket-local vectorized polars
+    (tokenizing after the shuffle keeps list columns out of the
+    exchange — the Acero list-payload rule)."""
+    import polars as _pl
+    import pyarrow.compute as pc
+    from dataquality_ray.pipelines.quality import conv_bucket_of
+    from dataquality_ray.spec import TOKEN_PATTERN
+
+    num_buckets = num_buckets or cluster_buckets(minimum=16)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket": conv_bucket_of(batch["conv_id"], num_buckets),
+            "conv_id": batch["conv_id"],
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "text": batch["text"],
+        })
+
+    def scan(t: pa.Table) -> pa.Table:
+        d = (_pl.from_arrow(t.select(["conv_id", "turn_idx", "text"]))
+             .sort(["conv_id", "turn_idx"])
+             .with_columns(toks=_pl.col("text").str.to_lowercase()
+                           .str.extract_all(TOKEN_PATTERN)
+                           .list.unique()))
+        d = d.with_columns(prev=_pl.col("toks").shift(1)
+                           .over("conv_id")).drop_nulls("prev")
+        na = _pl.col("toks").list.len().cast(_pl.Int64)
+        nb = _pl.col("prev").list.len().cast(_pl.Int64)
+        ni = (_pl.col("toks").list.set_intersection(_pl.col("prev"))
+              .list.len().cast(_pl.Int64))
+        d = d.with_columns(
+            jaccard_milli=_pl.when((na > 0) & (nb > 0))
+            .then(1000 * ni // (na + nb - ni))
+            .otherwise(-1).cast(_pl.Int64))
+        return d.select(["conv_id", "turn_idx",
+                         "jaccard_milli"]).to_arrow()
+
+    return (ds.map_batches(bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(scan, batch_format="pyarrow"))
