@@ -115,7 +115,10 @@ def _query_benches(sf_dir: str) -> dict:
              "dsir_importance_documents",
              "decontaminated_span_documents",
              "dsir_selected_documents", "transcript_rare_tokens",
-             "near_dup_source_matrix"]
+             "near_dup_source_matrix", "gopher_repetition_documents",
+             "conv_structure_violations", "conv_context_budget",
+             "source_token_fertility", "conv_session_splits",
+             "conv_loop_turns", "turn_echo_jaccard"]
     out = {}
     for name in names:
         t0 = time.time()

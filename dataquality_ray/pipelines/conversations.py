@@ -1468,30 +1468,39 @@ def conv_structure_violations(ds, num_buckets: int = 0):
         })
 
     def scan(t: pa.Table) -> pa.Table:
+        # whole-frame shift(1) + a same-conv mask instead of per-conv
+        # shift windows, and row-wise Int64 flag COLUMNS before the
+        # groupby so the per-conv agg is plain column sums (polars'
+        # fast path) — the windowed/group-expression variant measured
+        # 160 s vs ~9 s for this shape at sf0.1/32
         d = (_pl.from_arrow(t.select(["conv_id", "turn_idx", "role",
                                       "ts_us"]))
-             .sort(["conv_id", "turn_idx"])
-             .with_columns(
-                 prev_role=_pl.col("role").shift(1).over("conv_id"),
-                 prev_ts=_pl.col("ts_us").shift(1).over("conv_id"),
-                 prev_idx=_pl.col("turn_idx").shift(1).over("conv_id")))
-        first = _pl.col("prev_idx").is_null()
+             .sort(["conv_id", "turn_idx"]))
+        same = (_pl.col("conv_id") == _pl.col("conv_id").shift(1)) \
+            .fill_null(False)
+        prev_role = _pl.col("role").shift(1)
+        first = ~same
+        d = d.with_columns(
+            bad_start=(first & ~_pl.col("role")
+                       .is_in(["user", "system"])).cast(_pl.Int64),
+            role_repeat=(same & (_pl.col("role") == prev_role))
+            .cast(_pl.Int64),
+            orphan_tool=((_pl.col("role") == "tool")
+                         & (first | (prev_role != "assistant")))
+            .cast(_pl.Int64),
+            ts_regress=(same & (_pl.col("ts_us")
+                                < _pl.col("ts_us").shift(1)))
+            .cast(_pl.Int64),
+            idx_gap=((first & (_pl.col("turn_idx") != 0))
+                     | (same & (_pl.col("turn_idx")
+                                != _pl.col("turn_idx").shift(1) + 1)))
+            .cast(_pl.Int64))
         g = d.group_by("conv_id").agg(
-            n_bad_start=(first & ~_pl.col("role")
-                         .is_in(["user", "system"]))
-            .cast(_pl.Int64).sum(),
-            n_role_repeat=(_pl.col("role") == _pl.col("prev_role"))
-            .fill_null(False).cast(_pl.Int64).sum(),
-            n_orphan_tool=((_pl.col("role") == "tool")
-                           & (_pl.col("prev_role") != "assistant")
-                           .fill_null(True))
-            .cast(_pl.Int64).sum(),
-            n_ts_regress=(_pl.col("ts_us") < _pl.col("prev_ts"))
-            .fill_null(False).cast(_pl.Int64).sum(),
-            n_idx_gaps=((first & (_pl.col("turn_idx") != 0))
-                        | (~first & (_pl.col("turn_idx")
-                                     != _pl.col("prev_idx") + 1)))
-            .cast(_pl.Int64).sum())
+            n_bad_start=_pl.col("bad_start").sum(),
+            n_role_repeat=_pl.col("role_repeat").sum(),
+            n_orphan_tool=_pl.col("orphan_tool").sum(),
+            n_ts_regress=_pl.col("ts_regress").sum(),
+            n_idx_gaps=_pl.col("idx_gap").sum())
         g = g.with_columns(
             is_valid=((_pl.col("n_bad_start") + _pl.col("n_role_repeat")
                        + _pl.col("n_orphan_tool")
@@ -1625,35 +1634,58 @@ def conv_loop_turns(ds, num_buckets: int = 0):
     agent-transcript training data). Complements windowed_turn_dedup
     (global, time-windowed) with the conversation-local exact repeat.
 
-    Shape: ONE conv-bucket shuffle; the per-(conv, text) running
-    occurrence count and the rollup complete LOCALLY per bucket in one
-    vectorized polars pass."""
+    Shape: ONE conv-bucket shuffle of slim (conv_id, turn_idx,
+    16-byte md5-of-text) rows — the digest stands in for the text in
+    the exchange AND the repeat test (the column_profile /
+    conv_near_dup_pairs digest-for-value pattern; md5-collision-exact
+    for equality, null text gets a 1-byte sentinel so it can't collide
+    with '' the way a raw empty-slice hash would and stays its own
+    DuckDB-style partition); the per-(conv, digest) first-occurrence
+    test and the rollup complete LOCALLY per bucket in one vectorized
+    polars pass."""
     import polars as _pl
     import pyarrow.compute as pc
+    from dataquality_ray.arrowutil import md5_digests
     from dataquality_ray.pipelines.quality import conv_bucket_of
 
     num_buckets = num_buckets or cluster_buckets(minimum=16)
 
     def bucket(batch: pa.Table) -> pa.Table:
+        txt = batch["text"]
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        digs = md5_digests(txt)
+        if txt.null_count:
+            nulls = pc.is_null(txt).to_numpy(zero_copy_only=False)
+            digs = [b"\x00" if nulls[i] else d
+                    for i, d in enumerate(digs)]
         return pa.table({
             "bucket": conv_bucket_of(batch["conv_id"], num_buckets),
             "conv_id": batch["conv_id"],
             "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
-            "text": batch["text"],
+            "h": pa.array(digs, type=pa.binary()),
         })
 
     def scan(t: pa.Table) -> pa.Table:
-        d = (_pl.from_arrow(t.select(["conv_id", "turn_idx", "text"]))
-             .sort(["conv_id", "turn_idx"])
-             .with_columns(k=_pl.col("turn_idx").cum_count()
-                           .over(["conv_id", "text"])))
-        echo = _pl.col("k") > 1
+        # echo = not the FIRST occurrence of (conv_id, digest): one
+        # hash-pass is_first_distinct over the (conv_id, turn_idx)-
+        # sorted frame instead of a string-keyed cum_count window
+        # (measured 69 s -> 22 s for the window->distinct rewrite,
+        # then digest-shipping on top), and plain Int64 flag columns
+        # before the groupby so the per-conv agg stays on polars'
+        # fast path (same lesson as conv_structure_violations above).
+        d = (_pl.from_arrow(t.select(["conv_id", "turn_idx", "h"]))
+             .sort(["conv_id", "turn_idx"]))
+        echo = ~_pl.struct(["conv_id", "h"]).is_first_distinct()
+        d = d.with_columns(
+            echo=echo.cast(_pl.Int64),
+            echo_idx=_pl.when(echo).then(_pl.col("turn_idx"))
+            .otherwise(None))
         g = d.group_by("conv_id").agg(
             n_turns=_pl.len().cast(_pl.Int64),
-            n_echo_turns=echo.cast(_pl.Int64).sum(),
-            first_echo_idx=_pl.when(echo.any())
-            .then(_pl.col("turn_idx").filter(echo).min())
-            .otherwise(-1).cast(_pl.Int64))
+            n_echo_turns=_pl.col("echo").sum(),
+            first_echo_idx=_pl.col("echo_idx").min()
+            .fill_null(-1).cast(_pl.Int64))
         return g.to_arrow()
 
     return (ds.map_batches(bucket, batch_format="pyarrow",
