@@ -424,6 +424,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_loop_turns": _conv_loop_turns_q,
         # consecutive-turn token-overlap (near-echo) signal
         "turn_echo_jaccard": _turn_echo_jaccard_q,
+        # template-opener dedup: group size per first-K-turn md5
+        "conv_prefix_dup_groups": _conv_prefix_dup_groups_q,
+        # agent-trajectory Markov counts over role/tool kinds
+        "tool_transition_stats": _tool_transition_stats_q,
+        # lexical diversity (type-token ratio) per conversation+role
+        "conv_ttr_stats": _conv_ttr_stats_q,
         "conv_response_ratio": _conv_response_ratio_q,
         # time-windowed exact dedup (streaming-ingest rule: only
         # repeats within the 7-day horizon are duplicates)
@@ -805,6 +811,28 @@ def _conv_structure_violations_q(sf_dir: str):
     )
     return conv_structure_violations(_transcript_ds(
         sf_dir, columns=["conv_id", "turn_idx", "role", "ts"]))
+
+
+def _conv_prefix_dup_groups_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import (
+        conv_prefix_dup_groups,
+    )
+    return conv_prefix_dup_groups(_transcript_ds(
+        sf_dir, columns=["conv_id", "turn_idx", "text"]))
+
+
+def _tool_transition_stats_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import (
+        tool_transition_stats,
+    )
+    return tool_transition_stats(_transcript_ds(
+        sf_dir, columns=["conv_id", "turn_idx", "role", "tool"]))
+
+
+def _conv_ttr_stats_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import conv_ttr_stats
+    return conv_ttr_stats(_transcript_ds(
+        sf_dir, columns=["conv_id", "role", "text"]))
 
 
 def _conv_response_ratio_q(sf_dir: str):
@@ -1219,6 +1247,7 @@ def _oracle_sql_impl() -> dict[str, str]:
         f"ts[i+{k}]" if k else "ts[i]" for k in range(SHINGLE_NGRAM))
     from dataquality_ray.pipelines.conversations import (
         CONTEXT_BUDGET_CHARS as CONV_CONTEXT_BUDGET,
+        CONV_PREFIX_K,
         SESSION_GAP_US as CONV_SESSION_GAP_US,
         CONV_DEDUP_DF_CAP,
         CONV_KEEP_FRAC_MILLI,
@@ -2481,6 +2510,61 @@ SELECT conv_id,
   CAST(COUNT(*) AS BIGINT) AS n_sessions,
   CAST(MAX(n) AS BIGINT) AS max_session_turns
 FROM per_sess GROUP BY conv_id
+""",
+        # template-opener dedup: conversations grouped by the md5 of
+        # their first-K-turn text (unit-separator-joined in turn
+        # order, null text as '')
+        "conv_prefix_dup_groups": f"""
+WITH p AS (
+  SELECT conv_id,
+    md5(string_agg(coalesce(text, ''), chr(31) ORDER BY turn_idx))
+      AS prefix_hash
+  FROM read_parquet('{tr_glob}')
+  WHERE turn_idx < {CONV_PREFIX_K}
+  GROUP BY conv_id),
+g AS (
+  SELECT prefix_hash, CAST(COUNT(*) AS BIGINT) AS group_size
+  FROM p GROUP BY prefix_hash)
+SELECT p.conv_id, p.prefix_hash, g.group_size,
+  CASE WHEN g.group_size > 1 THEN 1 ELSE 0 END AS is_prefix_dup
+FROM p JOIN g USING (prefix_hash)
+""",
+        # agent-trajectory Markov counts: consecutive-turn transitions
+        # over role/tool kinds within each conversation
+        "tool_transition_stats": f"""
+WITH o AS (
+  SELECT conv_id,
+    CASE WHEN role = 'tool' THEN 'tool:' || coalesce(tool, '')
+         ELSE role END AS kind,
+    lag(CASE WHEN role = 'tool' THEN 'tool:' || coalesce(tool, '')
+             ELSE role END)
+      OVER (PARTITION BY conv_id ORDER BY turn_idx) AS from_kind
+  FROM read_parquet('{tr_glob}'))
+SELECT from_kind, kind AS to_kind,
+  CAST(COUNT(*) AS BIGINT) AS n_transitions
+FROM o WHERE from_kind IS NOT NULL
+GROUP BY from_kind, kind
+""",
+        # lexical diversity per conversation+role: total and distinct
+        # lowercased TOKEN_PATTERN tokens, integer milli TTR
+        "conv_ttr_stats": f"""
+WITH t AS (
+  SELECT conv_id, role,
+    regexp_extract_all(lower(coalesce(text, '')), '{_TOK}') AS toks
+  FROM read_parquet('{tr_glob}')),
+base AS (
+  SELECT conv_id, role, CAST(SUM(len(toks)) AS BIGINT) AS n_tokens
+  FROM t GROUP BY conv_id, role),
+d AS (
+  SELECT conv_id, role, CAST(COUNT(DISTINCT tok) AS BIGINT)
+    AS n_distinct
+  FROM t, unnest(toks) AS u(tok) GROUP BY conv_id, role)
+SELECT base.conv_id, base.role, base.n_tokens,
+  COALESCE(d.n_distinct, 0) AS n_distinct_tokens,
+  CASE WHEN base.n_tokens > 0
+       THEN 1000 * COALESCE(d.n_distinct, 0) // base.n_tokens
+       ELSE -1 END AS ttr_milli
+FROM base LEFT JOIN d USING (conv_id, role)
 """,
         # FULL OUTER JOIN reconciliation: every row of both sides
         # survives with a match-status tag

@@ -118,7 +118,9 @@ def _query_benches(sf_dir: str) -> dict:
              "near_dup_source_matrix", "gopher_repetition_documents",
              "conv_structure_violations", "conv_context_budget",
              "source_token_fertility", "conv_session_splits",
-             "conv_loop_turns", "turn_echo_jaccard"]
+             "conv_loop_turns", "turn_echo_jaccard",
+             "conv_prefix_dup_groups", "tool_transition_stats",
+             "conv_ttr_stats"]
     out = {}
     for name in names:
         t0 = time.time()

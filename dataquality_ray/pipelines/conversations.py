@@ -1745,3 +1745,204 @@ def turn_echo_jaccard(ds, num_buckets: int = 0):
                            zero_copy_batch=True)
             .groupby("bucket")
             .map_groups(scan, batch_format="pyarrow"))
+
+
+# first-K-turn template-opener window for conv_prefix_dup_groups —
+# interpolated into the DuckDB oracle (change here, both engines move).
+CONV_PREFIX_K = 2
+
+
+def conv_prefix_dup_groups(ds, num_buckets: int = 0,
+                           k: int = CONV_PREFIX_K):
+    """(conv_id, prefix_hash, group_size, is_prefix_dup): template-
+    opener dedup signal — conversations are grouped by the md5 of
+    their first ``k`` turns' text (unit-separator-joined in turn
+    order; null text as ''), and each conversation is annotated with
+    how many conversations share its opener. Boilerplate greetings /
+    scripted first exchanges are a known duplication mode that whole-
+    conversation dedup misses when later turns diverge (the same
+    curation concern conv_near_dup_pairs' df-cap exists for, at the
+    prefix granularity).
+
+    Shape: the corpus shrinks to ≤ k slim rows per conversation at
+    the first map (turn_idx < k filter), then ONE conv-bucket shuffle
+    assembles each opener locally and ONE digest-bucket shuffle of
+    1-row-per-conversation (conv_id, 32-char hash) rows counts group
+    sizes locally — both exchanges are bounded by #conversations,
+    never corpus turns."""
+    import numpy as np
+    import polars as _pl
+    import pyarrow.compute as pc
+    from dataquality_ray.arrowutil import md5_digests
+    from dataquality_ray.pipelines.quality import conv_bucket_of
+
+    num_buckets = num_buckets or cluster_buckets(minimum=16)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.less(batch["turn_idx"], k))
+        return pa.table({
+            "bucket": conv_bucket_of(batch["conv_id"], num_buckets),
+            "conv_id": batch["conv_id"],
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "text": batch["text"],
+        })
+
+    def assemble(t: pa.Table) -> pa.Table:
+        # polars group_by preserves within-group row order, so sorting
+        # the frame by (conv_id, turn_idx) first makes str.join
+        # reproduce SQL's string_agg(... ORDER BY turn_idx)
+        d = (_pl.from_arrow(t.select(["conv_id", "turn_idx", "text"]))
+             .sort(["conv_id", "turn_idx"])
+             .group_by("conv_id", maintain_order=True)
+             .agg(prefix=_pl.col("text").fill_null("")
+                  .str.join("\x1f")))
+        out = d.to_arrow()
+        digs = md5_digests(out["prefix"])
+        hx = pa.array([d.hex() for d in digs], pa.string())
+        # digest-bucket for the group-size exchange straight off the
+        # digest's first 4 bytes — no second md5 pass
+        hb = np.array([int.from_bytes(d[:4], "little") % num_buckets
+                       for d in digs], dtype=np.int32)
+        return pa.table({"hbucket": pa.array(hb),
+                         "conv_id": out["conv_id"],
+                         "prefix_hash": hx})
+
+    def size_groups(t: pa.Table) -> pa.Table:
+        d = _pl.from_arrow(t.select(["conv_id", "prefix_hash"]))
+        d = d.with_columns(
+            group_size=_pl.len().over("prefix_hash").cast(_pl.Int64))
+        d = d.with_columns(
+            is_prefix_dup=(_pl.col("group_size") > 1).cast(_pl.Int64))
+        return d.to_arrow()
+
+    return (ds.map_batches(bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(assemble, batch_format="pyarrow")
+            .groupby("hbucket")
+            .map_groups(size_groups, batch_format="pyarrow"))
+
+
+def tool_transition_stats(ds, num_buckets: int = 0):
+    """(from_kind, to_kind, n_transitions): first-order Markov counts
+    over consecutive turns within each conversation, where a turn's
+    kind is its role except tool turns, which carry the tool name
+    ('tool:exec', 'tool:browse', ...). The transcript-native sibling
+    of event_type_transitions (pipelines/metrics.py) — the agent-
+    trajectory structure stat (which tools follow which, how often an
+    assistant turn hands off to a tool) read alongside
+    conv_structure_violations' contract checks.
+
+    Shape: ONE conv-bucket shuffle of slim (conv_id, turn_idx, kind)
+    rows; each bucket counts its local transition pairs with a whole-
+    frame shift + same-conv mask (the conv_structure_violations fast
+    path), then a tiny global groupby merges partials (output rows
+    ≤ |kinds|², constant at any corpus size)."""
+    import polars as _pl
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from dataquality_ray.pipelines.quality import conv_bucket_of
+
+    num_buckets = num_buckets or cluster_buckets(minimum=16)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        role = batch["role"]
+        kind = pc.if_else(
+            pc.equal(role, "tool"),
+            pc.binary_join_element_wise(
+                "tool:", pc.fill_null(batch["tool"], ""), ""),
+            role)
+        return pa.table({
+            "bucket": conv_bucket_of(batch["conv_id"], num_buckets),
+            "conv_id": batch["conv_id"],
+            "turn_idx": pc.cast(batch["turn_idx"], pa.int64()),
+            "kind": kind,
+        })
+
+    def transitions(t: pa.Table) -> pa.Table:
+        d = (_pl.from_arrow(t.select(["conv_id", "turn_idx", "kind"]))
+             .sort(["conv_id", "turn_idx"]))
+        same = (_pl.col("conv_id") == _pl.col("conv_id").shift(1)) \
+            .fill_null(False)
+        d = (d.with_columns(from_kind=_pl.col("kind").shift(1),
+                            same=same)
+             .filter(_pl.col("same"))
+             .group_by(["from_kind", "kind"])
+             .agg(n=_pl.len().cast(_pl.Int64))
+             .rename({"kind": "to_kind"}))
+        return d.to_arrow()
+
+    agg = (ds.map_batches(bucket, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("bucket")
+           .map_groups(transitions, batch_format="pyarrow")
+           .groupby(["from_kind", "to_kind"])
+           .aggregate(Sum("n", alias_name="n_transitions")))
+
+    def clean(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "from_kind": t["from_kind"], "to_kind": t["to_kind"],
+            "n_transitions": pc.cast(t["n_transitions"], pa.int64()),
+        })
+
+    return agg.map_batches(clean, batch_format="pyarrow")
+
+
+def conv_ttr_stats(ds, num_buckets: int = 0):
+    """(conv_id, role, n_tokens, n_distinct_tokens, ttr_milli):
+    lexical diversity per conversation and role — total and distinct
+    lowercased TOKEN_PATTERN tokens across the group's turns, and the
+    integer milli type-token ratio (1000*distinct // total; -1 when
+    the group has no tokens). Low assistant-side TTR is the
+    "model says the same thing every turn" degeneracy signal, the
+    statistical companion to conv_loop_turns' exact repeats and
+    turn_echo_jaccard's near-echoes.
+
+    Shape: raw slim rows through ONE conv-bucket shuffle; tokenization
+    (after the shuffle — the Acero list-payload rule), the explode,
+    and both rollups complete LOCALLY per bucket as whole-frame
+    vectorized polars passes (no compound agg expressions — the
+    conv_structure_violations fast-path lesson)."""
+    import polars as _pl
+    import pyarrow.compute as pc
+    from dataquality_ray.pipelines.quality import conv_bucket_of
+    from dataquality_ray.spec import TOKEN_PATTERN
+
+    num_buckets = num_buckets or cluster_buckets(minimum=16)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "bucket": conv_bucket_of(batch["conv_id"], num_buckets),
+            "conv_id": batch["conv_id"],
+            "role": batch["role"],
+            "text": batch["text"],
+        })
+
+    def scan(t: pa.Table) -> pa.Table:
+        d = (_pl.from_arrow(t.select(["conv_id", "role", "text"]))
+             .with_columns(toks=_pl.col("text").fill_null("")
+                           .str.to_lowercase()
+                           .str.extract_all(TOKEN_PATTERN)))
+        totals = (d.with_columns(nt=_pl.col("toks").list.len()
+                                 .cast(_pl.Int64))
+                  .group_by(["conv_id", "role"])
+                  .agg(n_tokens=_pl.col("nt").sum()))
+        dist = (d.select(["conv_id", "role", "toks"])
+                .explode("toks").drop_nulls("toks")
+                .unique()
+                .group_by(["conv_id", "role"])
+                .agg(n_distinct_tokens=_pl.len().cast(_pl.Int64)))
+        g = totals.join(dist, on=["conv_id", "role"], how="left") \
+            .with_columns(_pl.col("n_distinct_tokens").fill_null(0))
+        g = g.with_columns(
+            ttr_milli=_pl.when(_pl.col("n_tokens") > 0)
+            .then(1000 * _pl.col("n_distinct_tokens")
+                  // _pl.col("n_tokens"))
+            .otherwise(-1).cast(_pl.Int64))
+        return g.to_arrow()
+
+    return (ds.map_batches(bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(scan, batch_format="pyarrow"))

@@ -116,3 +116,65 @@ def test_conv_session_splits_gap_equal_not_split(ray_session):
     assert got.n_sessions == 2
     assert got.max_session_turns == 2
     assert got.n_turns == 3
+
+
+def test_conv_prefix_dup_groups_k_and_nulls(ray_session):
+    import pyarrow as pa
+    from dataquality_ray.pipelines.conversations import (
+        conv_prefix_dup_groups,
+    )
+    t = pa.table({
+        "conv_id": pa.array(["a", "a", "a", "b", "b", "c", "d"],
+                            pa.string()),
+        "turn_idx": pa.array([0, 1, 2, 0, 1, 0, 0], pa.int32()),
+        # a and b share the first-2-turn prefix; a's turn 2 differs
+        # (beyond K) and must not matter; c has ONE turn and null text;
+        # d has one turn with '' text -> null joins as '' so c == d
+        "text": pa.array(["hi", "yo", "DIFFERENT", "hi", "yo", None,
+                          ""], pa.string()),
+    })
+    got = (conv_prefix_dup_groups(ray.data.from_arrow(t),
+                                  num_buckets=4, k=2)
+           .to_pandas().set_index("conv_id"))
+    assert got.loc["a"].group_size == 2 and got.loc["a"].is_prefix_dup
+    assert got.loc["a"].prefix_hash == got.loc["b"].prefix_hash
+    assert got.loc["c"].prefix_hash == got.loc["d"].prefix_hash
+    assert got.loc["c"].group_size == 2
+
+
+def test_tool_transition_stats_kinds(ray_session):
+    import pyarrow as pa
+    from dataquality_ray.pipelines.conversations import (
+        tool_transition_stats,
+    )
+    t = pa.table({
+        "conv_id": pa.array(["c1", "c1", "c1", "c2", "c2"], pa.string()),
+        "turn_idx": pa.array([0, 1, 2, 0, 1], pa.int32()),
+        "role": pa.array(["user", "assistant", "tool", "user",
+                          "assistant"], pa.string()),
+        "tool": pa.array(["", "", "exec", "", ""], pa.string()),
+    })
+    got = (tool_transition_stats(ray.data.from_arrow(t), num_buckets=4)
+           .to_pandas().set_index(["from_kind", "to_kind"]))
+    # no cross-conversation transition (c1 tool -> c2 user absent)
+    assert got.loc[("user", "assistant")].n_transitions == 2
+    assert got.loc[("assistant", "tool:exec")].n_transitions == 1
+    assert len(got) == 2
+
+
+def test_conv_ttr_stats_distinct_and_empty(ray_session):
+    import pyarrow as pa
+    from dataquality_ray.pipelines.conversations import conv_ttr_stats
+    t = pa.table({
+        "conv_id": pa.array(["c", "c", "c"], pa.string()),
+        "role": pa.array(["user", "user", "assistant"], pa.string()),
+        # user: 4 tokens, 2 distinct (case-folded); assistant: none
+        "text": pa.array(["Go go GO", "stop", "!!!"], pa.string()),
+    })
+    got = (conv_ttr_stats(ray.data.from_arrow(t), num_buckets=4)
+           .to_pandas().set_index("role"))
+    u = got.loc["user"]
+    assert u.n_tokens == 4 and u.n_distinct_tokens == 2
+    assert u.ttr_milli == 500
+    a = got.loc["assistant"]
+    assert a.n_tokens == 0 and a.ttr_milli == -1
