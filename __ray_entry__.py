@@ -360,6 +360,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Gopher-style repetition filter (dup-line / top-2-gram /
         # dup-5-gram char mass + composite flag)
         "gopher_repetition_documents": D.gopher_repetition_documents,
+        # Gopher-style QUALITY filter (word/line-shape rules — the
+        # non-repetition half of Rae et al. 2021 §A1.1)
+        "gopher_quality_documents": D.gopher_quality_documents,
         # tokenizer-fertility audit by source (BPE-ish pre-tokens per
         # whitespace token / per 100 chars)
         "source_token_fertility": D.source_token_fertility,
@@ -977,6 +980,7 @@ _EMAIL = spec.EMAIL_PATTERN
 _SSN = spec.SSN_PATTERN
 _PHONE = spec.PHONE_PATTERN
 _TOK = spec.TOKEN_PATTERN
+_WS = spec.WS_TOKEN_PATTERN
 _SYM = spec.SYMBOL_PATTERN
 _BP = spec.BOILERPLATE_PATTERN
 
@@ -1289,10 +1293,23 @@ def _oracle_sql_impl() -> dict[str, str]:
         GOPHER_DUP_LINE_CHAR_PCT,
         GOPHER_DUP_LINE_PCT,
         GOPHER_TOP2_CHAR_PCT,
+        GOPHERQ_ALPHA_PCT,
+        GOPHERQ_BULLET_PCT,
+        GOPHERQ_ELLIPSIS_PCT,
+        GOPHERQ_MAX_WORD_LEN,
+        GOPHERQ_MAX_WORDS,
+        GOPHERQ_MIN_STOP,
+        GOPHERQ_MIN_WORD_LEN,
+        GOPHERQ_MIN_WORDS,
+        GOPHERQ_STOPWORDS,
+        GOPHERQ_SYMBOL_PCT,
         INCR_NEW_MOD as D_INCR_NEW_MOD,
         INT8_SCALE as D_INT8_SCALE,
         SEARCH_TERMS as D_SEARCH_TERMS,
     )
+    GOPHERQ_WS = _WS
+    GOPHERQ_STOP_SQL = "[" + ", ".join(
+        f"'{w}'" for w in GOPHERQ_STOPWORDS) + "]"
     from dataquality_ray.stages.embeddings import (
         EMBED_DIM as EMB_DIM,
         HASH_BUCKETS as EMB_HASH_BUCKETS,
@@ -3097,6 +3114,61 @@ SELECT doc_id, n_chars, n_lines, dup_line_count, dup_line_chars,
              AND 100 * dup5_chars > {GOPHER_DUP5_CHAR_PCT} * n_chars)
        THEN 1 ELSE 0 END AS rep_flag
 FROM j
+""",
+        # Gopher QUALITY rules (the non-repetition half of Rae et al.
+        # 2021 §A1.1), integer arithmetic; thresholds + stop-word list
+        # interpolated from pipelines.documents.GOPHERQ_* so both
+        # engines move together. Counting conventions pinned by the
+        # cross-engine prototype (words = WS matches on raw text,
+        # '...' leftmost non-overlapping via the replace-length trick,
+        # stop hits = DISTINCT stop words via list_intersect).
+        "gopher_quality_documents": f"""
+WITH t AS (
+  SELECT doc_id, COALESCE(text, '') AS text,
+    regexp_extract_all(COALESCE(text, ''), '{GOPHERQ_WS}') AS ws,
+    list_filter(string_split(COALESCE(text, ''), chr(10)),
+                x -> x <> '') AS ls,
+    regexp_extract_all(lower(COALESCE(text, '')), '{_TOK}') AS ts
+  FROM documents),
+sig AS (
+  SELECT doc_id,
+    CAST(len(ws) AS BIGINT) AS n_words,
+    CAST(COALESCE(list_sum(list_transform(ws, w -> length(w))), 0)
+         AS BIGINT) AS word_chars,
+    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]')))
+         AS BIGINT) AS n_alpha_words,
+    CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+      AS n_hash,
+    CAST((length(text) - length(replace(text, '...', ''))) // 3
+         AS BIGINT) AS n_ellipsis,
+    CAST(len(ls) AS BIGINT) AS n_lines,
+    CAST(len(list_filter(ls, x -> regexp_matches(x, '^[-*]')))
+         AS BIGINT) AS n_bullet_lines,
+    CAST(len(list_filter(ls, x -> x LIKE '%...')) AS BIGINT)
+      AS n_ellipsis_lines,
+    CAST(len(list_intersect(ts, {GOPHERQ_STOP_SQL})) AS BIGINT)
+      AS n_stop_hits
+  FROM t)
+SELECT doc_id, n_words, word_chars, n_alpha_words, n_hash, n_ellipsis,
+  n_lines, n_bullet_lines, n_ellipsis_lines, n_stop_hits,
+  CASE WHEN n_words < {GOPHERQ_MIN_WORDS}
+         OR n_words > {GOPHERQ_MAX_WORDS}
+         OR (n_words > 0
+             AND (word_chars < {GOPHERQ_MIN_WORD_LEN} * n_words
+                  OR word_chars > {GOPHERQ_MAX_WORD_LEN} * n_words))
+         OR (n_words > 0
+             AND 100 * (n_hash + n_ellipsis)
+                 > {GOPHERQ_SYMBOL_PCT} * n_words)
+         OR (n_lines > 0
+             AND 100 * n_bullet_lines > {GOPHERQ_BULLET_PCT} * n_lines)
+         OR (n_lines > 0
+             AND 100 * n_ellipsis_lines
+                 > {GOPHERQ_ELLIPSIS_PCT} * n_lines)
+         OR (n_words > 0
+             AND 100 * n_alpha_words < {GOPHERQ_ALPHA_PCT} * n_words)
+         OR n_stop_hits < {GOPHERQ_MIN_STOP}
+       THEN 1 ELSE 0 END AS q_flag
+FROM sig
 """,
         # robust stats: exact discrete median + median absolute
         # deviation (nested quantile_disc composition)

@@ -120,7 +120,7 @@ def _query_benches(sf_dir: str) -> dict:
              "source_token_fertility", "conv_session_splits",
              "conv_loop_turns", "turn_echo_jaccard",
              "conv_prefix_dup_groups", "tool_transition_stats",
-             "conv_ttr_stats"]
+             "conv_ttr_stats", "gopher_quality_documents"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -3467,6 +3467,112 @@ def gopher_repetition_documents(sf_dir: str):
                             zero_copy_batch=True)
 
 
+# Gopher-style QUALITY thresholds (Rae et al. 2021 §A1.1 — the
+# non-repetition half: word-count bounds, mean word length, symbol
+# ratio, bullet/ellipsis line fractions, alphabetic-word fraction,
+# stop-word presence), adapted to integer arithmetic so the DuckDB
+# twin is bit-identical. Interpolated into the oracle — change here
+# and both engines move together.
+GOPHERQ_MIN_WORDS = 50
+GOPHERQ_MAX_WORDS = 100_000
+GOPHERQ_MIN_WORD_LEN = 3     # mean word length lower bound (chars)
+GOPHERQ_MAX_WORD_LEN = 10    # mean word length upper bound
+GOPHERQ_SYMBOL_PCT = 10      # ('#' + '...') occurrences per 100 words
+GOPHERQ_BULLET_PCT = 10      # bullet-start lines per 100 lines
+GOPHERQ_ELLIPSIS_PCT = 30    # '...'-ending lines per 100 lines
+GOPHERQ_ALPHA_PCT = 80       # words containing a letter per 100 words
+# Gopher's literal value is 2; the synthetic corpus' fixed vocabulary
+# carries at most one of the eight stop words, so 2 flags 100% of
+# docs — calibrated to 1 (same rule shape; the oracle interpolates
+# this constant so both engines move together).
+GOPHERQ_MIN_STOP = 1         # distinct stop words required
+GOPHERQ_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have",
+                     "with")
+
+
+def _gopher_quality_batch(batch: pa.Table) -> pa.Table:
+    """Per-document Gopher quality signals, entirely batch-local (one
+    doc = one row). Counting conventions pinned cross-engine and
+    prototyped for exact parity (see tests): words are
+    spec.WS_TOKEN_PATTERN matches on the RAW text (no lowercasing, so
+    char counts are exact); the alphabetic test is the case-insensitive
+    class [A-Za-z]; '...' counts are leftmost non-overlapping (polars
+    literal count_matches == DuckDB replace-length trick); stop-word
+    hits are DISTINCT stop words present among lower-cased
+    TOKEN_PATTERN tokens (polars list.set_intersection == DuckDB
+    list_intersect). All arithmetic int64; NULL text behaves like ''."""
+    from dataquality_ray.spec import WS_TOKEN_PATTERN
+
+    df = pl.from_arrow(batch.select(["doc_id", "text"])) \
+        .with_columns(text=pl.col("text").fill_null(""))
+    t = pl.col("text")
+    words = t.str.extract_all(WS_TOKEN_PATTERN)
+    lines = t.str.split("\n")
+    stop_lit = pl.lit(pl.Series("s", [list(GOPHERQ_STOPWORDS)]))
+    out = df.select(
+        "doc_id",
+        n_words=t.str.count_matches(WS_TOKEN_PATTERN).cast(pl.Int64),
+        word_chars=words.list.eval(
+            pl.element().str.len_chars().cast(pl.Int64))
+        .list.sum().fill_null(0).cast(pl.Int64),
+        n_alpha_words=words.list.eval(
+            pl.element().str.contains("[A-Za-z]").cast(pl.Int64))
+        .list.sum().fill_null(0).cast(pl.Int64),
+        n_hash=t.str.count_matches("#", literal=True).cast(pl.Int64),
+        n_ellipsis=t.str.count_matches("...", literal=True)
+        .cast(pl.Int64),
+        n_lines=lines.list.eval(
+            pl.element().filter(pl.element() != ""))
+        .list.len().cast(pl.Int64),
+        n_bullet_lines=lines.list.eval(
+            ((pl.element() != "")
+             & pl.element().str.contains("^[-*]")).cast(pl.Int64))
+        .list.sum().fill_null(0).cast(pl.Int64),
+        n_ellipsis_lines=lines.list.eval(
+            ((pl.element() != "")
+             & pl.element().str.ends_with("...")).cast(pl.Int64))
+        .list.sum().fill_null(0).cast(pl.Int64),
+        n_stop_hits=t.str.to_lowercase().str.extract_all(TOKEN_PATTERN)
+        .list.set_intersection(stop_lit).list.len().cast(pl.Int64),
+    )
+    nw, nl = pl.col("n_words"), pl.col("n_lines")
+    fail = (
+        (nw < GOPHERQ_MIN_WORDS) | (nw > GOPHERQ_MAX_WORDS)
+        | ((nw > 0)
+           & ((pl.col("word_chars") < GOPHERQ_MIN_WORD_LEN * nw)
+              | (pl.col("word_chars") > GOPHERQ_MAX_WORD_LEN * nw)))
+        | ((nw > 0)
+           & (100 * (pl.col("n_hash") + pl.col("n_ellipsis"))
+              > GOPHERQ_SYMBOL_PCT * nw))
+        | ((nl > 0)
+           & (100 * pl.col("n_bullet_lines") > GOPHERQ_BULLET_PCT * nl))
+        | ((nl > 0)
+           & (100 * pl.col("n_ellipsis_lines")
+              > GOPHERQ_ELLIPSIS_PCT * nl))
+        | ((nw > 0)
+           & (100 * pl.col("n_alpha_words") < GOPHERQ_ALPHA_PCT * nw))
+        | (pl.col("n_stop_hits") < GOPHERQ_MIN_STOP))
+    return out.with_columns(q_flag=fail.cast(pl.Int64)).to_arrow()
+
+
+def gopher_quality_documents(sf_dir: str):
+    """(doc_id, n_words, word_chars, n_alpha_words, n_hash, n_ellipsis,
+    n_lines, n_bullet_lines, n_ellipsis_lines, n_stop_hits, q_flag):
+    the Gopher QUALITY filter (Rae et al. 2021 §A1.1) — the
+    non-repetition rules complementing gopher_repetition_documents'
+    duplicate-mass signals. q_flag=1 means the document fails at least
+    one rule (word-count bounds, mean-word-length bounds, symbol
+    ratio, bullet/ellipsis line fractions, alpha-word fraction, <2
+    stop words). Zero shuffle: every signal is a function of one
+    document row, so the whole operator is one vectorized
+    map_batches — at 100 TB this runs embarrassingly parallel at
+    whatever the read throughput gives."""
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return docs.map_batches(_gopher_quality_batch,
+                            batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def source_token_fertility(sf_dir: str):
     """(source, n_docs, n_ws_tokens, n_bpe_tokens, n_chars,
     bpe_per_ws_milli, bpe_per_100_chars): tokenizer-fertility audit by

@@ -47,6 +47,57 @@ def test_gopher_empty_and_clean_docs():
     assert r.loc[1].dup5_chars == 0
 
 
+def _gopherq(texts):
+    from dataquality_ray.pipelines.documents import (
+        _gopher_quality_batch,
+    )
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    return _gopher_quality_batch(t).to_pandas().set_index("doc_id")
+
+
+def test_gopher_quality_signal_counters():
+    txt = ("the cat sat on the mat today again\n"
+           "- bullet one\n* bullet two\nword... and more... #tag")
+    r = _gopherq([txt]).loc[0]
+    assert r.n_lines == 4
+    assert r.n_bullet_lines == 2
+    assert r.n_ellipsis_lines == 0          # last line ends with '#tag'
+    assert r.n_hash == 1
+    assert r.n_ellipsis == 2                # 'word...', 'more...'
+    assert r.n_stop_hits == 2               # 'the', 'and' (distinct)
+    assert r.q_flag == 1                    # <50 words + 2/4 bullets
+
+
+def test_gopher_quality_clean_doc_passes():
+    # 60 words, mean length in [3,10], no symbols/bullets, has a stop
+    # word -> every rule passes
+    clean = " ".join(["the quick brown fox jumps over lazy dogs "
+                      "while seven animals watch"] * 5)
+    r = _gopherq([clean]).loc[0]
+    assert r.n_words == 60
+    assert r.n_stop_hits == 1
+    assert r.q_flag == 0
+
+
+def test_gopher_quality_null_and_empty():
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array([None, ""], pa.string())})
+    from dataquality_ray.pipelines.documents import (
+        _gopher_quality_batch,
+    )
+    r = _gopher_quality_batch(t).to_pandas().set_index("doc_id")
+    for i in (0, 1):
+        assert r.loc[i].n_words == 0
+        assert r.loc[i].q_flag == 1         # fails the min-words rule
+
+
+def test_gopher_quality_overlapping_ellipsis_count():
+    # '....' = one leftmost match + 1 leftover dot; '......' = two
+    r = _gopherq(["x .... y ......"]).loc[0]
+    assert r.n_ellipsis == 3
+
+
 def _conv_table(rows):
     return pa.table({
         "conv_id": pa.array([r[0] for r in rows], pa.string()),
