@@ -363,6 +363,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Gopher-style QUALITY filter (word/line-shape rules — the
         # non-repetition half of Rae et al. 2021 §A1.1)
         "gopher_quality_documents": D.gopher_quality_documents,
+        # C4-style line-level cleaning (Raffel et al. 2020 §2.2):
+        # terminal-punct / min-words / javascript line rules + page flag
+        "c4_line_filtered_documents": D.c4_line_filtered_documents,
         # tokenizer-fertility audit by source (BPE-ish pre-tokens per
         # whitespace token / per 100 chars)
         "source_token_fertility": D.source_token_fertility,
@@ -1303,6 +1306,10 @@ def _oracle_sql_impl() -> dict[str, str]:
         GOPHERQ_MIN_WORDS,
         GOPHERQ_STOPWORDS,
         GOPHERQ_SYMBOL_PCT,
+        C4_MIN_LINE_WORDS,
+        C4_MIN_KEPT_LINES,
+        C4_LINE_BLACKLIST,
+        C4_PAGE_PHRASE,
         INCR_NEW_MOD as D_INCR_NEW_MOD,
         INT8_SCALE as D_INT8_SCALE,
         SEARCH_TERMS as D_SEARCH_TERMS,
@@ -3169,6 +3176,44 @@ SELECT doc_id, n_words, word_chars, n_alpha_words, n_hash, n_ellipsis,
          OR n_stop_hits < {GOPHERQ_MIN_STOP}
        THEN 1 ELSE 0 END AS q_flag
 FROM sig
+""",
+        # C4 line cleaning: pinned trim charset, WS-token min-words,
+        # literal lower() contains for blacklist/page phrase; the kept
+        # list is rebuilt identically and joined with chr(10)
+        "c4_line_filtered_documents": f"""
+WITH t AS (
+  SELECT doc_id, COALESCE(text, '') AS text,
+    list_transform(string_split(COALESCE(text, ''), chr(10)),
+      x -> trim(x, ' ' || chr(9) || chr(13) || chr(10))) AS ls
+  FROM documents),
+k AS (
+  SELECT doc_id, text, ls,
+    COALESCE(array_to_string(list_filter(ls, x ->
+      (x LIKE '%.' OR x LIKE '%!' OR x LIKE '%?' OR x LIKE '%"')
+      AND NOT contains(lower(x), '{C4_LINE_BLACKLIST}')
+      AND len(regexp_extract_all(x, '{GOPHERQ_WS}'))
+          >= {C4_MIN_LINE_WORDS}),
+      chr(10)), '') AS clean_text,
+    CAST(len(list_filter(ls, x ->
+      (x LIKE '%.' OR x LIKE '%!' OR x LIKE '%?' OR x LIKE '%"')
+      AND NOT contains(lower(x), '{C4_LINE_BLACKLIST}')
+      AND len(regexp_extract_all(x, '{GOPHERQ_WS}'))
+          >= {C4_MIN_LINE_WORDS}))
+      AS BIGINT) AS n_kept_lines,
+    CAST(len(list_filter(ls,
+      x -> contains(lower(x), '{C4_LINE_BLACKLIST}')))
+      AS BIGINT) AS n_js_lines
+  FROM t)
+SELECT doc_id,
+  CAST(len(ls) AS BIGINT) AS n_lines,
+  n_kept_lines, n_js_lines,
+  CAST(length(clean_text) AS BIGINT) AS clean_chars,
+  CASE WHEN contains(lower(text), '{C4_PAGE_PHRASE}')
+         OR contains(text, '{{')
+         OR n_kept_lines < {C4_MIN_KEPT_LINES}
+       THEN 1 ELSE 0 END AS page_flag,
+  clean_text
+FROM k
 """,
         # robust stats: exact discrete median + median absolute
         # deviation (nested quantile_disc composition)

@@ -3630,3 +3630,80 @@ def source_token_fertility(sf_dir: str):
         })
 
     return agg.map_batches(finish, batch_format="pyarrow")
+
+
+# C4-style line-level cleaning (Raffel et al. 2020 §2.2 — the public
+# C4 heuristics: keep lines that end in terminal punctuation and carry
+# at least 3 words, drop javascript boilerplate lines, flag pages with
+# 'lorem ipsum' / '{' / too few surviving lines). Integer constants
+# interpolated into the DuckDB twin — change here moves both engines.
+C4_MIN_LINE_WORDS = 3
+C4_MIN_KEPT_LINES = 5
+C4_LINE_BLACKLIST = "javascript"
+C4_PAGE_PHRASE = "lorem ipsum"
+
+
+def _c4_line_batch(batch: pa.Table) -> pa.Table:
+    """Per-document C4 line filter, entirely batch-local (one doc = one
+    row, explode/agg never crosses rows of another doc in a different
+    batch because the doc's lines all come from its own row). Counting
+    conventions pinned cross-engine: lines are raw split on '\\n'
+    trimmed with the pinned charset ' \\t\\r\\n' on both sides (same as
+    the sentence-dedup trim, CLAUDE.md); words are spec.WS_TOKEN_PATTERN
+    matches; the terminal-punctuation test is four literal ends_with
+    checks; blacklist/page-phrase tests are lower() literal contains.
+    Reference analog: the skip/cleanup gates of metadata.py:33-114
+    re-expressed as the published C4 line rules."""
+    from dataquality_ray.spec import WS_TOKEN_PATTERN
+
+    df = pl.from_arrow(batch.select(["doc_id", "text"])) \
+        .with_columns(text=pl.col("text").fill_null(""))
+    ln = (df.select("doc_id",
+                    l=pl.col("text").str.split("\n"))
+          .explode("l")
+          .with_columns(t=pl.col("l").str.strip_chars(" \t\r\n")))
+    t = pl.col("t")
+    ln = ln.with_columns(
+        js=t.str.to_lowercase()
+        .str.contains(C4_LINE_BLACKLIST, literal=True),
+        term=(t.str.ends_with(".") | t.str.ends_with("!")
+              | t.str.ends_with("?") | t.str.ends_with('"')),
+        nw=t.str.count_matches(WS_TOKEN_PATTERN).cast(pl.Int64))
+    ln = ln.with_columns(
+        keep=(pl.col("term") & ~pl.col("js")
+              & (pl.col("nw") >= C4_MIN_LINE_WORDS)))
+    # flags first, plain sums second (polars fast-path rule, CLAUDE.md)
+    agg = (ln.group_by("doc_id", maintain_order=True)
+           .agg(n_lines=pl.len().cast(pl.Int64),
+                n_kept_lines=pl.col("keep").cast(pl.Int64).sum(),
+                n_js_lines=pl.col("js").cast(pl.Int64).sum(),
+                clean_text=pl.col("t").filter(pl.col("keep"))
+                .str.join("\n")))
+    out = (df.select("doc_id", "text").join(agg, on="doc_id", how="left")
+           .with_columns(clean_text=pl.col("clean_text").fill_null(""))
+           .with_columns(
+               clean_chars=pl.col("clean_text").str.len_chars()
+               .cast(pl.Int64),
+               page_flag=(pl.col("text").str.to_lowercase()
+                          .str.contains(C4_PAGE_PHRASE, literal=True)
+                          | pl.col("text").str.contains("{",
+                                                        literal=True)
+                          | (pl.col("n_kept_lines")
+                             < C4_MIN_KEPT_LINES)).cast(pl.Int64)))
+    return out.select("doc_id", "n_lines", "n_kept_lines", "n_js_lines",
+                      "clean_chars", "page_flag",
+                      "clean_text").to_arrow()
+
+
+def c4_line_filtered_documents(sf_dir: str):
+    """(doc_id, n_lines, n_kept_lines, n_js_lines, clean_chars,
+    page_flag, clean_text): C4-style line-level cleaning (Raffel et
+    al. 2020) — per-line terminal-punctuation / min-words /
+    javascript-blacklist rules producing the cleaned text plus the
+    page-level discard flag ('lorem ipsum', '{', <5 surviving lines).
+    Zero shuffle: every rule is a function of one document row, so the
+    operator is a single vectorized map_batches and scales at read
+    throughput on 100 TB."""
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return docs.map_batches(_c4_line_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)

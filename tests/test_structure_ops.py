@@ -229,3 +229,47 @@ def test_conv_ttr_stats_distinct_and_empty(ray_session):
     assert u.ttr_milli == 500
     a = got.loc["assistant"]
     assert a.n_tokens == 0 and a.ttr_milli == -1
+
+
+def _c4(texts):
+    from dataquality_ray.pipelines.documents import _c4_line_batch
+    t = pa.table({"doc_id": pa.array(range(len(texts)), pa.int64()),
+                  "text": pa.array(texts, pa.string())})
+    return _c4_line_batch(t).to_pandas().set_index("doc_id")
+
+
+def test_c4_line_rules_boundaries():
+    r = _c4(["Three words here.\n"       # kept: terminal + 3 words
+             "Two words.\n"              # dropped: 2 < 3 words
+             "no terminal punct at all\n"  # dropped: no terminal
+             "This uses JavaScript heavily.\n"   # dropped: blacklist
+             'Ends with a quote."\n'     # kept: quote terminal
+             "Ends with question mark?"])  # kept: ? terminal
+    row = r.loc[0]
+    assert row.n_lines == 6
+    assert row.n_kept_lines == 3
+    assert row.n_js_lines == 1
+    assert row.clean_text == ('Three words here.\nEnds with a quote."'
+                              "\nEnds with question mark?")
+    assert row.page_flag == 1            # 3 kept < 5 minimum
+
+
+def test_c4_page_flags_and_empty():
+    five = "\n".join(f"Valid sentence number {i} here." for i in range(5))
+    r = _c4([five,                        # clean page: no flag
+             five + "\nlorem ipsum dolor.",  # page phrase
+             five + "\ncode { brace }.",     # curly brace
+             "", None])                   # degenerate pages
+    assert r.loc[0].page_flag == 0 and r.loc[0].n_kept_lines == 5
+    assert r.loc[1].page_flag == 1
+    assert r.loc[2].page_flag == 1
+    assert r.loc[3].page_flag == 1 and r.loc[3].clean_text == ""
+    assert r.loc[4].n_lines == 1 and r.loc[4].clean_chars == 0
+
+
+def test_c4_trim_charset_pinned():
+    # trimming uses the pinned ' \t\r\n' charset on BOTH sides before
+    # the terminal-punct / word-count tests (CLAUDE.md invariant)
+    r = _c4(["  Spaces around this line.  \t\r"])
+    assert r.loc[0].n_kept_lines == 1
+    assert r.loc[0].clean_text == "Spaces around this line."
