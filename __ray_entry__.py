@@ -366,6 +366,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # C4-style line-level cleaning (Raffel et al. 2020 §2.2):
         # terminal-punct / min-words / javascript line rules + page flag
         "c4_line_filtered_documents": D.c4_line_filtered_documents,
+        # unicode hygiene / mojibake audit (U+FFFD, control chars,
+        # Latin-1 artifacts, non-ASCII density)
+        "mojibake_documents": D.mojibake_documents,
         # tokenizer-fertility audit by source (BPE-ish pre-tokens per
         # whitespace token / per 100 chars)
         "source_token_fertility": D.source_token_fertility,
@@ -1310,6 +1313,9 @@ def _oracle_sql_impl() -> dict[str, str]:
         C4_MIN_KEPT_LINES,
         C4_LINE_BLACKLIST,
         C4_PAGE_PHRASE,
+        MOJI_NONASCII_PCT,
+        MOJI_CTRL_CLASS,
+        MOJI_NONASCII_CLASS,
         INCR_NEW_MOD as D_INCR_NEW_MOD,
         INT8_SCALE as D_INT8_SCALE,
         SEARCH_TERMS as D_SEARCH_TERMS,
@@ -3214,6 +3220,30 @@ SELECT doc_id,
        THEN 1 ELSE 0 END AS page_flag,
   clean_text
 FROM k
+""",
+        # mojibake audit: quote-free hex char classes run identically
+        # in Rust regex and RE2; single-char literals use the DuckDB
+        # replace-length trick (chr(65533)=U+FFFD, chr(195)='Ã')
+        "mojibake_documents": f"""
+WITH t AS (SELECT doc_id, COALESCE(text, '') AS text FROM documents),
+sig AS (
+  SELECT doc_id,
+    CAST(length(text) AS BIGINT) AS n_chars,
+    CAST(len(regexp_extract_all(text, '{MOJI_NONASCII_CLASS}'))
+         AS BIGINT) AS n_nonascii,
+    CAST(len(regexp_extract_all(text, '{MOJI_CTRL_CLASS}'))
+         AS BIGINT) AS n_ctrl,
+    CAST(length(text) - length(replace(text, chr(65533), ''))
+         AS BIGINT) AS n_repl,
+    CAST(length(text) - length(replace(text, chr(195), ''))
+         AS BIGINT) AS n_latin_artifact
+  FROM t)
+SELECT doc_id, n_chars, n_nonascii, n_ctrl, n_repl, n_latin_artifact,
+  CASE WHEN n_repl > 0 OR n_ctrl > 0 OR n_latin_artifact > 0
+         OR (n_chars > 0
+             AND 100 * n_nonascii > {MOJI_NONASCII_PCT} * n_chars)
+       THEN 1 ELSE 0 END AS moji_flag
+FROM sig
 """,
         # robust stats: exact discrete median + median absolute
         # deviation (nested quantile_disc composition)

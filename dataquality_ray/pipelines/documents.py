@@ -3707,3 +3707,54 @@ def c4_line_filtered_documents(sf_dir: str):
     docs = _docs(sf_dir, columns=["doc_id", "text"])
     return docs.map_batches(_c4_line_batch, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+# Unicode hygiene / mojibake audit thresholds. The artifact test is the
+# classic UTF-8-read-as-Latin-1 signature (a 'Ã' codepoint appearing in
+# text); the control-char class excludes tab/newline/CR. Interpolated
+# into the DuckDB twin — change here moves both engines.
+MOJI_NONASCII_PCT = 20           # flag if >20% of chars are non-ASCII
+MOJI_CTRL_CLASS = r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]"
+MOJI_NONASCII_CLASS = r"[^\x00-\x7f]"
+
+
+def _mojibake_batch(batch: pa.Table) -> pa.Table:
+    """Per-document unicode hygiene signals, batch-local and zero
+    shuffle. Char classes are quote-free ASCII hex ranges so the same
+    pattern string runs in Rust regex (polars) and RE2 (DuckDB) with
+    identical per-codepoint semantics; the replacement-char and
+    Latin-1-artifact counts are literal counts (DuckDB replace-length
+    trick on single-char needles). NULL text behaves like ''."""
+    df = pl.from_arrow(batch.select(["doc_id", "text"])) \
+        .with_columns(text=pl.col("text").fill_null(""))
+    t = pl.col("text")
+    out = df.select(
+        "doc_id",
+        n_chars=t.str.len_chars().cast(pl.Int64),
+        n_nonascii=t.str.count_matches(MOJI_NONASCII_CLASS)
+        .cast(pl.Int64),
+        n_ctrl=t.str.count_matches(MOJI_CTRL_CLASS).cast(pl.Int64),
+        n_repl=t.str.count_matches("�", literal=True)
+        .cast(pl.Int64),
+        n_latin_artifact=t.str.count_matches("Ã", literal=True)
+        .cast(pl.Int64),
+    )
+    flag = ((pl.col("n_repl") > 0) | (pl.col("n_ctrl") > 0)
+            | (pl.col("n_latin_artifact") > 0)
+            | ((pl.col("n_chars") > 0)
+               & (100 * pl.col("n_nonascii")
+                  > MOJI_NONASCII_PCT * pl.col("n_chars"))))
+    return out.with_columns(moji_flag=flag.cast(pl.Int64)).to_arrow()
+
+
+def mojibake_documents(sf_dir: str):
+    """(doc_id, n_chars, n_nonascii, n_ctrl, n_repl, n_latin_artifact,
+    moji_flag): unicode hygiene / mojibake audit — replacement chars
+    (U+FFFD), stray control chars, UTF-8-as-Latin-1 artifacts ('Ã'),
+    and a non-ASCII density bound. The encoding-health gate a web-scale
+    ingest runs before any tokenizer sees the text (CCNet/RefinedWeb
+    keep an equivalent). Zero shuffle: one vectorized map_batches,
+    scales at read throughput."""
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return docs.map_batches(_mojibake_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -273,3 +273,30 @@ def test_c4_trim_charset_pinned():
     r = _c4(["  Spaces around this line.  \t\r"])
     assert r.loc[0].n_kept_lines == 1
     assert r.loc[0].clean_text == "Spaces around this line."
+
+
+def test_mojibake_signals_pinned():
+    from dataquality_ray.pipelines.documents import _mojibake_batch
+    t = pa.table({"doc_id": pa.array(range(5), pa.int64()),
+                  "text": pa.array(
+                      ["plain ascii", "bad � char",
+                       "ctrl\x01 here", "cafÃ© artifact",
+                       "tab\tnl\ncr\r ok"], pa.string())})
+    r = _mojibake_batch(t).to_pandas().set_index("doc_id")
+    assert r.loc[0].moji_flag == 0
+    assert r.loc[1].n_repl == 1 and r.loc[1].moji_flag == 1
+    assert r.loc[2].n_ctrl == 1 and r.loc[2].moji_flag == 1
+    assert r.loc[3].n_latin_artifact == 1 and r.loc[3].moji_flag == 1
+    # tab/newline/CR are NOT control chars for this audit
+    assert r.loc[4].n_ctrl == 0 and r.loc[4].moji_flag == 0
+
+
+def test_mojibake_density_boundary():
+    from dataquality_ray.pipelines.documents import _mojibake_batch
+    # exactly 20% non-ascii (1 of 5 chars) is NOT flagged (> not >=)
+    t = pa.table({"doc_id": pa.array([0, 1], pa.int64()),
+                  "text": pa.array(["abcdé", "abé"],
+                                   pa.string())})
+    r = _mojibake_batch(t).to_pandas().set_index("doc_id")
+    assert r.loc[0].moji_flag == 0          # 100*1 == 20*5
+    assert r.loc[1].moji_flag == 1          # 100*1 > 20*3
