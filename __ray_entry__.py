@@ -431,6 +431,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_session_splits": _conv_session_splits_q,
         # agent-loop detection: exact within-conversation repeats
         "conv_loop_turns": _conv_loop_turns_q,
+        # markdown / code-structure audit per conversation (fence
+        # balance, headings, bullets, tables, links, backtick mass)
+        "conv_markdown_stats": _conv_markdown_stats_q,
         # consecutive-turn token-overlap (near-echo) signal
         "turn_echo_jaccard": _turn_echo_jaccard_q,
         # template-opener dedup: group size per first-K-turn md5
@@ -794,6 +797,12 @@ def _conv_loop_turns_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import conv_loop_turns
     return conv_loop_turns(_transcript_ds(
         sf_dir, columns=["conv_id", "turn_idx", "text"]))
+
+
+def _conv_markdown_stats_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import conv_markdown_stats
+    return conv_markdown_stats(_transcript_ds(
+        sf_dir, columns=["conv_id", "text"]))
 
 
 def _turn_echo_jaccard_q(sf_dir: str):
@@ -2495,6 +2504,39 @@ SELECT conv_id,
   CAST(COALESCE(MIN(turn_idx) FILTER (k > 1), -1) AS BIGINT)
     AS first_echo_idx
 FROM r GROUP BY conv_id
+""",
+        # markdown / code-structure audit: pinned trim charset,
+        # literal prefix tests (LIKE), replace-length literal counts;
+        # fence_balanced = even number of fence-delimiter lines
+        "conv_markdown_stats": f"""
+WITH t AS (
+  SELECT conv_id, COALESCE(text, '') AS text,
+    list_transform(string_split(COALESCE(text, ''), chr(10)),
+      x -> trim(x, ' ' || chr(9) || chr(13) || chr(10))) AS ls
+  FROM read_parquet('{tr_glob}')),
+p AS (
+  SELECT conv_id,
+    CAST(len(list_filter(ls, x -> x LIKE '```%')) AS BIGINT) AS fence,
+    CAST(len(list_filter(ls, x -> regexp_matches(x, '^#'))) AS BIGINT)
+      AS heading,
+    CAST(len(list_filter(ls, x -> regexp_matches(x, '^[-*+] ')))
+         AS BIGINT) AS bullet,
+    CAST(len(list_filter(ls, x -> x LIKE '|%')) AS BIGINT) AS tbl,
+    CAST((length(text) - length(replace(text, '](', ''))) // 2
+         AS BIGINT) AS links,
+    CAST(length(text) - length(replace(text, '`', '')) AS BIGINT)
+      AS ticks
+  FROM t)
+SELECT conv_id,
+  CAST(COUNT(*) AS BIGINT) AS n_turns,
+  CAST(SUM(fence) AS BIGINT) AS n_fence_lines,
+  CASE WHEN SUM(fence) % 2 = 0 THEN 1 ELSE 0 END AS fence_balanced,
+  CAST(SUM(heading) AS BIGINT) AS n_heading_lines,
+  CAST(SUM(bullet) AS BIGINT) AS n_bullet_lines,
+  CAST(SUM(tbl) AS BIGINT) AS n_table_lines,
+  CAST(SUM(links) AS BIGINT) AS n_links,
+  CAST(SUM(ticks) AS BIGINT) AS n_backticks
+FROM p GROUP BY conv_id
 """,
         # distinct-token Jaccard between consecutive turns of a
         # conversation (integer milli; -1 on an empty side; turn 0

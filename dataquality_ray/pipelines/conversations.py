@@ -1946,3 +1946,85 @@ def conv_ttr_stats(ds, num_buckets: int = 0):
                            zero_copy_batch=True)
             .groupby("bucket")
             .map_groups(scan, batch_format="pyarrow"))
+
+
+def conv_markdown_stats(ds, num_buckets: int = 0):
+    """(conv_id, n_turns, n_fence_lines, fence_balanced,
+    n_heading_lines, n_bullet_lines, n_table_lines, n_links,
+    n_backticks): markdown / code-structure audit per conversation —
+    code-fence delimiter lines (and whether they pair up), ATX heading
+    lines, bullet-list lines, table lines, inline-link spans and
+    backtick mass. The formatting-health signal a training-data
+    curator reads before deciding whether transcripts need markdown
+    stripping (unbalanced fences = truncated code blocks).
+
+    Shape: per-turn counters are computed vectorized in the map stage,
+    then PARTIALLY AGGREGATED per (conv_id, batch) before the exchange
+    — the shuffle ships one slim int row per conversation per batch
+    (~30x fewer rows than per-turn), and the per-conv rollup completes
+    LOCALLY per conv bucket in one plain-sum polars groupby (every
+    counter is mergeable; the salted-partial pattern of conv_stats).
+    Line semantics pinned cross-engine: raw split on newline, pinned
+    ' \\t\\r\\n' trim, literal prefix tests, replace-length literal
+    counts in the DuckDB twin."""
+    import polars as _pl
+    from dataquality_ray.pipelines.quality import conv_bucket_of
+
+    num_buckets = num_buckets or cluster_buckets(minimum=16)
+
+    def bucket(batch: pa.Table) -> pa.Table:
+        d = (_pl.from_arrow(batch.select(["conv_id", "text"]))
+             .with_columns(text=_pl.col("text").fill_null("")))
+        ls = (_pl.col("text").str.split("\n")
+              .list.eval(_pl.element().str.strip_chars(" \t\r\n")))
+        d = d.with_columns(
+            fence=ls.list.eval(
+                _pl.element().str.starts_with("```").cast(_pl.Int64))
+            .list.sum().fill_null(0),
+            heading=ls.list.eval(
+                _pl.element().str.contains("^#").cast(_pl.Int64))
+            .list.sum().fill_null(0),
+            bullet=ls.list.eval(
+                _pl.element().str.contains("^[-*+] ").cast(_pl.Int64))
+            .list.sum().fill_null(0),
+            tbl=ls.list.eval(
+                _pl.element().str.starts_with("|").cast(_pl.Int64))
+            .list.sum().fill_null(0),
+            links=_pl.col("text").str.count_matches("](", literal=True)
+            .cast(_pl.Int64),
+            ticks=_pl.col("text").str.count_matches("`", literal=True)
+            .cast(_pl.Int64))
+        g = (d.group_by("conv_id")
+             .agg(n_turns=_pl.len().cast(_pl.Int64),
+                  fence=_pl.col("fence").sum(),
+                  heading=_pl.col("heading").sum(),
+                  bullet=_pl.col("bullet").sum(),
+                  tbl=_pl.col("tbl").sum(),
+                  links=_pl.col("links").sum(),
+                  ticks=_pl.col("ticks").sum()))
+        t = g.to_arrow()
+        return t.append_column(
+            "bucket", conv_bucket_of(t["conv_id"], num_buckets))
+
+    def scan(t: pa.Table) -> pa.Table:
+        g = (_pl.from_arrow(t.drop_columns(["bucket"]))
+             .group_by("conv_id")
+             .agg(n_turns=_pl.col("n_turns").sum(),
+                  n_fence_lines=_pl.col("fence").sum(),
+                  n_heading_lines=_pl.col("heading").sum(),
+                  n_bullet_lines=_pl.col("bullet").sum(),
+                  n_table_lines=_pl.col("tbl").sum(),
+                  n_links=_pl.col("links").sum(),
+                  n_backticks=_pl.col("ticks").sum()))
+        g = g.with_columns(
+            fence_balanced=(_pl.col("n_fence_lines") % 2 == 0)
+            .cast(_pl.Int64))
+        return g.select(
+            "conv_id", "n_turns", "n_fence_lines", "fence_balanced",
+            "n_heading_lines", "n_bullet_lines", "n_table_lines",
+            "n_links", "n_backticks").to_arrow()
+
+    return (ds.map_batches(bucket, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(scan, batch_format="pyarrow"))

@@ -300,3 +300,26 @@ def test_mojibake_density_boundary():
     r = _mojibake_batch(t).to_pandas().set_index("doc_id")
     assert r.loc[0].moji_flag == 0          # 100*1 == 20*5
     assert r.loc[1].moji_flag == 1          # 100*1 > 20*3
+
+
+def test_conv_markdown_stats_pinned(ray_session):
+    from dataquality_ray.pipelines.conversations import conv_markdown_stats
+    t = pa.table({
+        "conv_id": pa.array(["c1", "c1", "c2"], pa.string()),
+        "text": pa.array([
+            "# H1\n```py\ncode\n```\n- item\n+ item2\n-nospace\n| t |",
+            "see [a](x) and [b](y) with `tick`",
+            "```unbalanced",
+        ], pa.string()),
+    })
+    got = (conv_markdown_stats(ray.data.from_arrow(t), num_buckets=4)
+           .to_pandas().set_index("conv_id"))
+    c1 = got.loc["c1"]
+    assert c1.n_turns == 2 and c1.n_fence_lines == 2
+    assert c1.fence_balanced == 1
+    assert c1.n_heading_lines == 1
+    assert c1.n_bullet_lines == 2       # '-nospace' is not a bullet
+    assert c1.n_table_lines == 1
+    assert c1.n_links == 2 and c1.n_backticks == 8
+    c2 = got.loc["c2"]
+    assert c2.n_fence_lines == 1 and c2.fence_balanced == 0
