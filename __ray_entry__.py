@@ -372,6 +372,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tokenizer-fertility audit by source (BPE-ish pre-tokens per
         # whitespace token / per 100 chars)
         "source_token_fertility": D.source_token_fertility,
+        # per-document tokenizer-compression gate (chars-per-token
+        # bounds — the FineWeb-style fertility filter)
+        "doc_compression_gate": D.doc_compression_gate,
         # cross-doc exact-substring dedup signal (Lee et al. 2022)
         "duplicate_span_documents": D.duplicate_span_documents,
         # the REMOVAL surface of exact-substring dedup: covered tokens
@@ -1325,6 +1328,8 @@ def _oracle_sql_impl() -> dict[str, str]:
         MOJI_NONASCII_PCT,
         MOJI_CTRL_CLASS,
         MOJI_NONASCII_CLASS,
+        COMPRESS_MIN_CPT_MILLI,
+        COMPRESS_MAX_CPT_MILLI,
         INCR_NEW_MOD as D_INCR_NEW_MOD,
         INT8_SCALE as D_INT8_SCALE,
         SEARCH_TERMS as D_SEARCH_TERMS,
@@ -1466,6 +1471,32 @@ SELECT source,
        THEN CAST((100 * SUM(bpe)) // SUM(c) AS BIGINT)
        ELSE -1 END AS bpe_per_100_chars
 FROM t GROUP BY source
+""",
+        # per-doc tokenizer-compression gate (same tokenization
+        # conventions as source_token_fertility; -1 on tokenless docs,
+        # which are flagged because -1 < the lower bound)
+        "doc_compression_gate": f"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(length(COALESCE(text, '')) AS BIGINT) AS n_chars,
+    CAST(len(regexp_extract_all(COALESCE(text, ''),
+                                '{spec.WS_TOKEN_PATTERN}'))
+         AS BIGINT) AS n_ws_tokens,
+    CAST(len(regexp_extract_all(lower(COALESCE(text, '')),
+                                '{spec.BPE_TOKEN_PATTERN}'))
+         AS BIGINT) AS n_bpe_tokens
+  FROM documents),
+s AS (
+  SELECT doc_id, n_chars, n_ws_tokens, n_bpe_tokens,
+    CASE WHEN n_bpe_tokens > 0
+         THEN CAST((1000 * n_chars) // n_bpe_tokens AS BIGINT)
+         ELSE -1 END AS cpt_milli
+  FROM t)
+SELECT doc_id, n_chars, n_ws_tokens, n_bpe_tokens, cpt_milli,
+  CASE WHEN cpt_milli < {COMPRESS_MIN_CPT_MILLI}
+         OR cpt_milli > {COMPRESS_MAX_CPT_MILLI}
+       THEN 1 ELSE 0 END AS compress_flag
+FROM s
 """,
         # note LIMIT is deterministic: (cf DESC, term ASC) is a total
         # order over distinct terms

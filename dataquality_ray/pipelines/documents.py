@@ -3758,3 +3758,57 @@ def mojibake_documents(sf_dir: str):
     docs = _docs(sf_dir, columns=["doc_id", "text"])
     return docs.map_batches(_mojibake_batch, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+# Per-document tokenizer-compression gate (FineWeb-style fertility
+# filter): documents whose chars-per-BPE-pre-token ratio falls outside
+# these integer-milli bounds are flagged — too LOW means symbol soup /
+# binary junk (every char its own token), too HIGH means pathological
+# run-on tokens. Interpolated into the DuckDB twin.
+COMPRESS_MIN_CPT_MILLI = 2000    # < 2.0 chars/token → symbol soup
+COMPRESS_MAX_CPT_MILLI = 12000   # > 12.0 chars/token → run-on junk
+
+
+def _compression_gate_batch(batch: pa.Table) -> pa.Table:
+    """Per-document fertility signals, batch-local (the per-doc twin of
+    source_token_fertility's per-source rollup — identical
+    tokenization conventions: BPE pre-tokens on lowercased text via
+    spec.BPE_TOKEN_PATTERN, whitespace tokens on raw text, char count
+    exact). cpt_milli = 1000*n_chars//n_bpe_tokens, -1 when the doc has
+    no tokens (empty/null text) — and tokenless docs are flagged."""
+    from dataquality_ray.spec import BPE_TOKEN_PATTERN, WS_TOKEN_PATTERN
+
+    df = pl.from_arrow(batch.select(["doc_id", "text"])) \
+        .with_columns(text=pl.col("text").fill_null(""))
+    t = pl.col("text")
+    out = df.select(
+        "doc_id",
+        n_chars=t.str.len_chars().cast(pl.Int64),
+        n_ws_tokens=t.str.count_matches(WS_TOKEN_PATTERN)
+        .cast(pl.Int64),
+        n_bpe_tokens=t.str.to_lowercase()
+        .str.count_matches(BPE_TOKEN_PATTERN).cast(pl.Int64),
+    )
+    bpe = pl.col("n_bpe_tokens")
+    cpt = (pl.when(bpe > 0)
+           .then(1000 * pl.col("n_chars") // bpe)
+           .otherwise(-1).cast(pl.Int64))
+    out = out.with_columns(cpt_milli=cpt)
+    flag = ((pl.col("cpt_milli") < COMPRESS_MIN_CPT_MILLI)
+            | (pl.col("cpt_milli") > COMPRESS_MAX_CPT_MILLI))
+    return out.with_columns(compress_flag=flag.cast(pl.Int64)) \
+        .to_arrow()
+
+
+def doc_compression_gate(sf_dir: str):
+    """(doc_id, n_chars, n_ws_tokens, n_bpe_tokens, cpt_milli,
+    compress_flag): per-document tokenizer-compression gate — the
+    FineWeb-style fertility filter that drops documents whose
+    chars-per-token ratio says 'symbol soup' or 'run-on junk' before
+    any model-scoring stage spends compute on them. Zero shuffle: one
+    vectorized map_batches; the per-source rollup lives in
+    source_token_fertility."""
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    return docs.map_batches(_compression_gate_batch,
+                            batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -323,3 +323,22 @@ def test_conv_markdown_stats_pinned(ray_session):
     assert c1.n_links == 2 and c1.n_backticks == 8
     c2 = got.loc["c2"]
     assert c2.n_fence_lines == 1 and c2.fence_balanced == 0
+
+
+def test_compression_gate_boundaries():
+    from dataquality_ray.pipelines.documents import (
+        _compression_gate_batch,
+    )
+    t = pa.table({"doc_id": pa.array(range(4), pa.int64()),
+                  "text": pa.array(
+                      ["normal english words flow here nicely",
+                       # alternating char classes: every char its own
+                       # BPE pre-token under spec.BPE_TOKEN_PATTERN
+                       "a1!b2@c3#d4$e5%f6^",
+                       "", None], pa.string())})
+    r = _compression_gate_batch(t).to_pandas().set_index("doc_id")
+    assert r.loc[0].compress_flag == 0 and r.loc[0].cpt_milli >= 2000
+    assert r.loc[1].compress_flag == 1          # < 2 chars/token
+    # tokenless docs: cpt = -1 and flagged
+    assert r.loc[2].cpt_milli == -1 and r.loc[2].compress_flag == 1
+    assert r.loc[3].cpt_milli == -1 and r.loc[3].compress_flag == 1
