@@ -375,6 +375,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-document tokenizer-compression gate (chars-per-token
         # bounds — the FineWeb-style fertility filter)
         "doc_compression_gate": D.doc_compression_gate,
+        # BM25 top-K lexical retrieval (exact integer BM25, two-phase
+        # stats + batch-local scoring + two-phase top-K)
+        "bm25_top_docs": D.bm25_top_docs,
         # cross-doc exact-substring dedup signal (Lee et al. 2022)
         "duplicate_span_documents": D.duplicate_span_documents,
         # the REMOVAL surface of exact-substring dedup: covered tokens
@@ -1330,6 +1333,12 @@ def _oracle_sql_impl() -> dict[str, str]:
         MOJI_NONASCII_CLASS,
         COMPRESS_MIN_CPT_MILLI,
         COMPRESS_MAX_CPT_MILLI,
+        BM25_QUERY_TERMS,
+        BM25_K1_MILLI,
+        BM25_B_MILLI,
+        BM25_IDF_CAP_MILLI,
+        BM25_TF_CAP,
+        BM25_TOPK,
         INCR_NEW_MOD as D_INCR_NEW_MOD,
         INT8_SCALE as D_INT8_SCALE,
         SEARCH_TERMS as D_SEARCH_TERMS,
@@ -1337,6 +1346,7 @@ def _oracle_sql_impl() -> dict[str, str]:
     GOPHERQ_WS = _WS
     GOPHERQ_STOP_SQL = "[" + ", ".join(
         f"'{w}'" for w in GOPHERQ_STOPWORDS) + "]"
+    _BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS)
     from dataquality_ray.stages.embeddings import (
         EMBED_DIM as EMB_DIM,
         HASH_BUCKETS as EMB_HASH_BUCKETS,
@@ -1497,6 +1507,48 @@ SELECT doc_id, n_chars, n_ws_tokens, n_bpe_tokens, cpt_milli,
          OR cpt_milli > {COMPRESS_MAX_CPT_MILLI}
        THEN 1 ELSE 0 END AS compress_flag
 FROM s
+""",
+        # BM25 top-K: exact integer BM25 (rational RSJ idf — no ln —
+        # capped; tf saturated; per-term floored milli scores summed
+        # exactly). LIMIT deterministic: (score DESC, doc_id) is total.
+        "bm25_top_docs": f"""
+WITH tok AS (
+  SELECT doc_id,
+    unnest(regexp_extract_all(lower(COALESCE(text, '')), '{_TOK}'))
+      AS t
+  FROM documents),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM tok),
+dl AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl
+       FROM tok GROUP BY doc_id),
+df AS (SELECT t, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+       FROM tok WHERE t IN ({_BM25_TERMS_SQL}) GROUP BY t),
+tf AS (SELECT doc_id, t, CAST(COUNT(*) AS BIGINT) AS tf
+       FROM tok WHERE t IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, t),
+scored AS (
+  SELECT tf.doc_id,
+    CAST(MIN(dl.dl) AS BIGINT) AS dl,
+    CAST(COUNT(*) AS BIGINT) AS n_terms_hit,
+    CAST(SUM(
+      (LEAST((1000 * (2 * n.n_docs - 2 * df.df + 1))
+             // (2 * df.df + 1), {BM25_IDF_CAP_MILLI})
+       * LEAST(tf.tf, {BM25_TF_CAP})
+       * {BM25_K1_MILLI + 1000} * 1000)
+      // (1000000 * LEAST(tf.tf, {BM25_TF_CAP})
+          + {BM25_K1_MILLI} * (1000 - {BM25_B_MILLI})
+          + ({BM25_K1_MILLI} * {BM25_B_MILLI}
+             * ((1000 * dl.dl * n.n_docs) // tot.n_tokens)) // 1000))
+      AS BIGINT) AS score_milli
+  FROM tf
+  JOIN dl ON tf.doc_id = dl.doc_id
+  JOIN df ON df.t = tf.t
+  CROSS JOIN n CROSS JOIN tot
+  GROUP BY tf.doc_id)
+SELECT doc_id, dl, n_terms_hit, score_milli
+FROM scored
+WHERE score_milli > 0
+ORDER BY score_milli DESC, doc_id
+LIMIT {BM25_TOPK}
 """,
         # note LIMIT is deterministic: (cf DESC, term ASC) is a total
         # order over distinct terms

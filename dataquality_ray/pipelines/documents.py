@@ -3812,3 +3812,114 @@ def doc_compression_gate(sf_dir: str):
     return docs.map_batches(_compression_gate_batch,
                             batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+# BM25 retrieval constants. All-integer BM25: k1=1.2 and b=0.75 as
+# milli constants; idf is the exact floor of the RSJ ratio
+# 1000*(N-df+0.5)/(df+0.5) computed as (1000*(2N-2df+1))//(2df+1) —
+# no transcendental, so the DuckDB twin is bit-identical — capped so
+# the int64 products stay in range; tf saturates at BM25_TF_CAP (BM25
+# saturates in tf anyway, and the cap bounds the product at a 10^7-
+# token pathological doc). Interpolated into the oracle.
+BM25_QUERY_TERMS = SEARCH_TERMS          # ("data", "join", "stream")
+BM25_K1_MILLI = 1200
+BM25_B_MILLI = 750
+BM25_IDF_CAP_MILLI = 1_000_000
+BM25_TF_CAP = 10_000
+BM25_TOPK = 20
+
+
+def bm25_top_docs(sf_dir: str):
+    """(doc_id, dl, n_terms_hit, score_milli): BM25 top-K retrieval
+    over the documents table for the fixed BM25_QUERY_TERMS query —
+    the lexical-IR counterpart to ann_topk_embeddings' vector search.
+    score_milli is the integer-milli BM25 score (per-term floored,
+    summed exactly — order-free), K = BM25_TOPK, ties broken by
+    doc_id ASC.
+
+    Scale shape (two passes, no corpus-wide shuffle):
+    1. STATS: per-batch partials reduce to ONE slim row per batch
+       (n_docs, n_tokens, df per query term — |Q| fixed columns);
+       the global fold is a tiny driver-side sum over #batches rows.
+    2. SCORE: the three scalars broadcast into a batch-local
+       vectorized scorer (tf via token-list count, all int64 with
+       caps); only matching docs (score > 0) survive the batch.
+    3. TOP-K: per-batch local top-K, then one single-partition final
+       top-K over #batches*K slim rows — never a global sort.
+    At 100 TB both passes stream at read throughput; the exchange is
+    #batches rows for stats and #batches*K rows for the reduce.
+    Reference analog: the corpus-lookup / max-similarity surfaces
+    (metadata.py:514-624) re-grounded in lexical retrieval."""
+    import numpy as np
+    from dataquality_ray.spec import TOKEN_PATTERN
+
+    terms = list(BM25_QUERY_TERMS)
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        d = pl.from_arrow(batch.select(["text"])) \
+            .with_columns(toks=pl.col("text").fill_null("")
+                          .str.to_lowercase()
+                          .str.extract_all(TOKEN_PATTERN))
+        cols = {
+            "n_docs": pl.len().cast(pl.Int64),
+            "n_tokens": pl.col("toks").list.len().cast(pl.Int64).sum(),
+        }
+        for i, t in enumerate(terms):
+            cols[f"df_{i}"] = (pl.col("toks").list.contains(t)
+                               .cast(pl.Int64).sum())
+        return d.select(**cols).to_arrow()
+
+    st = stats_partial  # stats rows: one per batch, folded on driver
+    parts = docs.map_batches(st, batch_format="pyarrow",
+                             zero_copy_batch=True).to_pandas()
+    n_docs = int(parts["n_docs"].sum())
+    n_tokens = int(parts["n_tokens"].sum())
+    dfs = [int(parts[f"df_{i}"].sum()) for i in range(len(terms))]
+
+    k1m, bm = BM25_K1_MILLI, BM25_B_MILLI
+    idf = [min((1000 * (2 * n_docs - 2 * d + 1)) // (2 * d + 1),
+               BM25_IDF_CAP_MILLI) if d > 0 else 0 for d in dfs]
+
+    def score(batch: pa.Table) -> pa.Table:
+        d = pl.from_arrow(batch.select(["doc_id", "text"])) \
+            .with_columns(toks=pl.col("text").fill_null("")
+                          .str.to_lowercase()
+                          .str.extract_all(TOKEN_PATTERN))
+        exprs = {"dl": pl.col("toks").list.len().cast(pl.Int64)}
+        for i, t in enumerate(terms):
+            exprs[f"tf_{i}"] = (pl.col("toks").list.count_matches(t)
+                                .cast(pl.Int64))
+        d = d.select("doc_id", **exprs)
+        dl = d["dl"].to_numpy().astype(np.int64)
+        rel_dl = np.where(n_tokens > 0,
+                          1000 * dl * n_docs // max(n_tokens, 1), 0)
+        denom_base = (k1m * (1000 - bm)
+                      + (k1m * bm * rel_dl) // 1000)
+        total = np.zeros(len(dl), dtype=np.int64)
+        hits = np.zeros(len(dl), dtype=np.int64)
+        for i in range(len(terms)):
+            tf = np.minimum(d[f"tf_{i}"].to_numpy().astype(np.int64),
+                            BM25_TF_CAP)
+            num = idf[i] * tf * (k1m + 1000) * 1000
+            den = 1_000_000 * tf + denom_base
+            total += np.where(tf > 0, num // den, 0)
+            hits += (tf > 0).astype(np.int64)
+        out = pa.table({
+            "doc_id": d["doc_id"].to_arrow(),
+            "dl": pa.array(dl),
+            "n_terms_hit": pa.array(hits),
+            "score_milli": pa.array(total),
+        })
+        return out.filter(pc.greater(out["score_milli"], 0))
+
+    def topk(t: pa.Table) -> pa.Table:
+        d = pl.from_arrow(t).sort(
+            ["score_milli", "doc_id"], descending=[True, False])
+        return d.head(BM25_TOPK).to_arrow()
+
+    return (docs.map_batches(score, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .map_batches(topk, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(topk, batch_format="pyarrow"))

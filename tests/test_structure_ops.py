@@ -342,3 +342,26 @@ def test_compression_gate_boundaries():
     # tokenless docs: cpt = -1 and flagged
     assert r.loc[2].cpt_milli == -1 and r.loc[2].compress_flag == 1
     assert r.loc[3].cpt_milli == -1 and r.loc[3].compress_flag == 1
+
+
+def test_bm25_hand_computed(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    from dataquality_ray.pipelines.documents import bm25_top_docs
+    # N=3 docs, T=16 tokens; only 'join' of the query terms occurs
+    # (df=2). idf_milli = (1000*(2*3-2*2+1))//(2*2+1) = 600; both
+    # matching docs have dl=6 -> rel_dl=1125, denom_base=1312500.
+    # d1 tf=3: (600*3*2200*1000)//(3000000+1312500) = 918
+    # d2 tf=1: (600*1*2200*1000)//(1000000+1312500) = 570
+    t = pa.table({
+        "doc_id": pa.array(["d1", "d2", "d3"], pa.string()),
+        "text": pa.array(["join join join other words here",
+                          "join once in this doc ok",
+                          "nothing relevant at all"], pa.string()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = (bm25_top_docs(str(tmp_path)).to_pandas()
+           .set_index("doc_id"))
+    assert list(got.index) == ["d1", "d2"]      # score-desc order
+    assert got.loc["d1"].score_milli == 918
+    assert got.loc["d2"].score_milli == 570
+    assert got.loc["d1"].n_terms_hit == 1 and got.loc["d1"].dl == 6
