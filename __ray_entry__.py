@@ -378,6 +378,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # BM25 top-K lexical retrieval (exact integer BM25, two-phase
         # stats + batch-local scoring + two-phase top-K)
         "bm25_top_docs": D.bm25_top_docs,
+        # MOSS-style winnowing fingerprint near-dup pairs (Schleimer
+        # et al. 2003): distinct window-min k-gram hashes, df-capped
+        "winnow_dup_pairs": D.winnow_dup_pairs,
         # cross-doc exact-substring dedup signal (Lee et al. 2022)
         "duplicate_span_documents": D.duplicate_span_documents,
         # the REMOVAL surface of exact-substring dedup: covered tokens
@@ -1339,6 +1342,10 @@ def _oracle_sql_impl() -> dict[str, str]:
         BM25_IDF_CAP_MILLI,
         BM25_TF_CAP,
         BM25_TOPK,
+        WINNOW_K,
+        WINNOW_W,
+        WINNOW_DF_CAP,
+        WINNOW_MIN_SHARED,
         INCR_NEW_MOD as D_INCR_NEW_MOD,
         INT8_SCALE as D_INT8_SCALE,
         SEARCH_TERMS as D_SEARCH_TERMS,
@@ -1507,6 +1514,38 @@ SELECT doc_id, n_chars, n_ws_tokens, n_bpe_tokens, cpt_milli,
          OR cpt_milli > {COMPRESS_MAX_CPT_MILLI}
        THEN 1 ELSE 0 END AS compress_flag
 FROM s
+""",
+        # winnowing (MOSS): fingerprints = DISTINCT window minima of
+        # md5_number_upper k-gram hashes; df-cap mirrored in HAVING
+        # (the hot-posting policy); doc_a < doc_b under binary collation
+        "winnow_dup_pairs": f"""
+WITH t AS (
+  SELECT doc_id,
+    regexp_extract_all(lower(COALESCE(text, '')), '{_TOK}') AS ts
+  FROM documents),
+g AS (
+  SELECT doc_id,
+    list_transform(generate_series(1, len(ts) - {WINNOW_K - 1}),
+      i -> md5_number_upper(
+             array_to_string(list_slice(ts, i, i + {WINNOW_K - 1}),
+                             ' '))) AS hs
+  FROM t WHERE len(ts) >= {WINNOW_K}),
+f AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(generate_series(1, len(hs) - {WINNOW_W - 1}),
+      i -> list_min(list_slice(hs, i, i + {WINNOW_W - 1})))) AS fp
+  FROM g WHERE len(hs) >= {WINNOW_W}),
+keep AS (
+  SELECT fp FROM f GROUP BY fp
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= {WINNOW_DF_CAP}),
+p AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    CAST(COUNT(*) AS BIGINT) AS n_shared
+  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+  WHERE a.fp IN (SELECT fp FROM keep)
+  GROUP BY 1, 2)
+SELECT doc_a, doc_b, n_shared FROM p
+WHERE n_shared >= {WINNOW_MIN_SHARED}
 """,
         # BM25 top-K: exact integer BM25 (rational RSJ idf — no ln —
         # capped; tf saturated; per-term floored milli scores summed

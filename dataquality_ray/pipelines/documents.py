@@ -3923,3 +3923,155 @@ def bm25_top_docs(sf_dir: str):
             .map_batches(topk, batch_format="pyarrow")
             .repartition(1)
             .map_batches(topk, batch_format="pyarrow"))
+
+
+# Winnowing fingerprint constants (Schleimer, Wilkerson, Aiken 2003 —
+# "Winnowing: Local Algorithms for Document Fingerprinting", the MOSS
+# algorithm). K tokens per k-gram, window of W consecutive k-gram
+# hashes; the fingerprint set is the DISTINCT window minima (the
+# deterministic, SQL-expressible formulation — winnowing's guarantee
+# that every match of length >= W+K-1 tokens shares a fingerprint
+# holds for it). DF-capped per the CLAUDE.md hot-posting invariant.
+WINNOW_K = 4
+WINNOW_W = 5
+WINNOW_DF_CAP = 64
+WINNOW_MIN_SHARED = 2
+
+
+def winnow_dup_pairs(sf_dir: str, num_buckets: int = 0):
+    """(doc_a, doc_b, n_shared): MOSS-style winnowing near-dup pairs —
+    documents sharing >= WINNOW_MIN_SHARED winnowed fingerprints
+    (distinct window minima of md5-u64 k-gram hashes). Positional
+    fingerprinting catches long verbatim spans that token-set MinHash
+    dilutes away, at ~2/(W+1) of the k-gram index cost.
+
+    Scale shape (the conv_near_dup_pairs topology): window minima are
+    computed batch-locally (one numpy sliding-window min across the
+    whole batch, doc boundaries masked); the exchange ships slim
+    (fingerprint-bucket, doc_id, u64) rows; each fingerprint lives in
+    exactly ONE bucket, so the df-cap (> WINNOW_DF_CAP distinct docs
+    -> boilerplate, dropped — the measured 4.19e9-pair lesson) and the
+    vectorized triu pair expansion complete locally; pair partials
+    then sum in pair-hash buckets (never a corpus-proportional Ray
+    aggregate). Reference analog: the pairwise near-dup surface
+    (metadata.py:514-624) re-grounded in positional fingerprints."""
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    from dataquality_ray.spec import token_hash_u64
+    from dataquality_ray.stages.bucketing import cluster_buckets
+
+    nb = num_buckets or cluster_buckets(minimum=16)
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def fingerprints(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch["text"])
+        if isinstance(s, pl.DataFrame):
+            s = s.to_series()
+        toks = s.fill_null("").str.to_lowercase() \
+            .str.extract_all(TOKEN_PATTERN)
+        expr = pl.element()
+        for j in range(1, WINNOW_K):
+            expr = expr + " " + pl.element().shift(-j)
+        grams = toks.list.eval(expr.drop_nulls())
+        did_t = batch.schema.field("doc_id").type
+        df = (pl.DataFrame({
+            "doc_id": pl.from_arrow(batch["doc_id"]),
+            "g": grams,
+        }).with_row_index("rid").explode("g").drop_nulls("g"))
+        empty = pa.table({
+            "fb": pa.array([], pa.int32()),
+            "doc_id": pa.array([], did_t),
+            "fp": pa.array([], pa.uint64()),
+        })
+        if len(df) < WINNOW_W:
+            return empty
+        # frozen md5-u64 hash once per unique k-gram (dictionary lut)
+        enc = df["g"].to_arrow().dictionary_encode()
+        lut = np.fromiter(
+            (token_hash_u64(u) for u in enc.dictionary.to_pylist()),
+            dtype=np.uint64, count=len(enc.dictionary))
+        h = lut[enc.indices.to_numpy(zero_copy_only=False)]
+        rid = df["rid"].to_numpy().astype(np.int64)
+        # one sliding-window min across the batch; windows that cross
+        # a document boundary are masked out (rows are contiguous and
+        # in token order per doc after explode)
+        mins = sliding_window_view(h, WINNOW_W).min(axis=1)
+        valid = rid[:len(mins)] == rid[WINNOW_W - 1:]
+        fps = (pl.DataFrame({
+            "doc_id": df["doc_id"].gather(
+                np.flatnonzero(valid)),
+            "fp": mins[valid],
+        }).unique())
+        if not len(fps):
+            return empty
+        fp = fps["fp"].to_numpy()
+        return pa.table({
+            "fb": pa.array((fp % np.uint64(nb)).astype(np.int32)),
+            "doc_id": fps["doc_id"].to_arrow().cast(did_t),
+            "fp": pa.array(fp),
+        })
+
+    def pairs_local(g: pa.Table) -> pa.Table:
+        did_t = g.schema.field("doc_id").type
+        df = (pl.from_arrow(g.select(["doc_id", "fp"]))
+              .unique(["doc_id", "fp"]))
+        df = (df.with_columns(m=pl.len().over("fp"))
+              .filter((pl.col("m") >= 2)
+                      & (pl.col("m") <= WINNOW_DF_CAP)))
+        out_schema = pa.schema([
+            ("pb", pa.int32()), ("doc_a", did_t),
+            ("doc_b", did_t), ("c", pa.int64())])
+        if not len(df):
+            return out_schema.empty_table()
+        # dense codes in the doc_id's natural order (utf-8 byte order
+        # == code-point order == DuckDB's binary collation on strings;
+        # numeric order on ints), then the one-gather triu expansion
+        df = df.with_columns(
+            code=(pl.col("doc_id").rank("dense") - 1).cast(pl.Int64))
+        uniq = (df.select(["code", "doc_id"]).unique()
+                .sort("code")["doc_id"].to_numpy())
+        posts = df.group_by("fp").agg(pl.col("code").sort().alias("cs"))
+        sizes = posts["cs"].list.len().to_numpy().astype(np.int64)
+        flat = posts["cs"].explode().to_numpy().astype(np.int64)
+        starts = np.zeros(len(sizes) + 1, dtype=np.int64)
+        np.cumsum(sizes, out=starts[1:])
+        a_parts, b_parts = [], []
+        for m in np.unique(sizes):
+            sel = np.flatnonzero(sizes == m)
+            mat = flat[starts[sel][:, None] + np.arange(m)]
+            iu, ju = np.triu_indices(int(m), 1)
+            a_parts.append(mat[:, iu].ravel())
+            b_parts.append(mat[:, ju].ravel())
+        a_all = np.concatenate(a_parts)
+        b_all = np.concatenate(b_parts)
+        nq = np.int64(len(uniq))
+        key, cnt = np.unique(a_all * nq + b_all, return_counts=True)
+        from dataquality_ray.spec import token_hash_u64 as _th
+        da, db = uniq[(key // nq)], uniq[(key % nq)]
+        pb = np.fromiter(
+            (_th(f"{a}|{b}") % nb for a, b in zip(da, db)),
+            dtype=np.int32, count=len(key))
+        return pa.table({
+            "pb": pa.array(pb),
+            "doc_a": pa.array(da.tolist(), did_t),
+            "doc_b": pa.array(db.tolist(), did_t),
+            "c": pa.array(cnt.astype(np.int64)),
+        })
+
+    def merge(g: pa.Table) -> pa.Table:
+        did_t = g.schema.field("doc_a").type
+        df = (pl.from_arrow(g.select(["doc_a", "doc_b", "c"]))
+              .group_by(["doc_a", "doc_b"])
+              .agg(n_shared=pl.col("c").sum().cast(pl.Int64))
+              .filter(pl.col("n_shared") >= WINNOW_MIN_SHARED))
+        return df.to_arrow().cast(pa.schema([
+            ("doc_a", did_t), ("doc_b", did_t),
+            ("n_shared", pa.int64())]))
+
+    parts = (docs.map_batches(fingerprints, batch_format="pyarrow",
+                              zero_copy_batch=True)
+             .groupby("fb")
+             .map_groups(pairs_local, batch_format="pyarrow")
+             .materialize())
+    return (parts.groupby("pb")
+            .map_groups(merge, batch_format="pyarrow"))

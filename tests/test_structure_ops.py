@@ -365,3 +365,29 @@ def test_bm25_hand_computed(ray_session, tmp_path):
     assert got.loc["d1"].score_milli == 918
     assert got.loc["d2"].score_milli == 570
     assert got.loc["d1"].n_terms_hit == 1 and got.loc["d1"].dl == 6
+
+
+def test_winnow_dup_pairs_shared_span(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+    from dataquality_ray.pipelines.documents import winnow_dup_pairs
+    shared = ("the quick brown fox jumps over the lazy dog near the "
+              "river bank today")
+    t = pa.table({
+        "doc_id": pa.array(["d1", "d2", "d3", "d4", "d5"], pa.string()),
+        "text": pa.array([
+            shared + " with extra tail words here one two three",
+            "prefix words differ a lot but then " + shared,
+            "completely unrelated content about database engines and "
+            "query planners running fast",
+            shared,          # the shared span verbatim
+            "short doc",     # below the k-gram minimum
+        ], pa.string()),
+    })
+    pq.write_table(t, tmp_path / "documents.parquet")
+    got = (winnow_dup_pairs(str(tmp_path), num_buckets=8)
+           .to_pandas().sort_values(["doc_a", "doc_b"])
+           .reset_index(drop=True))
+    # all three span-sharers pair up; the unrelated/short docs never do
+    assert list(map(tuple, got[["doc_a", "doc_b"]].to_numpy())) == [
+        ("d1", "d2"), ("d1", "d4"), ("d2", "d4")]
+    assert (got.n_shared >= 2).all()
