@@ -455,6 +455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # time-windowed exact dedup (streaming-ingest rule: only
         # repeats within the 7-day horizon are duplicates)
         "windowed_turn_dedup": _windowed_turn_dedup_q,
+        "conv_boilerplate_turns": _conv_boilerplate_turns_q,
         # Deequ-style table analyzers: per-column profile (exact
         # distinct via value-hash-bucketed local dedup) and a
         # declarative constraint suite — both SQL-checked
@@ -794,6 +795,13 @@ def _windowed_turn_dedup_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import windowed_turn_dedup
     return windowed_turn_dedup(_transcript_ds(
         sf_dir, columns=["conv_id", "turn_idx", "text", "ts"]))
+
+
+def _conv_boilerplate_turns_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import \
+        conv_boilerplate_turns
+    return conv_boilerplate_turns(_transcript_ds(
+        sf_dir, columns=["conv_id", "text"]))
 
 
 def _conv_role_patterns_q(sf_dir: str):
@@ -1277,6 +1285,7 @@ def _oracle_sql_impl() -> dict[str, str]:
         CONTEXT_BUDGET_CHARS as CONV_CONTEXT_BUDGET,
         CONV_PREFIX_K,
         SESSION_GAP_US as CONV_SESSION_GAP_US,
+        BOILER_CONV_CAP,
         CONV_DEDUP_DF_CAP,
         CONV_KEEP_FRAC_MILLI,
         FUZZY_MIN_LEN as CONV_FUZZY_MIN_LEN,
@@ -2357,6 +2366,30 @@ w AS (
          <= {CONV_TURN_DEDUP_WINDOW_US}, FALSE) END AS is_dup
   FROM h)
 SELECT conv_id, turn_idx, is_dup FROM w
+""",
+        # frequency-capped boilerplate-turn removal (CCNet/Dolma rule):
+        # non-empty normalized text in > cap DISTINCT conversations →
+        # ALL occurrences flagged; NULL text behaves like empty (flag 0)
+        "conv_boilerplate_turns": f"""
+WITH n AS (
+  SELECT conv_id,
+    regexp_replace(regexp_replace(lower(text),
+      '{spec.EDGE_WS_PATTERN}', '', 'g'),
+      '{spec.WS_PLUS_PATTERN}', ' ', 'g') AS s
+  FROM read_parquet('{tr_glob}')),
+g AS (
+  SELECT s, COUNT(DISTINCT conv_id) AS nc
+  FROM n WHERE length(s) > 0 GROUP BY s),
+f AS (
+  SELECT n.conv_id,
+    CASE WHEN length(n.s) > 0 AND g.nc > {BOILER_CONV_CAP}
+         THEN 1 ELSE 0 END AS fl
+  FROM n LEFT JOIN g ON g.s = n.s)
+SELECT conv_id,
+  CAST(COUNT(*) AS BIGINT) AS n_turns,
+  CAST(SUM(fl) AS BIGINT) AS n_boiler,
+  CAST((1000 * SUM(fl)) // COUNT(*) AS BIGINT) AS boiler_permille
+FROM f GROUP BY conv_id
 """,
         # dialog-structure mining: turn-ordered role sequence per
         # conversation (string_agg ORDER BY), counted per pattern

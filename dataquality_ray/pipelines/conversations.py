@@ -792,6 +792,110 @@ def windowed_turn_dedup(ds, window_us: int = TURN_DEDUP_WINDOW_US,
         .groupby("hb").map_groups(lag_scan, batch_format="pyarrow")
 
 
+# A normalized turn text occurring in more than this many DISTINCT
+# conversations is corpus boilerplate — drop ALL its occurrences
+# (Dolma / CCNet paragraph-frequency rule; stricter than dedup, which
+# keeps the first copy). At the 20k-turn fixture the hottest text
+# spans 82 conversations, so cap=30 exercises both branches.
+BOILER_CONV_CAP = 30
+
+
+def conv_boilerplate_turns(ds, cap: int = BOILER_CONV_CAP,
+                           num_buckets: int = 0):
+    """(conv_id, n_turns, n_boiler, boiler_permille): frequency-capped
+    boilerplate-turn removal — a turn is boilerplate iff its normalized
+    text is non-empty AND occurs in > `cap` DISTINCT conversations
+    corpus-wide; ALL occurrences are flagged (the CCNet/Dolma
+    paragraph-frequency rule — unlike dedup, no first copy survives,
+    because a 13k-conversation greeting is noise in every copy).
+    boiler_permille = (1000 * n_boiler) // n_turns, exact integers.
+
+    Shape — two bucketed-local stages, no corpus-proportional Ray
+    aggregate (CLAUDE.md huge-group-count rule):
+
+    1. fused map: normalize (same chain as conv_near_dup_pairs) +
+       zero-copy buffer-slice md5; non-empty rows bucket by hash so a
+       text's corpus-wide distinct-conv count completes LOCALLY;
+       empty-normalized rows (never boilerplate) bucket by conv hash
+       instead — routing them to hash-bucket 0 would put every empty
+       turn of the corpus in one task (skew);
+    2. per hash bucket: one vectorized polars pass → per-(conv) partial
+       (n_rows, n_boiler); partials shuffle on conv_bucket and sum
+       locally — partial volume is #(conv, bucket) pairs, ≤ K per conv.
+
+    Not a pair generator, so no hot-posting policy needed: the hottest
+    hash contributes one count row, never cross-products.
+    """
+    import polars as _pl
+    import pyarrow.compute as pc
+
+    from dataquality_ray.arrowutil import md5_digests
+    from dataquality_ray.spec import EDGE_WS_PATTERN, WS_PLUS_PATTERN
+
+    num_buckets = num_buckets or cluster_buckets(minimum=32)
+
+    def hash_map(batch: pa.Table) -> pa.Table:
+        norm = pc.replace_substring_regex(
+            pc.replace_substring_regex(
+                pc.utf8_lower(batch["text"]), EDGE_WS_PATTERN, ""),
+            WS_PLUS_PATTERN, " ")
+        norm = pc.fill_null(norm, "")
+        if isinstance(norm, pa.ChunkedArray):
+            norm = norm.combine_chunks()
+        digests = md5_digests(norm)
+        convs = batch["conv_id"].to_pylist()
+        n = len(convs)
+        empty = pc.equal(pc.utf8_length(norm), 0).to_numpy(
+            zero_copy_only=False)
+        from zlib import crc32
+        hb = np.fromiter(
+            ((int.from_bytes(digests[i][:4], "little")
+              if not empty[i] else crc32(convs[i].encode()))
+             % num_buckets for i in range(n)),
+            dtype=np.int32, count=n)
+        return pa.table({
+            "hb": pa.array(hb),
+            "ch": pa.array([d.hex() if not e else ""
+                            for d, e in zip(digests, empty)],
+                           pa.string()),
+            "conv_id": pa.array(convs, pa.string()),
+        })
+
+    def count_bucket(t: pa.Table) -> pa.Table:
+        df = _pl.from_arrow(t.select(["ch", "conv_id"]))
+        nonempty = df.filter(_pl.col("ch") != "")
+        hot = (nonempty.group_by("ch")
+               .agg(_pl.col("conv_id").n_unique().alias("nc"))
+               .filter(_pl.col("nc") > cap)["ch"])
+        out = (df.with_columns(
+            fl=(_pl.col("ch") != "")
+            & _pl.col("ch").is_in(hot.implode()))
+            .group_by("conv_id")
+            .agg(n=_pl.len().cast(_pl.Int64),
+                 nb=_pl.col("fl").sum().cast(_pl.Int64)))
+        return out.with_columns(
+            cb=(_pl.col("conv_id").hash(seed=0)
+                % num_buckets).cast(_pl.Int32)).to_arrow()
+
+    def fold_conv(t: pa.Table) -> pa.Table:
+        g = (_pl.from_arrow(t.select(["conv_id", "n", "nb"]))
+             .group_by("conv_id")
+             .agg(n_turns=_pl.col("n").sum(),
+                  n_boiler=_pl.col("nb").sum())
+             .with_columns(
+                 boiler_permille=(1000 * _pl.col("n_boiler"))
+                 // _pl.col("n_turns")))
+        return g.select(["conv_id", "n_turns", "n_boiler",
+                         "boiler_permille"]).to_arrow()
+
+    return (ds.map_batches(hash_map, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("hb").map_groups(count_bucket,
+                                      batch_format="pyarrow")
+            .groupby("cb").map_groups(fold_conv,
+                                      batch_format="pyarrow"))
+
+
 CONV_NEAR_DUP_JACCARD_MILLI = 500   # pairs kept at Jaccard >= 0.5
 # Boilerplate df cap: a normalized turn text occurring in more than
 # this many DISTINCT conversations carries no retake evidence (it is

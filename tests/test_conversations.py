@@ -331,3 +331,34 @@ def test_windowed_turn_dedup_null_text(ray_session):
     assert not got.loc[("c2", 0), "is_dup"]
     assert got.loc[("c2", 1), "is_dup"]          # real repeat in window
     assert not got.loc[("c1", 0), "is_dup"]
+
+
+def test_conv_boilerplate_turns_edges(ray_session):
+    """Cap boundary (> cap, not >=), null/empty text never boilerplate,
+    ALL occurrences flagged (no surviving first copy), exact integer
+    permille."""
+    import pyarrow as pa
+
+    from dataquality_ray.pipelines.conversations import (
+        conv_boilerplate_turns,
+    )
+
+    # "hot" appears in 3 distinct convs (one conv twice: distinct
+    # count, not occurrence count); "warm" in exactly cap=2 convs.
+    tbl = pa.table({
+        "conv_id": pa.array(["a", "a", "a", "b", "b", "c", "c", "d"]),
+        "text": pa.array(["HOT ", "hot", "warm", " hot", "warm",
+                          "hot", None, ""]),
+    })
+    got = (conv_boilerplate_turns(ray.data.from_arrow(tbl), cap=2)
+           .to_pandas().set_index("conv_id"))
+    # 'hot' normalized spans convs {a,b,c} = 3 > 2 -> boiler;
+    # 'warm' spans {a,b} = 2, not > 2 -> kept
+    assert got.loc["a", "n_turns"] == 3
+    assert got.loc["a", "n_boiler"] == 2          # both copies flagged
+    assert got.loc["a", "boiler_permille"] == 666
+    assert got.loc["b", "n_boiler"] == 1
+    assert got.loc["c", "n_turns"] == 2           # null counted, not boiler
+    assert got.loc["c", "n_boiler"] == 1
+    assert got.loc["d", "n_boiler"] == 0          # empty never boiler
+    assert got.loc["d", "boiler_permille"] == 0
