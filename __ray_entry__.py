@@ -594,6 +594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SQL-checked; the full Lloyd iteration is rows-only (pytest
         # enforces determinism + single-process-reference equality)
         "kmeans_assign_embeddings": D.kmeans_assign_embeddings,
+        "prototype_pruned_embeddings": D.prototype_pruned_embeddings,
         "kmeans_embeddings": D.kmeans_embeddings,
         # SemDeDup (Abbas et al. 2023): cluster-local cosine dedup —
         # SQL-checked end to end (assignment + drop decisions)
@@ -1369,6 +1370,7 @@ def _oracle_sql_impl() -> dict[str, str]:
         PROJ_Q as EMB_PROJ_Q,
     )
     from dataquality_ray.stages.clustering import KMEANS_K, SEMDEDUP_TAU
+    from dataquality_ray.pipelines.documents import PROTO_PRUNE_PCT
     lid_counts, lid_case = _langid_parts()
     contam_shingle = " || ' ' || ".join(
         f"ts[i+{k}]" if k else "ts[i]" for k in range(CONTAM_NGRAM))
@@ -4248,6 +4250,38 @@ s AS (
   FROM e, c)
 SELECT vec_id, cid AS centroid_id, sim AS cosine_sim
 FROM s WHERE rn = 1
+""",
+        # SSL-prototypes pruning: kmeans_assign oracle + per-cluster
+        # n_target-th smallest round-6 sim as the strict-below cutoff
+        # (no tie-break needed: equal-sim boundary members all survive)
+        "prototype_pruned_embeddings": f"""
+WITH c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+  FROM embeddings WHERE vec_id < {KMEANS_K}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings),
+s AS (
+  SELECT e.vec_id, c.cid,
+    round(list_cosine_similarity(e.emb, c.ce), 6) AS sim,
+    row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY round(list_cosine_similarity(e.emb, c.ce), 6) DESC,
+               c.cid) AS rn
+  FROM e, c),
+asn AS (SELECT vec_id, cid AS centroid_id, sim FROM s WHERE rn = 1),
+cz AS (SELECT centroid_id, COUNT(*) AS n FROM asn GROUP BY centroid_id),
+rk AS (
+  SELECT asn.*, row_number() OVER (
+    PARTITION BY centroid_id ORDER BY sim, vec_id) AS rr
+  FROM asn),
+cut AS (
+  SELECT rk.centroid_id, rk.sim AS s_star
+  FROM rk JOIN cz ON cz.centroid_id = rk.centroid_id
+  WHERE (cz.n * {PROTO_PRUNE_PCT}) // 100 >= 1
+    AND rk.rr = (cz.n * {PROTO_PRUNE_PCT}) // 100)
+SELECT a.vec_id, a.centroid_id,
+  NOT (cut.s_star IS NOT NULL AND a.sim < cut.s_star) AS kept
+FROM asn a LEFT JOIN cut ON cut.centroid_id = a.centroid_id
 """,
         # SemDeDup: the kmeans_assign oracle composed with a
         # within-cluster EXISTS self-join — a vector is dropped iff a

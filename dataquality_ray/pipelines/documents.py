@@ -2008,6 +2008,60 @@ def kmeans_assign_embeddings(sf_dir: str):
     return kmeans_assign(emb, cents)
 
 
+PROTO_PRUNE_PCT = 25   # prune the least-prototypical quartile per cluster
+
+
+def prototype_pruned_embeddings(sf_dir: str):
+    """(vec_id, centroid_id, kept): SSL-prototypes data pruning
+    (Sorscher et al. 2022, "Beyond neural scaling laws") — assign every
+    vector to its nearest seed centroid (the kmeans_assign kernel,
+    round-6 cosine), then within each cluster DROP vectors whose
+    round-6 cosine to the centroid is STRICTLY BELOW s*, the
+    n_target-th smallest cluster sim where
+    n_target = (cluster_size * PROTO_PRUNE_PCT) // 100 — i.e. prune up
+    to the least-prototypical quartile, exactly and deterministically
+    (strict-below means no tie-break is ever needed: equal-sim boundary
+    members all survive, on both engines).
+
+    Shape: one stateless broadcast-centroid assignment map + ONE
+    shuffle on centroid_id (K = KMEANS_K groups) with a local
+    np.partition selection — the semantic_dedup topology. At 100 TB the
+    per-cluster co-location becomes the bottleneck; the documented
+    scale path is exact histogram partials (round-6 sims are integers
+    in [-1e6, 1e6] after *1e6, so per-(cluster, sim_int) partial counts
+    reduce to s* without moving the members), then a second stateless
+    flag pass — same answer, no cluster materialization.
+    """
+    from dataquality_ray.stages.clustering import KMEANS_K, kmeans_assign
+
+    emb = _emb(sf_dir)
+    first = emb.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], KMEANS_K)),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    first = first.sort_values("vec_id")
+    cents = np.stack([np.asarray(v, np.float64)
+                      for v in first["embedding"]])
+    asn = kmeans_assign(emb, cents)
+
+    def prune_cluster(t: pa.Table) -> pa.Table:
+        sims = t["cosine_sim"].to_numpy(zero_copy_only=False)
+        n = len(sims)
+        n_target = (n * PROTO_PRUNE_PCT) // 100
+        if n_target >= 1:
+            s_star = np.partition(sims, n_target - 1)[n_target - 1]
+            kept = ~(sims < s_star)
+        else:
+            kept = np.ones(n, dtype=bool)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "centroid_id": t["centroid_id"],
+            "kept": pa.array(kept),
+        })
+
+    return asn.groupby("centroid_id").map_groups(
+        prune_cluster, batch_format="pyarrow")
+
+
 def kmeans_embeddings(sf_dir: str):
     """(vec_id, cluster): full distributed Lloyd's k-means
     (KMEANS_ITERS iterations, deterministic fixed-point update reduce —

@@ -195,3 +195,58 @@ class TestKMeans:
         pb_ = b.to_pandas().sort_values("vec_id").reset_index(drop=True)
         assert pa_.equals(pb_)
         np.testing.assert_array_equal(ca, cb)
+
+
+def test_prototype_prune_boundary(ray_session, tmp_path):
+    """Strict-below cutoff: equal-sim boundary members all survive;
+    clusters with n_target = 0 keep everything."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from dataquality_ray.pipelines.documents import (
+        prototype_pruned_embeddings,
+    )
+    from dataquality_ray.stages.clustering import KMEANS_K
+
+    # centroids = unit axes (vec_id < KMEANS_K); then members around
+    # axis 0: three at a LOW identical sim (ties at the cutoff) and
+    # five exactly on-axis; plus a 3-member cluster on axis 1 where
+    # n_target = (3+1)*25//100 = 1 -> cutoff = its lowest sim
+    dim = KMEANS_K
+    rows = []
+    for i in range(KMEANS_K):
+        v = np.zeros(dim); v[i] = 1.0
+        rows.append((i, v.tolist()))
+    nxt = KMEANS_K
+    low = np.zeros(dim); low[0] = 1.0; low[1] = 0.9   # sim ~0.743 to c0
+    for _ in range(3):
+        rows.append((nxt, low.tolist())); nxt += 1
+    on = np.zeros(dim); on[0] = 1.0
+    for _ in range(4):
+        rows.append((nxt, on.tolist())); nxt += 1
+    off1 = np.zeros(dim); off1[1] = 1.0; off1[2] = 0.5  # cluster 1, lowest
+    rows.append((nxt, off1.tolist())); low1_id = nxt; nxt += 1
+    on1 = np.zeros(dim); on1[1] = 1.0
+    rows.append((nxt, on1.tolist())); nxt += 1
+
+    tbl = pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([r[1] for r in rows],
+                              pa.list_(pa.float64())),
+    })
+    d = tmp_path / "sf"
+    d.mkdir()
+    pq.write_table(tbl, d / "embeddings.parquet")
+
+    got = prototype_pruned_embeddings(str(d)).to_pandas() \
+        .set_index("vec_id")
+    # cluster 0 has 1 centroid + 3 low + 4 on-axis = 8 members;
+    # n_target = 2 -> s* = 2nd smallest = the low sim; strict-below
+    # means ALL three tied low members survive
+    c0 = got[got["centroid_id"] == 0]
+    assert c0["kept"].all()
+    # cluster 1: 3 members, n_target = 0... (3*25)//100 = 0 -> all kept
+    c1 = got[got["centroid_id"] == 1]
+    assert c1["kept"].all()
+    assert len(got) == len(rows)
