@@ -297,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_documents": D.near_dup_documents,
         "shingle_near_dup_documents": D.shingle_near_dup_documents,
         "near_dup_kept_documents": D.near_dup_kept_documents,
+        "near_dup_longest_kept_documents": D.near_dup_longest_kept_documents,
         # duplication provenance: near-dup pair mass per unordered
         # source pair (diagonal = within-source template reuse)
         "near_dup_source_matrix": D.near_dup_source_matrix,
@@ -3959,6 +3960,37 @@ r(key, lab) AS (
 c AS (SELECT key, MIN(lab) AS cluster FROM r GROUP BY key)
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT key FROM c WHERE key <> cluster)
+""",
+        # quality-aware survivor: same component oracle, but the kept
+        # member is the LONGEST (max n_chars, ties -> min doc_id)
+        "near_dup_longest_kept_documents": f"""
+WITH RECURSIVE t AS MATERIALIZED (
+  SELECT doc_id,
+    list_distinct(regexp_extract_all(lower(text), '{_TOK}')) AS toks
+  FROM documents),
+p AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE len(a.toks) > 0 AND len(b.toks) > 0
+    AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+      >= {NEAR_DUP_DOC_JACCARD}),
+e(src, dst) AS MATERIALIZED (
+  SELECT id_a, id_b FROM p UNION ALL SELECT id_b, id_a FROM p),
+r(key, lab) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.dst, r.lab FROM r JOIN e ON e.src = r.key),
+c AS (SELECT key, MIN(lab) AS cluster FROM r GROUP BY key),
+m AS (
+  SELECT c.key, c.cluster, d.n_chars
+  FROM c JOIN documents d ON d.doc_id = c.key),
+w AS (
+  SELECT key, row_number() OVER (
+    PARTITION BY cluster ORDER BY n_chars DESC, key) AS rn
+  FROM m)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT key FROM w WHERE rn > 1)
 """,
         # deterministic stratified sample: per source, the n docs with
         # the smallest frozen hash of str(doc_id)

@@ -747,6 +747,71 @@ def near_dup_kept_documents(sf_dir: str, num_partitions: int = 8):
         batch_format="pyarrow")
 
 
+def near_dup_longest_kept_documents(sf_dir: str,
+                                    num_partitions: int = 8,
+                                    num_buckets: int = 64):
+    """(doc_id,): near-dup removal with QUALITY-AWARE survivor
+    selection — per connected component of the near-dup pair graph,
+    keep the LONGEST member (max n_chars, ties -> min doc_id) instead
+    of near_dup_kept_documents' min-id rule. This is what production
+    dedup actually ships: among near-identical copies, the longest is
+    usually the superset (the others are truncations), so min-id keeps
+    an arbitrary — possibly clipped — copy.
+
+    Shape: the near-dup pair graph + dup_clusters_auto (driver
+    union-find under a provable limit, distributed label propagation
+    beyond), then ONE hash join against the 2-column (doc_id, n_chars)
+    projection and a cluster%K-bucketed local argmax — winner selection
+    never runs a Ray aggregate with #clusters output groups (dup-heavy
+    corpora push #clusters toward #docs; CLAUDE.md huge-group rule).
+    Repartitions guard both joins (label/groupby outputs can carry
+    schemaless empty blocks — see CLAUDE.md chained-join invariant).
+    """
+    from dataquality_ray.stages.clustering import dup_clusters_auto
+
+    pairs = near_dup_documents(sf_dir).map_batches(
+        lambda t: pa.table({"key_a": t["id_a"], "key_b": t["id_b"]}),
+        batch_format="pyarrow")
+    clusters = dup_clusters_auto(pairs)          # (key, cluster)
+    if isinstance(clusters, pa.Table):
+        clusters = ray.data.from_arrow(clusters)
+
+    nch = _docs(sf_dir, columns=["doc_id", "n_chars"])
+    mem = clusters.repartition(num_partitions).join(
+        nch, join_type="inner", num_partitions=num_partitions,
+        on=("key",), right_on=("doc_id",))
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        cb = (t["cluster"].to_numpy(zero_copy_only=False)
+              % num_buckets).astype(np.int32)
+        return t.append_column("cb", pa.array(cb))
+
+    def drops_bucket(t: pa.Table) -> pa.Table:
+        d = pl.from_arrow(t.select(["key", "cluster", "n_chars"]))
+        w = (d.sort(["n_chars", "key"], descending=[True, False])
+             .group_by("cluster", maintain_order=True)
+             .agg(win=pl.col("key").first()))
+        drops = (d.join(w, on="cluster")
+                 .filter(pl.col("key") != pl.col("win")))
+        return pa.table({
+            "doc_id": pa.array(drops["key"].to_list(), pa.int64()),
+            "dropped": pa.array([True] * drops.height),
+        })
+
+    drop = (mem.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("cb")
+            .map_groups(drops_bucket, batch_format="pyarrow"))
+
+    joined = _docs(sf_dir, columns=["doc_id"]).join(
+        drop.repartition(num_partitions), join_type="left_outer",
+        num_partitions=num_partitions,
+        on=("doc_id",), right_on=("doc_id",))
+    return joined.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t.filter(pc.is_null(t["dropped"]))["doc_id"]}),
+        batch_format="pyarrow")
+
+
 SAMPLE_PER_SOURCE = 10
 
 
