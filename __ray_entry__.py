@@ -596,6 +596,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # enforces determinism + single-process-reference equality)
         "kmeans_assign_embeddings": D.kmeans_assign_embeddings,
         "prototype_pruned_embeddings": D.prototype_pruned_embeddings,
+        "cluster_balanced_sample_embeddings":
+            D.cluster_balanced_sample_embeddings,
         "kmeans_embeddings": D.kmeans_embeddings,
         # SemDeDup (Abbas et al. 2023): cluster-local cosine dedup —
         # SQL-checked end to end (assignment + drop decisions)
@@ -1371,7 +1373,11 @@ def _oracle_sql_impl() -> dict[str, str]:
         PROJ_Q as EMB_PROJ_Q,
     )
     from dataquality_ray.stages.clustering import KMEANS_K, SEMDEDUP_TAU
-    from dataquality_ray.pipelines.documents import PROTO_PRUNE_PCT
+    from dataquality_ray.pipelines.documents import (
+        CLUSTER_SAMPLE_BUDGET,
+        MIXTURE_SQRT_SCALE,
+        PROTO_PRUNE_PCT,
+    )
     lid_counts, lid_case = _langid_parts()
     contam_shingle = " || ' ' || ".join(
         f"ts[i+{k}]" if k else "ts[i]" for k in range(CONTAM_NGRAM))
@@ -4282,6 +4288,49 @@ s AS (
   FROM e, c)
 SELECT vec_id, cid AS centroid_id, sim AS cosine_sim
 FROM s WHERE rn = 1
+""",
+        # cluster-balanced sample: kmeans_assign oracle + the
+        # mixture_allocation_plan largest-remainder recipe at cluster
+        # grain + per-cluster top-alloc by (sim DESC, vec_id)
+        "cluster_balanced_sample_embeddings": f"""
+WITH c AS (
+  SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce
+  FROM embeddings WHERE vec_id < {KMEANS_K}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+      FROM embeddings),
+s AS (
+  SELECT e.vec_id, c.cid,
+    round(list_cosine_similarity(e.emb, c.ce), 6) AS sim,
+    row_number() OVER (
+      PARTITION BY e.vec_id
+      ORDER BY round(list_cosine_similarity(e.emb, c.ce), 6) DESC,
+               c.cid) AS rn
+  FROM e, c),
+asn AS (SELECT vec_id, cid AS centroid_id, sim FROM s WHERE rn = 1),
+cz AS (
+  SELECT centroid_id, CAST(COUNT(*) AS BIGINT) AS n
+  FROM asn GROUP BY centroid_id),
+w AS (SELECT *, CAST(floor(sqrt(n * {float(MIXTURE_SQRT_SCALE)}))
+        AS BIGINT) AS sq FROM cz),
+t2 AS (SELECT *, GREATEST((SELECT SUM(sq) FROM w), 1) AS tot FROM w),
+q AS (
+  SELECT centroid_id,
+    ({CLUSTER_SAMPLE_BUDGET} * sq) // tot AS base,
+    ({CLUSTER_SAMPLE_BUDGET} * sq) % tot AS rem
+  FROM t2),
+al AS (
+  SELECT centroid_id,
+    base + CASE WHEN row_number() OVER (ORDER BY rem DESC, centroid_id)
+                <= {CLUSTER_SAMPLE_BUDGET} - (SELECT SUM(base) FROM q)
+           THEN 1 ELSE 0 END AS alloc
+  FROM q),
+rk AS (
+  SELECT asn.*, row_number() OVER (
+    PARTITION BY centroid_id ORDER BY sim DESC, vec_id) AS rr
+  FROM asn)
+SELECT rk.vec_id, rk.centroid_id
+FROM rk JOIN al ON al.centroid_id = rk.centroid_id
+WHERE rk.rr <= al.alloc
 """,
         # SSL-prototypes pruning: kmeans_assign oracle + per-cluster
         # n_target-th smallest round-6 sim as the strict-below cutoff

@@ -2127,6 +2127,89 @@ def prototype_pruned_embeddings(sf_dir: str):
         prune_cluster, batch_format="pyarrow")
 
 
+CLUSTER_SAMPLE_BUDGET = 100   # total vectors the balanced sample draws
+
+
+def cluster_balanced_sample_embeddings(sf_dir: str):
+    """(vec_id, centroid_id): a deterministic CLUSTER-BALANCED sample —
+    allocate CLUSTER_SAMPLE_BUDGET draws across the KMEANS_K seed
+    clusters by largest-remainder apportionment over
+    floor(sqrt(cluster_size * MIXTURE_SQRT_SCALE)) (the
+    mixture_allocation_plan integer recipe at cluster grain: sqrt
+    flattens the head so small clusters keep representation — the
+    diversity-preserving sampling step after corpus clustering), then
+    per cluster take its alloc most-PROTOTYPICAL members (highest
+    round-6 cosine to the centroid, ties -> min vec_id). A cluster
+    smaller than its allocation contributes all members (the sample
+    then under-fills the budget — disclosed, not silently rebalanced).
+
+    Shape: broadcast-centroid assignment map + per-batch partial
+    top-alloc per cluster (two-phase argmax, the stratified_sample
+    shape) — the final selection touches ≤ K × alloc partial winners,
+    never the corpus.
+    """
+    from dataquality_ray.stages.clustering import KMEANS_K, kmeans_assign
+
+    emb = _emb(sf_dir)
+    first = emb.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], KMEANS_K)),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    first = first.sort_values("vec_id")
+    cents = np.stack([np.asarray(v, np.float64)
+                      for v in first["embedding"]])
+    asn = kmeans_assign(emb, cents).materialize()
+
+    # per-cluster sizes: K-cell bincount partials, tiny driver fold
+    def sizes(t: pa.Table) -> pa.Table:
+        h = np.bincount(t["centroid_id"].to_numpy(zero_copy_only=False),
+                        minlength=KMEANS_K).astype(np.int64)
+        return pa.table({"h": pa.array([h.tobytes()], pa.binary())})
+
+    parts = asn.map_batches(sizes, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    n = np.zeros(KMEANS_K, dtype=np.int64)
+    for r in parts:
+        n += np.frombuffer(r["h"], dtype=np.int64)
+
+    sq = np.floor(np.sqrt(n.astype(np.float64)
+                          * MIXTURE_SQRT_SCALE)).astype(np.int64)
+    tot = max(int(sq.sum()), 1)
+    b = CLUSTER_SAMPLE_BUDGET
+    base = (b * sq) // tot
+    rem = (b * sq) % tot
+    leftover = b - int(base.sum())
+    order = np.argsort(-rem, kind="mergesort")   # ties -> centroid asc
+    alloc = base.copy()
+    alloc[order[:leftover]] += 1
+    max_alloc = int(alloc.max()) if len(alloc) else 0
+
+    def partial_top(t: pa.Table) -> pa.Table:
+        d = (pl.from_arrow(t.select(["vec_id", "centroid_id",
+                                     "cosine_sim"]))
+             .sort(["cosine_sim", "vec_id"], descending=[True, False])
+             .group_by("centroid_id", maintain_order=True)
+             .head(max_alloc))
+        return d.to_arrow()
+
+    winners = pl.from_arrow(pa.Table.from_pylist(
+        asn.map_batches(partial_top, batch_format="pyarrow",
+                        zero_copy_batch=True).take_all(),
+        schema=pa.schema([("vec_id", pa.int64()),
+                          ("centroid_id", pa.int64()),
+                          ("cosine_sim", pa.float64())])))
+    out = (winners.sort(["cosine_sim", "vec_id"],
+                        descending=[True, False])
+           .with_columns(rn=pl.int_range(1, pl.len() + 1)
+                         .over("centroid_id"))
+           .with_columns(alloc=pl.col("centroid_id")
+                         .replace_strict(list(range(KMEANS_K)),
+                                         alloc.tolist(),
+                                         return_dtype=pl.Int64))
+           .filter(pl.col("rn") <= pl.col("alloc"))
+           .sort(["centroid_id", "rn"]))
+    return out.select(["vec_id", "centroid_id"]).to_arrow()
+
+
 def kmeans_embeddings(sf_dir: str):
     """(vec_id, cluster): full distributed Lloyd's k-means
     (KMEANS_ITERS iterations, deterministic fixed-point update reduce —
