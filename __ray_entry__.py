@@ -298,6 +298,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "shingle_near_dup_documents": D.shingle_near_dup_documents,
         "near_dup_kept_documents": D.near_dup_kept_documents,
         "near_dup_longest_kept_documents": D.near_dup_longest_kept_documents,
+        "dup_cluster_size_histogram": D.dup_cluster_size_histogram,
         # duplication provenance: near-dup pair mass per unordered
         # source pair (diagonal = within-source template reuse)
         "near_dup_source_matrix": D.near_dup_source_matrix,
@@ -457,6 +458,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # repeats within the 7-day horizon are duplicates)
         "windowed_turn_dedup": _windowed_turn_dedup_q,
         "conv_boilerplate_turns": _conv_boilerplate_turns_q,
+        "conv_loss_mask_stats": _conv_loss_mask_stats_q,
+        "conv_length_outliers": _conv_length_outliers_q,
         # Deequ-style table analyzers: per-column profile (exact
         # distinct via value-hash-bucketed local dedup) and a
         # declarative constraint suite — both SQL-checked
@@ -799,6 +802,18 @@ def _windowed_turn_dedup_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import windowed_turn_dedup
     return windowed_turn_dedup(_transcript_ds(
         sf_dir, columns=["conv_id", "turn_idx", "text", "ts"]))
+
+
+def _conv_loss_mask_stats_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import conv_loss_mask_stats
+    return conv_loss_mask_stats(_transcript_ds(
+        sf_dir, columns=["conv_id", "role", "text"]))
+
+
+def _conv_length_outliers_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import conv_length_outliers
+    return conv_length_outliers(_transcript_ds(
+        sf_dir, columns=["conv_id", "text"]))
 
 
 def _conv_boilerplate_turns_q(sf_dir: str):
@@ -1291,6 +1306,8 @@ def _oracle_sql_impl() -> dict[str, str]:
         SESSION_GAP_US as CONV_SESSION_GAP_US,
         BOILER_CONV_CAP,
         CONV_DEDUP_DF_CAP,
+        LEN_OUTLIER_ABS_FLOOR,
+        LEN_OUTLIER_MAD_MULT,
         CONV_KEEP_FRAC_MILLI,
         FUZZY_MIN_LEN as CONV_FUZZY_MIN_LEN,
         TURN_DEDUP_WINDOW_US as CONV_TURN_DEDUP_WINDOW_US,
@@ -2399,6 +2416,46 @@ SELECT conv_id,
   CAST(SUM(fl) AS BIGINT) AS n_boiler,
   CAST((1000 * SUM(fl)) // COUNT(*) AS BIGINT) AS boiler_permille
 FROM f GROUP BY conv_id
+""",
+        # SFT loss-mask audit: whitespace-token mass per role,
+        # trainable fraction in exact permille
+        "conv_loss_mask_stats": f"""
+WITH t AS (
+  SELECT conv_id, role,
+    len(regexp_extract_all(COALESCE(text, ''),
+                           '{spec.WS_TOKEN_PATTERN}')) AS ws
+  FROM read_parquet('{tr_glob}'))
+SELECT conv_id,
+  CAST(COUNT(*) AS BIGINT) AS n_turns,
+  CAST(SUM(ws) AS BIGINT) AS total_ws_tokens,
+  CAST(SUM(CASE WHEN role = 'assistant' THEN ws ELSE 0 END) AS BIGINT)
+    AS assistant_ws_tokens,
+  CASE WHEN SUM(ws) > 0
+       THEN CAST((1000 * SUM(CASE WHEN role = 'assistant' THEN ws
+                             ELSE 0 END)) // SUM(ws) AS BIGINT)
+       ELSE -1 END AS trainable_permille
+FROM t GROUP BY conv_id
+""",
+        # robust turn-length outliers: LOWER medians (quantile_disc ==
+        # polars 'lower' interpolation, pinned by test) + MAD gate with
+        # an absolute floor for the mad == 0 degenerate case
+        "conv_length_outliers": f"""
+WITH t AS (
+  SELECT conv_id, CAST(length(COALESCE(text, '')) AS BIGINT) AS l
+  FROM read_parquet('{tr_glob}')),
+m AS (SELECT conv_id, quantile_disc(l, 0.5) AS med
+      FROM t GROUP BY conv_id),
+d AS (SELECT t.conv_id, t.l, m.med, abs(t.l - m.med) AS dev
+      FROM t JOIN m USING (conv_id)),
+m2 AS (SELECT conv_id, quantile_disc(dev, 0.5) AS mad
+       FROM d GROUP BY conv_id)
+SELECT d.conv_id,
+  CAST(MIN(d.med) AS BIGINT) AS med_len,
+  CAST(MIN(m2.mad) AS BIGINT) AS mad_len,
+  CAST(SUM(CASE WHEN d.dev > {LEN_OUTLIER_MAD_MULT} * m2.mad
+                 AND d.dev > {LEN_OUTLIER_ABS_FLOOR}
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM d JOIN m2 ON m2.conv_id = d.conv_id GROUP BY d.conv_id
 """,
         # dialog-structure mining: turn-ordered role sequence per
         # conversation (string_agg ORDER BY), counted per pattern
@@ -3966,6 +4023,31 @@ r(key, lab) AS (
 c AS (SELECT key, MIN(lab) AS cluster FROM r GROUP BY key)
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT key FROM c WHERE key <> cluster)
+""",
+        # component-size histogram over the same recursive CTE
+        "dup_cluster_size_histogram": f"""
+WITH RECURSIVE t AS MATERIALIZED (
+  SELECT doc_id,
+    list_distinct(regexp_extract_all(lower(text), '{_TOK}')) AS toks
+  FROM documents),
+p AS MATERIALIZED (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE len(a.toks) > 0 AND len(b.toks) > 0
+    AND CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+      / (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+      >= {NEAR_DUP_DOC_JACCARD}),
+e(src, dst) AS MATERIALIZED (
+  SELECT id_a, id_b FROM p UNION ALL SELECT id_b, id_a FROM p),
+r(key, lab) AS (
+  SELECT src, src FROM e
+  UNION
+  SELECT e.dst, r.lab FROM r JOIN e ON e.src = r.key),
+c AS (SELECT key, MIN(lab) AS cluster FROM r GROUP BY key),
+sz AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+       FROM c GROUP BY cluster)
+SELECT cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+FROM sz GROUP BY cluster_size
 """,
         # quality-aware survivor: same component oracle, but the kept
         # member is the LONGEST (max n_chars, ties -> min doc_id)

@@ -792,6 +792,143 @@ def windowed_turn_dedup(ds, window_us: int = TURN_DEDUP_WINDOW_US,
         .groupby("hb").map_groups(lag_scan, batch_format="pyarrow")
 
 
+def conv_loss_mask_stats(ds, num_buckets: int = 0):
+    """(conv_id, n_turns, total_ws_tokens, assistant_ws_tokens,
+    trainable_permille): the loss-mask audit run before SFT — when
+    training masks every non-assistant token, how much of each
+    conversation is actually TRAINABLE. total/assistant whitespace
+    tokens per spec.WS_TOKEN_PATTERN (the cross-engine-pinned count),
+    trainable_permille = (1000 * assistant) // total, -1 when the
+    conversation has zero tokens. Conversations that are all
+    user/system boilerplate (permille ~0) cost context with no
+    gradient signal; a mixture planner weighs them accordingly.
+
+    Shape: per-batch polars partial per (conv_id) — counting happens
+    where the text lives — then ONE conv-bucket shuffle of slim
+    integer partials and a local fold (the role_tool_stats bucketed
+    template; never a #convs-output Ray aggregate).
+    """
+    import hashlib
+
+    import polars as _pl
+
+    from dataquality_ray.spec import WS_TOKEN_PATTERN
+
+    num_buckets = num_buckets or cluster_buckets(minimum=32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = _pl.DataFrame({
+            "conv_id": _pl.from_arrow(batch["conv_id"]),
+            "role": _pl.from_arrow(batch["role"]),
+            "ws": _pl.from_arrow(batch["text"]).fill_null("")
+            .str.count_matches(WS_TOKEN_PATTERN).cast(_pl.Int64),
+        }).with_columns(
+            aw=_pl.when(_pl.col("role") == "assistant")
+            .then(_pl.col("ws")).otherwise(0))
+        g = df.group_by("conv_id").agg(
+            n=_pl.len().cast(_pl.Int64),
+            ws=_pl.col("ws").sum(),
+            aw=_pl.col("aw").sum())
+        cb = np.fromiter(
+            (int.from_bytes(hashlib.md5(c.encode()).digest()[:4],
+                            "little") % num_buckets
+             for c in g["conv_id"]),
+            dtype=np.int32, count=g.height)
+        return g.with_columns(cb=_pl.Series(cb)).to_arrow()
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = (_pl.from_arrow(t.select(["conv_id", "n", "ws", "aw"]))
+             .group_by("conv_id")
+             .agg(n_turns=_pl.col("n").sum(),
+                  total_ws_tokens=_pl.col("ws").sum(),
+                  assistant_ws_tokens=_pl.col("aw").sum())
+             .with_columns(
+                 trainable_permille=_pl.when(
+                     _pl.col("total_ws_tokens") > 0)
+                 .then((1000 * _pl.col("assistant_ws_tokens"))
+                       // _pl.col("total_ws_tokens"))
+                 .otherwise(-1).cast(_pl.Int64)))
+        return g.select(["conv_id", "n_turns", "total_ws_tokens",
+                         "assistant_ws_tokens",
+                         "trainable_permille"]).to_arrow()
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("cb").map_groups(fold, batch_format="pyarrow"))
+
+
+LEN_OUTLIER_MAD_MULT = 5    # dev > MULT*mad -> outlier ...
+LEN_OUTLIER_ABS_FLOOR = 50  # ... and dev > floor (guards mad == 0)
+
+
+def conv_length_outliers(ds, num_buckets: int = 0):
+    """(conv_id, med_len, mad_len, n_outliers): robust per-conversation
+    turn-length outlier detection — med = LOWER median of turn char
+    lengths (sorted[(n-1)//2]: DuckDB quantile_disc(0.5) == polars
+    quantile(0.5,'lower'), verified), mad = lower median of |len-med|,
+    and a turn is an outlier iff |len-med| > LEN_OUTLIER_MAD_MULT*mad
+    AND |len-med| > LEN_OUTLIER_ABS_FLOOR (the floor keeps the mad==0
+    degenerate case — near-constant conversations — from flagging
+    every slightly-different turn). Flags pasted blobs / runaway
+    generations inside otherwise-normal dialogs; all exact integers.
+
+    Shape: ONE conv-bucket shuffle of (conv_id, len) rows; both
+    median passes and the outlier count complete locally per bucket.
+    Per the polars fast-path rule (CLAUDE.md), the deviation and flag
+    are materialized as COLUMNS between the two group_bys — no
+    compound boolean inside an agg.
+    """
+    import hashlib
+
+    import polars as _pl
+    import pyarrow.compute as pc
+
+    num_buckets = num_buckets or cluster_buckets(minimum=32)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        convs = batch["conv_id"].to_pylist()
+        cb = np.fromiter(
+            (int.from_bytes(hashlib.md5(c.encode()).digest()[:4],
+                            "little") % num_buckets for c in convs),
+            dtype=np.int32, count=len(convs))
+        return pa.table({
+            "cb": pa.array(cb),
+            "conv_id": batch["conv_id"],
+            "len": pc.cast(pc.utf8_length(
+                pc.fill_null(batch["text"], "")), pa.int64()),
+        })
+
+    def local(t: pa.Table) -> pa.Table:
+        d = _pl.from_arrow(t.select(["conv_id", "len"]))
+        med = (d.group_by("conv_id")
+               .agg(med_len=_pl.col("len")
+                    .quantile(0.5, interpolation="lower")
+                    .cast(_pl.Int64)))
+        d = d.join(med, on="conv_id")
+        d = d.with_columns(dev=(_pl.col("len")
+                                - _pl.col("med_len")).abs())
+        mad = (d.group_by("conv_id")
+               .agg(mad_len=_pl.col("dev")
+                    .quantile(0.5, interpolation="lower")
+                    .cast(_pl.Int64)))
+        d = d.join(mad, on="conv_id")
+        d = d.with_columns(
+            fl=((_pl.col("dev") > LEN_OUTLIER_MAD_MULT
+                 * _pl.col("mad_len"))
+                & (_pl.col("dev") > LEN_OUTLIER_ABS_FLOOR))
+            .cast(_pl.Int64))
+        g = (d.group_by("conv_id")
+             .agg(med_len=_pl.col("med_len").min(),
+                  mad_len=_pl.col("mad_len").min(),
+                  n_outliers=_pl.col("fl").sum()))
+        return g.select(["conv_id", "med_len", "mad_len",
+                         "n_outliers"]).to_arrow()
+
+    return (ds.map_batches(slim, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("cb").map_groups(local, batch_format="pyarrow"))
+
+
 # A normalized turn text occurring in more than this many DISTINCT
 # conversations is corpus boilerplate — drop ALL its occurrences
 # (Dolma / CCNet paragraph-frequency rule; stricter than dedup, which

@@ -812,6 +812,52 @@ def near_dup_longest_kept_documents(sf_dir: str,
         batch_format="pyarrow")
 
 
+def dup_cluster_size_histogram(sf_dir: str, num_buckets: int = 64):
+    """(cluster_size, n_clusters): the size distribution of near-dup
+    connected components — the first chart a dedup audit draws (a few
+    giant components usually mean boilerplate gluing unrelated docs
+    together; many 2-clusters mean genuine pair dups). Sizes count
+    only docs that appear in at least one near-dup pair (singletons
+    aren't components).
+
+    Shape: component labels from dup_clusters_auto, per-cluster size
+    via a cluster%K-bucketed local count (never a #clusters-output Ray
+    aggregate), then a tiny size-keyed final fold (#distinct sizes
+    rows).
+    """
+    from ray.data.aggregate import Sum
+
+    from dataquality_ray.stages.clustering import dup_clusters_auto
+
+    pairs = near_dup_documents(sf_dir).map_batches(
+        lambda t: pa.table({"key_a": t["id_a"], "key_b": t["id_b"]}),
+        batch_format="pyarrow")
+    clusters = dup_clusters_auto(pairs)
+    if isinstance(clusters, pa.Table):
+        clusters = ray.data.from_arrow(clusters)
+
+    def add_bucket(t: pa.Table) -> pa.Table:
+        cb = (t["cluster"].to_numpy(zero_copy_only=False)
+              % num_buckets).astype(np.int32)
+        return t.append_column("cb", pa.array(cb))
+
+    def sizes_bucket(t: pa.Table) -> pa.Table:
+        g = (pl.from_arrow(t.select(["cluster"]))
+             .group_by("cluster")
+             .agg(sz=pl.len().cast(pl.Int64))
+             .group_by("sz").agg(n=pl.len().cast(pl.Int64)))
+        return pa.table({
+            "cluster_size": pa.array(g["sz"].to_list(), pa.int64()),
+            "n": pa.array(g["n"].to_list(), pa.int64()),
+        })
+
+    return (clusters.map_batches(add_bucket, batch_format="pyarrow")
+            .groupby("cb")
+            .map_groups(sizes_bucket, batch_format="pyarrow")
+            .groupby("cluster_size")
+            .aggregate(Sum("n", alias_name="n_clusters")))
+
+
 SAMPLE_PER_SOURCE = 10
 
 
