@@ -459,6 +459,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_turn_dedup": _windowed_turn_dedup_q,
         "conv_boilerplate_turns": _conv_boilerplate_turns_q,
         "conv_loss_mask_stats": _conv_loss_mask_stats_q,
+        "conv_ending_audit": _conv_ending_audit_q,
+        "system_prompt_census": _system_prompt_census_q,
         "conv_length_outliers": _conv_length_outliers_q,
         # Deequ-style table analyzers: per-column profile (exact
         # distinct via value-hash-bucketed local dedup) and a
@@ -802,6 +804,19 @@ def _windowed_turn_dedup_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import windowed_turn_dedup
     return windowed_turn_dedup(_transcript_ds(
         sf_dir, columns=["conv_id", "turn_idx", "text", "ts"]))
+
+
+def _conv_ending_audit_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import conv_ending_audit
+    return conv_ending_audit(_transcript_ds(
+        sf_dir, columns=["conv_id", "turn_idx", "role"]))
+
+
+def _system_prompt_census_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import \
+        system_prompt_census
+    return system_prompt_census(_transcript_ds(
+        sf_dir, columns=["conv_id", "role", "text"]))
 
 
 def _conv_loss_mask_stats_q(sf_dir: str):
@@ -2416,6 +2431,37 @@ SELECT conv_id,
   CAST(SUM(fl) AS BIGINT) AS n_boiler,
   CAST((1000 * SUM(fl)) // COUNT(*) AS BIGINT) AS boiler_permille
 FROM f GROUP BY conv_id
+""",
+        # dialog completeness: trailing turns after the last
+        # assistant turn (no assistant turn -> all turns trail)
+        "conv_ending_audit": f"""
+WITH la AS (
+  SELECT conv_id,
+    max_by(role, turn_idx) AS last_role,
+    MAX(CASE WHEN role = 'assistant' THEN turn_idx END) AS last_asst
+  FROM read_parquet('{tr_glob}') GROUP BY conv_id)
+SELECT t.conv_id, la.last_role,
+  CAST(SUM(CASE WHEN t.turn_idx > COALESCE(la.last_asst, -1)
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_trailing,
+  SUM(CASE WHEN t.turn_idx > COALESCE(la.last_asst, -1)
+      THEN 1 ELSE 0 END) = 0 AS ends_with_assistant
+FROM read_parquet('{tr_glob}') t
+JOIN la ON la.conv_id = t.conv_id
+GROUP BY t.conv_id, la.last_role
+""",
+        # system-prompt census: normalized system turns grouped by md5
+        "system_prompt_census": f"""
+WITH n AS (
+  SELECT conv_id,
+    md5(regexp_replace(regexp_replace(lower(COALESCE(text, '')),
+      '{spec.EDGE_WS_PATTERN}', '', 'g'),
+      '{spec.WS_PLUS_PATTERN}', ' ', 'g')) AS sys_hash
+  FROM read_parquet('{tr_glob}') WHERE role = 'system')
+SELECT sys_hash,
+  CAST(COUNT(DISTINCT conv_id) AS BIGINT) AS n_convs,
+  CAST(COUNT(*) AS BIGINT) AS n_turns,
+  MIN(conv_id) AS canonical_conv_id
+FROM n GROUP BY sys_hash
 """,
         # SFT loss-mask audit: whitespace-token mass per role,
         # trainable fraction in exact permille

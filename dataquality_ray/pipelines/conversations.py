@@ -857,6 +857,121 @@ def conv_loss_mask_stats(ds, num_buckets: int = 0):
             .groupby("cb").map_groups(fold, batch_format="pyarrow"))
 
 
+def conv_ending_audit(ds, num_buckets: int = 0):
+    """(conv_id, last_role, n_trailing, ends_with_assistant): dialog
+    COMPLETENESS audit — SFT pipelines drop or truncate conversations
+    that do not end on an assistant turn (a trailing user question has
+    no supervised target; a trailing tool result is a dangling call).
+    n_trailing = turns strictly after the conversation's LAST assistant
+    turn (= n_turns when it has none) — i.e. how much to truncate to
+    recover a trainable dialog.
+
+    Shape: ONE conv-bucket shuffle of (conv_id, turn_idx, role); the
+    per-conv last-assistant index and trailing count complete locally —
+    flag columns first, plain sums in the agg (polars fast-path rule).
+    """
+    import hashlib
+
+    import polars as _pl
+
+    num_buckets = num_buckets or cluster_buckets(minimum=32)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        convs = batch["conv_id"].to_pylist()
+        cb = np.fromiter(
+            (int.from_bytes(hashlib.md5(c.encode()).digest()[:4],
+                            "little") % num_buckets for c in convs),
+            dtype=np.int32, count=len(convs))
+        return pa.table({
+            "cb": pa.array(cb),
+            "conv_id": batch["conv_id"],
+            "turn_idx": batch["turn_idx"],
+            "role": batch["role"],
+        })
+
+    def local(t: pa.Table) -> pa.Table:
+        d = (_pl.from_arrow(t.select(["conv_id", "turn_idx", "role"]))
+             .sort(["conv_id", "turn_idx"]))
+        d = d.with_columns(
+            ai=_pl.when(_pl.col("role") == "assistant")
+            .then(_pl.col("turn_idx")).otherwise(None))
+        la = (d.group_by("conv_id", maintain_order=True)
+              .agg(last_role=_pl.col("role").last(),
+                   last_asst=_pl.col("ai").max()))
+        d = (d.join(la, on="conv_id")
+             .with_columns(tr=(_pl.col("turn_idx")
+                               > _pl.col("last_asst").fill_null(-1))
+                           .cast(_pl.Int64)))
+        g = (d.group_by("conv_id", maintain_order=True)
+             .agg(last_role=_pl.col("last_role").first(),
+                  n_trailing=_pl.col("tr").sum())
+             .with_columns(
+                 ends_with_assistant=(_pl.col("n_trailing") == 0)))
+        return g.select(["conv_id", "last_role", "n_trailing",
+                         "ends_with_assistant"]).to_arrow()
+
+    return (ds.map_batches(slim, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("cb").map_groups(local, batch_format="pyarrow"))
+
+
+def system_prompt_census(ds, num_buckets: int = 0):
+    """(sys_hash, n_convs, n_turns, canonical_conv_id): the SYSTEM
+    PROMPT census — system-role turns grouped by the md5 of their
+    normalized text (the corpus-wide normalization chain). Production
+    transcript corpora accrete hundreds of near-identical system-prompt
+    variants; this is the table a template-consolidation or
+    dedup-by-template pass starts from. canonical_conv_id = min conv_id
+    of the group, for spot checks.
+
+    Shape: stateless filter+hash map, ONE hash-bucket shuffle, local
+    vectorized census per bucket (each hash lives in one bucket).
+    """
+    import polars as _pl
+    import pyarrow.compute as pc
+
+    from dataquality_ray.arrowutil import md5_digests
+    from dataquality_ray.spec import EDGE_WS_PATTERN, WS_PLUS_PATTERN
+
+    num_buckets = num_buckets or cluster_buckets(minimum=32)
+
+    def hash_map(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["role"], "system")
+        txt = batch["text"].filter(keep)
+        convs = batch["conv_id"].filter(keep)
+        norm = pc.replace_substring_regex(
+            pc.replace_substring_regex(
+                pc.utf8_lower(pc.fill_null(txt, "")),
+                EDGE_WS_PATTERN, ""),
+            WS_PLUS_PATTERN, " ")
+        if isinstance(norm, pa.ChunkedArray):
+            norm = norm.combine_chunks()
+        digests = md5_digests(norm)
+        hb = np.fromiter(
+            (int.from_bytes(d[:4], "little") % num_buckets
+             for d in digests), dtype=np.int32, count=len(digests))
+        return pa.table({
+            "hb": pa.array(hb),
+            "sys_hash": pa.array([d.hex() for d in digests],
+                                 pa.string()),
+            "conv_id": convs,
+        })
+
+    def census(t: pa.Table) -> pa.Table:
+        g = (_pl.from_arrow(t.select(["sys_hash", "conv_id"]))
+             .group_by("sys_hash")
+             .agg(n_convs=_pl.col("conv_id").n_unique()
+                  .cast(_pl.Int64),
+                  n_turns=_pl.len().cast(_pl.Int64),
+                  canonical_conv_id=_pl.col("conv_id").min()))
+        return g.select(["sys_hash", "n_convs", "n_turns",
+                         "canonical_conv_id"]).to_arrow()
+
+    return (ds.map_batches(hash_map, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("hb").map_groups(census, batch_format="pyarrow"))
+
+
 LEN_OUTLIER_MAD_MULT = 5    # dev > MULT*mad -> outlier ...
 LEN_OUTLIER_ABS_FLOOR = 50  # ... and dev > floor (guards mad == 0)
 
