@@ -299,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_kept_documents": D.near_dup_kept_documents,
         "near_dup_longest_kept_documents": D.near_dup_longest_kept_documents,
         "dup_cluster_size_histogram": D.dup_cluster_size_histogram,
+        "quality_length_matrix": D.quality_length_matrix,
         # duplication provenance: near-dup pair mass per unordered
         # source pair (diagonal = within-source template reuse)
         "near_dup_source_matrix": D.near_dup_source_matrix,
@@ -458,6 +459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # repeats within the 7-day horizon are duplicates)
         "windowed_turn_dedup": _windowed_turn_dedup_q,
         "conv_boilerplate_turns": _conv_boilerplate_turns_q,
+        "conv_boilerplate_removed_docs": _conv_boilerplate_removed_q,
         "conv_loss_mask_stats": _conv_loss_mask_stats_q,
         "conv_ending_audit": _conv_ending_audit_q,
         "system_prompt_census": _system_prompt_census_q,
@@ -804,6 +806,13 @@ def _windowed_turn_dedup_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import windowed_turn_dedup
     return windowed_turn_dedup(_transcript_ds(
         sf_dir, columns=["conv_id", "turn_idx", "text", "ts"]))
+
+
+def _conv_boilerplate_removed_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import \
+        conv_boilerplate_removed_docs
+    return conv_boilerplate_removed_docs(_transcript_ds(
+        sf_dir, columns=["conv_id", "turn_idx", "text"]))
 
 
 def _conv_ending_audit_q(sf_dir: str):
@@ -2430,6 +2439,30 @@ SELECT conv_id,
   CAST(COUNT(*) AS BIGINT) AS n_turns,
   CAST(SUM(fl) AS BIGINT) AS n_boiler,
   CAST((1000 * SUM(fl)) // COUNT(*) AS BIGINT) AS boiler_permille
+FROM f GROUP BY conv_id
+""",
+        # removal surface of the boilerplate rule: raw text of
+        # surviving turns, newline-joined in turn order
+        "conv_boilerplate_removed_docs": f"""
+WITH n AS (
+  SELECT conv_id, turn_idx, COALESCE(text, '') AS raw,
+    regexp_replace(regexp_replace(lower(text),
+      '{spec.EDGE_WS_PATTERN}', '', 'g'),
+      '{spec.WS_PLUS_PATTERN}', ' ', 'g') AS s
+  FROM read_parquet('{tr_glob}')),
+g AS (
+  SELECT s, COUNT(DISTINCT conv_id) AS nc
+  FROM n WHERE length(s) > 0 GROUP BY s),
+f AS (
+  SELECT n.conv_id, n.turn_idx, n.raw,
+    NOT (length(n.s) > 0 AND COALESCE(g.nc, 0) > {BOILER_CONV_CAP})
+      AS keep
+  FROM n LEFT JOIN g ON g.s = n.s)
+SELECT conv_id,
+  CAST(COUNT(*) AS BIGINT) AS n_turns,
+  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  COALESCE(string_agg(CASE WHEN keep THEN raw END, chr(10)
+                      ORDER BY turn_idx), '') AS kept_text
 FROM f GROUP BY conv_id
 """,
         # dialog completeness: trailing turns after the last
@@ -4069,6 +4102,14 @@ r(key, lab) AS (
 c AS (SELECT key, MIN(lab) AS cluster FROM r GROUP BY key)
 SELECT doc_id FROM documents
 WHERE doc_id NOT IN (SELECT key FROM c WHERE key <> cluster)
+""",
+        # joint quality x length grid over the shared quality CTE
+        "quality_length_matrix": _QUALITY_CTE + """
+SELECT CAST(overall // 10 AS BIGINT) AS score_bucket,
+  CAST(CASE WHEN n_chars = 0 THEN 0
+       ELSE length(printf('%b', n_chars)) END AS BIGINT) AS len_bucket,
+  CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM q GROUP BY 1, 2
 """,
         # component-size histogram over the same recursive CTE
         "dup_cluster_size_histogram": f"""

@@ -1148,6 +1148,94 @@ def conv_boilerplate_turns(ds, cap: int = BOILER_CONV_CAP,
                                       batch_format="pyarrow"))
 
 
+def conv_boilerplate_removed_docs(ds, cap: int = BOILER_CONV_CAP,
+                                  num_buckets: int = 0):
+    """(conv_id, n_turns, n_kept, kept_text): the REMOVAL surface of
+    conv_boilerplate_turns — conversations reassembled from their
+    non-boilerplate turns (raw text, newline-joined, turn order
+    preserved). The counts operator tells you how much boilerplate a
+    corpus carries; this one is the pipeline a user actually runs to
+    produce the cleaned corpus.
+
+    Shape (the global_sentence_dedup topology at turn grain): raw text
+    rides ONE hash-bucket shuffle (flag completes locally per hash),
+    then ONE conv-bucket shuffle reassembles in turn order. Empty-
+    normalized turns are never boilerplate and bucket by conv hash to
+    avoid the single-bucket skew.
+    """
+    import polars as _pl
+    import pyarrow.compute as pc
+
+    from dataquality_ray.arrowutil import md5_digests
+    from dataquality_ray.spec import EDGE_WS_PATTERN, WS_PLUS_PATTERN
+
+    num_buckets = num_buckets or cluster_buckets(minimum=32)
+
+    def hash_map(batch: pa.Table) -> pa.Table:
+        norm = pc.replace_substring_regex(
+            pc.replace_substring_regex(
+                pc.utf8_lower(batch["text"]), EDGE_WS_PATTERN, ""),
+            WS_PLUS_PATTERN, " ")
+        norm = pc.fill_null(norm, "")
+        if isinstance(norm, pa.ChunkedArray):
+            norm = norm.combine_chunks()
+        digests = md5_digests(norm)
+        convs = batch["conv_id"].to_pylist()
+        n = len(convs)
+        empty = pc.equal(pc.utf8_length(norm), 0).to_numpy(
+            zero_copy_only=False)
+        from zlib import crc32
+        hb = np.fromiter(
+            ((int.from_bytes(digests[i][:4], "little")
+              if not empty[i] else crc32(convs[i].encode()))
+             % num_buckets for i in range(n)),
+            dtype=np.int32, count=n)
+        return pa.table({
+            "hb": pa.array(hb),
+            "ch": pa.array([d.hex() if not e else ""
+                            for d, e in zip(digests, empty)],
+                           pa.string()),
+            "conv_id": pa.array(convs, pa.string()),
+            "turn_idx": batch["turn_idx"],
+            "text": pc.fill_null(batch["text"], ""),
+        })
+
+    def flag_bucket(t: pa.Table) -> pa.Table:
+        df = _pl.from_arrow(t.select(["ch", "conv_id", "turn_idx",
+                                      "text"]))
+        hot = (df.filter(_pl.col("ch") != "")
+               .group_by("ch")
+               .agg(_pl.col("conv_id").n_unique().alias("nc"))
+               .filter(_pl.col("nc") > cap)["ch"])
+        out = df.with_columns(
+            keep=~((_pl.col("ch") != "")
+                   & _pl.col("ch").is_in(hot.implode())),
+            cb=(_pl.col("conv_id").hash(seed=0)
+                % num_buckets).cast(_pl.Int32))
+        return out.select(["cb", "conv_id", "turn_idx", "text",
+                           "keep"]).to_arrow()
+
+    def assemble(t: pa.Table) -> pa.Table:
+        d = (_pl.from_arrow(t.select(["conv_id", "turn_idx", "text",
+                                      "keep"]))
+             .sort(["conv_id", "turn_idx"]))
+        g = (d.group_by("conv_id", maintain_order=True)
+             .agg(n_turns=_pl.len().cast(_pl.Int64),
+                  n_kept=_pl.col("keep").sum().cast(_pl.Int64),
+                  kept_text=_pl.col("text").filter(_pl.col("keep"))
+                  .str.join("\n")))
+        g = g.with_columns(_pl.col("kept_text").fill_null(""))
+        return g.select(["conv_id", "n_turns", "n_kept",
+                         "kept_text"]).to_arrow()
+
+    return (ds.map_batches(hash_map, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("hb").map_groups(flag_bucket,
+                                      batch_format="pyarrow")
+            .groupby("cb").map_groups(assemble,
+                                      batch_format="pyarrow"))
+
+
 CONV_NEAR_DUP_JACCARD_MILLI = 500   # pairs kept at Jaccard >= 0.5
 # Boilerplate df cap: a normalized turn text occurring in more than
 # this many DISTINCT conversations carries no retake evidence (it is

@@ -812,6 +812,48 @@ def near_dup_longest_kept_documents(sf_dir: str,
         batch_format="pyarrow")
 
 
+def quality_length_matrix(sf_dir: str,
+                          cfg: PipelineConfig = DEFAULT_CONFIG):
+    """(score_bucket, len_bucket, n_docs): the joint
+    quality-score × length distribution — score_bucket =
+    overall_quality_score // 10 (0..10), len_bucket = exact bit length
+    of n_chars (0 for empty docs, same integer binary search as
+    doc_length_histogram — float log2 misrounds near powers of two).
+    The 2-D table a curriculum / filtering planner reads to see whether
+    "low quality" is just "short" (and pick thresholds per length band
+    instead of one global cutoff).
+
+    Shape: per-batch bincount partials over a bounded 11×~64 grid, one
+    tiny grid-keyed aggregate — nothing corpus-proportional moves.
+    """
+    from ray.data.aggregate import Sum
+
+    scored = quality_documents(sf_dir, cfg)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        sb = (batch["overall_quality_score"]
+              .to_numpy(zero_copy_only=False).astype(np.int64) // 10)
+        n = batch["n_chars"].to_numpy(zero_copy_only=False) \
+            .astype(np.uint64)
+        bitlen = np.zeros(len(n), dtype=np.int64)
+        v = n.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            big = v >= np.uint64(1 << shift)
+            bitlen[big] += shift
+            v[big] >>= np.uint64(shift)
+        bitlen[n > 0] += 1
+        g = (pl.DataFrame({"score_bucket": pl.Series(sb),
+                           "len_bucket": pl.Series(bitlen)})
+             .group_by(["score_bucket", "len_bucket"])
+             .agg(n=pl.len().cast(pl.Int64)))
+        return g.to_arrow()
+
+    return (scored.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby(["score_bucket", "len_bucket"])
+            .aggregate(Sum("n", alias_name="n_docs")))
+
+
 def dup_cluster_size_histogram(sf_dir: str, num_buckets: int = 64):
     """(cluster_size, n_clusters): the size distribution of near-dup
     connected components — the first chart a dedup audit draws (a few
