@@ -463,6 +463,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_loss_mask_stats": _conv_loss_mask_stats_q,
         "conv_ending_audit": _conv_ending_audit_q,
         "system_prompt_census": _system_prompt_census_q,
+        "role_length_profile": _role_length_profile_q,
         "conv_length_outliers": _conv_length_outliers_q,
         # Deequ-style table analyzers: per-column profile (exact
         # distinct via value-hash-bucketed local dedup) and a
@@ -806,6 +807,12 @@ def _windowed_turn_dedup_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import windowed_turn_dedup
     return windowed_turn_dedup(_transcript_ds(
         sf_dir, columns=["conv_id", "turn_idx", "text", "ts"]))
+
+
+def _role_length_profile_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import role_length_profile
+    return role_length_profile(_transcript_ds(
+        sf_dir, columns=["role", "text"]))
 
 
 def _conv_boilerplate_removed_q(sf_dir: str):
@@ -2440,6 +2447,20 @@ SELECT conv_id,
   CAST(SUM(fl) AS BIGINT) AS n_boiler,
   CAST((1000 * SUM(fl)) // COUNT(*) AS BIGINT) AS boiler_permille
 FROM f GROUP BY conv_id
+""",
+        # dataset-card length profile by role: exact discrete
+        # quantiles (quantile_disc rule sorted[ceil(q*n)-1])
+        "role_length_profile": f"""
+WITH t AS (
+  SELECT role,
+    CAST(length(COALESCE(text, '')) AS BIGINT) AS l
+  FROM read_parquet('{tr_glob}'))
+SELECT role,
+  CAST(COUNT(*) AS BIGINT) AS n_turns,
+  CAST(quantile_disc(l, 0.5) AS BIGINT) AS med_len,
+  CAST(quantile_disc(l, 0.9) AS BIGINT) AS p90_len,
+  CAST(MAX(l) AS BIGINT) AS max_len
+FROM t GROUP BY role
 """,
         # removal surface of the boilerplate rule: raw text of
         # surviving turns, newline-joined in turn order

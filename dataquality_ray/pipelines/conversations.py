@@ -972,6 +972,59 @@ def system_prompt_census(ds, num_buckets: int = 0):
             .groupby("hb").map_groups(census, batch_format="pyarrow"))
 
 
+def role_length_profile(ds):
+    """(role, n_turns, med_len, p90_len, max_len): the dataset-card
+    length profile BY ROLE — exact discrete quantiles
+    (sorted[ceil(q*n)-1], DuckDB quantile_disc's rule, pinned by test)
+    computed from a value HISTOGRAM, never by co-locating a role's
+    turns: per-role turn counts are corpus-proportional and the
+    role key space is tiny (4 values), so a role-keyed shuffle would
+    put ~25% of the corpus in one task. Per-batch (role, len) sparse
+    bincount partials reduce to a #distinct-lengths-bounded table; the
+    quantile scan over cumulative counts runs on that tiny aggregate.
+    """
+    import polars as _pl
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (_pl.DataFrame({
+            "role": _pl.from_arrow(batch["role"]),
+            "l": _pl.from_arrow(pc.cast(pc.utf8_length(
+                pc.fill_null(batch["text"], "")), pa.int64())),
+        }).group_by(["role", "l"])
+            .agg(n=_pl.len().cast(_pl.Int64)))
+        return g.to_arrow()
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["role", "l"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas())    # #roles x #distinct lengths — tiny
+
+    out = []
+    for role, g in hist.groupby("role", sort=True):
+        g = g.sort_values("l")
+        lens = g["l"].to_numpy().astype(np.int64)
+        cnt = g["n"].to_numpy().astype(np.int64)
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+
+        def disc(q_num: int, q_den: int) -> int:
+            rank = (q_num * n + q_den - 1) // q_den   # ceil(q*n)
+            return int(lens[np.searchsorted(cum, rank)])
+
+        out.append((role, n, disc(1, 2), disc(9, 10), int(lens[-1])))
+    return pa.table({
+        "role": pa.array([r[0] for r in out], pa.string()),
+        "n_turns": pa.array([r[1] for r in out], pa.int64()),
+        "med_len": pa.array([r[2] for r in out], pa.int64()),
+        "p90_len": pa.array([r[3] for r in out], pa.int64()),
+        "max_len": pa.array([r[4] for r in out], pa.int64()),
+    })
+
+
 LEN_OUTLIER_MAD_MULT = 5    # dev > MULT*mad -> outlier ...
 LEN_OUTLIER_ABS_FLOOR = 50  # ... and dev > floor (guards mad == 0)
 
