@@ -362,3 +362,30 @@ def test_conv_boilerplate_turns_edges(ray_session):
     assert got.loc["c", "n_boiler"] == 1
     assert got.loc["d", "n_boiler"] == 0          # empty never boiler
     assert got.loc["d", "boiler_permille"] == 0
+
+
+def test_role_length_profile_quantile_rule(ray_session):
+    """The exact-histogram quantile must follow DuckDB quantile_disc's
+    rule (sorted[ceil(q*n)-1]) — pinned against duckdb on an
+    adversarial multiset (duplicates + skew + an even count)."""
+    import duckdb
+    import pyarrow as pa
+
+    from dataquality_ray.pipelines.conversations import (
+        role_length_profile,
+    )
+
+    lens = [0, 0, 3, 3, 3, 7, 100, 100, 2, 1]   # n=10, ties, skew
+    tbl = pa.table({
+        "role": pa.array(["user"] * len(lens)),
+        "text": pa.array(["x" * n for n in lens]),
+    })
+    got = role_length_profile(ray.data.from_arrow(tbl))
+    got = got.to_pandas() if hasattr(got, "to_pandas") else got
+    want = duckdb.connect().execute(
+        "SELECT CAST(quantile_disc(l, 0.5) AS BIGINT),"
+        " CAST(quantile_disc(l, 0.9) AS BIGINT), MAX(l)"
+        " FROM (SELECT unnest(?) AS l)", [lens]).fetchone()
+    row = got.iloc[0]
+    assert (row["med_len"], row["p90_len"], row["max_len"]) == want
+    assert row["n_turns"] == len(lens)
