@@ -464,6 +464,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_ending_audit": _conv_ending_audit_q,
         "system_prompt_census": _system_prompt_census_q,
         "role_length_profile": _role_length_profile_q,
+        "conv_pii_stats": _conv_pii_stats_q,
         "conv_length_outliers": _conv_length_outliers_q,
         # Deequ-style table analyzers: per-column profile (exact
         # distinct via value-hash-bucketed local dedup) and a
@@ -807,6 +808,12 @@ def _windowed_turn_dedup_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import windowed_turn_dedup
     return windowed_turn_dedup(_transcript_ds(
         sf_dir, columns=["conv_id", "turn_idx", "text", "ts"]))
+
+
+def _conv_pii_stats_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import conv_pii_stats
+    return conv_pii_stats(_transcript_ds(
+        sf_dir, columns=["conv_id", "text"]))
 
 
 def _role_length_profile_q(sf_dir: str):
@@ -2447,6 +2454,27 @@ SELECT conv_id,
   CAST(SUM(fl) AS BIGINT) AS n_boiler,
   CAST((1000 * SUM(fl)) // COUNT(*) AS BIGINT) AS boiler_permille
 FROM f GROUP BY conv_id
+""",
+        # per-conversation PII exposure: sequential rule counting
+        # (each rule counts on the text AFTER earlier replacements,
+        # identical to stages/scrub.scrub_batch)
+        "conv_pii_stats": f"""
+WITH t AS (
+  SELECT conv_id,
+    len(regexp_extract_all(COALESCE(text, ''), '{_EMAIL}')) AS e,
+    len(regexp_extract_all(regexp_replace(COALESCE(text, ''),
+        '{_EMAIL}', '<EMAIL>', 'g'), '{_SSN}')) AS s,
+    len(regexp_extract_all(regexp_replace(regexp_replace(
+        COALESCE(text, ''), '{_EMAIL}', '<EMAIL>', 'g'),
+        '{_SSN}', '<SSN>', 'g'), '{_PHONE}')) AS p
+  FROM read_parquet('{tr_glob}'))
+SELECT conv_id,
+  CAST(SUM(e) AS BIGINT) AS n_email,
+  CAST(SUM(p) AS BIGINT) AS n_phone,
+  CAST(SUM(s) AS BIGINT) AS n_ssn,
+  CAST(SUM(CASE WHEN e + p + s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_pii_turns
+FROM t GROUP BY conv_id
 """,
         # dataset-card length profile by role: exact discrete
         # quantiles (quantile_disc rule sorted[ceil(q*n)-1])

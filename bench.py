@@ -120,7 +120,18 @@ def _query_benches(sf_dir: str) -> dict:
              "source_token_fertility", "conv_session_splits",
              "conv_loop_turns", "turn_echo_jaccard",
              "conv_prefix_dup_groups", "tool_transition_stats",
-             "conv_ttr_stats", "gopher_quality_documents"]
+             "conv_ttr_stats", "gopher_quality_documents",
+             "c4_line_filtered_documents", "mojibake_documents",
+             "conv_markdown_stats", "doc_compression_gate",
+             "bm25_top_docs", "winnow_dup_pairs",
+             "conv_boilerplate_turns", "conv_boilerplate_removed_docs",
+             "conv_loss_mask_stats", "conv_length_outliers",
+             "conv_ending_audit", "system_prompt_census",
+             "role_length_profile", "prototype_pruned_embeddings",
+             "cluster_balanced_sample_embeddings",
+             "near_dup_longest_kept_documents",
+             "dup_cluster_size_histogram", "quality_length_matrix",
+             "conv_pii_stats"]
     out = {}
     for name in names:
         t0 = time.time()

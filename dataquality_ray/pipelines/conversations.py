@@ -972,6 +972,75 @@ def system_prompt_census(ds, num_buckets: int = 0):
             .groupby("hb").map_groups(census, batch_format="pyarrow"))
 
 
+def conv_pii_stats(ds, num_buckets: int = 0):
+    """(conv_id, n_email, n_phone, n_ssn, n_pii_turns): per-conversation
+    PII exposure audit — match counts for the frozen spec.PII_RULES
+    (RE2 on both engines, same pattern strings as the scrub stage) and
+    the number of turns touching ANY rule. The gate a transcript corpus
+    runs before release: conversations above a PII budget get routed to
+    scrubbing (stages/scrub.scrub_batch) or quarantine.
+
+    Counting note: rules count SEQUENTIALLY on the scrubbed-so-far text
+    (identical to scrub_batch / sequential re.subn), so a phone-shaped
+    substring inside an email match is not double-counted.
+
+    Shape: per-batch zero-copy pc.count_substring_regex + per-(conv)
+    integer partials, ONE conv-bucket shuffle, local fold (the
+    role_tool_stats template).
+    """
+    import hashlib
+
+    import polars as _pl
+    import pyarrow.compute as pc
+
+    from dataquality_ray.spec import PII_RULES
+
+    num_buckets = num_buckets or cluster_buckets(minimum=32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch["text"], "")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        counts = {}
+        for name, pattern, replacement in PII_RULES:
+            counts[name] = pc.cast(
+                pc.count_substring_regex(text, pattern),
+                pa.int64()).to_numpy(zero_copy_only=False)
+            text = pc.replace_substring_regex(text, pattern,
+                                              replacement)
+        any_pii = (counts["email"] + counts["phone"]
+                   + counts["ssn"]) > 0
+        g = (_pl.DataFrame({
+            "conv_id": _pl.from_arrow(batch["conv_id"]),
+            "e": _pl.Series(counts["email"]),
+            "p": _pl.Series(counts["phone"]),
+            "s": _pl.Series(counts["ssn"]),
+            "t": _pl.Series(any_pii.astype(np.int64)),
+        }).group_by("conv_id")
+            .agg(_pl.col("e").sum(), _pl.col("p").sum(),
+                 _pl.col("s").sum(), _pl.col("t").sum()))
+        cb = np.fromiter(
+            (int.from_bytes(hashlib.md5(c.encode()).digest()[:4],
+                            "little") % num_buckets
+             for c in g["conv_id"]),
+            dtype=np.int32, count=g.height)
+        return g.with_columns(cb=_pl.Series(cb)).to_arrow()
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = (_pl.from_arrow(t.select(["conv_id", "e", "p", "s", "t"]))
+             .group_by("conv_id")
+             .agg(n_email=_pl.col("e").sum(),
+                  n_phone=_pl.col("p").sum(),
+                  n_ssn=_pl.col("s").sum(),
+                  n_pii_turns=_pl.col("t").sum()))
+        return g.select(["conv_id", "n_email", "n_phone", "n_ssn",
+                         "n_pii_turns"]).to_arrow()
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("cb").map_groups(fold, batch_format="pyarrow"))
+
+
 def role_length_profile(ds):
     """(role, n_turns, med_len, p90_len, max_len): the dataset-card
     length profile BY ROLE — exact discrete quantiles
