@@ -798,9 +798,15 @@ def near_dup_longest_kept_documents(sf_dir: str,
             "dropped": pa.array([True] * drops.height),
         })
 
+    # materialize: the drop list is tiny, and WITHOUT this barrier the
+    # two hash joins coexist in one streaming DAG — 2×num_partitions
+    # aggregator actors starve the map tasks on a small cluster
+    # (reproduced: full-gate deadlock at the 4-cpu test session;
+    # CLAUDE.md chained-join invariant)
     drop = (mem.map_batches(add_bucket, batch_format="pyarrow")
             .groupby("cb")
-            .map_groups(drops_bucket, batch_format="pyarrow"))
+            .map_groups(drops_bucket, batch_format="pyarrow")
+            .materialize())
 
     joined = _docs(sf_dir, columns=["doc_id"]).join(
         drop.repartition(num_partitions), join_type="left_outer",
