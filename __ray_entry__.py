@@ -465,6 +465,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "system_prompt_census": _system_prompt_census_q,
         "role_length_profile": _role_length_profile_q,
         "conv_pii_stats": _conv_pii_stats_q,
+        "tool_latency_histogram": _tool_latency_histogram_q,
         "conv_length_outliers": _conv_length_outliers_q,
         # Deequ-style table analyzers: per-column profile (exact
         # distinct via value-hash-bucketed local dedup) and a
@@ -808,6 +809,13 @@ def _windowed_turn_dedup_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import windowed_turn_dedup
     return windowed_turn_dedup(_transcript_ds(
         sf_dir, columns=["conv_id", "turn_idx", "text", "ts"]))
+
+
+def _tool_latency_histogram_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import \
+        tool_latency_histogram
+    return tool_latency_histogram(_transcript_ds(
+        sf_dir, columns=["conv_id", "turn_idx", "role", "tool", "ts"]))
 
 
 def _conv_pii_stats_q(sf_dir: str):
@@ -2454,6 +2462,26 @@ SELECT conv_id,
   CAST(SUM(fl) AS BIGINT) AS n_boiler,
   CAST((1000 * SUM(fl)) // COUNT(*) AS BIGINT) AS boiler_permille
 FROM f GROUP BY conv_id
+""",
+        # tool-call latency histogram: LAG within conversation,
+        # exact bit-length buckets of the microsecond gap
+        "tool_latency_histogram": f"""
+WITH o AS (
+  SELECT conv_id, turn_idx, role, tool, epoch_us(ts) AS ts_us,
+    LAG(role) OVER w AS prev_role,
+    LAG(epoch_us(ts)) OVER w AS prev_ts
+  FROM read_parquet('{tr_glob}')
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+g AS (
+  SELECT tool, ts_us - prev_ts AS gap FROM o
+  WHERE role = 'tool' AND prev_role = 'assistant'),
+b AS (
+  SELECT tool,
+    CAST(CASE WHEN gap <= 0 THEN 0
+         ELSE length(printf('%b', gap)) END AS BIGINT) AS gap_bucket
+  FROM g)
+SELECT tool, gap_bucket, CAST(COUNT(*) AS BIGINT) AS n_calls
+FROM b GROUP BY tool, gap_bucket
 """,
         # per-conversation PII exposure: sequential rule counting
         # (each rule counts on the text AFTER earlier replacements,

@@ -131,7 +131,7 @@ def _query_benches(sf_dir: str) -> dict:
              "cluster_balanced_sample_embeddings",
              "near_dup_longest_kept_documents",
              "dup_cluster_size_histogram", "quality_length_matrix",
-             "conv_pii_stats"]
+             "conv_pii_stats", "tool_latency_histogram"]
     out = {}
     for name in names:
         t0 = time.time()

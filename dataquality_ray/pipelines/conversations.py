@@ -972,6 +972,81 @@ def system_prompt_census(ds, num_buckets: int = 0):
             .groupby("hb").map_groups(census, batch_format="pyarrow"))
 
 
+def tool_latency_histogram(ds, num_buckets: int = 0):
+    """(tool, gap_bucket, n_calls): tool-call LATENCY profile for agent
+    trajectories — for every 'tool' turn directly preceded (turn_idx
+    order) by an 'assistant' turn in the same conversation, the ts gap
+    to that call, bucketed by exact bit length of the microsecond gap
+    (bucket 0 for gaps <= 0, i.e. clock regressions). A histogram
+    TABLE, not per-tool quantiles: per-tool exact quantiles would
+    either co-locate each tool's calls (few hot keys ~ whole corpus) or
+    ship unbounded distinct-gap cells; the |tools| × ~64 grid is
+    bounded by construction and quantiles read off its cumsum.
+
+    Shape: ONE conv-bucket shuffle of slim rows; the LAG is a
+    whole-frame shift + same-conv mask after one sort (the pinned
+    polars fast-path shape); per-bucket partial histograms fold in a
+    tiny grid-keyed aggregate.
+    """
+    import hashlib
+
+    import polars as _pl
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    num_buckets = num_buckets or cluster_buckets(minimum=32)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        convs = batch["conv_id"].to_pylist()
+        cb = np.fromiter(
+            (int.from_bytes(hashlib.md5(c.encode()).digest()[:4],
+                            "little") % num_buckets for c in convs),
+            dtype=np.int32, count=len(convs))
+        return pa.table({
+            "cb": pa.array(cb),
+            "conv_id": batch["conv_id"],
+            "turn_idx": batch["turn_idx"],
+            "role": batch["role"],
+            "tool": batch["tool"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+        })
+
+    def local(t: pa.Table) -> pa.Table:
+        d = (_pl.from_arrow(t.select(["conv_id", "turn_idx", "role",
+                                      "tool", "ts_us"]))
+             .sort(["conv_id", "turn_idx"]))
+        d = d.with_columns(
+            prev_role=_pl.col("role").shift(1),
+            prev_ts=_pl.col("ts_us").shift(1),
+            same=_pl.col("conv_id") == _pl.col("conv_id").shift(1))
+        d = d.filter(_pl.col("same").fill_null(False)
+                     & (_pl.col("role") == "tool")
+                     & (_pl.col("prev_role") == "assistant"))
+        gap = (d["ts_us"] - d["prev_ts"]).to_numpy()
+        pos = gap > 0
+        v = np.where(pos, gap, 1).astype(np.uint64)
+        bitlen = np.zeros(len(v), dtype=np.int64)
+        w = v.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            big = w >= np.uint64(1 << shift)
+            bitlen[big] += shift
+            w[big] >>= np.uint64(shift)
+        bitlen += 1
+        bitlen[~pos] = 0
+        g = (_pl.DataFrame({"tool": d["tool"],
+                            "gap_bucket": _pl.Series(bitlen)})
+             .group_by(["tool", "gap_bucket"])
+             .agg(n=_pl.len().cast(_pl.Int64)))
+        return g.to_arrow()
+
+    return (ds.map_batches(slim, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("cb").map_groups(local, batch_format="pyarrow")
+            .groupby(["tool", "gap_bucket"])
+            .aggregate(Sum("n", alias_name="n_calls")))
+
+
 def conv_pii_stats(ds, num_buckets: int = 0):
     """(conv_id, n_email, n_phone, n_ssn, n_pii_turns): per-conversation
     PII exposure audit — match counts for the frozen spec.PII_RULES
