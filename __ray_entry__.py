@@ -410,6 +410,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # weight-biased sampling — both SQL-checked
         "pagerank_near_dup": D.pagerank_near_dup,
         "weighted_sample_documents": D.weighted_sample_documents,
+        # k-anonymity audit over released metadata quasi-identifiers
+        "k_anonymity_documents": D.k_anonymity_documents,
+        # data-constrained repetition (epoch) planning per source
+        "epoch_plan_by_source": D.epoch_plan_by_source,
+        # balanced training-shard plan (longest-first round-robin)
+        "shard_plan_documents": D.shard_plan_documents,
         "event_outliers": M.event_outliers,
         "approx_event_percentiles": M.approx_event_percentiles,
         # two-sample KS drift (first vs second half of the timeline)
@@ -466,6 +472,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "role_length_profile": _role_length_profile_q,
         "conv_pii_stats": _conv_pii_stats_q,
         "tool_latency_histogram": _tool_latency_histogram_q,
+        # preference-pair mining (DPO-style chosen/rejected per conv)
+        "conv_preference_pairs": _conv_preference_pairs_q,
         "conv_length_outliers": _conv_length_outliers_q,
         # Deequ-style table analyzers: per-column profile (exact
         # distinct via value-hash-bucketed local dedup) and a
@@ -612,6 +620,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SemDeDup (Abbas et al. 2023): cluster-local cosine dedup —
         # SQL-checked end to end (assignment + drop decisions)
         "semantic_dedup_embeddings": D.semantic_dedup_embeddings,
+        # product quantization: codes + asymmetric-distance top-k,
+        # EXACT int8 arithmetic end to end (both SQL-checked)
+        "pq_codes_embeddings": D.pq_codes_embeddings,
+        "pq_ann_topk_embeddings": D.pq_ann_topk_embeddings,
         # --- transcripts: flagship pipeline (rows-only; pytest-verified
         #     against the single-process oracle labeler) ---
         "transcript_pipeline": transcript_pipeline,
@@ -828,6 +840,14 @@ def _role_length_profile_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import role_length_profile
     return role_length_profile(_transcript_ds(
         sf_dir, columns=["role", "text"]))
+
+
+def _conv_preference_pairs_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import \
+        conv_preference_pairs
+    return conv_preference_pairs(_transcript_ds(
+        sf_dir, columns=["conv_id", "turn_idx", "role", "text", "ts"]),
+        cfg=CFG)
 
 
 def _conv_boilerplate_removed_q(sf_dir: str):
@@ -4847,5 +4867,162 @@ SELECT CAST(t.threshold AS BIGINT) AS threshold,
         WHERE overall_quality_score >= t.threshold) * 1000000
        // GREATEST(n.total, 1) AS BIGINT) AS kept_ppm
 FROM t, n
+"""
+    # --- round-5 session-8 batch: preference mining, privacy audit,
+    #     repetition planning, shard balancing, product quantization ---
+    import os
+
+    from dataquality_ray.fixtures import transcripts_path as _tr_path
+    from dataquality_ray.pipelines.conversations import (
+        _PREF_TSPAN as _PTS,
+    )
+    from dataquality_ray.pipelines.documents import (
+        ANN_K as _PQ_ANN_K,
+        ANN_QUERY_IDS as _PQ_QIDS,
+        EPOCH_BUDGET_MULT,
+        INT8_SCALE as _PQ_INT8,
+        K_ANON,
+        MAX_EPOCHS,
+        MIXTURE_SQRT_SCALE as _EP_SCALE,
+        N_SHARDS,
+        PQ_K,
+        PQ_SUB,
+    )
+    _tr_glob = os.path.join(_tr_path(20_000, seed=CFG.seed), "*.parquet")
+    # preference-pair mining: hscore = the six SQL dims of the
+    # turn-quality oracle; packed-key argmax/argmin (ties -> lower
+    # turn_idx) identical to the Ray fold's integer arithmetic
+    sql["conv_preference_pairs"] = f"""
+WITH q AS ({sql['transcript_turn_quality']}),
+r AS (SELECT conv_id, turn_idx, role FROM read_parquet('{_tr_glob}')),
+a AS (
+  SELECT q.conv_id, CAST(q.turn_idx AS BIGINT) AS ti,
+    CAST(q.length_score + q.repetition_score + q.symbol_score
+       + q.boilerplate_score + q.toxicity_score + q.timeliness_score
+       AS BIGINT) AS h
+  FROM q JOIN r ON r.conv_id = q.conv_id AND r.turn_idx = q.turn_idx
+  WHERE r.role = 'assistant'),
+g AS (
+  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_assistant,
+    MAX(h * {_PTS} + ({_PTS} - 1 - ti)) AS km,
+    MIN(h * {_PTS} + ti) AS kn
+  FROM a GROUP BY conv_id)
+SELECT conv_id, n_assistant,
+  CAST({_PTS} - 1 - (km % {_PTS}) AS BIGINT) AS chosen_idx,
+  CAST(km // {_PTS} AS BIGINT) AS chosen_score,
+  CAST(kn % {_PTS} AS BIGINT) AS rejected_idx,
+  CAST(kn // {_PTS} AS BIGINT) AS rejected_score,
+  CAST(km // {_PTS} - kn // {_PTS} AS BIGINT) AS margin
+FROM g
+WHERE n_assistant >= 2 AND km // {_PTS} > kn // {_PTS}
+"""
+    # k-anonymity over (lang, source, exact bit-length bucket)
+    sql["k_anonymity_documents"] = f"""
+WITH t AS (
+  SELECT lang, source,
+    CAST(CASE WHEN n_chars <= 0 THEN 0
+         ELSE length(printf('%b', n_chars)) END AS BIGINT)
+      AS len_bucket
+  FROM documents)
+SELECT lang, source, len_bucket,
+  CAST(COUNT(*) AS BIGINT) AS group_size,
+  COUNT(*) >= {K_ANON} AS k_anonymous
+FROM t GROUP BY lang, source, len_bucket
+"""
+    # data-constrained epoch plan: HUGEINT keeps MULT*total*sq exact
+    # (the Ray side uses Python big ints on the driver)
+    sql["epoch_plan_by_source"] = f"""
+WITH g AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS c
+  FROM documents GROUP BY source),
+w AS (SELECT source, c,
+    CAST(floor(sqrt(c * {float(_EP_SCALE)})) AS BIGINT) AS sq
+  FROM g),
+t AS (SELECT *,
+    (SELECT GREATEST(SUM(sq), 1) FROM w) AS tot_sq,
+    (SELECT SUM(c) FROM w) AS tot_c
+  FROM w),
+a AS (SELECT source, c,
+    CAST(({EPOCH_BUDGET_MULT}::HUGEINT * tot_c * sq) // tot_sq
+      AS BIGINT) AS alloc
+  FROM t),
+e AS (SELECT source, c, alloc,
+    CASE WHEN c = 0 THEN 0
+         ELSE LEAST({MAX_EPOCHS}, (alloc + c - 1) // c) END AS ep
+  FROM a)
+SELECT source, c AS sum_chars, alloc AS alloc_chars,
+  CAST(ep AS BIGINT) AS epochs,
+  CAST(LEAST(alloc, ep * c) AS BIGINT) AS achieved_chars,
+  CAST(alloc - LEAST(alloc, ep * c) AS BIGINT) AS shortfall_chars
+FROM e
+"""
+    # balanced shard plan: longest-first round-robin dealing
+    sql["shard_plan_documents"] = f"""
+WITH r AS (
+  SELECT doc_id, n_chars,
+    row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rank0
+  FROM documents)
+SELECT CAST(rank0 % {N_SHARDS} AS BIGINT) AS shard,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+  CAST(MAX(n_chars) AS BIGINT) AS max_chars,
+  CAST(MIN(n_chars) AS BIGINT) AS min_chars
+FROM r GROUP BY rank0 % {N_SHARDS}
+"""
+    # product quantization: int8 subvectors (the proven int8_ann
+    # clamp-floor recipe) against the PQ_K seed codebook, EXACT
+    # integer dots throughout; list slices are dim-agnostic
+    _pq_q8 = f"""q8 AS (
+  SELECT vec_id,
+    list_transform(CAST(embedding AS DOUBLE[]),
+      x -> GREATEST(-127, LEAST(127,
+             CAST(floor(x * {_PQ_INT8}) AS BIGINT)))) AS qv
+  FROM embeddings)"""
+    _pq_sub_parts = "\nUNION ALL ".join(
+        f"SELECT vec_id, CAST({s} AS BIGINT) AS subspace, "
+        f"list_slice(qv, 1 + {s} * (len(qv) // {PQ_SUB}), "
+        f"({s} + 1) * (len(qv) // {PQ_SUB})) AS sv FROM q8"
+        for s in range(PQ_SUB))
+    _pq_common = f"""WITH {_pq_q8},
+sub AS ({_pq_sub_parts}),
+cb AS (SELECT vec_id AS cid, subspace, sv AS cv
+       FROM sub WHERE vec_id < {PQ_K})"""
+    sql["pq_codes_embeddings"] = f"""
+{_pq_common},
+s AS (
+  SELECT sub.vec_id, sub.subspace, cb.cid,
+    CAST(list_dot_product(sub.sv, cb.cv) AS BIGINT) AS d,
+    row_number() OVER (PARTITION BY sub.vec_id, sub.subspace
+      ORDER BY list_dot_product(sub.sv, cb.cv) DESC, cb.cid) AS rn
+  FROM sub JOIN cb ON cb.subspace = sub.subspace)
+SELECT vec_id, subspace, cid AS code, d AS int_dot
+FROM s WHERE rn = 1
+"""
+    _pq_ann_ids = ", ".join(str(i) for i in _PQ_QIDS)
+    sql["pq_ann_topk_embeddings"] = f"""
+{_pq_common},
+s AS (
+  SELECT sub.vec_id, sub.subspace, cb.cid,
+    row_number() OVER (PARTITION BY sub.vec_id, sub.subspace
+      ORDER BY list_dot_product(sub.sv, cb.cv) DESC, cb.cid) AS rn
+  FROM sub JOIN cb ON cb.subspace = sub.subspace
+  WHERE sub.vec_id NOT IN ({_pq_ann_ids})),
+codes AS (SELECT vec_id, subspace, cid AS code FROM s WHERE rn = 1),
+lut AS (
+  SELECT sub.vec_id AS query_id, sub.subspace, cb.cid,
+    CAST(list_dot_product(sub.sv, cb.cv) AS BIGINT) AS d
+  FROM sub JOIN cb ON cb.subspace = sub.subspace
+  WHERE sub.vec_id IN ({_pq_ann_ids})),
+sc AS (
+  SELECT l.query_id, c.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc
+  FROM codes c JOIN lut l
+    ON l.subspace = c.subspace AND l.cid = c.code
+  GROUP BY 1, 2),
+r2 AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY adc DESC, vec_id) AS rank
+  FROM sc)
+SELECT query_id, vec_id, adc AS adc_dot, CAST(rank AS BIGINT) AS rank
+FROM r2 WHERE rank <= {_PQ_ANN_K}
 """
     return sql

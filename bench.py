@@ -131,7 +131,10 @@ def _query_benches(sf_dir: str) -> dict:
              "cluster_balanced_sample_embeddings",
              "near_dup_longest_kept_documents",
              "dup_cluster_size_histogram", "quality_length_matrix",
-             "conv_pii_stats", "tool_latency_histogram"]
+             "conv_pii_stats", "tool_latency_histogram",
+             "conv_preference_pairs", "k_anonymity_documents",
+             "epoch_plan_by_source", "shard_plan_documents",
+             "pq_codes_embeddings", "pq_ann_topk_embeddings"]
     out = {}
     for name in names:
         t0 = time.time()

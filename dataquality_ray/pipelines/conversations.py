@@ -2669,3 +2669,106 @@ def conv_markdown_stats(ds, num_buckets: int = 0):
                            zero_copy_batch=True)
             .groupby("bucket")
             .map_groups(scan, batch_format="pyarrow"))
+
+
+# --- preference-pair mining (RLHF / DPO data construction) --------------
+
+# packed argmax/argmin key: hscore * 2^20 + f(turn_idx). turn_idx < 2^20
+# by fixture/spec bound; hscore <= 600, so keys stay far inside int64.
+_PREF_TSPAN = 1 << 20
+
+
+def conv_preference_pairs(ds, cfg: PipelineConfig = DEFAULT_CONFIG,
+                          num_buckets: int = 0):
+    """(conv_id, n_assistant, chosen_idx, chosen_score, rejected_idx,
+    rejected_score, margin): preference-pair mining — for every
+    conversation with >= 2 assistant turns, pair its BEST and WORST
+    assistant turn by the deterministic heuristic score
+    hscore = length + repetition + symbol + boilerplate + toxicity +
+    timeliness (the six SQL-expressible spec dimensions on SCRUBBED
+    text, 0..600 int), ties -> lower turn_idx on both sides. Pairs with
+    margin == 0 carry no signal and are dropped. This is the
+    "construct chosen/rejected pairs from existing trajectories" step
+    of DPO-style preference-data pipelines, with the heuristic score
+    standing in for the reward model (the model-backed variant rides
+    the same shape with an actor-pool scorer).
+
+    Argmax/argmin tie-breaking is packed into single int64 keys
+    (max of hscore*2^20 + (2^20-1-turn_idx); min of
+    hscore*2^20 + turn_idx) so every carried aggregate is a mergeable
+    max/min/sum — the salted-partial contract.
+
+    Shape: scrub + heuristics stay per-batch stateless maps; per-batch
+    per-conv partials (n, max-key, min-key) -> ONE conv-bucket shuffle
+    of 4-column rows -> local fold (the conv_pii_stats template)."""
+    import hashlib
+
+    import polars as _pl
+
+    from dataquality_ray.stages.heuristics import heuristics_batch
+    from dataquality_ray.stages.scrub import scrub_batch
+
+    num_buckets = num_buckets or cluster_buckets(minimum=32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import functools
+
+        import pyarrow.compute as pc
+        batch = scrub_batch(batch)
+        batch = heuristics_batch(batch, cfg=cfg)
+        keep = pc.equal(batch["role"], "assistant")
+        batch = batch.filter(keep)
+        if len(batch) == 0:
+            return pa.table({
+                "conv_id": pa.array([], pa.string()),
+                "n": pa.array([], pa.int64()),
+                "km": pa.array([], pa.int64()),
+                "kn": pa.array([], pa.int64()),
+                "cb": pa.array([], pa.int32()),
+            })
+        h = np.zeros(len(batch), dtype=np.int64)
+        for col in ("length_score", "repetition_score", "symbol_score",
+                    "boilerplate_score", "toxicity_score",
+                    "timeliness_score"):
+            h += batch[col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+        ti = batch["turn_idx"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        g = (_pl.DataFrame({
+            "conv_id": _pl.from_arrow(batch["conv_id"]),
+            "km": _pl.Series(h * _PREF_TSPAN + (_PREF_TSPAN - 1 - ti)),
+            "kn": _pl.Series(h * _PREF_TSPAN + ti),
+        }).group_by("conv_id")
+            .agg(n=_pl.len().cast(_pl.Int64),
+                 km=_pl.col("km").max(),
+                 kn=_pl.col("kn").min()))
+        cb = np.fromiter(
+            (int.from_bytes(hashlib.md5(c.encode()).digest()[:4],
+                            "little") % num_buckets
+             for c in g["conv_id"]),
+            dtype=np.int32, count=g.height)
+        return g.with_columns(cb=_pl.Series(cb)).to_arrow()
+
+    def fold(t: pa.Table) -> pa.Table:
+        g = (_pl.from_arrow(t.select(["conv_id", "n", "km", "kn"]))
+             .group_by("conv_id")
+             .agg(n=_pl.col("n").sum(),
+                  km=_pl.col("km").max(),
+                  kn=_pl.col("kn").min()))
+        g = g.with_columns(
+            chosen_score=_pl.col("km") // _PREF_TSPAN,
+            chosen_idx=(_PREF_TSPAN - 1) - (_pl.col("km") % _PREF_TSPAN),
+            rejected_score=_pl.col("kn") // _PREF_TSPAN,
+            rejected_idx=_pl.col("kn") % _PREF_TSPAN,
+        ).filter((_pl.col("n") >= 2)
+                 & (_pl.col("chosen_score") > _pl.col("rejected_score")))
+        g = g.with_columns(
+            margin=_pl.col("chosen_score") - _pl.col("rejected_score"),
+            n_assistant=_pl.col("n"))
+        return g.select(["conv_id", "n_assistant", "chosen_idx",
+                         "chosen_score", "rejected_idx",
+                         "rejected_score", "margin"]).to_arrow()
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("cb").map_groups(fold, batch_format="pyarrow"))

@@ -4371,3 +4371,343 @@ def winnow_dup_pairs(sf_dir: str, num_buckets: int = 0):
              .materialize())
     return (parts.groupby("pb")
             .map_groups(merge, batch_format="pyarrow"))
+
+
+# --- privacy: k-anonymity audit over quasi-identifiers ------------------
+
+K_ANON = 10          # minimum group size for a QI cell to be releasable
+
+
+def _bit_length_i64(v: np.ndarray) -> np.ndarray:
+    """Exact bit length per element (0 for v <= 0) — integer shifts
+    only (never a float log2: exactness rule, CLAUDE.md)."""
+    pos = v > 0
+    w = np.where(pos, v, 1).astype(np.uint64)
+    bl = np.zeros(len(w), dtype=np.int64)
+    for shift in (32, 16, 8, 4, 2, 1):
+        big = w >= np.uint64(1 << shift)
+        bl[big] += shift
+        w[big] >>= np.uint64(shift)
+    bl += 1
+    bl[~pos] = 0
+    return bl
+
+
+def k_anonymity_documents(sf_dir: str):
+    """(lang, source, len_bucket, group_size, k_anonymous): k-anonymity
+    audit over the released metadata columns — the quasi-identifier is
+    (lang, source, log2-length bucket); a cell with fewer than K_ANON
+    members re-identifies its docs and must be suppressed or coarsened
+    before the metadata ships with a public corpus (Sweeney 2002 rule,
+    applied at dataset-card grain). len_bucket is the exact bit length
+    of n_chars (0 for empty docs) — integer shifts, no float log.
+
+    Shape: per-batch polars partial counts over the bounded QI grid
+    (|langs| x |sources| x <=64 buckets), one constant-size groupby —
+    nothing corpus-proportional ever shuffles."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, columns=["lang", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lb = _bit_length_i64(
+            batch["n_chars"].to_numpy(zero_copy_only=False))
+        g = (pl.DataFrame({
+            "lang": pl.from_arrow(batch["lang"]),
+            "source": pl.from_arrow(batch["source"]),
+            "len_bucket": pl.Series(lb),
+        }).group_by(["lang", "source", "len_bucket"])
+            .agg(n=pl.len().cast(pl.Int64)))
+        return g.to_arrow()
+
+    def flag(batch: pa.Table) -> pa.Table:
+        n = batch["group_size"]
+        return batch.append_column(
+            "k_anonymous", pc.greater_equal(n, K_ANON))
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["lang", "source", "len_bucket"])
+            .aggregate(Sum("n", alias_name="group_size"))
+            .map_batches(flag, batch_format="pyarrow"))
+
+
+# --- mixtures: data-constrained repetition (epoch) planning -------------
+
+EPOCH_BUDGET_MULT = 2   # token budget = MULT x total corpus chars
+MAX_EPOCHS = 4          # repetition ceiling (data-constrained rule)
+
+
+def epoch_plan_by_source(sf_dir: str):
+    """(source, sum_chars, alloc_chars, epochs, achieved_chars,
+    shortfall_chars): data-constrained repetition plan (Muennighoff et
+    al. 2023) — give each source its sqrt-weight share of a budget of
+    EPOCH_BUDGET_MULT x the corpus size, then answer "how many EPOCHS
+    of this source do we run, and how much of its allocation can
+    repetition actually fill under the MAX_EPOCHS ceiling?".
+    alloc = (MULT * total * sq) // sum(sq) with the proven
+    floor(sqrt(chars * SCALE)) weight recipe; epochs =
+    min(MAX_EPOCHS, ceil(alloc / chars)); shortfall is the allocation
+    repetition cannot cover (re-allocate it to unconstrained sources).
+
+    All arithmetic is EXACT: the per-source aggregate is constant-size,
+    and the plan math runs in Python big ints on the driver (its DuckDB
+    twin uses HUGEINT), so the MULT*total*sq product can exceed int64
+    without either engine overflowing.
+
+    Shape: the source_mixture_weights two-phase front half (per-batch
+    partials -> |sources|-row groupby); plan math touches only that."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, columns=["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (pl.DataFrame({
+            "source": pl.from_arrow(batch["source"]),
+            "c": pl.from_arrow(batch["n_chars"]),
+        }).group_by("source")
+            .agg(c=pl.col("c").sum().cast(pl.Int64)))
+        return g.to_arrow().cast(pa.schema([
+            ("source", pa.string()), ("c", pa.int64())]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("source")
+           .aggregate(Sum("c", alias_name="sum_chars"))
+           .to_pandas())       # |sources| rows — constant-size result
+    agg = agg.sort_values("source").reset_index(drop=True)
+
+    chars = [int(c) for c in agg["sum_chars"]]
+    sq = [int(np.floor(np.sqrt(c * float(MIXTURE_SQRT_SCALE))))
+          for c in chars]
+    tot_c, tot_sq = sum(chars), max(sum(sq), 1)
+    alloc = [(EPOCH_BUDGET_MULT * tot_c * s) // tot_sq for s in sq]
+    epochs = [0 if c == 0 else min(MAX_EPOCHS, (a + c - 1) // c)
+              for a, c in zip(alloc, chars)]
+    achieved = [min(a, e * c) for a, e, c in zip(alloc, epochs, chars)]
+    return pa.table({
+        "source": pa.array(agg["source"].tolist(), pa.string()),
+        "sum_chars": pa.array(chars, pa.int64()),
+        "alloc_chars": pa.array(alloc, pa.int64()),
+        "epochs": pa.array(epochs, pa.int64()),
+        "achieved_chars": pa.array(achieved, pa.int64()),
+        "shortfall_chars": pa.array(
+            [a - g for a, g in zip(alloc, achieved)], pa.int64()),
+    })
+
+
+# --- output layout: balanced training-shard assignment ------------------
+
+N_SHARDS = 16   # training shards the writer round-robins ranks into
+
+
+def shard_plan_documents(sf_dir: str):
+    """(shard, n_docs, sum_chars, max_chars, min_chars): balanced
+    training-shard plan — rank every doc by (n_chars DESC, doc_id ASC)
+    and deal ranks round-robin into N_SHARDS (the classic longest-first
+    dealing rule: shard char totals end up within one max-doc of each
+    other, unlike hash sharding which inherits the length skew). The
+    output is the 16-row balance evidence table a writer consults
+    before emitting one file per shard.
+
+    Shape: exact global ranks WITHOUT a global sort — the
+    doc_quality_deciles histogram-rank pattern over the bounded
+    n_chars domain: a tiny per-length count aggregate gives each
+    length its global start offset; one shuffle on n_chars ranks rows
+    locally by doc_id; per-group partials fold into the 16-row plan.
+    Hot lengths sub-bucket by doc_id range at 100 TB (same pattern one
+    level down, documented at doc_quality_deciles)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    slim = _docs(sf_dir, columns=["doc_id", "n_chars"]).materialize()
+
+    def hist_partial(batch: pa.Table) -> pa.Table:
+        v = batch["n_chars"].to_numpy(zero_copy_only=False)
+        vals, cnt = np.unique(v, return_counts=True)
+        return pa.table({"n_chars": pa.array(vals.astype(np.int64)),
+                         "n": pa.array(cnt.astype(np.int64))})
+
+    hist = slim.map_batches(hist_partial, batch_format="pyarrow") \
+        .groupby("n_chars").aggregate(Sum("n", alias_name="n")) \
+        .to_pandas().sort_values("n_chars", ascending=False)
+    counts = hist["n"].to_numpy(dtype=np.int64)
+    lens = hist["n_chars"].to_numpy(dtype=np.int64)
+    offsets = dict(zip(lens.tolist(),
+                       (np.cumsum(counts) - counts).tolist()))
+
+    def shard_group(t: pa.Table) -> pa.Table:
+        ids = np.sort(t["doc_id"].to_numpy(zero_copy_only=False))
+        c = int(t["n_chars"][0].as_py())
+        rank0 = offsets[c] + np.arange(len(ids), dtype=np.int64)
+        sh = rank0 % N_SHARDS
+        g = (pl.DataFrame({"shard": pl.Series(sh),
+                           "c": pl.Series(np.full(len(ids), c,
+                                                  dtype=np.int64))})
+             .group_by("shard")
+             .agg(n=pl.len().cast(pl.Int64),
+                  sc=pl.col("c").sum(),
+                  mx=pl.col("c").max(),
+                  mn=pl.col("c").min()))
+        return g.to_arrow()
+
+    return (slim.groupby("n_chars")
+            .map_groups(shard_group, batch_format="pyarrow")
+            .groupby("shard")
+            .aggregate(Sum("n", alias_name="n_docs"),
+                       Sum("sc", alias_name="sum_chars"),
+                       Max("mx", alias_name="max_chars"),
+                       Min("mn", alias_name="min_chars")))
+
+
+# --- ANN compression: product quantization (PQ codes + ADC top-k) -------
+
+PQ_SUB = 4    # subspaces (dim must divide evenly)
+PQ_K = 16     # codebook entries per subspace: the vectors vec_id < PQ_K
+
+
+def _pq_quantize(mat: np.ndarray) -> np.ndarray:
+    """The proven int8 recipe (int8_ann_embeddings): clamp-floor at
+    INT8_SCALE — identical on both engines, so every downstream dot
+    product is EXACT integer arithmetic."""
+    return np.clip(np.floor(mat.astype(np.float64) * INT8_SCALE),
+                   -127, 127).astype(np.int64)
+
+
+def _pq_codebook(sf_dir: str):
+    """(codebook[s][k][sd] int64, sub_dim) from the PQ_K seed vectors —
+    deterministic, seed-free (smallest vec_ids), like KMEANS_K init."""
+    emb = _emb(sf_dir)
+    first = emb.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], PQ_K)),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    first = first.sort_values("vec_id")
+    mat = _pq_quantize(np.stack([np.asarray(v, np.float64)
+                                 for v in first["embedding"]]))
+    dim = mat.shape[1]
+    assert dim % PQ_SUB == 0, (dim, PQ_SUB)
+    sd = dim // PQ_SUB
+    return mat.reshape(PQ_K, PQ_SUB, sd).transpose(1, 0, 2).copy(), sd
+
+
+def _pq_codes_batch(batch: pa.Table, cb: np.ndarray, sd: int):
+    """codes (n, PQ_SUB) + best int dot (n, PQ_SUB) for one batch —
+    argmax of exact integer dots, ties -> smallest code id (np.argmax
+    picks the first maximum)."""
+    e = batch["embedding"]
+    if isinstance(e, pa.ChunkedArray):
+        e = e.combine_chunks()
+    mat = np.asarray(e.flatten(), dtype=np.float64) \
+        .reshape(len(batch), PQ_SUB * sd)
+    q = _pq_quantize(mat).reshape(-1, PQ_SUB, sd)
+    codes = np.empty((len(batch), PQ_SUB), dtype=np.int64)
+    dots = np.empty((len(batch), PQ_SUB), dtype=np.int64)
+    for s in range(PQ_SUB):
+        d = q[:, s, :] @ cb[s].T          # (n, PQ_K) exact int64
+        codes[:, s] = np.argmax(d, axis=1)
+        dots[:, s] = d[np.arange(len(d)), codes[:, s]]
+    return codes, dots
+
+
+def pq_codes_embeddings(sf_dir: str):
+    """(vec_id, subspace, code, int_dot): product-quantization codes —
+    the FAISS-IVFPQ compression path for 100-TB ANN: each int8 vector
+    splits into PQ_SUB contiguous subvectors and each subvector is
+    replaced by the id of its nearest codebook entry (4 bytes/vector
+    here vs 64 floats), with int_dot the exact integer dot against the
+    chosen entry. Codebook = the PQ_K smallest-vec_id vectors
+    (deterministic, seed-free); nearest = max EXACT int8 dot product
+    (the int8_ann recipe — no float ties anywhere), ties -> smallest
+    code id.
+
+    Shape: codebook broadcast once via ray.put; one stateless
+    map_batches emits the long-form code table — zero shuffles."""
+    cb, sd = _pq_codebook(sf_dir)
+    cb_ref = ray.put(cb)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cbm = ray.get(cb_ref)
+        codes, dots = _pq_codes_batch(batch, cbm, sd)
+        n = len(batch)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "vec_id": pa.array(np.repeat(ids, PQ_SUB)),
+            "subspace": pa.array(np.tile(
+                np.arange(PQ_SUB, dtype=np.int64), n)),
+            "code": pa.array(codes.ravel()),
+            "int_dot": pa.array(dots.ravel()),
+        })
+
+    return _emb(sf_dir).map_batches(assign, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+
+
+def pq_ann_topk_embeddings(sf_dir: str):
+    """(query_id, vec_id, adc_dot, rank): asymmetric-distance ANN over
+    the PQ codes — each query's int8 subvectors are dotted against the
+    whole codebook ONCE (a PQ_SUB x PQ_K lookup table per query), and
+    every corpus vector is scored as the SUM of table entries at its
+    codes, never touching the original vector (the PQ memory-bandwidth
+    win: 4 table lookups per candidate). Queries = ANN_QUERY_IDS,
+    corpus = the rest, top ANN_K by (adc_dot DESC, vec_id ASC) — all
+    integer, fully hash-checkable.
+
+    Shape: codebook + LUTs broadcast once; per-batch partial top-k;
+    final per-query top-k groupby (driver volume O(|queries| x k))."""
+    import pandas as pd
+
+    from dataquality_ray.arrowutil import from_pandas_clean
+
+    cb, sd = _pq_codebook(sf_dir)
+    qids = list(ANN_QUERY_IDS)
+    emb = _emb(sf_dir)
+    qdf = emb.map_batches(
+        lambda t: t.filter(pc.is_in(t["vec_id"],
+                                    pa.array(qids, pa.int64()))),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas()
+    qdf = qdf.sort_values("vec_id")
+    qmat = _pq_quantize(np.stack([np.asarray(v, np.float64)
+                                  for v in qdf["embedding"]]))
+    nq = len(qdf)
+    qsub = qmat.reshape(nq, PQ_SUB, sd)
+    # lut[s]: (nq, PQ_K) exact int dots of every query subvector
+    # against every codebook entry
+    lut = np.stack([qsub[:, s, :] @ cb[s].T for s in range(PQ_SUB)])
+    state_ref = ray.put((qdf["vec_id"].to_numpy(), lut, cb))
+    k = ANN_K
+
+    def score(batch: pa.Table) -> pa.Table:
+        qid_a, lt, cbm = ray.get(state_ref)
+        ids = batch["vec_id"].to_numpy(zero_copy_only=False)
+        mask = ~np.isin(ids, qid_a)
+        if not mask.any():
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             "vec_id": pa.array([], pa.int64()),
+                             "adc_dot": pa.array([], pa.int64())})
+        sub = batch.filter(pa.array(mask))
+        codes, _ = _pq_codes_batch(sub, cbm, sd)
+        cand = ids[mask]
+        # ADC: scores[q, i] = sum_s lut[s][q, codes[i, s]]
+        scores = np.zeros((len(lt[0]), len(cand)), dtype=np.int64)
+        for s in range(PQ_SUB):
+            scores += lt[s][:, codes[:, s]]
+        out = []
+        for j, qid in enumerate(qid_a):
+            d = scores[j]
+            take = min(k, len(d))
+            order = np.lexsort((cand, -d))[:take]
+            out.append(pd.DataFrame({
+                "query_id": qid, "vec_id": cand[order],
+                "adc_dot": d[order]}))
+        return from_pandas_clean(pd.concat(out, ignore_index=True))
+
+    def final(df):
+        df = df.sort_values(["adc_dot", "vec_id"],
+                            ascending=[False, True],
+                            kind="mergesort").head(k)
+        df = df.reset_index(drop=True)
+        df["rank"] = np.arange(1, len(df) + 1, dtype=np.int64)
+        return df
+
+    return emb.map_batches(score, batch_format="pyarrow",
+                           zero_copy_batch=True) \
+        .groupby("query_id").map_groups(final, batch_format="pandas")
