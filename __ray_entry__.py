@@ -416,6 +416,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "epoch_plan_by_source": D.epoch_plan_by_source,
         # balanced training-shard plan (longest-first round-robin)
         "shard_plan_documents": D.shard_plan_documents,
+        # tokenizer-planning vocabulary coverage curve
+        "vocab_coverage_curve": D.vocab_coverage_curve,
+        # semantic source-similarity matrix over exact centroids
+        "source_centroid_similarity": D.source_centroid_similarity,
         "event_outliers": M.event_outliers,
         "approx_event_percentiles": M.approx_event_percentiles,
         # two-sample KS drift (first vs second half of the timeline)
@@ -474,6 +478,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tool_latency_histogram": _tool_latency_histogram_q,
         # preference-pair mining (DPO-style chosen/rejected per conv)
         "conv_preference_pairs": _conv_preference_pairs_q,
+        # instruction-diversity opener census over user turns
+        "instruction_verb_census": _instruction_verb_census_q,
         "conv_length_outliers": _conv_length_outliers_q,
         # Deequ-style table analyzers: per-column profile (exact
         # distinct via value-hash-bucketed local dedup) and a
@@ -839,6 +845,13 @@ def _conv_pii_stats_q(sf_dir: str):
 def _role_length_profile_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import role_length_profile
     return role_length_profile(_transcript_ds(
+        sf_dir, columns=["role", "text"]))
+
+
+def _instruction_verb_census_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import \
+        instruction_verb_census
+    return instruction_verb_census(_transcript_ds(
         sf_dir, columns=["role", "text"]))
 
 
@@ -5024,5 +5037,64 @@ r2 AS (
   FROM sc)
 SELECT query_id, vec_id, adc AS adc_dot, CAST(rank AS BIGINT) AS rank
 FROM r2 WHERE rank <= {_PQ_ANN_K}
+"""
+    from dataquality_ray.pipelines.conversations import VERB_TOP_K
+    from dataquality_ray.pipelines.documents import COVERAGE_MAX_K
+    # instruction-diversity census: first-token openers of user turns
+    sql["instruction_verb_census"] = f"""
+WITH u AS (
+  SELECT NULLIF(regexp_extract(lower(text), '{_TOK}'), '') AS tok
+  FROM read_parquet('{_tr_glob}') WHERE role = 'user')
+SELECT tok AS token, CAST(COUNT(*) AS BIGINT) AS n_turns
+FROM u WHERE tok IS NOT NULL
+GROUP BY tok ORDER BY n_turns DESC, tok LIMIT {VERB_TOP_K}
+"""
+    # tokenizer-planning coverage curve: exact tie-aware prefix mass
+    # over the (cf, n_terms) histogram — boundary row = largest cf
+    # whose cumulative term count reaches the vocab size
+    sql["vocab_coverage_curve"] = f"""
+WITH t AS (
+  SELECT unnest(regexp_extract_all(lower(text), '{_TOK}')) AS term
+  FROM documents),
+tc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS cf
+       FROM t GROUP BY term),
+h AS (SELECT cf, CAST(COUNT(*) AS BIGINT) AS nt FROM tc GROUP BY cf),
+c AS (SELECT cf, nt,
+    SUM(nt) OVER (ORDER BY cf DESC) AS cum_t,
+    SUM(cf * nt) OVER (ORDER BY cf DESC) AS cum_m
+  FROM h),
+tot AS (SELECT COALESCE(SUM(nt), 0) AS v,
+               COALESCE(SUM(cf * nt), 0) AS m FROM h),
+ks AS (SELECT unnest(generate_series(0, {COVERAGE_MAX_K})) AS k),
+vk AS (SELECT k,
+    LEAST(1::BIGINT << k, (SELECT v FROM tot)) AS vsize FROM ks)
+SELECT CAST(vk.k AS BIGINT) AS k,
+  CAST(vk.vsize AS BIGINT) AS vocab_size,
+  CAST(COALESCE((SELECT cum_m - (cum_t - vk.vsize) * cf FROM c
+        WHERE cum_t >= vk.vsize ORDER BY cf DESC LIMIT 1), 0)
+    AS BIGINT) AS covered_cf,
+  CAST((SELECT m FROM tot) AS BIGINT) AS total_cf,
+  CAST(COALESCE((SELECT cum_m - (cum_t - vk.vsize) * cf FROM c
+        WHERE cum_t >= vk.vsize ORDER BY cf DESC LIMIT 1), 0)
+       * 1000000 // GREATEST((SELECT m FROM tot), 1) AS BIGINT)
+    AS coverage_ppm
+FROM vk
+"""
+    # semantic source-similarity matrix: pairwise round-6 cosine of
+    # the exact int64 centroid accumulator sums (cosine is invariant
+    # to the 1/n scaling), zero-norm -> 0 like doc_embedding_ann
+    sql["source_centroid_similarity"] = f"""
+WITH c AS ({sql['source_embedding_centroids']}),
+v AS (
+  SELECT source,
+    list(CAST(sum_acc AS DOUBLE) ORDER BY dim) AS e
+  FROM c GROUP BY source),
+n AS (SELECT source, e,
+      sqrt(list_dot_product(e, e)) AS nrm FROM v)
+SELECT a.source AS source_a, b.source AS source_b,
+  round(CASE WHEN a.nrm = 0 OR b.nrm = 0 THEN 0.0
+        ELSE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) END, 6)
+    AS cosine_sim
+FROM n a JOIN n b ON a.source < b.source
 """
     return sql

@@ -134,7 +134,9 @@ def _query_benches(sf_dir: str) -> dict:
              "conv_pii_stats", "tool_latency_histogram",
              "conv_preference_pairs", "k_anonymity_documents",
              "epoch_plan_by_source", "shard_plan_documents",
-             "pq_codes_embeddings", "pq_ann_topk_embeddings"]
+             "pq_codes_embeddings", "pq_ann_topk_embeddings",
+             "instruction_verb_census", "vocab_coverage_curve",
+             "source_centroid_similarity"]
     out = {}
     for name in names:
         t0 = time.time()

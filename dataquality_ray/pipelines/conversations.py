@@ -2772,3 +2772,49 @@ def conv_preference_pairs(ds, cfg: PipelineConfig = DEFAULT_CONFIG,
     return (ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True)
             .groupby("cb").map_groups(fold, batch_format="pyarrow"))
+
+
+# --- instruction-diversity census (Self-Instruct datasheet) --------------
+
+VERB_TOP_K = 50
+
+
+def instruction_verb_census(ds):
+    """(token, n_turns): the instruction-diversity census from the
+    Self-Instruct / instruction-tuning datasheets — the top-VERB_TOP_K
+    opening tokens of USER turns (first spec.TOKEN_PATTERN match on
+    the lowered text, the verb-proxy), counted corpus-wide, ties ->
+    token asc. A skewed opener distribution means the instruction set
+    is template-bound; the census is the evidence table.
+
+    Shape: per-batch partial counts (batch-vocab-sized) -> one
+    vocab-keyed groupby of the small partials -> tiny top-K sort (the
+    corpus_vocab_stats template; nothing turn-proportional shuffles).
+    """
+    import polars as _pl
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from dataquality_ray.spec import TOKEN_PATTERN
+
+    def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.equal(batch["role"], "user"))
+        first = (_pl.from_arrow(batch["text"])
+                 .str.to_lowercase()
+                 .str.extract(f"({TOKEN_PATTERN})", 1))
+        g = (_pl.DataFrame({"token": first}).drop_nulls()
+             .filter(_pl.col("token") != "")
+             .group_by("token").agg(n=_pl.len().cast(_pl.Int64)))
+        return g.to_arrow()
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("token").aggregate(Sum("n", alias_name="n_turns")))
+    top = agg.sort(["n_turns", "token"], descending=[True, False]) \
+        .limit(VERB_TOP_K)
+    return top.map_batches(
+        lambda t: pa.table({"token": t["token"],
+                            "n_turns": pc.cast(t["n_turns"],
+                                               pa.int64())}),
+        batch_format="pyarrow")

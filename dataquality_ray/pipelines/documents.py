@@ -4711,3 +4711,120 @@ def pq_ann_topk_embeddings(sf_dir: str):
     return emb.map_batches(score, batch_format="pyarrow",
                            zero_copy_batch=True) \
         .groupby("query_id").map_groups(final, batch_format="pandas")
+
+
+# --- tokenizer planning: vocabulary coverage curve -----------------------
+
+COVERAGE_MAX_K = 16   # curve points: vocab sizes 2^0 .. 2^16
+COVERAGE_BUCKETS = 64
+
+
+def vocab_coverage_curve(sf_dir: str):
+    """(k, vocab_size, covered_cf, total_cf, coverage_ppm): the
+    tokenizer-planning curve — for vocab sizes 2^0..2^COVERAGE_MAX_K
+    (clamped to the true vocabulary), what fraction of corpus token
+    mass the top-N terms by (cf DESC, term ASC) cover. The table a
+    pipeline reads to pick a vocabulary size / OOV budget before
+    training a tokenizer. Tie semantics are exact: terms tied at the
+    boundary all share one cf, so the covered mass is
+    cum_mass(before) + (N - cum_terms(before)) * boundary_cf
+    regardless of which tied terms are "in".
+
+    Shape: per-batch (term, cf) partials -> term-hash bucket shuffle ->
+    per-bucket LOCAL term totals (each term lives in exactly one
+    bucket) immediately reduced to a (cf, n_terms) histogram -> tiny
+    cf-keyed groupby. The vocabulary itself never leaves its bucket,
+    and the curve math runs on the bounded histogram on the driver."""
+    from ray.data.aggregate import Sum
+
+    from dataquality_ray.spec import token_hash_u64
+
+    ds = _docs(sf_dir, columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks = (pl.from_arrow(batch["text"])
+                .str.to_lowercase().str.extract_all(TOKEN_PATTERN))
+        g = (pl.DataFrame({"term": toks}).explode("term").drop_nulls()
+             .group_by("term").agg(cf=pl.len().cast(pl.Int64)))
+        tb = np.fromiter(
+            (token_hash_u64(t) % COVERAGE_BUCKETS for t in g["term"]),
+            dtype=np.int32, count=g.height)
+        return g.with_columns(tb=pl.Series(tb)).to_arrow()
+
+    def local_hist(t: pa.Table) -> pa.Table:
+        g = (pl.from_arrow(t.select(["term", "cf"]))
+             .group_by("term").agg(cf=pl.col("cf").sum()))
+        h = g.group_by("cf").agg(nt=pl.len().cast(pl.Int64))
+        return h.to_arrow()
+
+    hist = (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("tb").map_groups(local_hist, batch_format="pyarrow")
+            .groupby("cf").aggregate(Sum("nt", alias_name="nt"))
+            .to_pandas())
+    hist = hist.sort_values("cf", ascending=False).reset_index(drop=True)
+    cf = hist["cf"].to_numpy(dtype=np.int64)
+    nt = hist["nt"].to_numpy(dtype=np.int64)
+    cum_t = np.cumsum(nt)
+    cum_m = np.cumsum(cf * nt)
+    v_total = int(cum_t[-1]) if len(cum_t) else 0
+    m_total = int(cum_m[-1]) if len(cum_m) else 0
+
+    ks, vs, cov, ppm = [], [], [], []
+    for k in range(COVERAGE_MAX_K + 1):
+        vsize = min(1 << k, v_total)
+        if v_total == 0:
+            covered = 0
+        else:
+            i = int(np.searchsorted(cum_t, vsize, side="left"))
+            covered = int(cum_m[i] - (cum_t[i] - vsize) * cf[i])
+        ks.append(k)
+        vs.append(vsize)
+        cov.append(covered)
+        ppm.append(covered * 1_000_000 // max(m_total, 1))
+    return pa.table({
+        "k": pa.array(ks, pa.int64()),
+        "vocab_size": pa.array(vs, pa.int64()),
+        "covered_cf": pa.array(cov, pa.int64()),
+        "total_cf": pa.array([m_total] * len(ks), pa.int64()),
+        "coverage_ppm": pa.array(ppm, pa.int64()),
+    })
+
+
+# --- mixtures: semantic source-similarity matrix -------------------------
+
+def source_centroid_similarity(sf_dir: str):
+    """(source_a, source_b, cosine_sim): pairwise cosine between the
+    per-source embedding centroids — the SEMANTIC companion to
+    source_vocab_overlap's lexical matrix (which sources are
+    redundant? which pair should share a mixture weight?). Cosine is
+    computed over the EXACT int64 accumulator sums (cosine is
+    invariant to the 1/n mean scaling, so the sum vector gives the
+    centroid's direction without the milli truncation), with the
+    pinned dot-then-divide round-6 recipe and the zero-norm -> 0
+    convention.
+
+    Shape: everything after source_embedding_centroids' constant-size
+    aggregate is |sources|^2 driver math."""
+    df = source_embedding_centroids(sf_dir).to_pandas()
+    df = df.sort_values(["source", "dim"])
+    sources = sorted(df["source"].unique().tolist())
+    dim = int(df["dim"].max()) + 1 if len(df) else 0
+    m = df["sum_acc"].to_numpy(dtype=np.float64).reshape(
+        len(sources), dim)
+    norms = np.sqrt(np.einsum("ij,ij->i", m, m))
+    sa, sb, cs = [], [], []
+    for i in range(len(sources)):
+        for j in range(i + 1, len(sources)):
+            if norms[i] == 0 or norms[j] == 0:
+                c = 0.0
+            else:
+                c = float(np.dot(m[i], m[j]) / (norms[i] * norms[j]))
+            sa.append(sources[i])
+            sb.append(sources[j])
+            cs.append(round(c, 6))
+    return pa.table({
+        "source_a": pa.array(sa, pa.string()),
+        "source_b": pa.array(sb, pa.string()),
+        "cosine_sim": pa.array(cs, pa.float64()),
+    })

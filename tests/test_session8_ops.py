@@ -227,3 +227,80 @@ def test_pq_adc_matches_numpy_replay(ray_session, tmp_path):
         keys = list(zip(-grp["adc_dot"], grp["vec_id"]))
         assert keys == sorted(keys)
     assert set(got["query_id"]) == set(ANN_QUERY_IDS)
+
+
+# --- vocab_coverage_curve -----------------------------------------------
+
+def test_coverage_curve_tie_aware_boundary(ray_session, tmp_path):
+    from dataquality_ray.pipelines.documents import (
+        vocab_coverage_curve,
+    )
+    # counts: a=4, b=2, c=2, d=1 -> V=4, M=9; at vsize=2 the boundary
+    # sits inside the cf=2 tie: covered must be 4+2=6 (never 4+2+2)
+    t = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "text": pa.array(["a a b c d", "a a b c"], pa.string()),
+        "lang": pa.array(["en", "en"], pa.string()),
+        "source": pa.array(["w", "w"], pa.string()),
+        "n_chars": pa.array([9, 7], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = vocab_coverage_curve(str(tmp_path)).to_pandas() \
+        .set_index("k")
+    assert int(out.loc[0].covered_cf) == 4      # top-1 = 'a'
+    assert int(out.loc[1].covered_cf) == 6      # tie-aware
+    assert int(out.loc[2].covered_cf) == 9      # whole vocab
+    assert int(out.loc[2].vocab_size) == 4      # clamped to V
+    assert int(out.loc[16].covered_cf) == 9
+    assert int(out.loc[0].coverage_ppm) == 4 * 1_000_000 // 9
+
+
+# --- instruction_verb_census ---------------------------------------------
+
+def test_verb_census_openers_roles_and_ties(ray_session):
+    from dataquality_ray.pipelines.conversations import (
+        instruction_verb_census,
+    )
+    rows = [
+        ("c", 0, "user", "Write a poem"),
+        ("c", 1, "assistant", "here you go"),
+        ("c", 2, "user", "  write faster"),    # leading ws; lowered
+        ("c", 3, "user", "Summarize this"),
+        ("c", 4, "user", ""),                  # no opener -> excluded
+        ("c", 5, "system", "summarize all"),   # non-user -> excluded
+        ("c", 6, "user", "explain it"),
+    ]
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows], pa.string()),
+        "text": pa.array([r[3] for r in rows], pa.string()),
+    })
+    out = instruction_verb_census(ray.data.from_arrow(t)).to_pandas()
+    got = dict(zip(out["token"], out["n_turns"]))
+    assert got == {"write": 2, "summarize": 1, "explain": 1}
+    # ties (count 1) order lexicographically after the count sort
+    assert out["token"].tolist() == ["write", "explain", "summarize"]
+
+
+# --- source_centroid_similarity -------------------------------------------
+
+def test_centroid_similarity_zero_norm_and_identical(ray_session,
+                                                     tmp_path):
+    from dataquality_ray.pipelines.documents import (
+        source_centroid_similarity,
+    )
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], pa.int64()),
+        "text": pa.array(["hello world", "", "hello world"],
+                         pa.string()),
+        "lang": pa.array(["en"] * 3, pa.string()),
+        "source": pa.array(["x", "y", "z"], pa.string()),
+        "n_chars": pa.array([11, 0, 11], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = source_centroid_similarity(str(tmp_path)).to_pandas() \
+        .set_index(["source_a", "source_b"])
+    assert float(out.loc[("x", "y")].cosine_sim) == 0.0   # zero norm
+    assert float(out.loc[("y", "z")].cosine_sim) == 0.0
+    assert float(out.loc[("x", "z")].cosine_sim) == 1.0   # identical
