@@ -2711,13 +2711,12 @@ def conv_preference_pairs(ds, cfg: PipelineConfig = DEFAULT_CONFIG,
     num_buckets = num_buckets or cluster_buckets(minimum=32)
 
     def partial(batch: pa.Table) -> pa.Table:
-        import functools
-
         import pyarrow.compute as pc
-        batch = scrub_batch(batch)
-        batch = heuristics_batch(batch, cfg=cfg)
-        keep = pc.equal(batch["role"], "assistant")
-        batch = batch.filter(keep)
+
+        # scores are row-local: filter to assistant turns FIRST so the
+        # scrub/heuristic kernels only touch the ~45% of rows that can
+        # appear in a pair (measured ~12 s -> ~8 s at sf0.1/32)
+        batch = batch.filter(pc.equal(batch["role"], "assistant"))
         if len(batch) == 0:
             return pa.table({
                 "conv_id": pa.array([], pa.string()),
@@ -2726,6 +2725,8 @@ def conv_preference_pairs(ds, cfg: PipelineConfig = DEFAULT_CONFIG,
                 "kn": pa.array([], pa.int64()),
                 "cb": pa.array([], pa.int32()),
             })
+        batch = scrub_batch(batch)
+        batch = heuristics_batch(batch, cfg=cfg)
         h = np.zeros(len(batch), dtype=np.int64)
         for col in ("length_score", "repetition_score", "symbol_score",
                     "boilerplate_score", "toxicity_score",
