@@ -420,6 +420,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage_curve": D.vocab_coverage_curve,
         # semantic source-similarity matrix over exact centroids
         "source_centroid_similarity": D.source_centroid_similarity,
+        # cross-source exact-duplication mass (count math, no pair
+        # enumeration — hot hashes cost O(|sources|))
+        "exact_dup_source_matrix": D.exact_dup_source_matrix,
         "event_outliers": M.event_outliers,
         "approx_event_percentiles": M.approx_event_percentiles,
         # two-sample KS drift (first vs second half of the timeline)
@@ -480,6 +483,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_preference_pairs": _conv_preference_pairs_q,
         # instruction-diversity opener census over user turns
         "instruction_verb_census": _instruction_verb_census_q,
+        # dedup observability: daily duplication-rate timeline
+        "dup_rate_daily": _dup_rate_daily_q,
         "conv_length_outliers": _conv_length_outliers_q,
         # Deequ-style table analyzers: per-column profile (exact
         # distinct via value-hash-bucketed local dedup) and a
@@ -846,6 +851,14 @@ def _role_length_profile_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import role_length_profile
     return role_length_profile(_transcript_ds(
         sf_dir, columns=["role", "text"]))
+
+
+def _dup_rate_daily_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import dup_rate_daily
+    return dup_rate_daily(
+        _transcript_ds(sf_dir,
+                       columns=["conv_id", "turn_idx", "text", "ts"]),
+        ts_ds=_transcript_ds(sf_dir, columns=["ts"]))
 
 
 def _instruction_verb_census_q(sf_dir: str):
@@ -5096,5 +5109,55 @@ SELECT a.source AS source_a, b.source AS source_b,
         ELSE list_dot_product(a.e, b.e) / (a.nrm * b.nrm) END, 6)
     AS cosine_sim
 FROM n a JOIN n b ON a.source < b.source
+"""
+    _norm_doc = (f"regexp_replace(regexp_replace(lower(COALESCE(text, "
+                 f"'')), '{spec.EDGE_WS_PATTERN}', '', 'g'), "
+                 f"'{spec.WS_PLUS_PATTERN}', ' ', 'g')")
+    # cross-source exact-duplication matrix: pair mass from per-
+    # (hash, source) copy counts — n_a*n_b across, C(n,2) within
+    sql["exact_dup_source_matrix"] = f"""
+WITH nn AS (SELECT source, {_norm_doc} AS s FROM documents),
+c AS (
+  SELECT md5(s) AS h, source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM nn WHERE length(s) > 0 GROUP BY 1, 2),
+x AS (
+  SELECT a.source AS sa, b.source AS sb, a.n * b.n AS p, a.h
+  FROM c a JOIN c b ON a.h = b.h AND a.source < b.source
+  UNION ALL
+  SELECT source, source, n * (n - 1) // 2, h FROM c WHERE n >= 2),
+s AS (SELECT DISTINCT source FROM documents),
+grid AS (SELECT a.source AS sa, b.source AS sb
+         FROM s a JOIN s b ON a.source <= b.source),
+agg AS (SELECT sa, sb, SUM(p) AS p, COUNT(DISTINCT h) AS nh
+        FROM x GROUP BY 1, 2)
+SELECT g.sa AS source_a, g.sb AS source_b,
+  CAST(COALESCE(agg.p, 0) AS BIGINT) AS n_dup_pairs,
+  CAST(COALESCE(agg.nh, 0) AS BIGINT) AS n_hashes
+FROM grid g LEFT JOIN agg ON agg.sa = g.sa AND agg.sb = g.sb
+"""
+    # daily duplication-rate timeline: first occurrence by global
+    # (ts, conv_id, turn_idx) order; empty-normalized turns count in
+    # n_turns but never as duplicates
+    sql["dup_rate_daily"] = f"""
+WITH nn AS (
+  SELECT conv_id, turn_idx, epoch_us(ts) AS ts_us, {_norm_doc} AS s
+  FROM read_parquet('{_tr_glob}')),
+tot AS (
+  SELECT ts_us // 86400000000 AS day,
+    CAST(COUNT(*) AS BIGINT) AS n_turns
+  FROM nn GROUP BY 1),
+f AS (
+  SELECT ts_us // 86400000000 AS day,
+    CASE WHEN row_number() OVER (
+           PARTITION BY s ORDER BY ts_us, conv_id, turn_idx) > 1
+         THEN 1 ELSE 0 END AS dup
+  FROM nn WHERE length(s) > 0),
+d AS (SELECT day, CAST(SUM(dup) AS BIGINT) AS n_dup_turns
+      FROM f GROUP BY day)
+SELECT tot.day, tot.n_turns,
+  CAST(COALESCE(d.n_dup_turns, 0) AS BIGINT) AS n_dup_turns,
+  CAST(1000 * COALESCE(d.n_dup_turns, 0) // tot.n_turns AS BIGINT)
+    AS dup_permille
+FROM tot LEFT JOIN d ON d.day = tot.day
 """
     return sql

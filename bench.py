@@ -136,7 +136,8 @@ def _query_benches(sf_dir: str) -> dict:
              "epoch_plan_by_source", "shard_plan_documents",
              "pq_codes_embeddings", "pq_ann_topk_embeddings",
              "instruction_verb_census", "vocab_coverage_curve",
-             "source_centroid_similarity"]
+             "source_centroid_similarity", "exact_dup_source_matrix",
+             "dup_rate_daily"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -2819,3 +2819,111 @@ def instruction_verb_census(ds):
                             "n_turns": pc.cast(t["n_turns"],
                                                pa.int64())}),
         batch_format="pyarrow")
+
+
+# --- dedup observability: daily duplication-rate timeline -----------------
+
+_DAY_US = 86_400_000_000
+
+
+def dup_rate_daily(ds, num_buckets: int = 0, ts_ds=None):
+    """(day, n_turns, n_dup_turns, dup_permille): the dedup
+    OBSERVABILITY timeline — per UTC day, how many arriving turns are
+    verbatim repeats (content-hash equality on the spec normalization,
+    first occurrence by (ts, conv_id, turn_idx) global order) of
+    anything seen before, corpus-wide. A rising curve is the signal a
+    crawl/ingest source started recycling content; the per-release
+    datasheet plots exactly this. Empty-normalized turns count in
+    n_turns but can never be duplicates (the exact-dedup skew guard —
+    md5('') would otherwise be the one hot key in the shuffle).
+
+    Shape: day totals from a ts-only pruned read (no text touched);
+    dup detection ships 16-byte digests through ONE hash-bucket
+    shuffle, per-bucket sort + whole-frame shift mask (the pinned
+    polars fast-path shape); both reduce to a <=|days| grid merged on
+    the driver."""
+    import polars as _pl
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from dataquality_ray.arrowutil import md5_digests
+    from dataquality_ray.spec import EDGE_WS_PATTERN, WS_PLUS_PATTERN
+
+    num_buckets = num_buckets or cluster_buckets(minimum=32)
+
+    def totals_partial(batch: pa.Table) -> pa.Table:
+        day = pc.divide(pc.cast(batch["ts"], pa.int64()), _DAY_US)
+        g = (_pl.DataFrame({"day": _pl.from_arrow(day)})
+             .group_by("day").agg(n=_pl.len().cast(_pl.Int64)))
+        return g.to_arrow()
+
+    # day totals never need text: callers pass ts_ds as a ts-only
+    # pruned read so this pass doesn't decode the corpus twice
+    totals = ((ts_ds if ts_ds is not None else ds)
+              .map_batches(totals_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .groupby("day").aggregate(Sum("n", alias_name="n_turns"))
+              .to_pandas())
+
+    def slim(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        norm = pc.replace_substring_regex(
+            pc.replace_substring_regex(
+                pc.utf8_lower(pc.fill_null(text, "")),
+                EDGE_WS_PATTERN, ""),
+            WS_PLUS_PATTERN, " ")
+        ok = pc.greater(pc.utf8_length(norm), 0).to_numpy(
+            zero_copy_only=False)
+        dig = md5_digests(norm)
+        keep = np.flatnonzero(ok)
+        sub = batch.take(pa.array(keep))
+        digs = [dig[i] for i in keep]
+        hb = np.fromiter(
+            (int.from_bytes(d[:4], "little") % num_buckets
+             for d in digs),
+            dtype=np.int32, count=len(digs))
+        return pa.table({
+            "hb": pa.array(hb),
+            "h": pa.array(digs, pa.binary()),
+            "ts_us": pc.cast(sub["ts"], pa.int64()),
+            "conv_id": sub["conv_id"],
+            "turn_idx": pc.cast(sub["turn_idx"], pa.int64()),
+        })
+
+    def bucket_scan(t: pa.Table) -> pa.Table:
+        d = (_pl.from_arrow(t.select(["h", "ts_us", "conv_id",
+                                      "turn_idx"]))
+             .sort(["h", "ts_us", "conv_id", "turn_idx"]))
+        dup = (d["h"] == d["h"].shift(1)).fill_null(False)
+        g = (_pl.DataFrame({
+            "day": d["ts_us"] // _DAY_US,
+            "dup": _pl.Series(dup.to_numpy().astype(np.int64)),
+        }).group_by("day").agg(nd=_pl.col("dup").sum()))
+        return g.to_arrow()
+
+    dups = (ds.map_batches(slim, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("hb").map_groups(bucket_scan,
+                                      batch_format="pyarrow")
+            .groupby("day").aggregate(Sum("nd",
+                                          alias_name="n_dup_turns"))
+            .to_pandas())
+
+    # int64 dict lookup, not an outer-merge fillna (CLAUDE.md
+    # float-promotion exactness rule)
+    nd_by_day = dict(zip((int(d) for d in dups["day"]),
+                         (int(v) for v in dups["n_dup_turns"])))
+    day = totals["day"].to_numpy(dtype=np.int64)
+    nt = totals["n_turns"].to_numpy(dtype=np.int64)
+    nd = np.array([nd_by_day.get(int(d), 0) for d in day],
+                  dtype=np.int64)
+    order = np.argsort(day, kind="stable")
+    return pa.table({
+        "day": pa.array(day[order]),
+        "n_turns": pa.array(nt[order]),
+        "n_dup_turns": pa.array(nd[order]),
+        "dup_permille": pa.array(1000 * nd[order] // nt[order]),
+    })

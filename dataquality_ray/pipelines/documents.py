@@ -4828,3 +4828,113 @@ def source_centroid_similarity(sf_dir: str):
         "source_b": pa.array(sb, pa.string()),
         "cosine_sim": pa.array(cs, pa.float64()),
     })
+
+
+# --- cross-source exact-duplication matrix --------------------------------
+
+DUP_MATRIX_BUCKETS = 64
+
+
+def exact_dup_source_matrix(sf_dir: str):
+    """(source_a, source_b, n_dup_pairs, n_hashes): exact-duplication
+    mass between every unordered source pair — the provenance matrix
+    of VERBATIM copies (mirror sites, cross-posted content), the
+    exact-dup companion to near_dup_source_matrix. Pairs are NEVER
+    enumerated: for one content hash with per-source copy counts n_s,
+    cross-source pair mass is n_a*n_b and within-source mass is
+    n*(n-1)/2 — pure count arithmetic, so a hash shared by a million
+    docs costs the same as one shared by two (the CLAUDE.md
+    hot-posting rule satisfied by construction). Empty-normalized
+    texts are excluded (the exact-dedup skew guard).
+
+    Shape: per-batch (hash, source, cnt) partials -> ONE digest-bucket
+    shuffle (16-byte keys, not text) -> per-bucket count math (each
+    hash lives in exactly one bucket) -> |sources|^2 aggregate."""
+    from ray.data.aggregate import Sum
+
+    from dataquality_ray.arrowutil import md5_digests
+    from dataquality_ray.spec import EDGE_WS_PATTERN, WS_PLUS_PATTERN
+
+    docs = _docs(sf_dir, columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        norm = pc.replace_substring_regex(
+            pc.replace_substring_regex(
+                pc.utf8_lower(pc.fill_null(text, "")),
+                EDGE_WS_PATTERN, ""),
+            WS_PLUS_PATTERN, " ")
+        ok = pc.greater(pc.utf8_length(norm), 0).to_numpy(
+            zero_copy_only=False)
+        dig = md5_digests(norm)
+        g = (pl.DataFrame({
+            "h": pl.Series([d for d, k in zip(dig, ok) if k],
+                           dtype=pl.Binary),
+            "source": pl.Series(
+                [s for s, k in zip(batch["source"].to_pylist(), ok)
+                 if k]),
+        }).group_by(["h", "source"])
+            .agg(n=pl.len().cast(pl.Int64)))
+        hb = np.fromiter(
+            (int.from_bytes(d[:4], "little") % DUP_MATRIX_BUCKETS
+             for d in g["h"]),
+            dtype=np.int32, count=g.height)
+        return g.with_columns(hb=pl.Series(hb)).to_arrow()
+
+    def local(t: pa.Table) -> pa.Table:
+        d = (pl.from_arrow(t.select(["h", "source", "n"]))
+             .group_by(["h", "source"])
+             .agg(n=pl.col("n").sum()))
+        # within-source pairs: C(n, 2) per (hash, source)
+        w = d.filter(pl.col("n") >= 2).select(
+            sa=pl.col("source"), sb=pl.col("source"),
+            p=pl.col("n") * (pl.col("n") - 1) // 2,
+            h=pl.col("h"))
+        # cross-source pairs: n_a * n_b per hash, source_a < source_b
+        x = (d.join(d, on="h", suffix="_b")
+             .filter(pl.col("source") < pl.col("source_b"))
+             .select(sa=pl.col("source"), sb=pl.col("source_b"),
+                     p=pl.col("n") * pl.col("n_b"),
+                     h=pl.col("h")))
+        both = pl.concat([w, x])
+        g = (both.group_by(["sa", "sb"])
+             .agg(p=pl.col("p").sum(),
+                  nh=pl.col("h").n_unique().cast(pl.Int64)))
+        return g.to_arrow().cast(pa.schema([
+            ("sa", pa.string()), ("sb", pa.string()),
+            ("p", pa.int64()), ("nh", pa.int64())]))
+
+    pairs = (docs.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+             .groupby("hb").map_groups(local, batch_format="pyarrow")
+             .groupby(["sa", "sb"])
+             .aggregate(Sum("p", alias_name="n_dup_pairs"),
+                        Sum("nh", alias_name="n_hashes"))
+             .to_pandas())      # <= |sources|^2 rows
+    # grid semantics: every unordered source pair appears, zero-filled
+    # (a corpus with NO verbatim copies — e.g. the sf documents table —
+    # must still produce a stable, schema-carrying result)
+    su = (docs.map_batches(
+        lambda t: pa.table({"source": pc.unique(t["source"])}),
+        batch_format="pyarrow", zero_copy_batch=True).to_pandas())
+    sources = sorted(set(su["source"]))
+    by_pair = {}
+    for _, r in pairs.iterrows():
+        by_pair[(r["sa"], r["sb"])] = (int(r["n_dup_pairs"]),
+                                       int(r["n_hashes"]))
+    sa, sb, p, nh = [], [], [], []
+    for i, a in enumerate(sources):
+        for b in sources[i:]:
+            v = by_pair.get((a, b), (0, 0))
+            sa.append(a)
+            sb.append(b)
+            p.append(v[0])
+            nh.append(v[1])
+    return pa.table({
+        "source_a": pa.array(sa, pa.string()),
+        "source_b": pa.array(sb, pa.string()),
+        "n_dup_pairs": pa.array(p, pa.int64()),
+        "n_hashes": pa.array(nh, pa.int64()),
+    })

@@ -304,3 +304,61 @@ def test_centroid_similarity_zero_norm_and_identical(ray_session,
     assert float(out.loc[("x", "y")].cosine_sim) == 0.0   # zero norm
     assert float(out.loc[("y", "z")].cosine_sim) == 0.0
     assert float(out.loc[("x", "z")].cosine_sim) == 1.0   # identical
+
+
+# --- exact_dup_source_matrix ----------------------------------------------
+
+def test_exact_dup_matrix_count_math_and_grid(ray_session, tmp_path):
+    from dataquality_ray.pipelines.documents import (
+        exact_dup_source_matrix,
+    )
+    texts = ["Hello  World", "hello world ", "hello world",
+             "other text", ""]
+    srcs = ["x", "x", "y", "y", "y"]
+    t = pa.table({
+        "doc_id": pa.array(range(5), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 5, pa.string()),
+        "source": pa.array(srcs, pa.string()),
+        "n_chars": pa.array([len(s) for s in texts], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = exact_dup_source_matrix(str(tmp_path)).to_pandas() \
+        .set_index(["source_a", "source_b"])
+    # norm 'hello world': x has 2 copies, y has 1
+    assert int(out.loc[("x", "x")].n_dup_pairs) == 1     # C(2,2)
+    assert int(out.loc[("x", "y")].n_dup_pairs) == 2     # 2*1
+    assert int(out.loc[("x", "y")].n_hashes) == 1
+    # grid semantics: the empty (y,y) cell still exists, zero-filled
+    assert int(out.loc[("y", "y")].n_dup_pairs) == 0
+    assert len(out) == 3                                 # full grid
+
+
+# --- dup_rate_daily ---------------------------------------------------------
+
+def test_dup_rate_daily_first_occurrence_and_empties(ray_session):
+    from dataquality_ray.pipelines.conversations import (
+        _DAY_US,
+        dup_rate_daily,
+    )
+    day0, day1 = 100 * _DAY_US, 101 * _DAY_US
+    rows = [
+        ("a", 0, "same text", day0),        # first occurrence
+        ("a", 1, "", day0),                 # empty: counted, never dup
+        ("b", 0, "Same  Text", day1),       # norm-equal -> dup on day1
+        ("b", 1, "fresh", day1),
+    ]
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+        "ts": pa.array(np.array([r[3] for r in rows],
+                                dtype=np.int64).view("datetime64[us]")),
+    })
+    out = dup_rate_daily(ray.data.from_arrow(t)).to_pandas() \
+        .set_index("day")
+    assert int(out.loc[100].n_turns) == 2
+    assert int(out.loc[100].n_dup_turns) == 0
+    assert int(out.loc[101].n_turns) == 2
+    assert int(out.loc[101].n_dup_turns) == 1
+    assert int(out.loc[101].dup_permille) == 500
