@@ -485,6 +485,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "instruction_verb_census": _instruction_verb_census_q,
         # dedup observability: daily duplication-rate timeline
         "dup_rate_daily": _dup_rate_daily_q,
+        # multilingual hygiene: per-conversation code-switching audit
+        "conv_lang_switches": _conv_lang_switches_q,
         "conv_length_outliers": _conv_length_outliers_q,
         # Deequ-style table analyzers: per-column profile (exact
         # distinct via value-hash-bucketed local dedup) and a
@@ -851,6 +853,13 @@ def _role_length_profile_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import role_length_profile
     return role_length_profile(_transcript_ds(
         sf_dir, columns=["role", "text"]))
+
+
+def _conv_lang_switches_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import \
+        conv_lang_switches
+    return conv_lang_switches(_transcript_ds(
+        sf_dir, columns=["conv_id", "turn_idx", "text"]))
 
 
 def _dup_rate_daily_q(sf_dir: str):
@@ -5159,5 +5168,26 @@ SELECT tot.day, tot.n_turns,
   CAST(1000 * COALESCE(d.n_dup_turns, 0) // tot.n_turns AS BIGINT)
     AS dup_permille
 FROM tot LEFT JOIN d ON d.day = tot.day
+"""
+    # code-switching audit: the shared per-turn langid fragment + a
+    # within-conversation LAG compare (NULL prev never counts)
+    _lid_counts, _lid_case = _langid_parts()
+    sql["conv_lang_switches"] = f"""
+WITH t AS (
+  SELECT conv_id, turn_idx,
+    regexp_extract_all(lower(text), '{_TOK}') AS toks
+  FROM read_parquet('{_tr_glob}')),
+c AS (SELECT conv_id, turn_idx, {_lid_counts} FROM t),
+per AS (SELECT conv_id, turn_idx, {_lid_case} AS pred_lang FROM c),
+w AS (
+  SELECT conv_id, pred_lang,
+    LAG(pred_lang) OVER (
+      PARTITION BY conv_id ORDER BY turn_idx) AS prev
+  FROM per)
+SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
+  CAST(SUM(CASE WHEN prev IS NOT NULL AND pred_lang <> prev
+           THEN 1 ELSE 0 END) AS BIGINT) AS n_switches,
+  CAST(COUNT(DISTINCT pred_lang) AS BIGINT) AS n_langs
+FROM w GROUP BY conv_id
 """
     return sql

@@ -2927,3 +2927,60 @@ def dup_rate_daily(ds, num_buckets: int = 0, ts_ds=None):
         "n_dup_turns": pa.array(nd[order]),
         "dup_permille": pa.array(1000 * nd[order] // nt[order]),
     })
+
+
+# --- multilingual hygiene: code-switching audit ----------------------------
+
+def conv_lang_switches(ds, num_buckets: int = 0):
+    """(conv_id, n_turns, n_switches, n_langs): code-switching audit —
+    per conversation, how often the per-turn predicted language (the
+    pinned spec.STOPWORD_MARKERS langid rule, shared with
+    langid_documents / conv_lang_majority) CHANGES between adjacent
+    turns (turn_idx order), and how many distinct languages appear. A
+    conversation that flips languages mid-dialog is either genuine
+    code-switching or (far more often, at corpus scale) a concatenation
+    artifact — this is the routing gate's evidence table.
+
+    Shape: language prediction is the vectorized stateless map; ONE
+    conv-bucket shuffle of slim (conv_id, turn_idx, pred_lang) rows;
+    the adjacent compare is a whole-frame shift + same-conv mask after
+    one sort (the pinned polars fast-path shape), flags materialized
+    as Int64 columns before a plain-sum agg."""
+    import polars as _pl
+
+    from dataquality_ray.pipelines.quality import conv_bucket_of
+
+    num_buckets = num_buckets or cluster_buckets(minimum=32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from dataquality_ray.pipelines.documents import _pred_lang_of
+        pred = _pred_lang_of(batch["text"])
+        t = pa.table({
+            "conv_id": batch["conv_id"],
+            "turn_idx": pa.array(
+                batch["turn_idx"].to_numpy(zero_copy_only=False)
+                .astype(np.int64)),
+            "pred_lang": pa.array(pred, pa.string()),
+        })
+        return t.append_column(
+            "cb", pa.array(conv_bucket_of(t["conv_id"], num_buckets)))
+
+    def scan(t: pa.Table) -> pa.Table:
+        d = (_pl.from_arrow(t.select(["conv_id", "turn_idx",
+                                      "pred_lang"]))
+             .sort(["conv_id", "turn_idx"]))
+        same = (d["conv_id"] == d["conv_id"].shift(1)).fill_null(False)
+        diff = (d["pred_lang"] != d["pred_lang"].shift(1)) \
+            .fill_null(False)
+        flags = (same & diff).to_numpy().astype(np.int64)
+        g = (d.with_columns(sw=_pl.Series(flags))
+             .group_by("conv_id")
+             .agg(n_turns=_pl.len().cast(_pl.Int64),
+                  n_switches=_pl.col("sw").sum(),
+                  n_langs=_pl.col("pred_lang").n_unique()
+                  .cast(_pl.Int64)))
+        return g.to_arrow()
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("cb").map_groups(scan, batch_format="pyarrow"))

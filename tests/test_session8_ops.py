@@ -362,3 +362,31 @@ def test_dup_rate_daily_first_occurrence_and_empties(ray_session):
     assert int(out.loc[101].n_turns) == 2
     assert int(out.loc[101].n_dup_turns) == 1
     assert int(out.loc[101].dup_permille) == 500
+
+
+# --- conv_lang_switches -----------------------------------------------------
+
+def test_lang_switches_adjacent_and_distinct(ray_session):
+    from dataquality_ray.pipelines.conversations import (
+        conv_lang_switches,
+    )
+    rows = [
+        ("c", 0, "the and of to is"),    # en
+        ("c", 1, "el los que una"),      # es   (switch 1)
+        ("c", 2, "the and of to is"),    # en   (switch 2)
+        ("c", 3, ""),                    # und  (switch 3)
+        ("d", 0, "the and of to is"),    # new conv: first turn never
+        ("d", 1, "the and of to is"),    #   a switch; same lang -> 0
+    ]
+    t = pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+    })
+    out = conv_lang_switches(ray.data.from_arrow(t)).to_pandas() \
+        .set_index("conv_id")
+    assert int(out.loc["c"].n_switches) == 3
+    assert int(out.loc["c"].n_langs) == 3
+    assert int(out.loc["c"].n_turns) == 4
+    assert int(out.loc["d"].n_switches) == 0
+    assert int(out.loc["d"].n_langs) == 1
