@@ -485,6 +485,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "instruction_verb_census": _instruction_verb_census_q,
         # dedup observability: daily duplication-rate timeline
         "dup_rate_daily": _dup_rate_daily_q,
+        # dedup-rate ESTIMATION from nested content-hash-range samples
+        # (the at-scale "measure before you pay for the full dedup
+        # shuffle" step; last row = exact full-corpus answer)
+        "sampled_dup_rate": _sampled_dup_rate_q,
+        # SFT-corpus health: per-day assistant refusal / canned-
+        # deflection rate
+        "assistant_refusal_census": _assistant_refusal_census_q,
+        # per-source distinct-bigram diversity (distinct-n datasheet
+        # stat) and leave-one-source-out mixture ablation planning
+        "distinct_ngram_diversity": D.distinct_ngram_diversity,
+        "mixture_ablation_weights": D.mixture_ablation_weights,
         # multilingual hygiene: per-conversation code-switching audit
         "conv_lang_switches": _conv_lang_switches_q,
         "conv_length_outliers": _conv_length_outliers_q,
@@ -868,6 +879,18 @@ def _dup_rate_daily_q(sf_dir: str):
         _transcript_ds(sf_dir,
                        columns=["conv_id", "turn_idx", "text", "ts"]),
         ts_ds=_transcript_ds(sf_dir, columns=["ts"]))
+
+
+def _sampled_dup_rate_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import sampled_dup_rate
+    return sampled_dup_rate(_transcript_ds(sf_dir, columns=["text"]))
+
+
+def _assistant_refusal_census_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import \
+        assistant_refusal_census
+    return assistant_refusal_census(
+        _transcript_ds(sf_dir, columns=["role", "text", "ts"]))
 
 
 def _instruction_verb_census_q(sf_dir: str):
@@ -5189,5 +5212,105 @@ SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_turns,
            THEN 1 ELSE 0 END) AS BIGINT) AS n_switches,
   CAST(COUNT(DISTINCT pred_lang) AS BIGINT) AS n_langs
 FROM w GROUP BY conv_id
+"""
+    from dataquality_ray.pipelines.conversations import (
+        DUP_SAMPLE_KEEPS,
+        DUP_SAMPLE_MOD,
+        REFUSAL_PATTERNS,
+    )
+    # dedup-rate estimation from nested content-hash-range samples:
+    # sample key = md5_number_upper(norm) % MOD == the Ray side's
+    # first-digest-byte (little-endian), the frozen token-hash contract
+    _keeps = ", ".join(str(int(k)) for k in DUP_SAMPLE_KEEPS)
+    sql["sampled_dup_rate"] = f"""
+WITH nn AS (SELECT {_norm_doc} AS s FROM read_parquet('{_tr_glob}')),
+h AS (
+  SELECT md5(s) AS h, md5_number_upper(s) % {DUP_SAMPLE_MOD} AS skey,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM nn WHERE length(s) > 0 GROUP BY 1, 2),
+k AS (SELECT unnest([{_keeps}]) AS sample_keep),
+a AS (
+  SELECT k.sample_keep,
+    CAST(COALESCE(SUM(h.n), 0) AS BIGINT) AS n_turns,
+    CAST(COUNT(h.h) AS BIGINT) AS n_distinct
+  FROM k LEFT JOIN h ON h.skey < k.sample_keep
+  GROUP BY 1)
+SELECT CAST(sample_keep AS BIGINT) AS sample_keep, n_turns,
+  n_distinct,
+  CAST(1000 * (n_turns - n_distinct) // GREATEST(n_turns, 1)
+       AS BIGINT) AS dup_permille
+FROM a
+"""
+    # assistant refusal / canned-deflection census: patterns are
+    # quote-free ASCII literals shared with the Ray scan
+    _ref_hit = " OR ".join(
+        f"contains(lower(COALESCE(text, '')), '{p}')"
+        for p in REFUSAL_PATTERNS)
+    sql["assistant_refusal_census"] = f"""
+WITH a AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+    CASE WHEN {_ref_hit} THEN 1 ELSE 0 END AS r
+  FROM read_parquet('{_tr_glob}') WHERE role = 'assistant')
+SELECT day, CAST(COUNT(*) AS BIGINT) AS n_assistant_turns,
+  CAST(SUM(r) AS BIGINT) AS n_refusal_turns,
+  CAST(1000 * SUM(r) // GREATEST(COUNT(*), 1) AS BIGINT)
+    AS refusal_permille
+FROM a GROUP BY day
+"""
+    from dataquality_ray.pipelines.documents import (
+        MIXTURE_PPM as _MIX_PPM,
+        MIXTURE_SQRT_SCALE as _MIX_SCALE,
+    )
+    # per-source distinct-bigram diversity: distinctness decided on
+    # md5_number_upper(bigram) == the Ray side's md5-u64; source spine
+    # via LEFT JOIN (the empty-result rule)
+    sql["distinct_ngram_diversity"] = f"""
+WITH t AS (
+  SELECT source,
+    regexp_extract_all(lower(COALESCE(text, '')), '{_TOK}') AS ts
+  FROM documents),
+b AS (
+  SELECT source,
+    unnest(list_transform(generate_series(1, len(ts) - 1),
+                          i -> ts[i] || ' ' || ts[i + 1])) AS bg
+  FROM t),
+a AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+    CAST(COUNT(DISTINCT md5_number_upper(bg)) AS BIGINT)
+      AS n_distinct
+  FROM b GROUP BY 1),
+s AS (SELECT DISTINCT source FROM documents)
+SELECT s.source,
+  CAST(COALESCE(a.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+  CAST(COALESCE(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+  CAST(1000000 * COALESCE(a.n_distinct, 0)
+       // GREATEST(COALESCE(a.n_bigrams, 0), 1) AS BIGINT)
+    AS diversity_micro
+FROM s LEFT JOIN a USING (source)
+"""
+    # leave-one-source-out mixture ablation: same exact integer
+    # arithmetic as source_mixture_weights (floor(sqrt(chars*SCALE)),
+    # ppm trunc-div), re-normalized per held-out source
+    sql["mixture_ablation_weights"] = f"""
+WITH a AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+  FROM documents GROUP BY 1),
+s AS (SELECT source,
+        CAST(floor(sqrt(sum_chars * {_MIX_SCALE}.0)) AS BIGINT) AS sq
+      FROM a),
+t AS (SELECT CAST(SUM(sq) AS BIGINT) AS tot FROM s),
+base AS (
+  SELECT source,
+    sq * {_MIX_PPM} // GREATEST((SELECT tot FROM t), 1) AS w0
+  FROM s)
+SELECT h.source AS held_out, x.source AS source,
+  CAST(x.sq * {_MIX_PPM}
+       // GREATEST((SELECT tot FROM t) - h.sq, 1) AS BIGINT)
+    AS weight_ppm,
+  CAST(x.sq * {_MIX_PPM}
+       // GREATEST((SELECT tot FROM t) - h.sq, 1) - base.w0 AS BIGINT)
+    AS delta_ppm
+FROM s h JOIN s x ON x.source <> h.source
+JOIN base ON base.source = x.source
 """
     return sql

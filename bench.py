@@ -137,7 +137,9 @@ def _query_benches(sf_dir: str) -> dict:
              "pq_codes_embeddings", "pq_ann_topk_embeddings",
              "instruction_verb_census", "vocab_coverage_curve",
              "source_centroid_similarity", "exact_dup_source_matrix",
-             "dup_rate_daily", "conv_lang_switches"]
+             "dup_rate_daily", "conv_lang_switches",
+             "sampled_dup_rate", "assistant_refusal_census",
+             "distinct_ngram_diversity", "mixture_ablation_weights"]
     out = {}
     for name in names:
         t0 = time.time()

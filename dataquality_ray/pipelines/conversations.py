@@ -2984,3 +2984,210 @@ def conv_lang_switches(ds, num_buckets: int = 0):
     return (ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True)
             .groupby("cb").map_groups(scan, batch_format="pyarrow"))
+
+
+# --- dedup-rate estimation from deterministic hash-range samples ------------
+
+# Nested content-hash samples: a turn is in sample k iff
+# (md5_u64(norm_text) % DUP_SAMPLE_MOD) < k.  Sampling ON the content
+# hash keeps every copy of a given content together (in or out as a
+# group), so the sampled duplicate fraction is an unbiased estimate of
+# the corpus rate — the property a row-random sample does NOT have
+# (it thins groups and underestimates duplication).  KEEPS are nested
+# (k' > k ⊇ sample k), and the last keep equals the modulus, so the
+# final row IS the exact full-corpus answer — the output table shows
+# the estimate converging to truth as the sample rate grows.
+DUP_SAMPLE_MOD = 256
+DUP_SAMPLE_KEEPS = (1, 4, 16, 64, 256)
+# the slim pass reads the sample key as the FIRST digest byte, which
+# equals md5_u64 % MOD only while MOD == 256 — changing the modulus
+# requires changing that read (and the oracle interpolates MOD)
+assert DUP_SAMPLE_MOD == 256
+assert DUP_SAMPLE_KEEPS[-1] == DUP_SAMPLE_MOD
+
+
+def sampled_dup_rate(ds, num_buckets: int = 0):
+    """(sample_keep, n_turns, n_distinct, dup_permille): estimate the
+    corpus exact-duplication rate from nested deterministic
+    content-hash-range samples — the at-scale "measure before you pay
+    for the full dedup shuffle" step.  At 100 TB you run the 1/256
+    sample (k=1) to decide whether a dedup pass is worth scheduling;
+    this operator also emits the larger samples up to the exact
+    full-corpus row (k = DUP_SAMPLE_MOD) so the convergence is visible
+    and hash-checkable.
+
+    Scale shape: one slim pass batch-pre-aggregates (digest, n) counts
+    — within-batch copies collapse before anything ships — then ONE
+    digest-bucket shuffle; each bucket finishes its per-digest totals
+    locally (every digest lives in exactly one bucket) and reduces to
+    |KEEPS| rows; the final aggregate is |KEEPS| x |buckets| slim rows.
+    Empty-normalized turns are excluded up front (the exact-dedup skew
+    guard: md5('') would be the one hot key).  Normalization and
+    hashing are the frozen dup_rate_daily conventions (spec EDGE_WS /
+    WS_PLUS + buffer-slice md5; sample key = md5_u64 % MOD ==
+    DuckDB md5_number_upper % MOD)."""
+    import polars as _pl
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from dataquality_ray.arrowutil import md5_digests
+    from dataquality_ray.spec import EDGE_WS_PATTERN, WS_PLUS_PATTERN
+
+    num_buckets = num_buckets or cluster_buckets(minimum=32)
+
+    def slim(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        norm = pc.replace_substring_regex(
+            pc.replace_substring_regex(
+                pc.utf8_lower(pc.fill_null(text, "")),
+                EDGE_WS_PATTERN, ""),
+            WS_PLUS_PATTERN, " ")
+        ok = pc.greater(pc.utf8_length(norm), 0).to_numpy(
+            zero_copy_only=False)
+        dig = md5_digests(norm)
+        keep = np.flatnonzero(ok)
+        digs = [dig[i] for i in keep]
+        # within-batch pre-aggregation: copies collapse to one
+        # (digest, n) row before the shuffle
+        g = (_pl.DataFrame({"h": _pl.Series(digs,
+                                            dtype=_pl.Binary)})
+             .group_by("h").agg(n=_pl.len().cast(_pl.Int64)))
+        hs = g["h"].to_list()
+        hb = np.fromiter(
+            (int.from_bytes(d[:4], "little") % num_buckets
+             for d in hs),
+            dtype=np.int32, count=len(hs))
+        # sample key: md5_u64 % 256 == first digest byte (little-endian)
+        sk = np.fromiter((d[0] for d in hs), dtype=np.int64,
+                         count=len(hs))
+        return pa.table({
+            "hb": pa.array(hb),
+            "h": pa.array(hs, pa.binary()),
+            "sk": pa.array(sk),
+            "n": g["n"].to_arrow(),
+        })
+
+    def bucket_scan(t: pa.Table) -> pa.Table:
+        d = (_pl.from_arrow(t.select(["h", "sk", "n"]))
+             .group_by("h")
+             .agg(sk=_pl.col("sk").first(), n=_pl.col("n").sum()))
+        sk = d["sk"].to_numpy()
+        n = d["n"].to_numpy()
+        rows = []
+        for k in DUP_SAMPLE_KEEPS:
+            m = sk < k
+            rows.append((int(k), int(n[m].sum()), int(m.sum())))
+        return pa.table({
+            "sample_keep": pa.array([r[0] for r in rows], pa.int64()),
+            "nt": pa.array([r[1] for r in rows], pa.int64()),
+            "nd": pa.array([r[2] for r in rows], pa.int64()),
+        })
+
+    agg = (ds.map_batches(slim, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("hb").map_groups(bucket_scan,
+                                     batch_format="pyarrow")
+           .groupby("sample_keep")
+           .aggregate(Sum("nt", alias_name="n_turns"),
+                      Sum("nd", alias_name="n_distinct"))
+           .to_pandas())
+
+    # a zero-row Ray result loses its schema through to_pandas()
+    # (the empty-result rule) — the spine below rebuilds the grid
+    by = {} if len(agg) == 0 else {
+        int(k): (int(t), int(d)) for k, t, d in zip(
+            agg["sample_keep"], agg["n_turns"], agg["n_distinct"])}
+    # spine: every configured keep emits a row even if its sample is
+    # empty on a tiny corpus (the empty-result rule)
+    keep = np.array(DUP_SAMPLE_KEEPS, dtype=np.int64)
+    nt = np.array([by.get(int(k), (0, 0))[0] for k in keep],
+                  dtype=np.int64)
+    nd = np.array([by.get(int(k), (0, 0))[1] for k in keep],
+                  dtype=np.int64)
+    return pa.table({
+        "sample_keep": pa.array(keep),
+        "n_turns": pa.array(nt),
+        "n_distinct": pa.array(nd),
+        "dup_permille": pa.array(
+            1000 * (nt - nd) // np.maximum(nt, 1)),
+    })
+
+
+# --- assistant refusal / canned-deflection census ---------------------------
+
+# Lowercased substring patterns (quote-free ASCII so the identical
+# literal runs in polars contains(literal) and DuckDB contains()).
+# The first group are genuine refusal markers (absent from the
+# synthetic fixture — unit tests plant them); the last two are canned
+# deflection boilerplate the fixture DOES emit, so the per-day census
+# carries real signal on the sf tables.
+REFUSAL_PATTERNS = (
+    "i cannot",
+    "i am unable",
+    "as an ai",
+    "i will not",
+    "this is an automated response",
+    "please do not reply",
+)
+
+
+def assistant_refusal_census(ds):
+    """(day, n_assistant_turns, n_refusal_turns, refusal_permille):
+    per-UTC-day refusal / canned-deflection rate over ASSISTANT turns —
+    the SFT-corpus health metric that catches a source (or a scrape
+    window) dominated by non-answers before it trains a model to
+    refuse.  A turn counts once if ANY pattern matches its lowercased
+    text.
+
+    Scale shape: zero shuffle — the role filter and pattern scan are
+    batch-local (compiled-free: plain substring contains), reduced to
+    per-batch (day, counts) partials into a <=|days| groupby.  The
+    day spine comes from assistant turn counts, so rows exist (with
+    zero refusals) on corpora with no matches — the empty-result
+    rule."""
+    import polars as _pl
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = (_pl.from_arrow(pa.table({
+            "role": batch["role"],
+            "text": batch["text"],
+            "ts_us": pc.cast(batch["ts"], pa.int64()),
+        })).filter(_pl.col("role") == "assistant")
+            .with_columns(lt=_pl.col("text").fill_null("")
+                          .str.to_lowercase()))
+        hit = _pl.lit(False)
+        for p in REFUSAL_PATTERNS:
+            hit = hit | _pl.col("lt").str.contains(p, literal=True)
+        g = (d.with_columns(day=_pl.col("ts_us") // _DAY_US,
+                            r=hit.cast(_pl.Int64))
+             .group_by("day")
+             .agg(na=_pl.len().cast(_pl.Int64),
+                  nr=_pl.col("r").sum()))
+        return g.to_arrow().cast(pa.schema([
+            ("day", pa.int64()), ("na", pa.int64()),
+            ("nr", pa.int64())]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("day")
+           .aggregate(Sum("na", alias_name="n_assistant_turns"),
+                      Sum("nr", alias_name="n_refusal_turns"))
+           .to_pandas())
+
+    day = agg["day"].to_numpy(dtype=np.int64)
+    na = agg["n_assistant_turns"].to_numpy(dtype=np.int64)
+    nr = agg["n_refusal_turns"].to_numpy(dtype=np.int64)
+    order = np.argsort(day, kind="stable")
+    return pa.table({
+        "day": pa.array(day[order]),
+        "n_assistant_turns": pa.array(na[order]),
+        "n_refusal_turns": pa.array(nr[order]),
+        "refusal_permille": pa.array(
+            1000 * nr[order] // np.maximum(na[order], 1)),
+    })

@@ -4938,3 +4938,165 @@ def exact_dup_source_matrix(sf_dir: str):
         "n_dup_pairs": pa.array(p, pa.int64()),
         "n_hashes": pa.array(nh, pa.int64()),
     })
+
+
+# --- corpus diversity: distinct-n-gram ratio per source ---------------------
+
+def distinct_ngram_diversity(sf_dir: str, num_buckets: int = 0):
+    """(source, n_bigrams, n_distinct, diversity_micro): per-source
+    distinct-bigram diversity — the self-BLEU-adjacent datasheet stat
+    (distinct-n of Li et al. 2016): what fraction of a source's
+    adjacent word pairs are unique. A template-heavy or boilerplate
+    source scores low before any dedup pass runs. diversity_micro =
+    1e6 * n_distinct // n_bigrams. Distinctness is decided ON the
+    frozen md5-u64 bigram hash (md5_number_upper in the DuckDB twin)
+    so collisions merge identically on both engines.
+
+    Scale shape: the distinct-bigram space grows with the corpus, so
+    nothing corpus-sized touches a Ray aggregate — per-batch tokenize
+    + whole-frame shift pairing (the pinned fast-path shape), batch
+    dedup BEFORE hashing (one md5 per batch-distinct pair), then ONE
+    hash-bucket shuffle of slim (source, u64) rows; each bucket counts
+    its distinct hashes locally (every hash lives in exactly one
+    bucket); totals ride the same discriminated union as constant-size
+    per-batch partials. Final aggregate ≤ |sources| x |buckets| rows."""
+    from ray.data.aggregate import Sum
+
+    from dataquality_ray.arrowutil import md5_digests
+
+    from dataquality_ray.stages.bucketing import cluster_buckets
+
+    nb = num_buckets or cluster_buckets()
+    docs = _docs(sf_dir, columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(batch.select(["source", "text"]))
+              .with_columns(toks=pl.col("text").fill_null("")
+                            .str.to_lowercase()
+                            .str.extract_all(TOKEN_PATTERN)))
+        # per-source bigram totals (spine: every source in the batch
+        # emits a row even with zero bigrams — the empty-result rule)
+        tot = (df.group_by("source")
+               .agg(cnt=(pl.col("toks").list.len().cast(pl.Int64) - 1)
+                    .clip(lower_bound=0).sum()))
+        e = (df.select(["source", "toks"]).with_row_index("rid")
+             .explode("toks").drop_nulls("toks"))
+        # whole-frame shift + same-row mask (never .over) — the pinned
+        # polars fast-path shape
+        e = (e.with_columns(b=pl.col("toks").shift(-1),
+                            r2=pl.col("rid").shift(-1))
+             .filter(pl.col("rid") == pl.col("r2"))
+             .with_columns(bg=pl.col("toks") + " " + pl.col("b")))
+        d = e.select(["source", "bg"]).unique()
+        digs = md5_digests(d["bg"].to_arrow())
+        if digs:
+            hh = np.frombuffer(b"".join(digs),
+                               dtype="<u8").reshape(-1, 2)[:, 0]
+        else:
+            hh = np.zeros(0, dtype=np.uint64)
+        k0 = pa.table({
+            "part": pa.array((hh % nb).astype(np.int32)),
+            "source": d["source"].to_arrow(),
+            "hh": pa.array(hh.view(np.int64)),
+            "cnt": pa.array(np.zeros(len(d), dtype=np.int64)),
+            "kind": pa.array(np.zeros(len(d), dtype=np.int8)),
+        })
+        k1 = pa.table({
+            "part": pa.array(np.zeros(len(tot), dtype=np.int32)),
+            "source": tot["source"].to_arrow(),
+            "hh": pa.array(np.zeros(len(tot), dtype=np.int64)),
+            "cnt": tot["cnt"].to_arrow(),
+            "kind": pa.array(np.ones(len(tot), dtype=np.int8)),
+        })
+        return pa.concat_tables([k0, k1])
+
+    def scan(t: pa.Table) -> pa.Table:
+        d = pl.from_arrow(t.select(["source", "hh", "cnt", "kind"]))
+        nd = (d.filter(pl.col("kind") == 0)
+              .unique(subset=["source", "hh"])
+              .group_by("source").agg(nd=pl.len().cast(pl.Int64)))
+        nt = (d.filter(pl.col("kind") == 1)
+              .group_by("source").agg(nt=pl.col("cnt").sum()))
+        j = (nd.join(nt, on="source", how="full", coalesce=True)
+             .with_columns(pl.col("nd").fill_null(0),
+                           pl.col("nt").fill_null(0)))
+        return j.to_arrow().cast(pa.schema([
+            ("source", pa.string()), ("nd", pa.int64()),
+            ("nt", pa.int64())]))
+
+    agg = (docs.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("part").map_groups(scan, batch_format="pyarrow")
+           .groupby("source")
+           .aggregate(Sum("nt", alias_name="n_bigrams"),
+                      Sum("nd", alias_name="n_distinct"))
+           .to_pandas())
+
+    src = agg["source"].tolist()
+    nbg = agg["n_bigrams"].to_numpy(dtype=np.int64)
+    ndt = agg["n_distinct"].to_numpy(dtype=np.int64)
+    order = np.argsort(np.array(src, dtype=object), kind="stable")
+    return pa.table({
+        "source": pa.array([src[i] for i in order], pa.string()),
+        "n_bigrams": pa.array(nbg[order]),
+        "n_distinct": pa.array(ndt[order]),
+        "diversity_micro": pa.array(
+            1_000_000 * ndt[order] // np.maximum(nbg[order], 1)),
+    })
+
+
+# --- mixture planning: leave-one-source-out ablation -------------------------
+
+def mixture_ablation_weights(sf_dir: str):
+    """(held_out, source, weight_ppm, delta_ppm): leave-one-source-out
+    sensitivity of the temperature-0.5 mixture — for every held-out
+    source, the re-normalized sqrt weights of the remaining sources and
+    their delta vs the full-mixture weights. The planning table a data
+    ablation study reads before paying for N retraining runs: it says
+    which sources' budgets move most when a candidate source is pulled.
+    Same exact integer arithmetic as source_mixture_weights
+    (floor(sqrt(chars * SCALE)), ppm trunc-div); |sources|^2 rows of
+    driver math over the constant-size per-source aggregate — the
+    corpus is read once, shuffled never."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, columns=["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (pl.DataFrame({
+            "source": pl.from_arrow(batch["source"]),
+            "c": pl.from_arrow(batch["n_chars"]),
+        }).group_by("source")
+            .agg(c=pl.col("c").sum().cast(pl.Int64)))
+        return g.to_arrow().cast(pa.schema([
+            ("source", pa.string()), ("c", pa.int64())]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("source")
+           .aggregate(Sum("c", alias_name="sum_chars"))
+           .to_pandas().sort_values("source"))
+
+    src = agg["source"].tolist()
+    sq = np.floor(np.sqrt(agg["sum_chars"].to_numpy()
+                          .astype(np.float64)
+                          * MIXTURE_SQRT_SCALE)).astype(np.int64)
+    tot = int(sq.sum())
+    base = sq * MIXTURE_PPM // max(tot, 1)
+    held, kept, w, dl = [], [], [], []
+    for i, h in enumerate(src):
+        t_h = max(tot - int(sq[i]), 1)
+        for j, s in enumerate(src):
+            if j == i:
+                continue
+            wj = int(sq[j]) * MIXTURE_PPM // t_h
+            held.append(h)
+            kept.append(s)
+            w.append(wj)
+            dl.append(wj - int(base[j]))
+    return pa.table({
+        "held_out": pa.array(held, pa.string()),
+        "source": pa.array(kept, pa.string()),
+        "weight_ppm": pa.array(w, pa.int64()),
+        "delta_ppm": pa.array(dl, pa.int64()),
+    })
