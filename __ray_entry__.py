@@ -496,6 +496,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stat) and leave-one-source-out mixture ablation planning
         "distinct_ngram_diversity": D.distinct_ngram_diversity,
         "mixture_ablation_weights": D.mixture_ablation_weights,
+        # hybrid retrieval: reciprocal-rank fusion of the BM25 and
+        # embedding-cosine top-K lists for the same query text
+        "hybrid_rrf_top_docs": D.hybrid_rrf_top_docs,
+        # provenance hygiene: per-doc cosine to its OWN source
+        # centroid, off-domain flag
+        "source_embedding_outliers": D.source_embedding_outliers,
+        # corpus freshness: per-day novel-bigram ratio
+        "ngram_novelty_daily": _ngram_novelty_daily_q,
         # multilingual hygiene: per-conversation code-switching audit
         "conv_lang_switches": _conv_lang_switches_q,
         "conv_length_outliers": _conv_length_outliers_q,
@@ -891,6 +899,13 @@ def _assistant_refusal_census_q(sf_dir: str):
         assistant_refusal_census
     return assistant_refusal_census(
         _transcript_ds(sf_dir, columns=["role", "text", "ts"]))
+
+
+def _ngram_novelty_daily_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import \
+        ngram_novelty_daily
+    return ngram_novelty_daily(
+        _transcript_ds(sf_dir, columns=["text", "ts"]))
 
 
 def _instruction_verb_census_q(sf_dir: str):
@@ -5312,5 +5327,174 @@ SELECT h.source AS held_out, x.source AS source,
     AS delta_ppm
 FROM s h JOIN s x ON x.source <> h.source
 JOIN base ON base.source = x.source
+"""
+    # --- round-5 session-10 batch: hybrid RRF retrieval, source
+    #     embedding outliers, per-day n-gram novelty ---
+    from dataquality_ray.pipelines.documents import (
+        BM25_QUERY_TERMS,
+        BM25_TOPK,
+        OUTLIER_COS_TAU as _OUT_TAU,
+        RRF_K as _RRF_K,
+    )
+    from dataquality_ray.stages.embeddings import (
+        EMBED_DIM as EMB_DIM,
+        HASH_BUCKETS as EMB_HASH_BUCKETS,
+        PROJ_Q as EMB_PROJ_Q,
+    )
+    _rrf_qtext = " ".join(BM25_QUERY_TERMS)
+    # the shared embedder CTEs (verbatim the doc_embedding_values /
+    # source_embedding_centroids shapes — frozen hash contract)
+    _proj_cte = f"""
+proj AS (
+  SELECT b.range AS bucket, d.range AS dim,
+    CAST(md5_number_upper('proj:' || b.range || ':' || d.range)
+         % {2 * EMB_PROJ_Q + 1} AS BIGINT) - {EMB_PROJ_Q} AS w
+  FROM range(0, {EMB_HASH_BUCKETS}) b
+  CROSS JOIN range(0, {EMB_DIM}) d)"""
+    _tb_cte = f"""
+tb AS (
+  SELECT doc_id,
+    CAST(md5_number_upper(t) % {EMB_HASH_BUCKETS} AS BIGINT) AS bucket,
+    CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id,
+      unnest(regexp_extract_all(lower(substr(text, 1, 8000)), '{_TOK}'))
+        AS t
+    FROM documents)
+  GROUP BY 1, 2)"""
+    # hybrid RRF: lexical ranks from the BM25 top-K, semantic ranks
+    # from round-6 cosine of the round-6 doc vectors vs the SAME query
+    # text embedded with the same CTEs; integer 1e6//(K+rank) fusion
+    sql["hybrid_rrf_top_docs"] = f"""
+WITH lex0 AS ({sql['bm25_top_docs']}),
+lex AS (
+  SELECT doc_id, CAST(row_number() OVER (
+    ORDER BY score_milli DESC, doc_id) AS BIGINT) AS r
+  FROM lex0),
+v AS ({sql['doc_embedding_values']}),
+emb AS (
+  SELECT doc_id, list(val ORDER BY dim) AS e,
+    sqrt(list_dot_product(list(val ORDER BY dim),
+                          list(val ORDER BY dim))) AS nrm
+  FROM v GROUP BY doc_id),
+{_proj_cte},
+qtb AS (
+  SELECT CAST(md5_number_upper(t) % {EMB_HASH_BUCKETS} AS BIGINT)
+    AS bucket, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (
+    SELECT unnest(regexp_extract_all(
+      lower(substr('{_rrf_qtext}', 1, 8000)), '{_TOK}')) AS t)
+  GROUP BY 1),
+qacc AS (
+  SELECT proj.dim, SUM(qtb.tf * proj.w) AS a
+  FROM qtb JOIN proj USING (bucket) GROUP BY 1),
+qn AS (SELECT SUM(CAST(a AS HUGEINT) * a) AS nsq FROM qacc),
+qv AS (
+  SELECT list(CASE WHEN (SELECT nsq FROM qn) = 0 THEN 0.0
+    ELSE round(a / sqrt(CAST((SELECT nsq FROM qn) AS DOUBLE)), 6) END
+    ORDER BY dim) AS qe
+  FROM qacc),
+sc AS (
+  SELECT emb.doc_id,
+    CASE WHEN emb.nrm = 0 OR COALESCE((SELECT nsq FROM qn), 0) = 0
+         THEN 0.0
+         ELSE round(list_cosine_similarity(emb.e, qv.qe), 6) END
+      AS sim
+  FROM emb, qv),
+semr AS (
+  SELECT doc_id, CAST(row_number() OVER (
+    ORDER BY sim DESC, doc_id) AS BIGINT) AS r
+  FROM sc),
+sem AS (SELECT * FROM semr WHERE r <= {BM25_TOPK}),
+f AS (
+  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+    COALESCE(lex.r, 0) AS lex_rank,
+    COALESCE(sem.r, 0) AS sem_rank
+  FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id)
+SELECT doc_id, lex_rank, sem_rank,
+  CAST(CASE WHEN lex_rank > 0
+            THEN 1000000 // ({_RRF_K} + lex_rank) ELSE 0 END
+     + CASE WHEN sem_rank > 0
+            THEN 1000000 // ({_RRF_K} + sem_rank) ELSE 0 END
+    AS BIGINT) AS rrf_ppm
+FROM f
+"""
+    # per-doc cosine to the OWN-source centroid: centroid normalized
+    # from the exact per-source int64 accumulator sums (HUGEINT
+    # squares — the per-source sums overflow BIGINT when squared)
+    sql["source_embedding_outliers"] = f"""
+WITH {_tb_cte},
+{_proj_cte},
+acc AS (
+  SELECT tb.doc_id, proj.dim, SUM(tb.tf * proj.w) AS a
+  FROM tb JOIN proj USING (bucket) GROUP BY 1, 2),
+v AS ({sql['doc_embedding_values']}),
+emb AS (
+  SELECT doc_id, list(val ORDER BY dim) AS e,
+    sqrt(list_dot_product(list(val ORDER BY dim),
+                          list(val ORDER BY dim))) AS nrm
+  FROM v GROUP BY doc_id),
+csum AS (
+  SELECT d.source, a.dim, CAST(SUM(a.a) AS BIGINT) AS sa
+  FROM acc a JOIN documents d USING (doc_id) GROUP BY 1, 2),
+cgrid AS (
+  SELECT s.source, d.range AS dim
+  FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN range(0, {EMB_DIM}) d),
+cs AS (
+  SELECT g.source, g.dim, COALESCE(c.sa, 0) AS sa
+  FROM cgrid g LEFT JOIN csum c
+    ON c.source = g.source AND c.dim = g.dim),
+cn AS (
+  SELECT source, SUM(CAST(sa AS HUGEINT) * sa) AS nsq
+  FROM cs GROUP BY 1),
+cv AS (
+  SELECT cs.source,
+    list(CASE WHEN cn.nsq = 0 THEN 0.0
+      ELSE round(cs.sa / sqrt(CAST(cn.nsq AS DOUBLE)), 6) END
+      ORDER BY cs.dim) AS ce,
+    cn.nsq AS cnsq
+  FROM cs JOIN cn USING (source) GROUP BY cs.source, cn.nsq),
+j AS (
+  SELECT d.doc_id, d.source,
+    CASE WHEN emb.nrm = 0 OR cv.cnsq = 0 THEN 0.0
+         ELSE round(list_cosine_similarity(emb.e, cv.ce), 6) END
+      AS cos_centroid
+  FROM documents d
+  JOIN emb ON emb.doc_id = d.doc_id
+  JOIN cv ON cv.source = d.source)
+SELECT doc_id, source, cos_centroid,
+  CAST(CASE WHEN cos_centroid < {_OUT_TAU} THEN 1 ELSE 0 END
+    AS BIGINT) AS is_outlier
+FROM j
+"""
+    # per-day novel-bigram ratio: distinctness / first-seen on the
+    # frozen md5-u64 bigram hash; day spine from ALL turns
+    sql["ngram_novelty_daily"] = f"""
+WITH t AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+    regexp_extract_all(lower(COALESCE(text, '')), '{_TOK}') AS tk
+  FROM read_parquet('{_tr_glob}')),
+b AS (
+  SELECT day,
+    unnest(list_transform(generate_series(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i + 1])) AS bg
+  FROM t),
+h AS (SELECT DISTINCT day, md5_number_upper(bg) AS hh FROM b),
+m AS (SELECT hh, MIN(day) AS d0 FROM h GROUP BY 1),
+a AS (
+  SELECT h.day, CAST(COUNT(*) AS BIGINT) AS nd,
+    CAST(SUM(CASE WHEN m.d0 = h.day THEN 1 ELSE 0 END) AS BIGINT)
+      AS nn
+  FROM h JOIN m USING (hh) GROUP BY 1),
+sp AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day
+       FROM read_parquet('{_tr_glob}'))
+SELECT sp.day,
+  CAST(COALESCE(a.nd, 0) AS BIGINT) AS n_distinct,
+  CAST(COALESCE(a.nn, 0) AS BIGINT) AS n_new,
+  CAST(1000 * COALESCE(a.nn, 0)
+       // GREATEST(COALESCE(a.nd, 0), 1) AS BIGINT)
+    AS novelty_permille
+FROM sp LEFT JOIN a USING (day)
 """
     return sql

@@ -139,7 +139,9 @@ def _query_benches(sf_dir: str) -> dict:
              "source_centroid_similarity", "exact_dup_source_matrix",
              "dup_rate_daily", "conv_lang_switches",
              "sampled_dup_rate", "assistant_refusal_census",
-             "distinct_ngram_diversity", "mixture_ablation_weights"]
+             "distinct_ngram_diversity", "mixture_ablation_weights",
+             "hybrid_rrf_top_docs", "source_embedding_outliers",
+             "ngram_novelty_daily"]
     out = {}
     for name in names:
         t0 = time.time()

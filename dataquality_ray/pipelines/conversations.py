@@ -3191,3 +3191,107 @@ def assistant_refusal_census(ds):
         "refusal_permille": pa.array(
             1000 * nr[order] // np.maximum(na[order], 1)),
     })
+
+
+# --- corpus freshness: per-day novel-bigram ratio ----------------------------
+
+def ngram_novelty_daily(ds, num_buckets: int = 0):
+    """(day, n_distinct, n_new, novelty_permille): per-UTC-day corpus
+    novelty — of the distinct bigram hashes seen on a day, how many
+    had never appeared on ANY earlier day. A crawl whose novelty decays
+    to the floor is re-scraping itself; a day that spikes marks a new
+    source coming online. Day 1 is 1000 by construction. Distinctness
+    and first-seen are decided on the frozen md5-u64 bigram hash
+    (md5_number_upper twin) so collisions merge identically.
+
+    Scale shape: per-batch tokenize + row-local shift pairing (the
+    pinned fast-path shape), batch-distinct (day, hash) BEFORE any
+    exchange; ONE hash-bucket shuffle of slim (day, u64) rows — every
+    hash lives in exactly one bucket, so first-day and per-day distinct
+    counts complete locally; the day spine rides the same discriminated
+    union (kind=1 distinct days from ALL turns), so zero-bigram days
+    still emit rows (the empty-result rule). Final aggregate is
+    |days| x |buckets| slim rows."""
+    import polars as _pl
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from dataquality_ray.arrowutil import md5_digests
+    from dataquality_ray.spec import TOKEN_PATTERN
+
+    nb = num_buckets or cluster_buckets(minimum=32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(batch["ts"], pa.int64())
+        day = pc.divide(ts_us, _DAY_US)
+        df = (_pl.from_arrow(pa.table({
+            "day": day, "text": batch["text"]}))
+            .with_columns(toks=_pl.col("text").fill_null("")
+                          .str.to_lowercase()
+                          .str.extract_all(TOKEN_PATTERN)))
+        e = (df.select(["day", "toks"]).with_row_index("rid")
+             .explode("toks").drop_nulls("toks"))
+        e = (e.with_columns(b=_pl.col("toks").shift(-1),
+                            r2=_pl.col("rid").shift(-1))
+             .filter(_pl.col("rid") == _pl.col("r2"))
+             .with_columns(bg=_pl.col("toks") + " " + _pl.col("b")))
+        d = e.select(["day", "bg"]).unique()
+        digs = md5_digests(d["bg"].to_arrow())
+        if digs:
+            hh = np.frombuffer(b"".join(digs),
+                               dtype="<u8").reshape(-1, 2)[:, 0]
+        else:
+            hh = np.zeros(0, dtype=np.uint64)
+        k0 = pa.table({
+            "part": pa.array((hh % nb).astype(np.int32)),
+            "day": d["day"].to_arrow().cast(pa.int64()),
+            "hh": pa.array(hh.view(np.int64)),
+            "kind": pa.array(np.zeros(len(d), dtype=np.int8)),
+        })
+        days = df["day"].unique()
+        k1 = pa.table({
+            "part": pa.array(np.zeros(len(days), dtype=np.int32)),
+            "day": days.to_arrow().cast(pa.int64()),
+            "hh": pa.array(np.zeros(len(days), dtype=np.int64)),
+            "kind": pa.array(np.ones(len(days), dtype=np.int8)),
+        })
+        return pa.concat_tables([k0, k1])
+
+    def scan(t: pa.Table) -> pa.Table:
+        d = _pl.from_arrow(t.select(["day", "hh", "kind"]))
+        h = (d.filter(_pl.col("kind") == 0)
+             .unique(subset=["day", "hh"]))
+        m0 = h.group_by("hh").agg(d0=_pl.col("day").min())
+        a = (h.join(m0, on="hh")
+             .group_by("day")
+             .agg(nd=_pl.len().cast(_pl.Int64),
+                  nn=(_pl.col("day") == _pl.col("d0"))
+                  .cast(_pl.Int64).sum()))
+        spine = (d.filter(_pl.col("kind") == 1)
+                 .select("day").unique()
+                 .with_columns(nd=_pl.lit(0, dtype=_pl.Int64),
+                               nn=_pl.lit(0, dtype=_pl.Int64)))
+        return _pl.concat([a, spine]).to_arrow().cast(pa.schema([
+            ("day", pa.int64()), ("nd", pa.int64()),
+            ("nn", pa.int64())]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("part").map_groups(scan, batch_format="pyarrow")
+           .groupby("day")
+           .aggregate(Sum("nd", alias_name="n_distinct"),
+                      Sum("nn", alias_name="n_new"))
+           .to_pandas())
+
+    day = agg["day"].to_numpy(dtype=np.int64)
+    nd = agg["n_distinct"].to_numpy(dtype=np.int64)
+    nn = agg["n_new"].to_numpy(dtype=np.int64)
+    order = np.argsort(day, kind="stable")
+    return pa.table({
+        "day": pa.array(day[order]),
+        "n_distinct": pa.array(nd[order]),
+        "n_new": pa.array(nn[order]),
+        "novelty_permille": pa.array(
+            1000 * nn[order] // np.maximum(nd[order], 1)),
+    })

@@ -5100,3 +5100,186 @@ def mixture_ablation_weights(sf_dir: str):
         "weight_ppm": pa.array(w, pa.int64()),
         "delta_ppm": pa.array(dl, pa.int64()),
     })
+
+
+# --- hybrid retrieval: reciprocal-rank fusion of BM25 and ANN ----------------
+
+RRF_K = 60  # the standard Cormack/Clarke/Buettcher 2009 constant
+
+
+def hybrid_rrf_top_docs(sf_dir: str):
+    """(doc_id, lex_rank, sem_rank, rrf_ppm): reciprocal-rank fusion
+    (Cormack et al. 2009) of the two retrieval surfaces this engine
+    already hash-checks — the BM25 lexical top-K (bm25_top_docs,
+    query = BM25_QUERY_TERMS) and the embedding-cosine semantic top-K
+    for the SAME query text embedded with the frozen hashed-projection
+    embedder. rrf_ppm = sum over the lists containing the doc of
+    1_000_000 // (RRF_K + rank) — integer-exact, so the fused score
+    column is hash-stable; absent ranks emit 0. Semantic ranking is on
+    ROUND-6 cosine (doc_id tiebreak), the cross-engine-safe order.
+
+    Scale shape: two streaming passes (the BM25 two-pass and one
+    embed+score pass against a broadcast 64-float query vector), each
+    reducing per batch to K slim rows then one single-partition top-K;
+    the fusion itself is 2K-row driver math. Nothing corpus-sized
+    leaves the read. Reference analog: the corpus-lookup similarity
+    surface (metadata.py:514-624) fused with lexical retrieval."""
+    from dataquality_ray.stages.embeddings import (
+        HashedProjectionEmbedder,
+        embed_texts,
+    )
+    from dataquality_ray.stages.similarity import _as_matrix, _normalize
+
+    qtext = " ".join(BM25_QUERY_TERMS)
+
+    # lexical list: BM25 top-K (already a K-row single partition)
+    lex = (bm25_top_docs(sf_dir).to_pandas()
+           .sort_values(["score_milli", "doc_id"],
+                        ascending=[False, True]).reset_index(drop=True))
+    lex_rank = {int(d): i + 1 for i, d in enumerate(lex["doc_id"])}
+
+    # semantic list: round-6 query vector from the frozen embedder
+    # (driver-side — one 3-token text), broadcast into a batch scorer
+    qvec = HashedProjectionEmbedder()._embed_rows([qtext])[0]
+    qn = float(np.linalg.norm(qvec))
+    qu = qvec / qn if qn > 0 else qvec
+    qref = ray.put(qu)
+
+    def sem_partial(batch: pa.Table) -> pa.Table:
+        q = ray.get(qref)
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        m = _normalize(_as_matrix(batch["embedding"]))
+        sims = np.round(m @ q, 6)           # round-6 BEFORE ranking
+        order = np.lexsort((ids, -sims))[:BM25_TOPK]
+        return pa.table({
+            "doc_id": pa.array(ids[order]),
+            "sim6": pa.array(sims[order], pa.float64()),
+        })
+
+    def sem_final(t: pa.Table) -> pa.Table:
+        d = pl.from_arrow(t).sort(["sim6", "doc_id"],
+                                  descending=[True, False])
+        return d.head(BM25_TOPK).to_arrow()
+
+    sem = (embed_texts(_docs(sf_dir, columns=["doc_id", "text"]))
+           .map_batches(sem_partial, batch_format="pyarrow")
+           .repartition(1)
+           .map_batches(sem_final, batch_format="pyarrow")
+           .to_pandas())
+    sem_rank = {int(d): i + 1 for i, d in enumerate(sem["doc_id"])}
+
+    all_ids = sorted(set(lex_rank) | set(sem_rank))
+    lr = np.array([lex_rank.get(d, 0) for d in all_ids], dtype=np.int64)
+    sr = np.array([sem_rank.get(d, 0) for d in all_ids], dtype=np.int64)
+    rrf = (np.where(lr > 0, 1_000_000 // (RRF_K + lr), 0)
+           + np.where(sr > 0, 1_000_000 // (RRF_K + sr), 0))
+    order = np.lexsort((np.array(all_ids), -rrf))
+    return pa.table({
+        "doc_id": pa.array(np.array(all_ids, dtype=np.int64)[order]),
+        "lex_rank": pa.array(lr[order]),
+        "sem_rank": pa.array(sr[order]),
+        "rrf_ppm": pa.array(rrf[order]),
+    })
+
+
+# --- per-source embedding outliers (distance to own domain centroid) --------
+
+# round-6 cosine below this flags the doc as off-domain for its source
+OUTLIER_COS_TAU = 0.1
+
+
+def source_embedding_outliers(sf_dir: str):
+    """(doc_id, source, cos_centroid, is_outlier): every document's
+    round-6 cosine to its OWN source's mean-embedding centroid, with
+    an off-domain flag (cos < OUTLIER_COS_TAU) — the curation signal
+    that catches mislabeled provenance or scraper contamination inside
+    a source before mixture planning trusts the source label.
+
+    Exactness: the centroid is normalized from the per-source EXACT
+    int64 accumulator sums (the source_embedding_centroids surface) —
+    norm-squared summed in arbitrary-precision Python ints, one
+    correctly-rounded sqrt+divide, round-6 (the _embed_rows recipe) —
+    so both engines rank from identical round-6 unit vectors; the
+    cosine then follows the proven doc_embedding_ann convention
+    (normalize round-6 vectors, dot, round-6; zero vector -> 0).
+
+    Scale shape: pass 1 reduces each batch to (sources x DIM) exact
+    int64 partial sums before a constant-size groupby; the centroid
+    dict (|sources| x 64 floats) broadcasts via ray.put; pass 2
+    streams the embed+dot per batch. Nothing corpus-sized shuffles.
+    Reference analog: max-similarity per doc (metadata.py:514-624)
+    turned inward against the source's own centroid."""
+    from ray.data.aggregate import Sum
+
+    from dataquality_ray.stages.embeddings import (
+        EMBED_DIM,
+        HashedProjectionEmbedder,
+    )
+
+    docs = _docs(sf_dir, columns=["doc_id", "source", "text"])
+
+    class AccPartials(HashedProjectionEmbedder):
+        def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+            texts = batch[self.text_col]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            acc = self._acc_rows(texts.to_pylist())
+            src = np.asarray(batch["source"].to_pylist())
+            uniq, inv = np.unique(src, return_inverse=True)
+            sums = np.zeros((len(uniq), EMBED_DIM), dtype=np.int64)
+            np.add.at(sums, inv, acc)
+            return pa.table({
+                "source": pa.array(np.repeat(uniq, EMBED_DIM).tolist(),
+                                   pa.string()),
+                "dim": pa.array(np.tile(
+                    np.arange(EMBED_DIM, dtype=np.int64), len(uniq))),
+                "sa": pa.array(sums.ravel()),
+            })
+
+    cent = (docs.map_batches(
+        AccPartials, fn_constructor_kwargs={},
+        concurrency=(1, DEFAULT_CONFIG.actor_pool_size),
+        batch_size=DEFAULT_CONFIG.batch_size,
+        batch_format="pyarrow")
+        .groupby(["source", "dim"])
+        .aggregate(Sum("sa", alias_name="sum_acc"))
+        .to_pandas())
+
+    centroids: dict[str, np.ndarray] = {}
+    for s, grp in cent.groupby("source"):
+        g = grp.sort_values("dim")
+        sa = g["sum_acc"].to_numpy(dtype=np.int64)
+        # exact integer norm-squared (python ints — int64 dot of the
+        # per-source SUMS can overflow), then the _embed_rows recipe
+        nsq = sum(int(x) * int(x) for x in sa)
+        centroids[str(s)] = (
+            np.round(sa / np.sqrt(float(nsq)), 6) if nsq > 0
+            else np.zeros(EMBED_DIM, dtype=np.float64))
+    cref = ray.put(centroids)
+
+    class Scorer(HashedProjectionEmbedder):
+        def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+            cmap = ray.get(cref)
+            texts = batch[self.text_col]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            emb = self._embed_rows(texts.to_pylist())
+            src = [str(s) for s in batch["source"].to_pylist()]
+            cm = np.asarray([cmap[s] for s in src], dtype=np.float64)
+            from dataquality_ray.stages.similarity import _normalize
+            sims = np.round(
+                np.einsum("ij,ij->i", _normalize(emb), _normalize(cm)),
+                6)
+            return pa.table({
+                "doc_id": batch["doc_id"],
+                "source": batch["source"],
+                "cos_centroid": pa.array(sims, pa.float64()),
+                "is_outlier": pa.array(
+                    (sims < OUTLIER_COS_TAU).astype(np.int64)),
+            })
+
+    return docs.map_batches(
+        Scorer, fn_constructor_kwargs={},
+        concurrency=(1, DEFAULT_CONFIG.actor_pool_size),
+        batch_size=DEFAULT_CONFIG.batch_size,
+        batch_format="pyarrow")

@@ -81,7 +81,8 @@ _ORACLE_CACHE: dict = {}
 # already-verified sub-results — the same memoization the string-level
 # cache already does for aliased oracles, one level deeper.
 _EMBEDDABLE = ("transcript_near_dup_pairs", "doc_embedding_values",
-               "conv_near_dup_pairs", "source_embedding_centroids")
+               "conv_near_dup_pairs", "source_embedding_centroids",
+               "bm25_top_docs")
 
 
 def _oracle_want(name: str):

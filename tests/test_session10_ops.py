@@ -1,0 +1,139 @@
+"""Edge-case pins for the round-5 session-10 operators
+(hybrid_rrf_top_docs, source_embedding_outliers, ngram_novelty_daily).
+The DuckDB gate checks them corpus-wide at sf0.01; these pin boundary
+semantics on crafted inputs: the RRF fusion arithmetic and rank bounds,
+the off-domain-doc detection property + flag/threshold consistency, and
+the novelty first-day / repeat-day / zero-bigram-day spine rules."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+SF = "/root/testdata/sf0.001"
+
+RECENT = "2025-12-31T00:00:00"
+
+
+def _turns(rows):
+    """rows: (conv_id, turn_idx, role, text, day_offset)."""
+    base = np.datetime64(RECENT, "us").astype(np.int64)
+    day = 86_400_000_000
+    return pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows], pa.string()),
+        "text": pa.array([r[3] for r in rows], pa.string()),
+        "ts": pa.array(
+            np.array([base + r[4] * day for r in rows],
+                     dtype=np.int64).view("datetime64[us]")),
+    })
+
+
+# --- ngram_novelty_daily ----------------------------------------------------
+
+def test_ngram_novelty_first_and_repeat_days(ray_session):
+    from dataquality_ray.pipelines.conversations import ngram_novelty_daily
+    rows = [
+        ("c0", 0, "user", "a b c", 0),      # day0: {a b, b c} both new
+        ("c1", 0, "user", "a b d", 1),      # day1: {a b old, b d new}
+        ("c2", 0, "user", "a b", 2),        # day2: {a b} old only
+    ]
+    out = (ngram_novelty_daily(ray.data.from_arrow(_turns(rows)))
+           .to_pandas().sort_values("day").reset_index(drop=True))
+    assert list(out["n_distinct"]) == [2, 2, 1]
+    assert list(out["n_new"]) == [2, 1, 0]
+    assert list(out["novelty_permille"]) == [1000, 500, 0]
+
+
+def test_ngram_novelty_zero_bigram_day_spine(ray_session):
+    from dataquality_ray.pipelines.conversations import ngram_novelty_daily
+    rows = [
+        ("c0", 0, "user", "x y", 0),
+        ("c1", 0, "user", "solo", 1),       # 1 token -> 0 bigrams
+        ("c2", 0, "user", None, 2),         # null text -> 0 bigrams
+    ]
+    out = (ngram_novelty_daily(ray.data.from_arrow(_turns(rows)))
+           .to_pandas().sort_values("day").reset_index(drop=True))
+    # every day with turns emits a row, zero-bigram days as (0, 0, 0)
+    assert len(out) == 3
+    assert list(out["n_distinct"]) == [1, 0, 0]
+    assert list(out["n_new"]) == [1, 0, 0]
+    assert list(out["novelty_permille"]) == [1000, 0, 0]
+
+
+def test_ngram_novelty_within_day_dedup(ray_session):
+    from dataquality_ray.pipelines.conversations import ngram_novelty_daily
+    # the same bigram 100x on one day counts ONCE (distinct semantics)
+    rows = [(f"c{i}", 0, "user", "p q", 0) for i in range(100)]
+    out = ngram_novelty_daily(ray.data.from_arrow(_turns(rows))).to_pandas()
+    assert len(out) == 1
+    assert out["n_distinct"][0] == 1 and out["n_new"][0] == 1
+
+
+# --- hybrid_rrf_top_docs ----------------------------------------------------
+
+def test_hybrid_rrf_fusion_arithmetic(ray_session):
+    from dataquality_ray.pipelines.documents import (
+        BM25_TOPK,
+        RRF_K,
+        hybrid_rrf_top_docs,
+    )
+    out = hybrid_rrf_top_docs(SF).to_pandas()
+    assert len(out) > 0
+    lr = out["lex_rank"].to_numpy()
+    sr = out["sem_rank"].to_numpy()
+    # ranks are 0 (absent) or within 1..K; every doc is in >= 1 list
+    assert ((lr >= 0) & (lr <= BM25_TOPK)).all()
+    assert ((sr >= 0) & (sr <= BM25_TOPK)).all()
+    assert ((lr > 0) | (sr > 0)).all()
+    # each present rank value appears exactly once per list
+    for r in (lr, sr):
+        present = r[r > 0]
+        assert len(np.unique(present)) == len(present)
+    # the fused score IS the integer RRF formula
+    want = (np.where(lr > 0, 1_000_000 // (RRF_K + lr), 0)
+            + np.where(sr > 0, 1_000_000 // (RRF_K + sr), 0))
+    assert (out["rrf_ppm"].to_numpy() == want).all()
+    # output ordered by (rrf desc, doc_id asc)
+    key = list(zip(-out["rrf_ppm"].to_numpy(), out["doc_id"].to_numpy()))
+    assert key == sorted(key)
+
+
+# --- source_embedding_outliers ----------------------------------------------
+
+def test_source_outliers_flag_matches_threshold(ray_session):
+    from dataquality_ray.pipelines.documents import (
+        OUTLIER_COS_TAU,
+        source_embedding_outliers,
+    )
+    out = source_embedding_outliers(SF).to_pandas()
+    n_docs = pq.read_metadata(f"{SF}/documents.parquet").num_rows
+    assert len(out) == n_docs
+    cos = out["cos_centroid"].to_numpy()
+    assert ((cos >= -1.0 - 1e-9) & (cos <= 1.0 + 1e-9)).all()
+    assert (out["is_outlier"].to_numpy()
+            == (cos < OUTLIER_COS_TAU).astype(np.int64)).all()
+
+
+def test_source_outliers_detects_offdomain_doc(ray_session, tmp_path):
+    from dataquality_ray.pipelines.documents import source_embedding_outliers
+    # source A: 9 on-topic docs + 1 token-disjoint deviant; the deviant
+    # must score the minimum cosine-to-centroid within the source
+    texts = ["alpha beta gamma delta epsilon"] * 9 + [
+        "zzz qqq www uuu mmm nnn ooo ppp"]
+    tab = pa.table({
+        "doc_id": pa.array(list(range(10)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * 10, pa.string()),
+        "source": pa.array(["src_a"] * 10, pa.string()),
+        "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+    })
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    out = (source_embedding_outliers(str(tmp_path)).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    cos = out["cos_centroid"].to_numpy()
+    assert np.argmin(cos) == 9
+    # the nine identical docs share one cosine value
+    assert len(np.unique(cos[:9])) == 1
+    assert cos[9] < cos[0]
