@@ -504,6 +504,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_embedding_outliers": D.source_embedding_outliers,
         # corpus freshness: per-day novel-bigram ratio
         "ngram_novelty_daily": _ngram_novelty_daily_q,
+        # privacy: assistant turns echoing user-supplied PII values
+        "pii_echo_turns": _pii_echo_turns_q,
+        # SFT health: per-conversation quality improve/decay trend
+        "conv_quality_trend": _conv_quality_trend_q,
         # multilingual hygiene: per-conversation code-switching audit
         "conv_lang_switches": _conv_lang_switches_q,
         "conv_length_outliers": _conv_length_outliers_q,
@@ -899,6 +903,17 @@ def _assistant_refusal_census_q(sf_dir: str):
         assistant_refusal_census
     return assistant_refusal_census(
         _transcript_ds(sf_dir, columns=["role", "text", "ts"]))
+
+
+def _pii_echo_turns_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import pii_echo_turns
+    return pii_echo_turns(_transcript_ds(
+        sf_dir, columns=["conv_id", "turn_idx", "role", "text"]))
+
+
+def _conv_quality_trend_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import conv_quality_trend
+    return conv_quality_trend(_transcript_ds(sf_dir))
 
 
 def _ngram_novelty_daily_q(sf_dir: str):
@@ -5496,5 +5511,87 @@ SELECT sp.day,
        // GREATEST(COALESCE(a.nd, 0), 1) AS BIGINT)
     AS novelty_permille
 FROM sp LEFT JOIN a USING (day)
+"""
+    # PII echo: value extraction with the scrub stage's SEQUENTIAL
+    # semantics (each rule on the previous rules' replaced text);
+    # echo = assistant turn_idx strictly after the value's first USER
+    # turn; zero-filled all-conversations spine
+    _em, _sstn, _phn = (spec.EMAIL_PATTERN, spec.SSN_PATTERN,
+                        spec.PHONE_PATTERN)
+    _after_email = (f"regexp_replace(tx, '{_em}', "
+                    f"'{spec.EMAIL_TOKEN}', 'g')")
+    _after_ssn = (f"regexp_replace({_after_email}, '{_sstn}', "
+                  f"'{spec.SSN_TOKEN}', 'g')")
+    sql["pii_echo_turns"] = f"""
+WITH t AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS ti, role,
+    COALESCE(text, '') AS tx
+  FROM read_parquet('{_tr_glob}')),
+m AS (
+  SELECT conv_id, ti, role,
+    unnest(regexp_extract_all(tx, '{_em}')) AS v
+  FROM t WHERE role IN ('user', 'assistant')
+  UNION ALL
+  SELECT conv_id, ti, role,
+    unnest(regexp_extract_all({_after_email}, '{_sstn}')) AS v
+  FROM t WHERE role IN ('user', 'assistant')
+  UNION ALL
+  SELECT conv_id, ti, role,
+    unnest(regexp_extract_all({_after_ssn}, '{_phn}')) AS v
+  FROM t WHERE role IN ('user', 'assistant')),
+u AS (
+  SELECT conv_id, v, MIN(ti) AS fu
+  FROM m WHERE role = 'user' GROUP BY 1, 2),
+e AS (
+  SELECT DISTINCT m.conv_id, m.ti, m.v
+  FROM m JOIN u ON u.conv_id = m.conv_id AND u.v = m.v
+  WHERE m.role = 'assistant' AND m.ti > u.fu),
+g AS (
+  SELECT conv_id,
+    CAST(COUNT(DISTINCT v) AS BIGINT) AS n_echo_values,
+    CAST(COUNT(DISTINCT ti) AS BIGINT) AS n_echo_turns
+  FROM e GROUP BY 1),
+uv AS (
+  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS n_user_pii_values
+  FROM u GROUP BY 1),
+c AS (SELECT DISTINCT conv_id FROM t)
+SELECT c.conv_id,
+  CAST(COALESCE(uv.n_user_pii_values, 0) AS BIGINT)
+    AS n_user_pii_values,
+  CAST(COALESCE(g.n_echo_values, 0) AS BIGINT) AS n_echo_values,
+  CAST(COALESCE(g.n_echo_turns, 0) AS BIGINT) AS n_echo_turns
+FROM c LEFT JOIN uv ON uv.conv_id = c.conv_id
+LEFT JOIN g ON g.conv_id = c.conv_id
+"""
+    # quality trend: hscore (the six SQL dims, the preference-pair
+    # scorer) summed over the first k vs last k assistant turns,
+    # k = n // 2; trend = sign(last - first); n >= 2 only
+    sql["conv_quality_trend"] = f"""
+WITH q AS ({sql['transcript_turn_quality']}),
+r AS (SELECT conv_id, turn_idx, role FROM read_parquet('{_tr_glob}')),
+a AS (
+  SELECT q.conv_id, CAST(q.turn_idx AS BIGINT) AS ti,
+    CAST(q.length_score + q.repetition_score + q.symbol_score
+       + q.boilerplate_score + q.toxicity_score + q.timeliness_score
+       AS BIGINT) AS h
+  FROM q JOIN r ON r.conv_id = q.conv_id AND r.turn_idx = q.turn_idx
+  WHERE r.role = 'assistant'),
+rk AS (
+  SELECT conv_id, ti, h,
+    row_number() OVER (PARTITION BY conv_id ORDER BY ti) AS rnk,
+    COUNT(*) OVER (PARTITION BY conv_id) AS n
+  FROM a),
+g AS (
+  SELECT conv_id, CAST(MAX(n) AS BIGINT) AS n_assistant,
+    CAST(SUM(CASE WHEN rnk <= n // 2 THEN h ELSE 0 END) AS BIGINT)
+      AS first_sum,
+    CAST(SUM(CASE WHEN rnk > n - n // 2 THEN h ELSE 0 END) AS BIGINT)
+      AS last_sum
+  FROM rk GROUP BY conv_id)
+SELECT conv_id, n_assistant, first_sum, last_sum,
+  CAST(CASE WHEN last_sum > first_sum THEN 1
+            WHEN last_sum < first_sum THEN -1
+            ELSE 0 END AS BIGINT) AS trend
+FROM g WHERE n_assistant >= 2
 """
     return sql

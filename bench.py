@@ -141,7 +141,8 @@ def _query_benches(sf_dir: str) -> dict:
              "sampled_dup_rate", "assistant_refusal_census",
              "distinct_ngram_diversity", "mixture_ablation_weights",
              "hybrid_rrf_top_docs", "source_embedding_outliers",
-             "ngram_novelty_daily"]
+             "ngram_novelty_daily", "pii_echo_turns",
+             "conv_quality_trend"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -3295,3 +3295,219 @@ def ngram_novelty_daily(ds, num_buckets: int = 0):
         "novelty_permille": pa.array(
             1000 * nn[order] // np.maximum(nd[order], 1)),
     })
+
+
+# --- privacy: assistant echoes of user-supplied PII --------------------------
+
+def pii_echo_turns(ds, num_buckets: int = 0):
+    """(conv_id, n_user_pii_values, n_echo_values, n_echo_turns): per
+    conversation, the PII VALUES (exact matched substrings of the
+    frozen spec.PII_RULES, extracted with the scrub stage's sequential
+    semantics) that a USER turn introduced and an ASSISTANT turn later
+    repeated verbatim — the privacy audit that catches a model parroting
+    emails/SSNs/phones back into the transcript, which per-turn match
+    COUNTS (conv_pii_stats) cannot see. "Later" = assistant turn_idx
+    strictly greater than the value's first user turn_idx. Every
+    conversation emits a row (zero-filled spine — the empty-result
+    rule).
+
+    Shape: extraction is batch-local (three sequential RE2 passes, the
+    conv_pii_stats recipe); the exchange ships only slim PII-match rows
+    (conv_id, turn_idx, role-flag, value) plus a distinct-conv spine on
+    the same discriminated union; ONE conv-bucket shuffle, then the
+    first-seen/echo joins complete locally (every conversation lives in
+    exactly one bucket). PII rows are rare, so the exchange is tiny
+    relative to the corpus."""
+    import hashlib
+
+    import polars as _pl
+    import pyarrow.compute as pc
+
+    from dataquality_ray.spec import PII_RULES
+
+    num_buckets = num_buckets or cluster_buckets(minimum=32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        text = pc.fill_null(batch["text"], "")
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        role = batch["role"]
+        conv = batch["conv_id"]
+        ti = pc.cast(batch["turn_idx"], pa.int64())
+        frames = []
+        # sequential extraction: each rule matches on the text with the
+        # PREVIOUS rules' matches already replaced (scrub semantics)
+        cur = text
+        for name, pattern, replacement in PII_RULES:
+            d = (_pl.DataFrame({
+                "conv_id": _pl.from_arrow(conv),
+                "ti": _pl.from_arrow(ti),
+                "role": _pl.from_arrow(role),
+                "t": _pl.from_arrow(cur),
+            }).with_columns(v=_pl.col("t").str.extract_all(pattern))
+                .drop("t").explode("v").drop_nulls("v"))
+            frames.append(d)
+            cur = pc.replace_substring_regex(cur, pattern, replacement)
+        m = (_pl.concat(frames)
+             .filter(_pl.col("role").is_in(["user", "assistant"])))
+        k0 = pa.table({
+            "conv_id": m["conv_id"].to_arrow().cast(pa.string()),
+            "ti": m["ti"].to_arrow(),
+            "is_user": m["role"].to_arrow().cast(pa.string()),
+            "v": m["v"].to_arrow().cast(pa.string()),
+            "kind": pa.array(np.zeros(m.height, dtype=np.int8)),
+        })
+        convs = _pl.from_arrow(conv).unique()
+        k1 = pa.table({
+            "conv_id": convs.to_arrow().cast(pa.string()),
+            "ti": pa.array(np.zeros(len(convs), dtype=np.int64)),
+            "is_user": pa.array([""] * len(convs), pa.string()),
+            "v": pa.array([""] * len(convs), pa.string()),
+            "kind": pa.array(np.ones(len(convs), dtype=np.int8)),
+        })
+        t = pa.concat_tables([k0, k1])
+        cb = np.fromiter(
+            (int.from_bytes(hashlib.md5(c.encode()).digest()[:4],
+                            "little") % num_buckets
+             for c in t["conv_id"].to_pylist()),
+            dtype=np.int32, count=len(t))
+        return t.append_column("cb", pa.array(cb))
+
+    def scan(t: pa.Table) -> pa.Table:
+        d = _pl.from_arrow(t.select(
+            ["conv_id", "ti", "is_user", "v", "kind"]))
+        m = d.filter(_pl.col("kind") == 0)
+        u = (m.filter(_pl.col("is_user") == "user")
+             .group_by(["conv_id", "v"])
+             .agg(fu=_pl.col("ti").min()))
+        a = (m.filter(_pl.col("is_user") == "assistant")
+             .select(["conv_id", "ti", "v"]).unique())
+        e = (a.join(u, on=["conv_id", "v"])
+             .filter(_pl.col("ti") > _pl.col("fu")))
+        g = (e.group_by("conv_id")
+             .agg(nev=_pl.col("v").n_unique().cast(_pl.Int64),
+                  net=_pl.col("ti").n_unique().cast(_pl.Int64)))
+        uv = (u.group_by("conv_id")
+              .agg(nuv=_pl.len().cast(_pl.Int64)))
+        spine = (d.filter(_pl.col("kind") == 1)
+                 .select("conv_id").unique())
+        out = (spine.join(uv, on="conv_id", how="left")
+               .join(g, on="conv_id", how="left")
+               .with_columns(_pl.col("nuv").fill_null(0),
+                             _pl.col("nev").fill_null(0),
+                             _pl.col("net").fill_null(0)))
+        return out.rename({
+            "nuv": "n_user_pii_values",
+            "nev": "n_echo_values",
+            "net": "n_echo_turns",
+        }).to_arrow().cast(pa.schema([
+            ("conv_id", pa.string()),
+            ("n_user_pii_values", pa.int64()),
+            ("n_echo_values", pa.int64()),
+            ("n_echo_turns", pa.int64())]))
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("cb").map_groups(scan, batch_format="pyarrow"))
+
+
+# --- SFT health: quality trend across the dialog -----------------------------
+
+def conv_quality_trend(ds, cfg: PipelineConfig = DEFAULT_CONFIG,
+                       num_buckets: int = 0):
+    """(conv_id, n_assistant, first_sum, last_sum, trend): does
+    assistant quality IMPROVE or DECAY over the dialog? Per
+    conversation with >= 2 assistant turns, the hscore sums (the six
+    SQL-expressible spec dimensions on scrubbed text, 0..600/turn —
+    the conv_preference_pairs scorer) over the first k and last k
+    assistant turns by turn_idx, k = n // 2 (the middle turn of an odd
+    dialog belongs to neither half), trend = sign(last_sum -
+    first_sum). Decaying conversations are truncation candidates
+    (keep the good prefix); the corpus-level trend mix is an SFT
+    datasheet stat. Integer-exact end to end.
+
+    Shape: scrub + heuristics stay batch-local over assistant turns
+    only; the exchange ships slim (conv_id, turn_idx, h) rows; ONE
+    conv-bucket shuffle; the half-split is a sorted whole-frame numpy
+    reduceat scan per bucket (the pinned fast-path shape, no keyed
+    windows)."""
+    import hashlib
+
+    import polars as _pl
+
+    from dataquality_ray.stages.heuristics import heuristics_batch
+    from dataquality_ray.stages.scrub import scrub_batch
+
+    num_buckets = num_buckets or cluster_buckets(minimum=32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        batch = batch.filter(pc.equal(batch["role"], "assistant"))
+        if len(batch) == 0:
+            return pa.table({
+                "cb": pa.array([], pa.int32()),
+                "conv_id": pa.array([], pa.string()),
+                "ti": pa.array([], pa.int64()),
+                "h": pa.array([], pa.int64()),
+            })
+        batch = scrub_batch(batch)
+        batch = heuristics_batch(batch, cfg=cfg)
+        h = np.zeros(len(batch), dtype=np.int64)
+        for col in ("length_score", "repetition_score", "symbol_score",
+                    "boilerplate_score", "toxicity_score",
+                    "timeliness_score"):
+            h += batch[col].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+        conv = batch["conv_id"].to_pylist()
+        cb = np.fromiter(
+            (int.from_bytes(hashlib.md5(c.encode()).digest()[:4],
+                            "little") % num_buckets
+             for c in conv),
+            dtype=np.int32, count=len(conv))
+        return pa.table({
+            "cb": pa.array(cb),
+            "conv_id": pa.array(conv, pa.string()),
+            "ti": pc.cast(batch["turn_idx"], pa.int64()),
+            "h": pa.array(h),
+        })
+
+    def scan(t: pa.Table) -> pa.Table:
+        d = (_pl.from_arrow(t.select(["conv_id", "ti", "h"]))
+             .sort(["conv_id", "ti"]))
+        conv = d["conv_id"].to_numpy()
+        h = d["h"].to_numpy().astype(np.int64)
+        n = len(conv)
+        if n == 0:
+            return pa.table({
+                "conv_id": pa.array([], pa.string()),
+                "n_assistant": pa.array([], pa.int64()),
+                "first_sum": pa.array([], pa.int64()),
+                "last_sum": pa.array([], pa.int64()),
+                "trend": pa.array([], pa.int64()),
+            })
+        new = np.ones(n, dtype=bool)
+        new[1:] = conv[1:] != conv[:-1]
+        starts = np.flatnonzero(new)
+        seg_n = np.diff(np.append(starts, n))
+        rank = np.arange(n, dtype=np.int64) - np.repeat(starts, seg_n)
+        k = np.repeat(seg_n // 2, seg_n)
+        nn = np.repeat(seg_n, seg_n)
+        first_sum = np.add.reduceat(
+            np.where(rank < k, h, 0), starts)
+        last_sum = np.add.reduceat(
+            np.where(rank >= nn - k, h, 0), starts)
+        keep = seg_n >= 2
+        fs, ls = first_sum[keep], last_sum[keep]
+        return pa.table({
+            "conv_id": pa.array(conv[starts[keep]].tolist(),
+                                pa.string()),
+            "n_assistant": pa.array(seg_n[keep].astype(np.int64)),
+            "first_sum": pa.array(fs),
+            "last_sum": pa.array(ls),
+            "trend": pa.array(np.sign(ls - fs).astype(np.int64)),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("cb").map_groups(scan, batch_format="pyarrow"))

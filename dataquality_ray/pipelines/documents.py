@@ -5185,7 +5185,9 @@ def hybrid_rrf_top_docs(sf_dir: str):
 # --- per-source embedding outliers (distance to own domain centroid) --------
 
 # round-6 cosine below this flags the doc as off-domain for its source
-OUTLIER_COS_TAU = 0.1
+# (picked from the fixture distribution: p1 ~ 0.44-0.45 at both
+# sf0.001 and sf0.01, so the flag carries real signal on the sf tables)
+OUTLIER_COS_TAU = 0.45
 
 
 def source_embedding_outliers(sf_dir: str):

@@ -137,3 +137,81 @@ def test_source_outliers_detects_offdomain_doc(ray_session, tmp_path):
     # the nine identical docs share one cosine value
     assert len(np.unique(cos[:9])) == 1
     assert cos[9] < cos[0]
+
+
+# --- pii_echo_turns ---------------------------------------------------------
+
+def test_pii_echo_detects_assistant_parroting(ray_session):
+    from dataquality_ray.pipelines.conversations import pii_echo_turns
+    rows = [
+        # c0: user gives an email at turn 0, assistant echoes it at 1
+        ("c0", 0, "user", "contact me at bob@example.com", 0),
+        ("c0", 1, "assistant", "sure, emailing bob@example.com now", 0),
+        # c1: assistant mentions a DIFFERENT email -> no echo
+        ("c1", 0, "user", "my email is ann@example.com", 0),
+        ("c1", 1, "assistant", "noted, I will use help@corp.com", 0),
+        # c2: assistant says the value BEFORE the user does -> no echo
+        ("c2", 0, "assistant", "try 555-123-4567", 0),
+        ("c2", 1, "user", "calling 555-123-4567", 0),
+        # c3: no PII at all (spine row)
+        ("c3", 0, "user", "hello there", 0),
+    ]
+    out = (pii_echo_turns(ray.data.from_arrow(_turns(rows)))
+           .to_pandas().set_index("conv_id").sort_index())
+    assert len(out) == 4                       # every conv emits a row
+    assert out.loc["c0"].n_user_pii_values == 1
+    assert out.loc["c0"].n_echo_values == 1
+    assert out.loc["c0"].n_echo_turns == 1
+    assert out.loc["c1"].n_echo_turns == 0
+    assert out.loc["c2"].n_user_pii_values == 1
+    assert out.loc["c2"].n_echo_turns == 0     # echo must be LATER
+    assert out.loc["c3"].n_user_pii_values == 0
+
+
+def test_pii_echo_same_turn_not_counted(ray_session):
+    from dataquality_ray.pipelines.conversations import pii_echo_turns
+    # the user-first turn itself (ti == fu) is not an echo even if the
+    # roles were swapped at the same index in another conv
+    rows = [
+        ("c0", 2, "user", "ssn 123-45-6789", 0),
+        ("c0", 2, "assistant", "", 0),   # same idx, no text
+        ("c0", 5, "assistant", "your ssn 123-45-6789 is on file", 0),
+    ]
+    out = pii_echo_turns(ray.data.from_arrow(_turns(rows))).to_pandas()
+    r = out.set_index("conv_id").loc["c0"]
+    assert r.n_echo_turns == 1 and r.n_echo_values == 1
+
+
+# --- conv_quality_trend -----------------------------------------------------
+
+def test_conv_quality_trend_halves_and_sign(ray_session):
+    from dataquality_ray.pipelines.conversations import conv_quality_trend
+    # c0: 4 assistant turns, last two much longer (higher length score)
+    short, long = "ok.", ("This is a well formed, reasonably long "
+                          "answer with plenty of useful words in it. " * 3)
+    rows = [
+        ("c0", 0, "assistant", short, 0),
+        ("c0", 1, "assistant", short, 0),
+        ("c0", 2, "assistant", long, 0),
+        ("c0", 3, "assistant", long, 0),
+        # c1: single assistant turn -> excluded (n < 2)
+        ("c1", 0, "assistant", long, 0),
+        # c2: user-only -> excluded entirely
+        ("c2", 0, "user", long, 0),
+    ]
+    out = (conv_quality_trend(ray.data.from_arrow(_turns(rows)))
+           .to_pandas().set_index("conv_id"))
+    assert list(sorted(out.index)) == ["c0"]
+    r = out.loc["c0"]
+    assert r.n_assistant == 4
+    assert r.last_sum > r.first_sum and r.trend == 1
+
+
+def test_conv_quality_trend_odd_middle_excluded(ray_session):
+    from dataquality_ray.pipelines.conversations import conv_quality_trend
+    # 3 identical turns: k = 1, middle turn in neither half -> flat
+    t = "a perfectly ordinary answer with some words here."
+    rows = [("c0", i, "assistant", t, 0) for i in range(3)]
+    out = conv_quality_trend(ray.data.from_arrow(_turns(rows))).to_pandas()
+    r = out.set_index("conv_id").loc["c0"]
+    assert r.first_sum == r.last_sum and r.trend == 0
