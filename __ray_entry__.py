@@ -508,6 +508,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_echo_turns": _pii_echo_turns_q,
         # SFT health: per-conversation quality improve/decay trend
         "conv_quality_trend": _conv_quality_trend_q,
+        # asymmetric (Broder) containment: best sub-document-inclusion
+        # match per doc over capped distinct shingle hashes
+        "max_containment_per_doc": D.max_containment_per_doc,
+        # provenance hygiene: declared lang vs classifier per source
+        "langid_mismatch_by_source": D.langid_mismatch_by_source,
         # multilingual hygiene: per-conversation code-switching audit
         "conv_lang_switches": _conv_lang_switches_q,
         "conv_length_outliers": _conv_length_outliers_q,
@@ -5593,5 +5598,69 @@ SELECT conv_id, n_assistant, first_sum, last_sum,
             WHEN last_sum < first_sum THEN -1
             ELSE 0 END AS BIGINT) AS trend
 FROM g WHERE n_assistant >= 2
+"""
+    # asymmetric containment: distinct CONT_K-token shingle hashes
+    # (md5-u64 twin), df-cap on numerator AND denominator, per-doc
+    # argmax by (cont DESC, shared DESC, other ASC), LEFT-JOIN doc
+    # spine (shingle-less docs emit zero rows)
+    from dataquality_ray.pipelines.documents import (
+        CONT_DF_CAP as _C_CAP,
+        CONT_K as _C_K,
+    )
+    _shingle_expr = " || ' ' || ".join(
+        f"tk[i + {j}]" for j in range(_C_K))
+    sql["max_containment_per_doc"] = f"""
+WITH tok AS (
+  SELECT doc_id,
+    regexp_extract_all(lower(COALESCE(text, '')), '{_TOK}') AS tk
+  FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, md5_number_upper(s) AS h
+  FROM (
+    SELECT doc_id,
+      unnest(list_transform(generate_series(1, len(tk) - {_C_K - 1}),
+                            i -> {_shingle_expr})) AS s
+    FROM tok)),
+dfq AS (SELECT h, COUNT(*) AS m FROM sh GROUP BY 1),
+kept AS (
+  SELECT sh.doc_id, sh.h FROM sh JOIN dfq USING (h)
+  WHERE dfq.m <= {_C_CAP}),
+cnt AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+  FROM kept GROUP BY 1),
+p AS (
+  SELECT a.doc_id AS da, b.doc_id AS db2,
+    CAST(COUNT(*) AS BIGINT) AS sh_n
+  FROM kept a JOIN kept b ON a.h = b.h AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2),
+dirx AS (
+  SELECT p.da AS doc_id, p.db2 AS other, p.sh_n,
+    CAST(1000 * p.sh_n // GREATEST(c.n_sh, 1) AS BIGINT)
+      AS cont_milli
+  FROM p JOIN cnt c ON c.doc_id = p.da),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+    ORDER BY cont_milli DESC, sh_n DESC, other ASC) AS rn
+  FROM dirx)
+SELECT d.doc_id,
+  CAST(COALESCE(b.other, -1) AS BIGINT) AS best_other,
+  CAST(COALESCE(b.sh_n, 0) AS BIGINT) AS n_shared,
+  CAST(COALESCE(c.n_sh, 0) AS BIGINT) AS n_shingles,
+  CAST(COALESCE(b.cont_milli, 0) AS BIGINT) AS cont_milli
+FROM documents d
+LEFT JOIN cnt c USING (doc_id)
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+"""
+    # declared-label vs classifier disagreement per source
+    sql["langid_mismatch_by_source"] = f"""
+WITH l AS ({sql['langid_documents']}),
+m AS (
+  SELECT d.source,
+    CASE WHEN l.pred_lang <> d.lang THEN 1 ELSE 0 END AS mm
+  FROM documents d JOIN l USING (doc_id))
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(mm) AS BIGINT) AS n_mismatch,
+  CAST(1000 * SUM(mm) // COUNT(*) AS BIGINT) AS mismatch_permille
+FROM m GROUP BY source
 """
     return sql

@@ -142,7 +142,8 @@ def _query_benches(sf_dir: str) -> dict:
              "distinct_ngram_diversity", "mixture_ablation_weights",
              "hybrid_rrf_top_docs", "source_embedding_outliers",
              "ngram_novelty_daily", "pii_echo_turns",
-             "conv_quality_trend"]
+             "conv_quality_trend", "max_containment_per_doc",
+             "langid_mismatch_by_source"]
     out = {}
     for name in names:
         t0 = time.time()

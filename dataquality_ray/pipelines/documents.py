@@ -5285,3 +5285,257 @@ def source_embedding_outliers(sf_dir: str):
         concurrency=(1, DEFAULT_CONFIG.actor_pool_size),
         batch_size=DEFAULT_CONFIG.batch_size,
         batch_format="pyarrow")
+
+
+# --- asymmetric containment (Broder): sub-document inclusion -----------------
+
+# token-shingle width; ALL distinct shingles count (set containment,
+# not winnowing's positional minima)
+CONT_K = 3
+# hot-posting policy (CLAUDE.md invariant): shingles shared by more
+# than CONT_DF_CAP docs are boilerplate and leave the universe —
+# numerator AND denominator, mirrored in the oracle
+CONT_DF_CAP = 64
+
+
+def max_containment_per_doc(sf_dir: str, num_buckets: int = 0):
+    """(doc_id, best_other, n_shared, n_shingles, cont_milli): per
+    document, the best asymmetric CONTAINMENT match (Broder 1997):
+    cont(d in o) = |shingles(d) ∩ shingles(o)| / |shingles(d)| over
+    distinct CONT_K-token shingle hashes — the quote/subset detector
+    Jaccard dilutes away (a page wholly copied into a 100x larger one
+    has tiny Jaccard but containment 1.0). best = argmax by
+    (cont_milli DESC, n_shared DESC, other ASC); docs with no match
+    emit (-1, 0, n_shingles, 0) — every doc emits a row (the
+    empty-result rule's doc spine). Distinctness and the df-cap are
+    decided on the frozen md5-u64 shingle hash.
+
+    Scale shape — three slim all-to-alls, nothing corpus-quadratic:
+    (1) shingle-bucket shuffle of distinct (doc, hash) rows: the
+    df-cap and per-doc capped counts resolve locally (every hash in
+    exactly one bucket), pairs expand via the winnow_dup_pairs
+    one-gather triu under the cap; (2) pair-hash buckets sum the pair
+    partials (a pair's shared shingles span shingle buckets); (3)
+    doc-hash buckets receive the DIRECTED pair rows, the count
+    partials and the doc spine (forwarded through the same
+    discriminated union), finishing the per-doc argmax + denominator
+    join locally. Reference analog: the pairwise similarity surface
+    (metadata.py:514-624) re-grounded in asymmetric containment."""
+    from numpy.lib.stride_tricks import sliding_window_view  # noqa: F401
+
+    from dataquality_ray.spec import token_hash_u64
+    from dataquality_ray.stages.bucketing import cluster_buckets
+
+    nb = num_buckets or cluster_buckets(minimum=16)
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def _doc_bucket(ids: np.ndarray) -> np.ndarray:
+        return np.fromiter(
+            (token_hash_u64(f"d:{int(i)}") % nb for i in ids),
+            dtype=np.int32, count=len(ids))
+
+    _UNION = pa.schema([
+        ("kb", pa.int32()), ("kind", pa.int8()),
+        ("a", pa.int64()), ("b", pa.int64()), ("c", pa.int64())])
+
+    def shingles(batch: pa.Table) -> pa.Table:
+        s = pl.from_arrow(batch["text"])
+        if isinstance(s, pl.DataFrame):
+            s = s.to_series()
+        toks = s.fill_null("").str.to_lowercase() \
+            .str.extract_all(TOKEN_PATTERN)
+        expr = pl.element()
+        for j in range(1, CONT_K):
+            expr = expr + " " + pl.element().shift(-j)
+        grams = toks.list.eval(expr.drop_nulls())
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        df = (pl.DataFrame({"doc_id": ids, "g": grams})
+              .explode("g").drop_nulls("g")
+              .unique(["doc_id", "g"]))
+        # frozen md5-u64 once per batch-unique (doc, gram)
+        enc = df["g"].to_arrow().dictionary_encode()
+        lut = np.fromiter(
+            (token_hash_u64(u) for u in enc.dictionary.to_pylist()),
+            dtype=np.uint64, count=len(enc.dictionary))
+        h = lut[enc.indices.to_numpy(zero_copy_only=False)] \
+            if len(df) else np.zeros(0, dtype=np.uint64)
+        k0 = pa.table({
+            "kb": pa.array((h % np.uint64(nb)).astype(np.int32)),
+            "kind": pa.array(np.zeros(len(df), dtype=np.int8)),
+            "a": df["doc_id"].to_arrow().cast(pa.int64()),
+            "b": pa.array(h.view(np.int64)),
+            "c": pa.array(np.zeros(len(df), dtype=np.int64)),
+        })
+        # doc spine (kind 2): rides the same union straight through to
+        # the doc-bucket stage so shingle-less docs still emit rows
+        k2 = pa.table({
+            "kb": pa.array(_doc_bucket(ids)),
+            "kind": pa.array(np.full(len(ids), 2, dtype=np.int8)),
+            "a": pa.array(ids),
+            "b": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+            "c": pa.array(np.zeros(len(ids), dtype=np.int64)),
+        })
+        return pa.concat_tables([k0, k2]).cast(_UNION)
+
+    def shingle_scan(g: pa.Table) -> pa.Table:
+        d = pl.from_arrow(g.select(["kind", "a", "b"]))
+        sh = (d.filter(pl.col("kind") == 0)
+              .select(["a", "b"]).unique()
+              .with_columns(m=pl.len().over("b")))
+        capped = sh.filter(pl.col("m") <= CONT_DF_CAP)
+        cnt = capped.group_by("a").agg(c=pl.len().cast(pl.Int64))
+        k1 = pa.table({
+            "kb": pa.array(_doc_bucket(cnt["a"].to_numpy())),
+            "kind": pa.array(np.ones(cnt.height, dtype=np.int8)),
+            "a": cnt["a"].to_arrow().cast(pa.int64()),
+            "b": pa.array(np.full(cnt.height, -1, dtype=np.int64)),
+            "c": cnt["c"].to_arrow(),
+        })
+        pairs = capped.filter(pl.col("m") >= 2)
+        if pairs.height:
+            posts = pairs.group_by("b").agg(
+                cs=pl.col("a").sort())
+            sizes = posts["cs"].list.len().to_numpy().astype(np.int64)
+            flat = posts["cs"].explode().to_numpy().astype(np.int64)
+            starts = np.zeros(len(sizes) + 1, dtype=np.int64)
+            np.cumsum(sizes, out=starts[1:])
+            a_parts, b_parts = [], []
+            for m in np.unique(sizes):
+                sel = np.flatnonzero(sizes == m)
+                mat = flat[starts[sel][:, None] + np.arange(m)]
+                iu, ju = np.triu_indices(int(m), 1)
+                a_parts.append(mat[:, iu].ravel())
+                b_parts.append(mat[:, ju].ravel())
+            a_all = np.concatenate(a_parts)
+            b_all = np.concatenate(b_parts)
+            key = np.stack([a_all, b_all], axis=1)
+            uk, cntp = np.unique(key, axis=0, return_counts=True)
+            pb = np.fromiter(
+                (token_hash_u64(f"{a}|{b}") % nb
+                 for a, b in zip(uk[:, 0], uk[:, 1])),
+                dtype=np.int32, count=len(uk))
+            k0 = pa.table({
+                "kb": pa.array(pb),
+                "kind": pa.array(np.zeros(len(uk), dtype=np.int8)),
+                "a": pa.array(uk[:, 0]),
+                "b": pa.array(uk[:, 1]),
+                "c": pa.array(cntp.astype(np.int64)),
+            })
+        else:
+            k0 = _UNION.empty_table()
+        # forwarded rows keep their original kb
+        fwd_t = g.filter(
+            pc.not_equal(g["kind"], 0)).select(
+            ["kb", "kind", "a", "b", "c"])
+        return pa.concat_tables(
+            [k0.cast(_UNION), k1.cast(_UNION), fwd_t.cast(_UNION)])
+
+    def pair_merge(g: pa.Table) -> pa.Table:
+        d = pl.from_arrow(g.select(["kind", "a", "b", "c"]))
+        p = (d.filter(pl.col("kind") == 0)
+             .group_by(["a", "b"])
+             .agg(c=pl.col("c").sum().cast(pl.Int64)))
+        # expand to DIRECTED rows keyed by the subject doc's bucket
+        da = np.concatenate([p["a"].to_numpy(), p["b"].to_numpy()]) \
+            if p.height else np.zeros(0, dtype=np.int64)
+        do = np.concatenate([p["b"].to_numpy(), p["a"].to_numpy()]) \
+            if p.height else np.zeros(0, dtype=np.int64)
+        dc = np.concatenate([p["c"].to_numpy(), p["c"].to_numpy()]) \
+            if p.height else np.zeros(0, dtype=np.int64)
+        k0 = pa.table({
+            "kb": pa.array(_doc_bucket(da)),
+            "kind": pa.array(np.zeros(len(da), dtype=np.int8)),
+            "a": pa.array(da.astype(np.int64)),
+            "b": pa.array(do.astype(np.int64)),
+            "c": pa.array(dc.astype(np.int64)),
+        })
+        # forwarded rows keep their original kb
+        fwd_t = g.filter(
+            pc.not_equal(g["kind"], 0)).select(
+            ["kb", "kind", "a", "b", "c"])
+        return pa.concat_tables([k0.cast(_UNION), fwd_t.cast(_UNION)])
+
+    def doc_final(g: pa.Table) -> pa.Table:
+        d = pl.from_arrow(g.select(["kind", "a", "b", "c"]))
+        spine = (d.filter(pl.col("kind") == 2)
+                 .select(doc_id=pl.col("a")).unique())
+        cnt = (d.filter(pl.col("kind") == 1)
+               .group_by("a").agg(n_sh=pl.col("c").sum()))
+        dirx = (d.filter(pl.col("kind") == 0)
+                .group_by(["a", "b"])
+                .agg(sh=pl.col("c").sum()))
+        dirx = (dirx.join(cnt, on="a", how="left")
+                .with_columns(
+                    cont=(1000 * pl.col("sh"))
+                    // pl.col("n_sh").fill_null(0).clip(lower_bound=1))
+                .sort(["a", "cont", "sh", "b"],
+                      descending=[False, True, True, False])
+                .unique(subset="a", keep="first"))
+        out = (spine.join(cnt.rename({"a": "doc_id"}),
+                          on="doc_id", how="left")
+               .join(dirx.rename({"a": "doc_id"}),
+                     on="doc_id", how="left")
+               .with_columns(
+                   best_other=pl.col("b").fill_null(-1),
+                   n_shared=pl.col("sh").fill_null(0),
+                   n_shingles=pl.col("n_sh").fill_null(0),
+                   cont_milli=pl.col("cont").fill_null(0)))
+        return out.select(["doc_id", "best_other", "n_shared",
+                           "n_shingles", "cont_milli"]) \
+            .to_arrow().cast(pa.schema([
+                ("doc_id", pa.int64()), ("best_other", pa.int64()),
+                ("n_shared", pa.int64()), ("n_shingles", pa.int64()),
+                ("cont_milli", pa.int64())]))
+
+    return (docs.map_batches(shingles, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("kb").map_groups(shingle_scan,
+                                      batch_format="pyarrow")
+            .groupby("kb").map_groups(pair_merge,
+                                      batch_format="pyarrow")
+            .groupby("kb").map_groups(doc_final,
+                                      batch_format="pyarrow"))
+
+
+# --- provenance hygiene: language-label mismatch audit -----------------------
+
+def langid_mismatch_by_source(sf_dir: str):
+    """(source, n_docs, n_mismatch, mismatch_permille): per source, how
+    often the pinned stopword-marker language classifier disagrees with
+    the document's DECLARED lang label — the provenance-hygiene audit
+    that catches a source whose metadata lies about language (scraper
+    mixups, mislabeled crawls) before mixture planning trusts the
+    label. Zero shuffle: batch-local classify + per-source integer
+    partials into a |sources|-row aggregate."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, columns=["source", "lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pred = _pred_lang_of(batch["text"])
+        lab = np.asarray(batch["lang"].to_pylist(), dtype=object)
+        mm = (pred != lab).astype(np.int64)
+        g = (pl.DataFrame({
+            "source": pl.from_arrow(batch["source"]),
+            "mm": mm,
+        }).group_by("source")
+            .agg(n=pl.len().cast(pl.Int64), m=pl.col("mm").sum()))
+        return g.to_arrow().cast(pa.schema([
+            ("source", pa.string()), ("n", pa.int64()),
+            ("m", pa.int64())]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("source")
+           .aggregate(Sum("n", alias_name="n_docs"),
+                      Sum("m", alias_name="n_mismatch"))
+           .to_pandas().sort_values("source"))
+
+    n = agg["n_docs"].to_numpy(dtype=np.int64)
+    m = agg["n_mismatch"].to_numpy(dtype=np.int64)
+    return pa.table({
+        "source": pa.array(agg["source"].tolist(), pa.string()),
+        "n_docs": pa.array(n),
+        "n_mismatch": pa.array(m),
+        "mismatch_permille": pa.array(1000 * m // np.maximum(n, 1)),
+    })

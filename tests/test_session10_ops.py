@@ -215,3 +215,75 @@ def test_conv_quality_trend_odd_middle_excluded(ray_session):
     out = conv_quality_trend(ray.data.from_arrow(_turns(rows))).to_pandas()
     r = out.set_index("conv_id").loc["c0"]
     assert r.first_sum == r.last_sum and r.trend == 0
+
+
+# --- max_containment_per_doc ------------------------------------------------
+
+def _docs_dir(tmp_path, texts, langs=None, sources=None):
+    n = len(texts)
+    tab = pa.table({
+        "doc_id": pa.array(list(range(n)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs or ["en"] * n, pa.string()),
+        "source": pa.array(sources or ["s0"] * n, pa.string()),
+        "n_chars": pa.array([len(t or "") for t in texts], pa.int64()),
+    })
+    pq.write_table(tab, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_containment_detects_subset_doc(ray_session, tmp_path):
+    from dataquality_ray.pipelines.documents import max_containment_per_doc
+    sub = "alpha beta gamma delta epsilon zeta"          # 4 shingles
+    sup = sub + " eta theta iota kappa lam mu nu xi omicron pi rho"
+    other = "one two three four five six seven eight"
+    sf = _docs_dir(tmp_path, [sub, sup, other, "tiny doc"])
+    out = (max_containment_per_doc(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == 4                       # doc spine: every doc
+    # doc 0 fully contained in doc 1
+    assert out.loc[0, "best_other"] == 1
+    assert out.loc[0, "cont_milli"] == 1000
+    assert out.loc[0, "n_shingles"] == 4
+    # doc 1 contains doc 0 but is much larger -> asymmetric score
+    assert out.loc[1, "best_other"] == 0
+    assert 0 < out.loc[1, "cont_milli"] < 1000
+    # doc 2 shares nothing; doc 3 is below the shingle width
+    assert out.loc[2, "best_other"] == -1
+    assert out.loc[3, "n_shingles"] == 0
+    assert out.loc[3, "best_other"] == -1
+
+
+def test_containment_df_cap_drops_boilerplate(ray_session, tmp_path):
+    from dataquality_ray.pipelines.documents import (
+        CONT_DF_CAP,
+        max_containment_per_doc,
+    )
+    # one boilerplate sentence shared by CAP+2 docs, each padded with a
+    # unique tail: the shared shingles exceed the cap and leave the
+    # universe, so no doc finds a match through them
+    boiler = "please do not reply to this automated message"
+    texts = [f"{boiler} unique{i} tail{i} pad{i}"
+             for i in range(CONT_DF_CAP + 2)]
+    sf = _docs_dir(tmp_path, texts)
+    out = max_containment_per_doc(sf).to_pandas()
+    assert (out["best_other"] == -1).all()
+    # denominator also excludes capped shingles
+    assert (out["n_shingles"] < 10).all()
+
+
+# --- langid_mismatch_by_source ----------------------------------------------
+
+def test_langid_mismatch_counts(ray_session, tmp_path):
+    from dataquality_ray.pipelines.documents import langid_mismatch_by_source
+    en = "the cat and the dog sat in that house and it is warm"
+    texts = [en, en, en, en]
+    sf = _docs_dir(tmp_path, texts,
+                   langs=["en", "en", "de", "es"],
+                   sources=["good", "good", "bad", "bad"])
+    out = (langid_mismatch_by_source(sf).to_pandas()
+           .set_index("source"))
+    assert out.loc["good"].n_mismatch == 0
+    assert out.loc["good"].mismatch_permille == 0
+    assert out.loc["bad"].n_mismatch == 2
+    assert out.loc["bad"].mismatch_permille == 1000
