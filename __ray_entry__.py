@@ -513,6 +513,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_containment_per_doc": D.max_containment_per_doc,
         # provenance hygiene: declared lang vs classifier per source
         "langid_mismatch_by_source": D.langid_mismatch_by_source,
+        # grounding audit: assistant numbers with no prior support in
+        # the conversation (hallucinated-figure shape)
+        "unsupported_number_turns": _unsupported_number_turns_q,
+        # drift monitor: daily embedding-centroid trajectory
+        "semantic_drift_daily": _semantic_drift_daily_q,
         # multilingual hygiene: per-conversation code-switching audit
         "conv_lang_switches": _conv_lang_switches_q,
         "conv_length_outliers": _conv_length_outliers_q,
@@ -919,6 +924,20 @@ def _pii_echo_turns_q(sf_dir: str):
 def _conv_quality_trend_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import conv_quality_trend
     return conv_quality_trend(_transcript_ds(sf_dir))
+
+
+def _unsupported_number_turns_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import \
+        unsupported_number_turns
+    return unsupported_number_turns(_transcript_ds(
+        sf_dir, columns=["conv_id", "turn_idx", "role", "text"]))
+
+
+def _semantic_drift_daily_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import \
+        semantic_drift_daily
+    return semantic_drift_daily(
+        _transcript_ds(sf_dir, columns=["text", "ts"]))
 
 
 def _ngram_novelty_daily_q(sf_dir: str):
@@ -5662,5 +5681,100 @@ SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
   CAST(SUM(mm) AS BIGINT) AS n_mismatch,
   CAST(1000 * SUM(mm) // COUNT(*) AS BIGINT) AS mismatch_permille
 FROM m GROUP BY source
+"""
+    # grounding audit: digit-run tokens (>= GROUND_MIN_DIGITS), first
+    # appearance across ALL roles; unsupported = the assistant turn IS
+    # the first appearance; all-conversations zero spine
+    from dataquality_ray.pipelines.conversations import (
+        GROUND_MIN_DIGITS as _G_MIN,
+        NUMBER_PATTERN as _G_NUM,
+    )
+    sql["unsupported_number_turns"] = f"""
+WITH t AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS ti, role,
+    COALESCE(text, '') AS tx
+  FROM read_parquet('{_tr_glob}')),
+m AS (
+  SELECT DISTINCT conv_id, ti, role, v FROM (
+    SELECT conv_id, ti, role,
+      unnest(regexp_extract_all(tx, '{_G_NUM}')) AS v
+    FROM t)
+  WHERE length(v) >= {_G_MIN}),
+f AS (SELECT conv_id, v, MIN(ti) AS fm FROM m GROUP BY 1, 2),
+a AS (
+  SELECT m.conv_id, m.ti, m.v,
+    CASE WHEN m.ti = f.fm THEN 1 ELSE 0 END AS uns
+  FROM m JOIN f USING (conv_id, v)
+  WHERE m.role = 'assistant'),
+g AS (
+  SELECT conv_id, CAST(COUNT(*) AS BIGINT) AS nn,
+    CAST(SUM(uns) AS BIGINT) AS nu
+  FROM a GROUP BY 1),
+tn AS (SELECT conv_id, ti, MAX(uns) AS bad FROM a GROUP BY 1, 2),
+tg AS (
+  SELECT conv_id, CAST(SUM(1 - bad) AS BIGINT) AS ngt,
+    CAST(SUM(bad) AS BIGINT) AS nut
+  FROM tn GROUP BY 1),
+c AS (SELECT DISTINCT conv_id FROM t)
+SELECT c.conv_id,
+  CAST(COALESCE(g.nn, 0) AS BIGINT) AS n_assistant_numbers,
+  CAST(COALESCE(g.nu, 0) AS BIGINT) AS n_unsupported,
+  CAST(COALESCE(tg.ngt, 0) AS BIGINT) AS n_grounded_turns,
+  CAST(COALESCE(tg.nut, 0) AS BIGINT) AS n_ungrounded_turns
+FROM c LEFT JOIN g ON g.conv_id = c.conv_id
+LEFT JOIN tg ON tg.conv_id = c.conv_id
+"""
+    # daily semantic drift: per-day exact-int centroid (the embedder
+    # CTEs over TURNS, truncation per turn), round-6 unit vectors,
+    # LAG cosine over present days; day 1 pinned 1.0; HUGEINT squares
+    sql["semantic_drift_daily"] = f"""
+WITH tt AS (
+  SELECT epoch_us(ts) // 86400000000 AS day,
+    lower(substr(COALESCE(text, ''), 1, 8000)) AS lt
+  FROM read_parquet('{_tr_glob}')),
+cnts AS (
+  SELECT day, CAST(COUNT(*) AS BIGINT) AS n_turns
+  FROM tt GROUP BY 1),
+tb AS (
+  SELECT day,
+    CAST(md5_number_upper(t) % {EMB_HASH_BUCKETS} AS BIGINT)
+      AS bucket,
+    CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (SELECT day, unnest(regexp_extract_all(lt, '{_TOK}')) AS t
+        FROM tt)
+  GROUP BY 1, 2),
+{_proj_cte},
+acc AS (
+  SELECT tb.day, proj.dim, SUM(tb.tf * proj.w) AS a
+  FROM tb JOIN proj USING (bucket) GROUP BY 1, 2),
+grid AS (
+  SELECT c.day, d.range AS dim
+  FROM cnts c CROSS JOIN range(0, {EMB_DIM}) d),
+av AS (
+  SELECT g.day, g.dim, COALESCE(acc.a, 0) AS a
+  FROM grid g LEFT JOIN acc
+    ON acc.day = g.day AND acc.dim = g.dim),
+nrm AS (
+  SELECT day, SUM(CAST(a AS HUGEINT) * a) AS nsq
+  FROM av GROUP BY 1),
+u AS (
+  SELECT av.day,
+    list(CASE WHEN n.nsq = 0 THEN 0.0
+      ELSE round(av.a / sqrt(CAST(n.nsq AS DOUBLE)), 6) END
+      ORDER BY av.dim) AS e,
+    n.nsq AS nsq
+  FROM av JOIN nrm n USING (day) GROUP BY av.day, n.nsq),
+lagd AS (
+  SELECT day, e, nsq,
+    LAG(day) OVER (ORDER BY day) AS pday,
+    LAG(e) OVER (ORDER BY day) AS pe,
+    LAG(nsq) OVER (ORDER BY day) AS pnsq
+  FROM u)
+SELECT l.day, c.n_turns,
+  CASE WHEN l.pday IS NULL THEN 1.0
+       WHEN l.nsq = 0 OR l.pnsq = 0 THEN 0.0
+       ELSE round(list_cosine_similarity(l.e, l.pe), 6) END
+    AS cos_prev
+FROM lagd l JOIN cnts c USING (day)
 """
     return sql

@@ -143,7 +143,8 @@ def _query_benches(sf_dir: str) -> dict:
              "hybrid_rrf_top_docs", "source_embedding_outliers",
              "ngram_novelty_daily", "pii_echo_turns",
              "conv_quality_trend", "max_containment_per_doc",
-             "langid_mismatch_by_source"]
+             "langid_mismatch_by_source", "unsupported_number_turns",
+             "semantic_drift_daily"]
     out = {}
     for name in names:
         t0 = time.time()

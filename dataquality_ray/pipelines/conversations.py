@@ -3511,3 +3511,198 @@ def conv_quality_trend(ds, cfg: PipelineConfig = DEFAULT_CONFIG,
     return (ds.map_batches(partial, batch_format="pyarrow",
                            zero_copy_batch=True)
             .groupby("cb").map_groups(scan, batch_format="pyarrow"))
+
+
+# --- grounding: assistant numbers with no prior support ----------------------
+
+# digit-run tokens shorter than this are ignored (single digits are
+# list markers / ordinals — noise, not claims)
+GROUND_MIN_DIGITS = 2
+NUMBER_PATTERN = "[0-9]+"   # quote-free; identical in re/Rust/RE2
+
+
+def unsupported_number_turns(ds, num_buckets: int = 0):
+    """(conv_id, n_assistant_numbers, n_unsupported, n_grounded_turns,
+    n_ungrounded_turns): grounding audit over agent trajectories — for
+    every ASSISTANT turn, its distinct digit-run tokens (>=
+    GROUND_MIN_DIGITS digits) are checked against ALL earlier turns of
+    the conversation (any role: user constraints, tool outputs, its own
+    earlier statements). A number whose FIRST appearance is the
+    assistant turn itself is UNSUPPORTED — the hallucinated-figure
+    shape in tool-use traces. n_assistant_numbers counts distinct
+    (turn, value) occurrences; a turn with >= 1 unsupported number is
+    ungrounded. Every conversation emits a row (zero spine).
+
+    Shape: the pii_echo_turns topology — batch-local extraction, slim
+    (conv, turn, role, value) match rows + conv spine on one
+    discriminated union, ONE conv-bucket shuffle, first-appearance
+    joins local per bucket."""
+    import hashlib
+
+    import polars as _pl
+
+    num_buckets = num_buckets or cluster_buckets(minimum=32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        d = (_pl.from_arrow(pa.table({
+            "conv_id": batch["conv_id"],
+            "ti": pc.cast(batch["turn_idx"], pa.int64()),
+            "role": batch["role"],
+            "t": pc.fill_null(batch["text"], ""),
+        })).with_columns(v=_pl.col("t").str.extract_all(NUMBER_PATTERN))
+            .drop("t").explode("v").drop_nulls("v")
+            .filter(_pl.col("v").str.len_chars() >= GROUND_MIN_DIGITS)
+            .unique())
+        k0 = pa.table({
+            "conv_id": d["conv_id"].to_arrow().cast(pa.string()),
+            "ti": d["ti"].to_arrow(),
+            "role": d["role"].to_arrow().cast(pa.string()),
+            "v": d["v"].to_arrow().cast(pa.string()),
+            "kind": pa.array(np.zeros(d.height, dtype=np.int8)),
+        })
+        convs = _pl.from_arrow(batch["conv_id"]).unique()
+        k1 = pa.table({
+            "conv_id": convs.to_arrow().cast(pa.string()),
+            "ti": pa.array(np.zeros(len(convs), dtype=np.int64)),
+            "role": pa.array([""] * len(convs), pa.string()),
+            "v": pa.array([""] * len(convs), pa.string()),
+            "kind": pa.array(np.ones(len(convs), dtype=np.int8)),
+        })
+        t = pa.concat_tables([k0, k1])
+        cb = np.fromiter(
+            (int.from_bytes(hashlib.md5(c.encode()).digest()[:4],
+                            "little") % num_buckets
+             for c in t["conv_id"].to_pylist()),
+            dtype=np.int32, count=len(t))
+        return t.append_column("cb", pa.array(cb))
+
+    def scan(t: pa.Table) -> pa.Table:
+        d = _pl.from_arrow(t.select(
+            ["conv_id", "ti", "role", "v", "kind"]))
+        m = d.filter(_pl.col("kind") == 0)
+        first = (m.group_by(["conv_id", "v"])
+                 .agg(fm=_pl.col("ti").min()))
+        a = (m.filter(_pl.col("role") == "assistant")
+             .select(["conv_id", "ti", "v"]).unique()
+             .join(first, on=["conv_id", "v"])
+             .with_columns(
+                 uns=(_pl.col("ti") == _pl.col("fm"))
+                 .cast(_pl.Int64)))
+        g = (a.group_by("conv_id")
+             .agg(nn=_pl.len().cast(_pl.Int64),
+                  nu=_pl.col("uns").sum()))
+        turns = (a.group_by(["conv_id", "ti"])
+                 .agg(bad=_pl.col("uns").max())
+                 .group_by("conv_id")
+                 .agg(ngt=(1 - _pl.col("bad")).sum().cast(_pl.Int64),
+                      nut=_pl.col("bad").sum().cast(_pl.Int64)))
+        spine = (d.filter(_pl.col("kind") == 1)
+                 .select("conv_id").unique())
+        out = (spine.join(g, on="conv_id", how="left")
+               .join(turns, on="conv_id", how="left")
+               .with_columns(_pl.col("nn").fill_null(0),
+                             _pl.col("nu").fill_null(0),
+                             _pl.col("ngt").fill_null(0),
+                             _pl.col("nut").fill_null(0)))
+        return out.rename({
+            "nn": "n_assistant_numbers", "nu": "n_unsupported",
+            "ngt": "n_grounded_turns", "nut": "n_ungrounded_turns",
+        }).to_arrow().cast(pa.schema([
+            ("conv_id", pa.string()),
+            ("n_assistant_numbers", pa.int64()),
+            ("n_unsupported", pa.int64()),
+            ("n_grounded_turns", pa.int64()),
+            ("n_ungrounded_turns", pa.int64())]))
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("cb").map_groups(scan, batch_format="pyarrow"))
+
+
+# --- corpus drift: daily embedding-centroid trajectory -----------------------
+
+def semantic_drift_daily(ds):
+    """(day, n_turns, cos_prev): the corpus's semantic trajectory — the
+    round-6 cosine between each UTC day's exact-int embedding-centroid
+    and the PREVIOUS present day's. A distribution-shift monitor for
+    streaming ingestion: topical drift, a new source coming online, or
+    a scraper failure all bend the trajectory; day 1 pins cos_prev =
+    1.0. Centroids are normalized from the per-day EXACT int64
+    accumulator sums (the source_embedding_outliers recipe: Python-int
+    norm-squared, one sqrt+divide, round-6), so both engines compare
+    identical round-6 unit vectors; the cosine follows the proven
+    doc_embedding_ann convention (zero-vector day -> 0).
+
+    Shape: an actor-pool partial reduces each batch to (days x DIM)
+    exact int64 sums + per-day turn counts before a constant-size
+    groupby; the LAG chain is |days| x DIM driver math. Nothing
+    corpus-sized shuffles."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from dataquality_ray.stages.embeddings import (
+        EMBED_DIM,
+        HashedProjectionEmbedder,
+    )
+
+    class DayPartials(HashedProjectionEmbedder):
+        def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+            texts = batch[self.text_col]
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            acc = self._acc_rows(texts.to_pylist())
+            day = pc.divide(pc.cast(batch["ts"], pa.int64()),
+                            _DAY_US).to_numpy(zero_copy_only=False)
+            uniq, inv = np.unique(day, return_inverse=True)
+            sums = np.zeros((len(uniq), EMBED_DIM), dtype=np.int64)
+            np.add.at(sums, inv, acc)
+            n = np.bincount(inv).astype(np.int64)
+            return pa.table({
+                "day": pa.array(np.repeat(uniq, EMBED_DIM)),
+                "dim": pa.array(np.tile(
+                    np.arange(EMBED_DIM, dtype=np.int64), len(uniq))),
+                "sa": pa.array(sums.ravel()),
+                "n": pa.array(np.repeat(n, EMBED_DIM)),
+            })
+
+    agg = (ds.map_batches(
+        DayPartials, fn_constructor_kwargs={},
+        concurrency=(1, DEFAULT_CONFIG.actor_pool_size),
+        batch_size=DEFAULT_CONFIG.batch_size,
+        batch_format="pyarrow")
+        .groupby(["day", "dim"])
+        .aggregate(Sum("sa", alias_name="sum_acc"),
+                   Sum("n", alias_name="n_rows"))
+        .to_pandas())
+
+    days = np.sort(agg["day"].unique())
+    units, counts = {}, {}
+    for dkey, grp in agg.groupby("day"):
+        g = grp.sort_values("dim")
+        sa = g["sum_acc"].to_numpy(dtype=np.int64)
+        nsq = sum(int(x) * int(x) for x in sa)
+        units[int(dkey)] = (
+            np.round(sa / np.sqrt(float(nsq)), 6) if nsq > 0
+            else np.zeros(len(sa), dtype=np.float64))
+        counts[int(dkey)] = int(g["n_rows"].iloc[0])
+    cos = []
+    for i, dkey in enumerate(days):
+        if i == 0:
+            cos.append(1.0)
+            continue
+        a, b = units[int(days[i - 1])], units[int(dkey)]
+        na, nb2 = np.linalg.norm(a), np.linalg.norm(b)
+        if na == 0 or nb2 == 0:
+            cos.append(0.0)
+        else:
+            cos.append(float(np.round(
+                np.dot(a / na, b / nb2), 6)))
+    return pa.table({
+        "day": pa.array(days.astype(np.int64)),
+        "n_turns": pa.array(
+            np.array([counts[int(d)] for d in days], dtype=np.int64)),
+        "cos_prev": pa.array(cos, pa.float64()),
+    })

@@ -287,3 +287,68 @@ def test_langid_mismatch_counts(ray_session, tmp_path):
     assert out.loc["good"].mismatch_permille == 0
     assert out.loc["bad"].n_mismatch == 2
     assert out.loc["bad"].mismatch_permille == 1000
+
+
+# --- unsupported_number_turns -----------------------------------------------
+
+def test_unsupported_numbers_grounding(ray_session):
+    from dataquality_ray.pipelines.conversations import (
+        unsupported_number_turns,
+    )
+    rows = [
+        # c0: 1500 grounded by the user; 42 appears first in the
+        # assistant turn -> unsupported; "5" ignored (single digit)
+        ("c0", 0, "user", "my budget is 1500 for 5 items", 0),
+        ("c0", 1, "assistant", "total is 1500 plus a fee of 42", 0),
+        # c1: assistant introduces 99 FIRST -> unsupported even though
+        # the user repeats it later
+        ("c1", 0, "assistant", "it costs 99", 0),
+        ("c1", 1, "user", "99 sounds fine", 0),
+        # c2: all assistant numbers grounded by an earlier tool turn
+        ("c2", 0, "tool", "result: 777", 0),
+        ("c2", 1, "assistant", "the answer is 777", 0),
+        # c3: no numbers anywhere (spine)
+        ("c3", 0, "user", "hello", 0),
+    ]
+    out = (unsupported_number_turns(ray.data.from_arrow(_turns(rows)))
+           .to_pandas().set_index("conv_id").sort_index())
+    assert len(out) == 4
+    assert out.loc["c0"].n_assistant_numbers == 2
+    assert out.loc["c0"].n_unsupported == 1
+    assert out.loc["c0"].n_ungrounded_turns == 1
+    assert out.loc["c1"].n_unsupported == 1
+    assert out.loc["c2"].n_unsupported == 0
+    assert out.loc["c2"].n_grounded_turns == 1
+    assert out.loc["c3"].n_assistant_numbers == 0
+
+
+# --- semantic_drift_daily ---------------------------------------------------
+
+def test_semantic_drift_identical_then_shifted(ray_session):
+    from dataquality_ray.pipelines.conversations import semantic_drift_daily
+    same = "the quick brown fox jumps over the lazy dog"
+    shifted = "quantum flux capacitors destabilize chroniton emitters"
+    rows = ([("a", 0, "user", same, 0)] * 3
+            + [("b", 0, "user", same, 1)] * 3
+            + [("c", 0, "user", shifted, 2)] * 3)
+    rows = [(f"{r[0]}{i}", r[1], r[2], r[3], r[4])
+            for i, r in enumerate(rows)]
+    out = (semantic_drift_daily(ray.data.from_arrow(_turns(rows)))
+           .to_pandas().sort_values("day").reset_index(drop=True))
+    assert len(out) == 3
+    assert list(out["n_turns"]) == [3, 3, 3]
+    assert out.loc[0, "cos_prev"] == 1.0        # pinned first day
+    assert out.loc[1, "cos_prev"] == 1.0        # identical centroids
+    assert out.loc[2, "cos_prev"] < 0.5         # topical break
+
+
+def test_semantic_drift_zero_vector_day(ray_session):
+    from dataquality_ray.pipelines.conversations import semantic_drift_daily
+    rows = [
+        ("a", 0, "user", "alpha beta gamma", 0),
+        ("b", 0, "user", "", 1),                 # token-less day
+        ("c", 0, "user", "alpha beta gamma", 2),
+    ]
+    out = (semantic_drift_daily(ray.data.from_arrow(_turns(rows)))
+           .to_pandas().sort_values("day").reset_index(drop=True))
+    assert list(out["cos_prev"]) == [1.0, 0.0, 0.0]
