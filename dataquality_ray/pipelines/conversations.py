@@ -3643,28 +3643,63 @@ def semantic_drift_daily(ds):
 
     from ray.data.aggregate import Sum
 
+    from dataquality_ray.spec import TOKEN_PATTERN as _EMB_TOKEN_PATTERN
     from dataquality_ray.stages.embeddings import (
         EMBED_DIM,
         HashedProjectionEmbedder,
     )
 
     class DayPartials(HashedProjectionEmbedder):
+        # day-level accumulation is LINEAR in the per-turn accumulators
+        # (sum over turns of tf*w == (sum tf)*w), so the per-ROW
+        # accumulator rows are skipped entirely: tokenize, collapse to
+        # per-(day, token) counts, bucket the batch-unique tokens once
+        # through the actor cache, and project the per-(day, token)
+        # rows straight into the (days x DIM) int64 sums — exact same
+        # integers as routing through _acc_rows (A/B: oracle + pinned
+        # unit tests unchanged; 41 s -> see PERF_NOTES).
         def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+            import polars as _pl
             texts = batch[self.text_col]
             if isinstance(texts, pa.ChunkedArray):
                 texts = texts.combine_chunks()
-            acc = self._acc_rows(texts.to_pylist())
             day = pc.divide(pc.cast(batch["ts"], pa.int64()),
                             _DAY_US).to_numpy(zero_copy_only=False)
-            uniq, inv = np.unique(day, return_inverse=True)
+            lowered = [(t or "")[: self.max_chars].lower()
+                       for t in texts.to_pylist()]
+            g = (_pl.DataFrame({
+                "day": day,
+                "tok": _pl.Series(lowered)
+                .str.extract_all(_EMB_TOKEN_PATTERN),
+            }).explode("tok").drop_nulls("tok")
+                .group_by(["day", "tok"])
+                .agg(tf=_pl.len().cast(_pl.Int64)))
+            uniq, inv = np.unique(g["day"].to_numpy(),
+                                  return_inverse=True) \
+                if g.height else (np.unique(day)[:0], np.zeros(0, int))
             sums = np.zeros((len(uniq), EMBED_DIM), dtype=np.int64)
-            np.add.at(sums, inv, acc)
-            n = np.bincount(inv).astype(np.int64)
+            if g.height:
+                cache, miss = self._cache, self._bucket
+                toks = g["tok"].to_list()
+                buckets = np.fromiter(
+                    (cache.get(t) if t in cache else miss(t)
+                     for t in toks),
+                    dtype=np.int64, count=len(toks))
+                tf = g["tf"].to_numpy().astype(np.int64)
+                contrib = tf[:, None] * self.proj[buckets]
+                np.add.at(sums, inv, contrib)
+            # the day spine (incl. token-less days) and turn counts
+            # come from the raw day column, not the token rows
+            duniq, dinv = np.unique(day, return_inverse=True)
+            n = np.bincount(dinv).astype(np.int64)
+            full = np.zeros((len(duniq), EMBED_DIM), dtype=np.int64)
+            if len(uniq):
+                full[np.searchsorted(duniq, uniq)] = sums
             return pa.table({
-                "day": pa.array(np.repeat(uniq, EMBED_DIM)),
+                "day": pa.array(np.repeat(duniq, EMBED_DIM)),
                 "dim": pa.array(np.tile(
-                    np.arange(EMBED_DIM, dtype=np.int64), len(uniq))),
-                "sa": pa.array(sums.ravel()),
+                    np.arange(EMBED_DIM, dtype=np.int64), len(duniq))),
+                "sa": pa.array(full.ravel()),
                 "n": pa.array(np.repeat(n, EMBED_DIM)),
             })
 
