@@ -518,6 +518,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "unsupported_number_turns": _unsupported_number_turns_q,
         # drift monitor: daily embedding-centroid trajectory
         "semantic_drift_daily": _semantic_drift_daily_q,
+        # split QA: per-source balance of the 80/10/10 hash split
+        "split_balance_audit": D.split_balance_audit,
         # multilingual hygiene: per-conversation code-switching audit
         "conv_lang_switches": _conv_lang_switches_q,
         "conv_length_outliers": _conv_length_outliers_q,
@@ -5776,5 +5778,47 @@ SELECT l.day, c.n_turns,
        ELSE round(list_cosine_similarity(l.e, l.pe), 6) END
     AS cos_prev
 FROM lagd l JOIN cnts c USING (day)
+"""
+    # split balance: realized global split share applied per source,
+    # trunc-div ppm deviation, full source x split grid
+    from dataquality_ray.pipelines.documents import (
+        SPLIT_BUCKETS as _SB,
+        SPLIT_TRAIN_LT as _ST,
+        SPLIT_VAL_LT as _SV,
+    )
+    sql["split_balance_audit"] = f"""
+WITH a AS (
+  SELECT source,
+    CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % {_SB}
+              < {_ST} THEN 'train'
+         WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % {_SB}
+              < {_SV} THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents),
+cnts AS (
+  SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n
+  FROM a GROUP BY 1, 2),
+grid AS (
+  SELECT s.source, sp.split
+  FROM (SELECT DISTINCT source FROM documents) s
+  CROSS JOIN (SELECT unnest(['test', 'train', 'val']) AS split) sp),
+st AS (SELECT source, CAST(SUM(n) AS BIGINT) AS t FROM cnts
+       GROUP BY 1),
+pt AS (SELECT split, CAST(SUM(n) AS BIGINT) AS t FROM cnts
+       GROUP BY 1),
+tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cnts),
+j AS (
+  SELECT g.source, g.split,
+    COALESCE(c.n, 0) AS n,
+    st.t * COALESCE(pt.t, 0) // GREATEST((SELECT t FROM tot), 1)
+      AS exp
+  FROM grid g
+  LEFT JOIN cnts c ON c.source = g.source AND c.split = g.split
+  JOIN st ON st.source = g.source
+  LEFT JOIN pt ON pt.split = g.split)
+SELECT source, split, CAST(n AS BIGINT) AS n_docs,
+  CAST(exp AS BIGINT) AS expected_n,
+  CAST(1000000 * (n - exp) // GREATEST(exp, 1) AS BIGINT) AS dev_ppm
+FROM j
 """
     return sql

@@ -5539,3 +5539,71 @@ def langid_mismatch_by_source(sf_dir: str):
         "n_mismatch": pa.array(m),
         "mismatch_permille": pa.array(1000 * m // np.maximum(n, 1)),
     })
+
+
+# --- split QA: per-source balance of the hash split --------------------------
+
+def split_balance_audit(sf_dir: str):
+    """(source, split, n_docs, expected_n, dev_ppm): does the
+    deterministic 80/10/10 hash split treat every source fairly?
+    expected_n = source_total * split_global_total // corpus_total
+    (the split's realized global share applied to the source);
+    dev_ppm = 1e6 * (n_docs - expected_n) // max(expected_n, 1). A
+    source whose val/test cells deviate hard means its doc_id space
+    collides with the split hash non-uniformly — the audit a team runs
+    before trusting per-source eval numbers. Full source x
+    {train,val,test} grid (zero cells emit — the empty-result rule).
+    Integer-exact; one pass, constant-size aggregate."""
+    from ray.data.aggregate import Sum
+
+    from dataquality_ray.spec import token_hash_u64
+
+    ds = _docs(sf_dir, columns=["doc_id", "source"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        b = np.fromiter((token_hash_u64(str(i)) % SPLIT_BUCKETS
+                         for i in ids), dtype=np.int64, count=len(ids))
+        split = np.where(b < SPLIT_TRAIN_LT, "train",
+                         np.where(b < SPLIT_VAL_LT, "val", "test"))
+        g = (pl.DataFrame({
+            "source": pl.from_arrow(batch["source"]),
+            "split": split,
+        }).group_by(["source", "split"])
+            .agg(n=pl.len().cast(pl.Int64)))
+        return g.to_arrow().cast(pa.schema([
+            ("source", pa.string()), ("split", pa.string()),
+            ("n", pa.int64())]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["source", "split"])
+           .aggregate(Sum("n", alias_name="n_docs"))
+           .to_pandas())
+
+    counts = {(s, sp): int(n) for s, sp, n in zip(
+        agg["source"], agg["split"], agg["n_docs"])}
+    sources = sorted({s for s, _ in counts})
+    splits = ("test", "train", "val")          # grid in name order
+    src_tot = {s: sum(counts.get((s, sp), 0) for sp in splits)
+               for s in sources}
+    split_tot = {sp: sum(counts.get((s, sp), 0) for s in sources)
+                 for sp in splits}
+    total = sum(src_tot.values())
+    rows = []
+    for s in sources:
+        for sp in splits:
+            n = counts.get((s, sp), 0)
+            exp = src_tot[s] * split_tot[sp] // max(total, 1)
+            # deviation can be negative: DuckDB // TRUNCATES while
+            # Python // floors — mirror sign-aware (CLAUDE.md rule)
+            num, den = 1_000_000 * (n - exp), max(exp, 1)
+            dev = num // den if num >= 0 else -((-num) // den)
+            rows.append((s, sp, n, exp, dev))
+    return pa.table({
+        "source": pa.array([r[0] for r in rows], pa.string()),
+        "split": pa.array([r[1] for r in rows], pa.string()),
+        "n_docs": pa.array([r[2] for r in rows], pa.int64()),
+        "expected_n": pa.array([r[3] for r in rows], pa.int64()),
+        "dev_ppm": pa.array([r[4] for r in rows], pa.int64()),
+    })

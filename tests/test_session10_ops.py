@@ -352,3 +352,37 @@ def test_semantic_drift_zero_vector_day(ray_session):
     out = (semantic_drift_daily(ray.data.from_arrow(_turns(rows)))
            .to_pandas().sort_values("day").reset_index(drop=True))
     assert list(out["cos_prev"]) == [1.0, 0.0, 0.0]
+
+
+# --- split_balance_audit ----------------------------------------------------
+
+def test_split_balance_grid_and_arithmetic(ray_session, tmp_path):
+    from dataquality_ray.pipelines.documents import (
+        SPLIT_BUCKETS,
+        SPLIT_TRAIN_LT,
+        SPLIT_VAL_LT,
+        split_balance_audit,
+    )
+    from dataquality_ray.spec import token_hash_u64
+    texts = [f"doc number {i}" for i in range(40)]
+    sf = _docs_dir(tmp_path, texts,
+                   sources=["s0"] * 30 + ["s1"] * 10)
+    out = split_balance_audit(sf).to_pandas()
+    # full 2x3 grid even if a cell is empty
+    assert len(out) == 6
+    assert set(out["split"]) == {"train", "val", "test"}
+    # recompute a cell by hand
+    splits = {}
+    for i in range(40):
+        b = token_hash_u64(str(i)) % SPLIT_BUCKETS
+        sp = ("train" if b < SPLIT_TRAIN_LT
+              else "val" if b < SPLIT_VAL_LT else "test")
+        src = "s0" if i < 30 else "s1"
+        splits[(src, sp)] = splits.get((src, sp), 0) + 1
+    row = out.set_index(["source", "split"])
+    for (src, sp), n in splits.items():
+        assert row.loc[(src, sp)].n_docs == n
+    # deviations sum to ~0 per source (integer truncation slack)
+    for src in ("s0", "s1"):
+        sub = out[out.source == src]
+        assert abs(int(sub.n_docs.sum()) - int(sub.expected_n.sum())) <= 3
