@@ -520,6 +520,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_drift_daily": _semantic_drift_daily_q,
         # split QA: per-source balance of the 80/10/10 hash split
         "split_balance_audit": D.split_balance_audit,
+        # multimodal near-dup: decode -> integer average-hash ->
+        # banded hamming search over real decoded PNGs (rows-only:
+        # binary codec path has no SQL twin, like the other
+        # multimodal surfaces)
+        "image_phash_near_dups": _image_phash_near_dups_q,
         # multilingual hygiene: per-conversation code-switching audit
         "conv_lang_switches": _conv_lang_switches_q,
         "conv_length_outliers": _conv_length_outliers_q,
@@ -926,6 +931,11 @@ def _pii_echo_turns_q(sf_dir: str):
 def _conv_quality_trend_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import conv_quality_trend
     return conv_quality_trend(_transcript_ds(sf_dir))
+
+
+def _image_phash_near_dups_q(sf_dir: str):
+    from dataquality_ray.stages.multimodal import image_phash_near_dups
+    return image_phash_near_dups(sf_dir)
 
 
 def _unsupported_number_turns_q(sf_dir: str):

@@ -144,7 +144,8 @@ def _query_benches(sf_dir: str) -> dict:
              "ngram_novelty_daily", "pii_echo_turns",
              "conv_quality_trend", "max_containment_per_doc",
              "langid_mismatch_by_source", "unsupported_number_turns",
-             "semantic_drift_daily", "split_balance_audit"]
+             "semantic_drift_daily", "split_balance_audit",
+             "image_phash_near_dups"]
     out = {}
     for name in names:
         t0 = time.time()

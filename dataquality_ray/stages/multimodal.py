@@ -527,3 +527,217 @@ def multimodal_wav_features(sf_dir: str):
     """End-to-end REAL audio decode: synthesize WAVs → decode →
     integer features."""
     return decode_audio_features(synthesize_wav_table(sf_dir))
+
+
+# --- perceptual-hash near-dup over decoded images ---------------------------
+
+# average-hash grid (8x8 -> 64-bit fingerprint), banded search bands,
+# and the accept threshold: hamming <= PHASH_HAM_TAU guarantees (by
+# pigeonhole over PHASH_BANDS bands) at least one exactly-equal band
+PHASH_GRID = 8
+PHASH_BANDS = 4
+PHASH_HAM_TAU = 3
+# hot-posting policy (CLAUDE.md invariant): a band value shared by
+# more docs than this is flat-image boilerplate — dropped from
+# candidate generation (pairs via OTHER bands still qualify)
+PHASH_BAND_DF_CAP = 64
+
+
+class PhashExtractor(RealImageDecoder):
+    """Actor-pool stage: decode → integer luma → integer average-hash.
+
+    All arithmetic is integer (luma = (299R + 587G + 114B) // 1000;
+    bit i set iff block_sum_i * n_blocks > total_sum), so the 64-bit
+    fingerprint is bit-deterministic across backends operating on the
+    same decoded pixels. Payloads are dropped immediately."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"]
+        if isinstance(payloads, pa.ChunkedArray):
+            payloads = payloads.combine_chunks()
+        hashes = np.zeros(len(payloads), dtype=np.uint64)
+        for i, buf in enumerate(payloads):
+            arr = self.decode(bytes(buf.as_py())).astype(np.int64)
+            if arr.shape[2] >= 3:
+                luma = (299 * arr[:, :, 0] + 587 * arr[:, :, 1]
+                        + 114 * arr[:, :, 2]) // 1000
+            else:
+                luma = arr[:, :, 0]
+            h, w = luma.shape
+            g = PHASH_GRID
+            # integer block sums over a gxg grid (trim the remainder
+            # so every block has identical area)
+            bh, bw = max(h // g, 1), max(w // g, 1)
+            t = luma[: bh * g, : bw * g] if h >= g and w >= g \
+                else np.resize(luma, (g * bh, g * bw))
+            blocks = t.reshape(g, bh, g, bw).sum(axis=(1, 3))
+            total = int(blocks.sum())
+            bits = (blocks.ravel() * (g * g) > total)
+            hashes[i] = np.packbits(
+                bits.astype(np.uint8)).view(">u8")[0]
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "phash": pa.array(hashes.view(np.int64)),
+        })
+
+
+def image_phash_near_dups(sf_dir: str, num_buckets: int = 16):
+    """(doc_id, phash, n_candidates, best_other, min_hamming):
+    perceptual near-duplicate search over REAL decoded images — the
+    image-side analog of SimHash text dedup. Each image's 64-bit
+    integer average-hash splits into PHASH_BANDS 16-bit bands; images
+    sharing any band value become candidates (pigeonhole: hamming <=
+    PHASH_HAM_TAU ⇒ >= 1 equal band, so recall is exact at the
+    threshold); candidates verify by popcount. Per image: candidate
+    count, the best match (min hamming, ties -> min other id) among
+    candidates within the threshold, else (-1, 64). Every image emits
+    a row.
+
+    Scale shape: decode+hash is an actor pool (decoder built once per
+    actor, payloads dropped at the stage boundary); the exchange ships
+    4 slim (band-bucket, band-key, doc, phash) rows per image; band
+    buckets expand candidates under PHASH_BAND_DF_CAP (boilerplate
+    flat images cannot explode pairs); directed pairs + per-doc spine
+    finish in doc-hash buckets (the max_containment_per_doc
+    topology)."""
+    import ray
+
+    from dataquality_ray.spec import token_hash_u64
+
+    ds = synthesize_png_table(sf_dir).map_batches(
+        PhashExtractor,
+        batch_format="pyarrow",
+        batch_size=BINARY_BATCH_SIZE,
+        concurrency=(1, 4))
+
+    nb = num_buckets
+
+    def _doc_bucket(ids: np.ndarray) -> np.ndarray:
+        return np.fromiter(
+            (token_hash_u64(f"d:{int(i)}") % nb for i in ids),
+            dtype=np.int32, count=len(ids))
+
+    _UNION = pa.schema([
+        ("kb", pa.int32()), ("kind", pa.int8()),
+        ("a", pa.int64()), ("b", pa.int64()), ("c", pa.int64())])
+
+    def bands(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        ph = np.asarray(batch["phash"].to_pylist(),
+                        dtype=np.int64).view(np.uint64)
+        rows_kb, rows_a, rows_b = [], [], []
+        for bi in range(PHASH_BANDS):
+            band = ((ph >> np.uint64(16 * bi))
+                    & np.uint64(0xFFFF)).astype(np.int64)
+            # band key includes the band index so band 0 of one image
+            # never collides with band 1 of another
+            key = band * PHASH_BANDS + bi
+            rows_kb.append((key % nb).astype(np.int32))
+            rows_a.append(ids)
+            rows_b.append(key)
+        k0 = pa.table({
+            "kb": pa.array(np.concatenate(rows_kb)),
+            "kind": pa.array(
+                np.zeros(len(ids) * PHASH_BANDS, dtype=np.int8)),
+            "a": pa.array(np.concatenate(rows_a)),
+            "b": pa.array(np.concatenate(rows_b)),
+            "c": pa.array(np.tile(ph.view(np.int64), PHASH_BANDS)),
+        })
+        # per-doc spine carrying the phash through to the final stage
+        k2 = pa.table({
+            "kb": pa.array(_doc_bucket(ids)),
+            "kind": pa.array(np.full(len(ids), 2, dtype=np.int8)),
+            "a": pa.array(ids),
+            "b": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+            "c": pa.array(ph.view(np.int64)),
+        })
+        return pa.concat_tables([k0, k2]).cast(_UNION)
+
+    def band_scan(g: pa.Table) -> pa.Table:
+        import polars as pl
+
+        d = pl.from_arrow(g.select(["kind", "a", "b", "c"]))
+        cand = (d.filter(pl.col("kind") == 0)
+                .unique(["a", "b"])
+                .with_columns(m=pl.len().over("b"))
+                .filter((pl.col("m") >= 2)
+                        & (pl.col("m") <= PHASH_BAND_DF_CAP)))
+        if cand.height:
+            posts = (cand.sort("a").group_by("b")
+                     .agg(cs=pl.col("a").sort(),
+                          hs=pl.col("c").sort_by(pl.col("a"))))
+            a_p, b_p, ha_p, hb_p = [], [], [], []
+            sizes = posts["cs"].list.len().to_numpy().astype(np.int64)
+            flat_a = posts["cs"].explode().to_numpy().astype(np.int64)
+            flat_h = posts["hs"].explode().to_numpy().astype(np.int64)
+            starts = np.zeros(len(sizes) + 1, dtype=np.int64)
+            np.cumsum(sizes, out=starts[1:])
+            for m in np.unique(sizes):
+                sel = np.flatnonzero(sizes == m)
+                mat_a = flat_a[starts[sel][:, None] + np.arange(m)]
+                mat_h = flat_h[starts[sel][:, None] + np.arange(m)]
+                iu, ju = np.triu_indices(int(m), 1)
+                a_p.append(mat_a[:, iu].ravel())
+                b_p.append(mat_a[:, ju].ravel())
+                ha_p.append(mat_h[:, iu].ravel())
+                hb_p.append(mat_h[:, ju].ravel())
+            aa = np.concatenate(a_p)
+            bb = np.concatenate(b_p)
+            xor = (np.concatenate(ha_p).view(np.uint64)
+                   ^ np.concatenate(hb_p).view(np.uint64))
+            # vectorized popcount (numpy<2 has no bitwise_count)
+            ham = np.unpackbits(
+                xor.view(np.uint8).reshape(-1, 8),
+                axis=1).sum(axis=1).astype(np.int64)
+            # dedup pairs found via multiple bands (same hamming)
+            key = np.stack([aa, bb], axis=1)
+            uk, idx = np.unique(key, axis=0, return_index=True)
+            aa, bb, ham = uk[:, 0], uk[:, 1], ham[idx]
+            da = np.concatenate([aa, bb])
+            do = np.concatenate([bb, aa])
+            dh = np.concatenate([ham, ham])
+            k0 = pa.table({
+                "kb": pa.array(_doc_bucket(da)),
+                "kind": pa.array(np.zeros(len(da), dtype=np.int8)),
+                "a": pa.array(da),
+                "b": pa.array(do),
+                "c": pa.array(dh),
+            })
+        else:
+            k0 = _UNION.empty_table()
+        fwd = g.filter(
+            pa.compute.not_equal(g["kind"], 0)).select(
+            ["kb", "kind", "a", "b", "c"])
+        return pa.concat_tables([k0.cast(_UNION), fwd.cast(_UNION)])
+
+    def doc_final(g: pa.Table) -> pa.Table:
+        import polars as pl
+
+        d = pl.from_arrow(g.select(["kind", "a", "b", "c"]))
+        spine = (d.filter(pl.col("kind") == 2)
+                 .group_by("a").agg(ph=pl.col("c").first()))
+        dirx = (d.filter(pl.col("kind") == 0)
+                .unique(["a", "b"], keep="first"))
+        ncand = dirx.group_by("a").agg(
+            nc=pl.len().cast(pl.Int64))
+        best = (dirx.filter(pl.col("c") <= PHASH_HAM_TAU)
+                .sort(["a", "c", "b"])
+                .unique(subset="a", keep="first"))
+        out = (spine.join(ncand, on="a", how="left")
+               .join(best.select(["a", "b", "c"]), on="a", how="left")
+               .with_columns(
+                   n_candidates=pl.col("nc").fill_null(0),
+                   best_other=pl.col("b").fill_null(-1),
+                   min_hamming=pl.col("c").fill_null(64)))
+        return (out.rename({"a": "doc_id", "ph": "phash"})
+                .select(["doc_id", "phash", "n_candidates",
+                         "best_other", "min_hamming"])
+                .to_arrow().cast(pa.schema([
+                    ("doc_id", pa.int64()), ("phash", pa.int64()),
+                    ("n_candidates", pa.int64()),
+                    ("best_other", pa.int64()),
+                    ("min_hamming", pa.int64())])))
+
+    return (ds.map_batches(bands, batch_format="pyarrow")
+            .groupby("kb").map_groups(band_scan, batch_format="pyarrow")
+            .groupby("kb").map_groups(doc_final, batch_format="pyarrow"))

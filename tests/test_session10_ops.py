@@ -386,3 +386,46 @@ def test_split_balance_grid_and_arithmetic(ray_session, tmp_path):
     for src in ("s0", "s1"):
         sub = out[out.source == src]
         assert abs(int(sub.n_docs.sum()) - int(sub.expected_n.sum())) <= 3
+
+
+# --- image_phash_near_dups --------------------------------------------------
+
+def test_phash_extractor_deterministic(ray_session):
+    from dataquality_ray.stages.multimodal import (
+        PhashExtractor,
+        encode_png,
+    )
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (16, 16, 3), dtype=np.uint8)
+    batch = pa.table({
+        "doc_id": pa.array([0, 1], pa.int64()),
+        "payload": pa.array([encode_png(img), encode_png(img)],
+                            pa.binary()),
+    })
+    ex = PhashExtractor()
+    out = ex(batch)
+    assert out["phash"][0].as_py() == out["phash"][1].as_py()
+    # a heavily perturbed image hashes differently
+    img2 = 255 - img
+    out2 = ex(pa.table({
+        "doc_id": pa.array([2], pa.int64()),
+        "payload": pa.array([encode_png(img2)], pa.binary()),
+    }))
+    assert out2["phash"][0].as_py() != out["phash"][0].as_py()
+
+
+def test_image_phash_near_dups_finds_exact_pair(ray_session, tmp_path):
+    from dataquality_ray.stages.multimodal import image_phash_near_dups
+    # docs 0 and 1 identical -> identical PNGs -> hamming 0; doc 2
+    # distinct
+    texts = ["the same exact image content here"] * 2 + [
+        "completely different pixels from other bytes entirely"]
+    sf = _docs_dir(tmp_path, texts)
+    out = (image_phash_near_dups(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == 3
+    assert out.loc[0, "best_other"] == 1
+    assert out.loc[1, "best_other"] == 0
+    assert out.loc[0, "min_hamming"] == 0
+    assert out.loc[2, "best_other"] == -1
+    assert out.loc[2, "min_hamming"] == 64
