@@ -520,6 +520,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_drift_daily": _semantic_drift_daily_q,
         # split QA: per-source balance of the 80/10/10 hash split
         "split_balance_audit": D.split_balance_audit,
+        # curation gate: tokenizer specials / eval canaries leaking
+        # into training text, per source x marker grid
+        "special_token_contamination": D.special_token_contamination,
         # multimodal near-dup: decode -> integer average-hash ->
         # banded hamming search over real decoded PNGs (rows-only:
         # binary codec path has no SQL twin, like the other
@@ -5830,5 +5833,25 @@ SELECT source, split, CAST(n AS BIGINT) AS n_docs,
   CAST(exp AS BIGINT) AS expected_n,
   CAST(1000000 * (n - exp) // GREATEST(exp, 1) AS BIGINT) AS dev_ppm
 FROM j
+"""
+    # special-token / canary contamination: case-sensitive literal
+    # contains per (source, marker), full grid
+    from dataquality_ray.pipelines.documents import (
+        SPECIAL_TOKEN_MARKERS as _STM,
+    )
+    _mk_values = ", ".join(f"('{m}')" for m in _STM)
+    sql["special_token_contamination"] = f"""
+WITH mk AS (SELECT * FROM (VALUES {_mk_values}) AS t(marker)),
+s AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1),
+h AS (
+  SELECT d.source, mk.marker,
+    CAST(SUM(CASE WHEN contains(d.text, mk.marker)
+             THEN 1 ELSE 0 END) AS BIGINT) AS nh
+  FROM documents d CROSS JOIN mk GROUP BY 1, 2)
+SELECT h.source, h.marker, h.nh AS n_docs_hit,
+  CAST(1000 * h.nh // GREATEST(s.n, 1) AS BIGINT) AS hit_permille
+FROM h JOIN s USING (source)
 """
     return sql

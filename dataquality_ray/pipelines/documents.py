@@ -5607,3 +5607,77 @@ def split_balance_audit(sf_dir: str):
         "expected_n": pa.array([r[3] for r in rows], pa.int64()),
         "dev_ppm": pa.array([r[4] for r in rows], pa.int64()),
     })
+
+
+# --- special-token / canary contamination census -----------------------------
+
+# literal control/canary strings that must never appear in training
+# text: tokenizer specials (they desync the tokenizer's special-token
+# handling) and the BIG-bench-style eval canary marker. Quote-free
+# literals so the identical strings run in polars contains(literal)
+# and DuckDB contains().
+SPECIAL_TOKEN_MARKERS = (
+    "<|endoftext|>",
+    "<|im_start|>",
+    "<|im_end|>",
+    "</s>",
+    "[INST]",
+    "### Instruction:",
+    "canary GUID",
+)
+
+
+def special_token_contamination(sf_dir: str):
+    """(source, marker, n_docs_hit, hit_permille): per-source census of
+    tokenizer control strings and eval-canary markers leaking into
+    document text — the curation gate that catches chat-format scrape
+    artifacts (<|im_start|>, [INST]) and benchmark canaries before
+    they train a model to emit its own special tokens. A doc counts
+    once per marker it contains (case-sensitive literal match — these
+    are exact control sequences). Full source x marker grid, so clean
+    corpora still emit (zero) rows — the empty-result rule.
+
+    Shape: zero shuffle — per-batch substring scans reduce to
+    (source, marker-index) integer partials; the final aggregate is
+    |sources| x |markers| rows."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, columns=["source", "text"])
+    markers = list(SPECIAL_TOKEN_MARKERS)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        d = pl.from_arrow(batch.select(["source", "text"])) \
+            .with_columns(pl.col("text").fill_null(""))
+        aggs = {"n": pl.len().cast(pl.Int64)}
+        for i, mk in enumerate(markers):
+            aggs[f"m{i}"] = (pl.col("text")
+                             .str.contains(mk, literal=True)
+                             .cast(pl.Int64).sum())
+        g = d.group_by("source").agg(**aggs)
+        return g.to_arrow().cast(pa.schema(
+            [("source", pa.string()), ("n", pa.int64())]
+            + [(f"m{i}", pa.int64()) for i in range(len(markers))]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("source")
+           .aggregate(Sum("n", alias_name="n_docs"),
+                      *[Sum(f"m{i}", alias_name=f"hit{i}")
+                        for i in range(len(markers))])
+           .to_pandas().sort_values("source"))
+
+    src, mk_out, hits, perm = [], [], [], []
+    for _, row in agg.iterrows():
+        n = int(row["n_docs"])
+        for i, mk in enumerate(markers):
+            h = int(row[f"hit{i}"])
+            src.append(str(row["source"]))
+            mk_out.append(mk)
+            hits.append(h)
+            perm.append(1000 * h // max(n, 1))
+    return pa.table({
+        "source": pa.array(src, pa.string()),
+        "marker": pa.array(mk_out, pa.string()),
+        "n_docs_hit": pa.array(hits, pa.int64()),
+        "hit_permille": pa.array(perm, pa.int64()),
+    })

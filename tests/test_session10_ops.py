@@ -429,3 +429,30 @@ def test_image_phash_near_dups_finds_exact_pair(ray_session, tmp_path):
     assert out.loc[0, "min_hamming"] == 0
     assert out.loc[2, "best_other"] == -1
     assert out.loc[2, "min_hamming"] == 64
+
+
+# --- special_token_contamination --------------------------------------------
+
+def test_special_token_contamination_counts(ray_session, tmp_path):
+    from dataquality_ray.pipelines.documents import (
+        SPECIAL_TOKEN_MARKERS,
+        special_token_contamination,
+    )
+    texts = [
+        "normal text here",
+        "scrape artifact <|endoftext|> mid document",
+        "chat leak <|im_start|>user says hi<|im_end|>",
+        "llama style [INST] do the thing [/INST]",
+    ]
+    sf = _docs_dir(tmp_path, texts, sources=["s0", "s0", "s1", "s1"])
+    out = (special_token_contamination(sf).to_pandas()
+           .set_index(["source", "marker"]))
+    # full grid: 2 sources x all markers
+    assert len(out) == 2 * len(SPECIAL_TOKEN_MARKERS)
+    assert out.loc[("s0", "<|endoftext|>")].n_docs_hit == 1
+    assert out.loc[("s0", "<|endoftext|>")].hit_permille == 500
+    assert out.loc[("s1", "<|im_start|>")].n_docs_hit == 1
+    assert out.loc[("s1", "<|im_end|>")].n_docs_hit == 1
+    assert out.loc[("s1", "[INST]")].n_docs_hit == 1
+    assert out.loc[("s0", "[INST]")].n_docs_hit == 0
+    assert out.loc[("s0", "canary GUID")].n_docs_hit == 0
