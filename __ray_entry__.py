@@ -523,6 +523,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # curation gate: tokenizer specials / eval canaries leaking
         # into training text, per source x marker grid
         "special_token_contamination": D.special_token_contamination,
+        # training prep: deterministic fill-in-the-middle cut points
+        "fim_split_documents": D.fim_split_documents,
+        # filter-redundancy introspection: pairwise gate agreement
+        "filter_agreement_matrix": D.filter_agreement_matrix,
         # multimodal near-dup: decode -> integer average-hash ->
         # banded hamming search over real decoded PNGs (rows-only:
         # binary codec path has no SQL twin, like the other
@@ -5853,5 +5857,75 @@ h AS (
 SELECT h.source, h.marker, h.nh AS n_docs_hit,
   CAST(1000 * h.nh // GREATEST(s.n, 1) AS BIGINT) AS hit_permille
 FROM h JOIN s USING (source)
+"""
+    # FIM planning: hash-derived char cut points, ordered; ineligible
+    # docs (under FIM_MIN_CHARS) zero out
+    from dataquality_ray.pipelines.documents import (
+        FIM_MIN_CHARS as _FIM_MIN,
+    )
+    sql["fim_split_documents"] = f"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(length(COALESCE(text, '')) AS BIGINT) AS L,
+    md5_number_upper('fim1:' || CAST(doc_id AS VARCHAR))
+      % GREATEST(CAST(length(COALESCE(text, '')) AS BIGINT), 1) AS r1,
+    md5_number_upper('fim2:' || CAST(doc_id AS VARCHAR))
+      % GREATEST(CAST(length(COALESCE(text, '')) AS BIGINT), 1) AS r2
+  FROM documents),
+p AS (
+  SELECT doc_id, L,
+    CASE WHEN L >= {_FIM_MIN} THEN 1 ELSE 0 END AS elig,
+    CASE WHEN L >= {_FIM_MIN} THEN LEAST(r1, r2) ELSE 0 END AS c1,
+    CASE WHEN L >= {_FIM_MIN} THEN GREATEST(r1, r2) ELSE 0 END AS c2
+  FROM t)
+SELECT doc_id, L AS n_chars,
+  CAST(c1 AS BIGINT) AS cut1, CAST(c2 AS BIGINT) AS cut2,
+  CAST(c1 AS BIGINT) AS n_prefix,
+  CAST(c2 - c1 AS BIGINT) AS n_middle,
+  CAST(CASE WHEN elig = 1 THEN L - c2 ELSE 0 END AS BIGINT)
+    AS n_suffix,
+  CAST(elig AS BIGINT) AS fim_eligible
+FROM p
+"""
+    # filter agreement: the five gate oracles joined on doc_id, all
+    # C(5,2) pairwise conjunction counts + Jaccard — generated from
+    # the same FILTER_GATES tuple the Ray side iterates
+    from dataquality_ray.pipelines.documents import (
+        FILTER_GATES as _FG,
+    )
+    _fg_aliases = []
+    for _i, (_k, _qname, _col) in enumerate(_FG):
+        _fg_aliases.append((_k, f"g{_i}", _qname, _col))
+    _fg_join = f"g0 AS ({sql[_fg_aliases[0][2]]})"
+    for _k, _al, _qname, _col in _fg_aliases[1:]:
+        _fg_join += f",\n{_al} AS ({sql[_qname]})"
+    _fg_from = "g0"
+    for _k, _al, _qname, _col in _fg_aliases[1:]:
+        _fg_from += f" JOIN {_al} USING (doc_id)"
+    _fg_proj = ", ".join(
+        f"CAST({al}.{col} AS BIGINT) AS f{i}"
+        for i, (_k, al, _q, col) in enumerate(_fg_aliases))
+    _fg_pairs = []
+    for _i in range(len(_fg_aliases)):
+        for _j in range(_i + 1, len(_fg_aliases)):
+            ka = _fg_aliases[_i][0]
+            kb = _fg_aliases[_j][0]
+            fa, fb = f"f{_i}", f"f{_j}"
+            _fg_pairs.append(f"""
+SELECT '{ka}' AS gate_a, '{kb}' AS gate_b,
+  CAST(SUM({fa} * {fb}) AS BIGINT) AS n_both,
+  CAST(SUM({fa} * (1 - {fb})) AS BIGINT) AS n_only_a,
+  CAST(SUM((1 - {fa}) * {fb}) AS BIGINT) AS n_only_b,
+  CAST(SUM((1 - {fa}) * (1 - {fb})) AS BIGINT) AS n_neither,
+  CAST(1000 * SUM({fa} * {fb})
+       // GREATEST(SUM({fa} * {fb}) + SUM({fa} * (1 - {fb}))
+                   + SUM((1 - {fa}) * {fb}), 1) AS BIGINT)
+    AS jaccard_permille
+FROM j""")
+    _fg_union = "\nUNION ALL".join(_fg_pairs)
+    sql["filter_agreement_matrix"] = f"""
+WITH {_fg_join},
+j AS (SELECT g0.doc_id, {_fg_proj} FROM {_fg_from})
+{_fg_union}
 """
     return sql

@@ -145,7 +145,8 @@ def _query_benches(sf_dir: str) -> dict:
              "conv_quality_trend", "max_containment_per_doc",
              "langid_mismatch_by_source", "unsupported_number_turns",
              "semantic_drift_daily", "split_balance_audit",
-             "image_phash_near_dups", "special_token_contamination"]
+             "image_phash_near_dups", "special_token_contamination",
+             "fim_split_documents", "filter_agreement_matrix"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -5681,3 +5681,165 @@ def special_token_contamination(sf_dir: str):
         "n_docs_hit": pa.array(hits, pa.int64()),
         "hit_permille": pa.array(perm, pa.int64()),
     })
+
+
+# --- FIM (fill-in-the-middle) split planning ---------------------------------
+
+FIM_MIN_CHARS = 16      # docs shorter than this are not FIM-eligible
+
+
+def fim_split_documents(sf_dir: str):
+    """(doc_id, n_chars, cut1, cut2, n_prefix, n_middle, n_suffix,
+    fim_eligible): deterministic fill-in-the-middle split planning
+    (Bavarian et al. 2022): two hash-derived character cut points per
+    document (md5-u64 of fim1:/fim2:doc_id mod the char length,
+    ordered), so the prefix/middle/suffix decomposition is stable
+    under any re-run or re-partitioning — no RNG state, the
+    dataset_split_documents discipline applied to span selection.
+    Offsets and span lengths only (the text itself stays in place);
+    docs under FIM_MIN_CHARS chars emit fim_eligible = 0 with zeroed
+    cuts. Char counts are Unicode code points on both engines
+    (Python len == DuckDB length). Embarrassingly parallel."""
+    from dataquality_ray.spec import token_hash_u64
+
+    ds = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def plan(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        n = len(ids)
+        L = np.array([len(t or "") for t in texts], dtype=np.int64)
+        r1 = np.fromiter(
+            (token_hash_u64(f"fim1:{int(i)}") % max(int(ln), 1)
+             for i, ln in zip(ids, L)), dtype=np.int64, count=n)
+        r2 = np.fromiter(
+            (token_hash_u64(f"fim2:{int(i)}") % max(int(ln), 1)
+             for i, ln in zip(ids, L)), dtype=np.int64, count=n)
+        elig = (L >= FIM_MIN_CHARS).astype(np.int64)
+        c1 = np.where(elig == 1, np.minimum(r1, r2), 0)
+        c2 = np.where(elig == 1, np.maximum(r1, r2), 0)
+        return pa.table({
+            "doc_id": pa.array(
+                np.asarray(ids, dtype=np.int64)),
+            "n_chars": pa.array(L),
+            "cut1": pa.array(c1),
+            "cut2": pa.array(c2),
+            "n_prefix": pa.array(c1),
+            "n_middle": pa.array(c2 - c1),
+            "n_suffix": pa.array(np.where(elig == 1, L - c2, 0)),
+            "fim_eligible": pa.array(elig),
+        })
+
+    return ds.map_batches(plan, batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+# --- filter redundancy: pairwise agreement of the quality gates --------------
+
+# (key, pipeline fn, flag column) — alphabetical keys; flag = 1 means
+# the gate REJECTS the doc
+FILTER_GATES = (
+    ("c4_page", "c4_line_filtered_documents", "page_flag"),
+    ("compression", "doc_compression_gate", "compress_flag"),
+    ("gopher_quality", "gopher_quality_documents", "q_flag"),
+    ("gopher_repetition", "gopher_repetition_documents", "rep_flag"),
+    ("mojibake", "mojibake_documents", "moji_flag"),
+)
+
+
+def filter_agreement_matrix(sf_dir: str, num_buckets: int = 16):
+    """(gate_a, gate_b, n_both, n_only_a, n_only_b, n_neither,
+    jaccard_permille): pairwise agreement of the five document quality
+    gates (Gopher quality/repetition, C4 page rule, compression gate,
+    mojibake) — the filter-redundancy introspection a curation team
+    reads before stacking gates: a pair with high Jaccard is
+    double-charging the same docs; a gate whose rejections nobody else
+    sees is the one to audit. Doc-level twin of the per-turn
+    transcript_dim_cofail surface.
+
+    Shape: each gate's existing batch-local kernel streams the corpus
+    once and reduces to slim (doc-bucket, doc_id, gate, flag) rows;
+    ONE union + doc-bucket shuffle co-locates a doc's five flags; the
+    local pivot + pairwise conjunction counts reduce each bucket to
+    C(5,2) = 10 rows; the final aggregate is 10 x |buckets| rows."""
+    from ray.data.aggregate import Sum
+
+    from dataquality_ray.spec import token_hash_u64
+
+    import dataquality_ray.pipelines.documents as _self
+
+    nb = num_buckets
+    parts = []
+    for gi, (key, fn_name, col) in enumerate(FILTER_GATES):
+        gate_ds = getattr(_self, fn_name)(sf_dir)
+
+        def slim(t: pa.Table, gi=gi, col=col) -> pa.Table:
+            ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+            f = np.asarray(
+                t[col].to_pylist()).astype(np.int64)
+            db = np.fromiter(
+                (token_hash_u64(f"d:{int(i)}") % nb for i in ids),
+                dtype=np.int32, count=len(ids))
+            return pa.table({
+                "db": pa.array(db),
+                "doc_id": pa.array(ids),
+                "g": pa.array(np.full(len(ids), gi, dtype=np.int64)),
+                "f": pa.array(f),
+            })
+
+        parts.append(gate_ds.map_batches(slim, batch_format="pyarrow"))
+
+    u = parts[0].union(*parts[1:])
+    n_gates = len(FILTER_GATES)
+    keys = [k for k, _, _ in FILTER_GATES]
+
+    def scan(t: pa.Table) -> pa.Table:
+        d = pl.from_arrow(t.select(["doc_id", "g", "f"]))
+        piv = d.pivot(on="g", index="doc_id", values="f")
+        cols = {int(c): piv[c].to_numpy().astype(np.int64)
+                for c in piv.columns if c != "doc_id"}
+        n = piv.height
+        ga, gb, b_, oa, ob, nn = [], [], [], [], [], []
+        for i in range(n_gates):
+            fi = cols.get(i, np.zeros(n, dtype=np.int64))
+            for j in range(i + 1, n_gates):
+                fj = cols.get(j, np.zeros(n, dtype=np.int64))
+                both = int((fi & fj).sum())
+                only_i = int((fi & (1 - fj)).sum())
+                only_j = int(((1 - fi) & fj).sum())
+                ga.append(keys[i])
+                gb.append(keys[j])
+                b_.append(both)
+                oa.append(only_i)
+                ob.append(only_j)
+                nn.append(n - both - only_i - only_j)
+        return pa.table({
+            "gate_a": pa.array(ga, pa.string()),
+            "gate_b": pa.array(gb, pa.string()),
+            "b": pa.array(b_, pa.int64()),
+            "oa": pa.array(oa, pa.int64()),
+            "ob": pa.array(ob, pa.int64()),
+            "nn": pa.array(nn, pa.int64()),
+        })
+
+    agg = (u.groupby("db").map_groups(scan, batch_format="pyarrow")
+           .groupby(["gate_a", "gate_b"])
+           .aggregate(Sum("b", alias_name="n_both"),
+                      Sum("oa", alias_name="n_only_a"),
+                      Sum("ob", alias_name="n_only_b"),
+                      Sum("nn", alias_name="n_neither"))
+           .to_pandas().sort_values(["gate_a", "gate_b"]))
+
+    b = agg["n_both"].to_numpy(dtype=np.int64)
+    oa = agg["n_only_a"].to_numpy(dtype=np.int64)
+    ob = agg["n_only_b"].to_numpy(dtype=np.int64)
+    return pa.table({
+        "gate_a": pa.array(agg["gate_a"].tolist(), pa.string()),
+        "gate_b": pa.array(agg["gate_b"].tolist(), pa.string()),
+        "n_both": pa.array(b),
+        "n_only_a": pa.array(oa),
+        "n_only_b": pa.array(ob),
+        "n_neither": pa.array(agg["n_neither"].to_numpy(np.int64)),
+        "jaccard_permille": pa.array(
+            1000 * b // np.maximum(b + oa + ob, 1)),
+    })

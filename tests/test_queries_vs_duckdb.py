@@ -82,7 +82,9 @@ _ORACLE_CACHE: dict = {}
 # cache already does for aliased oracles, one level deeper.
 _EMBEDDABLE = ("transcript_near_dup_pairs", "doc_embedding_values",
                "conv_near_dup_pairs", "source_embedding_centroids",
-               "bm25_top_docs")
+               "bm25_top_docs", "c4_line_filtered_documents",
+               "doc_compression_gate", "gopher_quality_documents",
+               "gopher_repetition_documents", "mojibake_documents")
 
 
 def _oracle_want(name: str):

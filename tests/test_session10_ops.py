@@ -456,3 +456,56 @@ def test_special_token_contamination_counts(ray_session, tmp_path):
     assert out.loc[("s1", "[INST]")].n_docs_hit == 1
     assert out.loc[("s0", "[INST]")].n_docs_hit == 0
     assert out.loc[("s0", "canary GUID")].n_docs_hit == 0
+
+
+# --- fim_split_documents ----------------------------------------------------
+
+def test_fim_split_deterministic_and_bounded(ray_session, tmp_path):
+    from dataquality_ray.pipelines.documents import (
+        FIM_MIN_CHARS,
+        fim_split_documents,
+    )
+    from dataquality_ray.spec import token_hash_u64
+    long = "x" * 100
+    short = "tiny"
+    sf = _docs_dir(tmp_path, [long, short])
+    out = (fim_split_documents(sf).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    r = out.loc[0]
+    assert r.fim_eligible == 1
+    # spans tile the doc exactly
+    assert r.n_prefix + r.n_middle + r.n_suffix == r.n_chars == 100
+    assert 0 <= r.cut1 <= r.cut2 < 100
+    # the cuts ARE the hash formula (stable under re-runs)
+    c1 = token_hash_u64("fim1:0") % 100
+    c2 = token_hash_u64("fim2:0") % 100
+    assert (r.cut1, r.cut2) == (min(c1, c2), max(c1, c2))
+    # short doc ineligible, zeroed
+    s = out.loc[1]
+    assert s.n_chars == len(short) < FIM_MIN_CHARS
+    assert s.fim_eligible == 0 and s.cut1 == 0 and s.cut2 == 0
+
+
+# --- filter_agreement_matrix ------------------------------------------------
+
+def test_filter_agreement_matrix_shape_and_consistency(ray_session):
+    from dataquality_ray.pipelines.documents import (
+        FILTER_GATES,
+        filter_agreement_matrix,
+    )
+    out = filter_agreement_matrix(SF).to_pandas()
+    n_g = len(FILTER_GATES)
+    assert len(out) == n_g * (n_g - 1) // 2
+    # every pair partitions the same corpus
+    tot = (out.n_both + out.n_only_a + out.n_only_b
+           + out.n_neither).unique()
+    assert len(tot) == 1 and tot[0] > 0
+    # jaccard formula holds
+    import numpy as np
+    want = (1000 * out.n_both.to_numpy()
+            // np.maximum((out.n_both + out.n_only_a
+                           + out.n_only_b).to_numpy(), 1))
+    assert (out.jaccard_permille.to_numpy() == want).all()
+    # pairs ordered and unique
+    pairs = list(zip(out.gate_a, out.gate_b))
+    assert len(set(pairs)) == len(pairs)
