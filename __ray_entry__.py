@@ -527,6 +527,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fim_split_documents": D.fim_split_documents,
         # filter-redundancy introspection: pairwise gate agreement
         "filter_agreement_matrix": D.filter_agreement_matrix,
+        # per-source threshold calibration to a target keep-rate
+        "calibrated_thresholds_by_source":
+            D.calibrated_thresholds_by_source,
         # multimodal near-dup: decode -> integer average-hash ->
         # banded hamming search over real decoded PNGs (rows-only:
         # binary codec path has no SQL twin, like the other
@@ -5927,5 +5930,36 @@ FROM j""")
 WITH {_fg_join},
 j AS (SELECT g0.doc_id, {_fg_proj} FROM {_fg_from})
 {_fg_union}
+"""
+    # per-source calibration: smallest threshold with keep-rate <=
+    # target, over the hash-checked quality scores (0..100 ints)
+    from dataquality_ray.pipelines.documents import (
+        CALIB_TARGET_PERMILLE as _CAL_T,
+    )
+    sql["calibrated_thresholds_by_source"] = f"""
+WITH q AS ({sql['quality_documents']}),
+d AS (
+  SELECT q.doc_id, doc.source, q.overall_quality_score AS s
+  FROM q JOIN documents doc USING (doc_id)),
+tot AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+t AS (SELECT unnest(generate_series(0, 101)) AS th),
+k AS (
+  SELECT d.source, t.th,
+    CAST(SUM(CASE WHEN d.s >= t.th THEN 1 ELSE 0 END) AS BIGINT)
+      AS kept
+  FROM d CROSS JOIN t GROUP BY 1, 2),
+c AS (
+  SELECT k.source, MIN(k.th) AS threshold
+  FROM k JOIN tot USING (source)
+  WHERE 1000 * k.kept <= {_CAL_T} * tot.n
+  GROUP BY 1)
+SELECT c.source, tot.n AS n_docs,
+  CAST(c.threshold AS BIGINT) AS threshold,
+  CAST(k.kept AS BIGINT) AS n_kept,
+  CAST(1000 * k.kept // GREATEST(tot.n, 1) AS BIGINT)
+    AS kept_permille
+FROM c JOIN tot USING (source)
+JOIN k ON k.source = c.source AND k.th = c.threshold
 """
     return sql

@@ -146,7 +146,8 @@ def _query_benches(sf_dir: str) -> dict:
              "langid_mismatch_by_source", "unsupported_number_turns",
              "semantic_drift_daily", "split_balance_audit",
              "image_phash_near_dups", "special_token_contamination",
-             "fim_split_documents", "filter_agreement_matrix"]
+             "fim_split_documents", "filter_agreement_matrix",
+             "calibrated_thresholds_by_source"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -5843,3 +5843,86 @@ def filter_agreement_matrix(sf_dir: str, num_buckets: int = 16):
         "jaccard_permille": pa.array(
             1000 * b // np.maximum(b + oa + ob, 1)),
     })
+
+
+# --- per-source threshold calibration to a target keep-rate ------------------
+
+CALIB_TARGET_PERMILLE = 600   # aim: keep ~60% of each source
+
+
+def calibrated_thresholds_by_source(sf_dir: str,
+                                    cfg=None):
+    """(source, n_docs, threshold, n_kept, kept_permille): per-source
+    quality-threshold calibration — the smallest integer threshold
+    whose keep-rate (docs with overall_quality_score >= threshold) is
+    <= CALIB_TARGET_PERMILLE, per source. A single global threshold
+    over-prunes clean sources and under-prunes noisy ones; this is the
+    table a curation run reads to equalize keep-rates instead.
+    Exact integer arithmetic over per-source score histograms
+    (scores are 0..100 ints), so the calibration is bit-deterministic:
+    threshold = min t such that 1000 * |score >= t| <= target * n
+    (t = 101, keeping nothing, if even the top score bin overflows
+    the target).
+
+    Shape: zero shuffle — the heuristics stay batch-local and reduce
+    to (source, score) histogram partials; the final aggregate is
+    |sources| x 101 cells; threshold selection is driver math over
+    that constant-size table."""
+    import functools
+
+    from ray.data.aggregate import Sum
+
+    from dataquality_ray.config import DEFAULT_CONFIG
+    from dataquality_ray.stages.heuristics import (
+        heuristic_overall4,
+        heuristics_batch,
+    )
+
+    cfg = cfg or DEFAULT_CONFIG
+    ds = _docs(sf_dir, columns=["doc_id", "source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        scored = heuristics_batch(batch, cfg=cfg)
+        overall = heuristic_overall4(scored).astype(np.int64)
+        g = (pl.DataFrame({
+            "source": pl.from_arrow(batch["source"]),
+            "score": overall,
+        }).group_by(["source", "score"])
+            .agg(n=pl.len().cast(pl.Int64)))
+        return g.to_arrow().cast(pa.schema([
+            ("source", pa.string()), ("score", pa.int64()),
+            ("n", pa.int64())]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["source", "score"])
+           .aggregate(Sum("n", alias_name="n_docs"))
+           .to_pandas())
+
+    out_s, out_n, out_t, out_k, out_p = [], [], [], [], []
+    for src, grp in agg.groupby("source"):
+        hist = np.zeros(101, dtype=np.int64)
+        for s, n in zip(grp["score"], grp["n_docs"]):
+            hist[int(s)] = int(n)
+        total = int(hist.sum())
+        # kept_at[t] = |score >= t| for t in 0..101
+        kept_at = np.concatenate(
+            [np.cumsum(hist[::-1])[::-1], [0]])
+        ts = np.flatnonzero(
+            1000 * kept_at <= CALIB_TARGET_PERMILLE * total)
+        t = int(ts[0]) if len(ts) else 101
+        k = int(kept_at[t])
+        out_s.append(str(src))
+        out_n.append(total)
+        out_t.append(t)
+        out_k.append(k)
+        out_p.append(1000 * k // max(total, 1))
+    order = np.argsort(np.array(out_s, dtype=object), kind="stable")
+    return pa.table({
+        "source": pa.array([out_s[i] for i in order], pa.string()),
+        "n_docs": pa.array(np.array(out_n)[order].astype(np.int64)),
+        "threshold": pa.array(np.array(out_t)[order].astype(np.int64)),
+        "n_kept": pa.array(np.array(out_k)[order].astype(np.int64)),
+        "kept_permille": pa.array(
+            np.array(out_p)[order].astype(np.int64)),
+    })

@@ -509,3 +509,33 @@ def test_filter_agreement_matrix_shape_and_consistency(ray_session):
     # pairs ordered and unique
     pairs = list(zip(out.gate_a, out.gate_b))
     assert len(set(pairs)) == len(pairs)
+
+
+# --- calibrated_thresholds_by_source ----------------------------------------
+
+def test_calibrated_threshold_rule(ray_session):
+    from dataquality_ray.pipelines.documents import (
+        CALIB_TARGET_PERMILLE,
+        calibrated_thresholds_by_source,
+    )
+    out = calibrated_thresholds_by_source(SF).to_pandas()
+    assert len(out) > 0
+    # the rule: kept-rate at the chosen threshold <= target, and the
+    # threshold is minimal (t-1 would overflow the target)
+    assert (out.kept_permille <= CALIB_TARGET_PERMILLE).all()
+    assert (out.threshold >= 0).all() and (out.threshold <= 101).all()
+    import numpy as np
+    from dataquality_ray.pipelines.documents import quality_documents
+    q = quality_documents(SF).to_pandas()
+    import pyarrow.parquet as _pq
+    src = _pq.read_table(f"{SF}/documents.parquet",
+                         columns=["doc_id", "source"]).to_pandas()
+    j = q.merge(src, on="doc_id")
+    for _, r in out.head(5).iterrows():
+        s = j[j.source == r.source]["overall_quality_score"].to_numpy()
+        n = len(s)
+        assert r.n_docs == n
+        assert (s >= r.threshold).sum() == r.n_kept
+        if r.threshold > 0:
+            prev_kept = (s >= r.threshold - 1).sum()
+            assert 1000 * prev_kept > CALIB_TARGET_PERMILLE * n
