@@ -5761,7 +5761,12 @@ def filter_agreement_matrix(sf_dir: str, num_buckets: int = 16):
     once and reduces to slim (doc-bucket, doc_id, gate, flag) rows;
     ONE union + doc-bucket shuffle co-locates a doc's five flags; the
     local pivot + pairwise conjunction counts reduce each bucket to
-    C(5,2) = 10 rows; the final aggregate is 10 x |buckets| rows."""
+    C(5,2) = 10 rows; the final aggregate is 10 x |buckets| rows.
+    Scale note: this composition pays five linear (doc_id, text)
+    scans — no extra shuffles, but at 100 TB the five rule kernels
+    should be lifted into ONE fused map over a single scan; the
+    shipped shape trades that read amplification for zero rule-code
+    duplication with the five hash-checked gate surfaces."""
     from ray.data.aggregate import Sum
 
     from dataquality_ray.spec import token_hash_u64
