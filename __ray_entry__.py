@@ -530,6 +530,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source threshold calibration to a target keep-rate
         "calibrated_thresholds_by_source":
             D.calibrated_thresholds_by_source,
+        # dedup -> mixture interaction: weight shift after removal
+        "mixture_dedup_shift": D.mixture_dedup_shift,
         # multimodal near-dup: decode -> integer average-hash ->
         # banded hamming search over real decoded PNGs (rows-only:
         # binary codec path has no SQL twin, like the other
@@ -5961,5 +5963,34 @@ SELECT c.source, tot.n AS n_docs,
     AS kept_permille
 FROM c JOIN tot USING (source)
 JOIN k ON k.source = c.source AND k.th = c.threshold
+"""
+    # dedup -> mixture shift: sqrt weights on raw vs near-dup-kept
+    # chars, same integer arithmetic as source_mixture_weights
+    sql["mixture_dedup_shift"] = f"""
+WITH kd AS ({sql['near_dup_kept_documents']}),
+raw AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS cr
+  FROM documents GROUP BY 1),
+kept AS (
+  SELECT d.source, CAST(SUM(d.n_chars) AS BIGINT) AS ck
+  FROM documents d JOIN kd USING (doc_id) GROUP BY 1),
+j AS (
+  SELECT raw.source, raw.cr, COALESCE(kept.ck, 0) AS ck
+  FROM raw LEFT JOIN kept USING (source)),
+s AS (
+  SELECT source, cr, ck,
+    CAST(floor(sqrt(cr * {_MIX_SCALE}.0)) AS BIGINT) AS sr,
+    CAST(floor(sqrt(ck * {_MIX_SCALE}.0)) AS BIGINT) AS sk
+  FROM j),
+t AS (
+  SELECT CAST(GREATEST(SUM(sr), 1) AS BIGINT) AS tr,
+    CAST(GREATEST(SUM(sk), 1) AS BIGINT) AS tk
+  FROM s)
+SELECT s.source, s.cr AS sum_chars_raw, s.ck AS sum_chars_kept,
+  CAST(s.sr * {_MIX_PPM} // t.tr AS BIGINT) AS weight_raw_ppm,
+  CAST(s.sk * {_MIX_PPM} // t.tk AS BIGINT) AS weight_kept_ppm,
+  CAST(s.sk * {_MIX_PPM} // t.tk
+       - s.sr * {_MIX_PPM} // t.tr AS BIGINT) AS delta_ppm
+FROM s, t
 """
     return sql

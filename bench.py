@@ -147,7 +147,7 @@ def _query_benches(sf_dir: str) -> dict:
              "semantic_drift_daily", "split_balance_audit",
              "image_phash_near_dups", "special_token_contamination",
              "fim_split_documents", "filter_agreement_matrix",
-             "calibrated_thresholds_by_source"]
+             "calibrated_thresholds_by_source", "mixture_dedup_shift"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -5931,3 +5931,87 @@ def calibrated_thresholds_by_source(sf_dir: str,
         "kept_permille": pa.array(
             np.array(out_p)[order].astype(np.int64)),
     })
+
+
+# --- dedup -> mixture interaction: weight shift after near-dup removal -------
+
+def mixture_dedup_shift(sf_dir: str):
+    """(source, sum_chars_raw, sum_chars_kept, weight_raw_ppm,
+    weight_kept_ppm, delta_ppm): how near-dup removal MOVES the
+    temperature-0.5 mixture — sqrt weights computed on the raw corpus
+    vs on the near-dup survivors (min-id winner per cluster), same
+    exact integer arithmetic as source_mixture_weights. Duplicate-
+    heavy sources lose budget to clean ones; this is the table that
+    says by how much, and the reason dedup must run BEFORE mixture
+    planning, not after.
+
+    Shape: pair generation is the bounded LSH path; the cluster
+    labels (pair-involved docs only — df-capped, never corpus-sized)
+    collect to the driver where drops = members minus per-cluster
+    min; ONE corpus scan then computes per-source raw and dropped
+    char sums together against the broadcast sorted drop array
+    (searchsorted membership); kept = raw - dropped. Weights are
+    |sources|-row driver math."""
+    import polars as _pl
+
+    from ray.data.aggregate import Sum
+
+    from dataquality_ray.stages.clustering import dup_clusters_auto
+
+    pairs = near_dup_documents(sf_dir).map_batches(
+        lambda t: pa.table({"key_a": t["id_a"], "key_b": t["id_b"]}),
+        batch_format="pyarrow")
+    clusters = dup_clusters_auto(pairs)          # (key, cluster)
+    if isinstance(clusters, pa.Table):
+        cl = _pl.from_arrow(clusters)
+    else:   # distributed-label path: labels are slim (key, cluster)
+        cl = _pl.from_pandas(clusters.to_pandas())
+    win = cl.group_by("cluster").agg(w=_pl.col("key").min())
+    drops = (cl.join(win, on="cluster")
+             .filter(_pl.col("key") != _pl.col("w"))["key"]
+             .to_numpy().astype(np.int64))
+    dref = ray.put(np.sort(drops))
+
+    docs = _docs(sf_dir, columns=["doc_id", "source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        dr = ray.get(dref)
+        ids = np.asarray(batch["doc_id"].to_pylist(), dtype=np.int64)
+        ch = np.asarray(batch["n_chars"].to_pylist(), dtype=np.int64)
+        pos = np.searchsorted(dr, ids)
+        dropped = (pos < len(dr)) & (dr[np.clip(pos, 0, max(len(dr) - 1, 0))] == ids) \
+            if len(dr) else np.zeros(len(ids), dtype=bool)
+        g = (_pl.DataFrame({
+            "source": _pl.from_arrow(batch["source"]),
+            "cr": ch,
+            "cd": np.where(dropped, ch, 0),
+        }).group_by("source")
+            .agg(cr=_pl.col("cr").sum(), cd=_pl.col("cd").sum()))
+        return g.to_arrow().cast(pa.schema([
+            ("source", pa.string()), ("cr", pa.int64()),
+            ("cd", pa.int64())]))
+
+    agg = (docs.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("source")
+           .aggregate(Sum("cr", alias_name="sum_chars_raw"),
+                      Sum("cd", alias_name="sum_chars_dropped"))
+           .to_pandas().sort_values("source"))
+
+    raw = agg["sum_chars_raw"].to_numpy(dtype=np.int64)
+    kept = raw - agg["sum_chars_dropped"].to_numpy(dtype=np.int64)
+    sq_r = np.floor(np.sqrt(raw.astype(np.float64)
+                            * MIXTURE_SQRT_SCALE)).astype(np.int64)
+    sq_k = np.floor(np.sqrt(kept.astype(np.float64)
+                            * MIXTURE_SQRT_SCALE)).astype(np.int64)
+    tr, tk = max(int(sq_r.sum()), 1), max(int(sq_k.sum()), 1)
+    w_r = sq_r * MIXTURE_PPM // tr
+    w_k = sq_k * MIXTURE_PPM // tk
+    return pa.table({
+        "source": pa.array(agg["source"].tolist(), pa.string()),
+        "sum_chars_raw": pa.array(raw),
+        "sum_chars_kept": pa.array(kept),
+        "weight_raw_ppm": pa.array(w_r),
+        "weight_kept_ppm": pa.array(w_k),
+        "delta_ppm": pa.array(w_k - w_r),
+    })

@@ -539,3 +539,25 @@ def test_calibrated_threshold_rule(ray_session):
         if r.threshold > 0:
             prev_kept = (s >= r.threshold - 1).sum()
             assert 1000 * prev_kept > CALIB_TARGET_PERMILLE * n
+
+
+# --- mixture_dedup_shift ----------------------------------------------------
+
+def test_mixture_dedup_shift_signal_and_arithmetic(ray_session):
+    from dataquality_ray.pipelines.documents import (
+        MIXTURE_PPM,
+        mixture_dedup_shift,
+    )
+    out = mixture_dedup_shift(SF).to_pandas()
+    assert len(out) > 0
+    # kept chars never exceed raw; near-dups exist at sf0.001 so at
+    # least one source actually shrank
+    assert (out.sum_chars_kept <= out.sum_chars_raw).all()
+    assert (out.sum_chars_kept < out.sum_chars_raw).any()
+    # both weight columns are mixtures (sum to ~1e6 up to trunc slack)
+    assert abs(int(out.weight_raw_ppm.sum()) - MIXTURE_PPM) < len(out)
+    assert abs(int(out.weight_kept_ppm.sum()) - MIXTURE_PPM) < len(out)
+    # deltas are the column difference and sum to ~0
+    assert (out.delta_ppm
+            == out.weight_kept_ppm - out.weight_raw_ppm).all()
+    assert abs(int(out.delta_ppm.sum())) < 2 * len(out)
