@@ -532,6 +532,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
             D.calibrated_thresholds_by_source,
         # dedup -> mixture interaction: weight shift after removal
         "mixture_dedup_shift": D.mixture_dedup_shift,
+        # doc-level split-leakage grid over near-dup pairs
+        "doc_near_dup_split_leakage": D.doc_near_dup_split_leakage,
         # multimodal near-dup: decode -> integer average-hash ->
         # banded hamming search over real decoded PNGs (rows-only:
         # binary codec path has no SQL twin, like the other
@@ -5992,5 +5994,36 @@ SELECT s.source, s.cr AS sum_chars_raw, s.ck AS sum_chars_kept,
   CAST(s.sk * {_MIX_PPM} // t.tk
        - s.sr * {_MIX_PPM} // t.tr AS BIGINT) AS delta_ppm
 FROM s, t
+"""
+    # doc-level split-leakage grid: near-dup pairs x hash split,
+    # normalized unordered cells, full zero-filled grid
+    sql["doc_near_dup_split_leakage"] = f"""
+WITH p AS ({sql['near_dup_documents']}),
+sx AS (
+  SELECT doc_id,
+    CASE WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % {_SB}
+              < {_ST} THEN 'train'
+         WHEN md5_number_upper(CAST(doc_id AS VARCHAR)) % {_SB}
+              < {_SV} THEN 'val'
+         ELSE 'test' END AS split
+  FROM documents),
+j AS (
+  SELECT LEAST(sa.split, sb.split) AS split_a,
+    GREATEST(sa.split, sb.split) AS split_b
+  FROM p
+  JOIN sx sa ON sa.doc_id = p.id_a
+  JOIN sx sb ON sb.doc_id = p.id_b),
+n AS (
+  SELECT split_a, split_b, CAST(COUNT(*) AS BIGINT) AS n_pairs
+  FROM j GROUP BY 1, 2),
+grid AS (
+  SELECT * FROM (VALUES
+    ('test', 'test'), ('test', 'train'), ('test', 'val'),
+    ('train', 'train'), ('train', 'val'),
+    ('val', 'val')) AS g(split_a, split_b))
+SELECT g.split_a, g.split_b,
+  CAST(COALESCE(n.n_pairs, 0) AS BIGINT) AS n_pairs
+FROM grid g
+LEFT JOIN n ON n.split_a = g.split_a AND n.split_b = g.split_b
 """
     return sql

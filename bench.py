@@ -147,7 +147,8 @@ def _query_benches(sf_dir: str) -> dict:
              "semantic_drift_daily", "split_balance_audit",
              "image_phash_near_dups", "special_token_contamination",
              "fim_split_documents", "filter_agreement_matrix",
-             "calibrated_thresholds_by_source", "mixture_dedup_shift"]
+             "calibrated_thresholds_by_source", "mixture_dedup_shift",
+             "doc_near_dup_split_leakage"]
     out = {}
     for name in names:
         t0 = time.time()

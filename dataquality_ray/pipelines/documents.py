@@ -6015,3 +6015,63 @@ def mixture_dedup_shift(sf_dir: str):
         "weight_kept_ppm": pa.array(w_k),
         "delta_ppm": pa.array(w_k - w_r),
     })
+
+
+# --- split leakage via document near-dups ------------------------------------
+
+def doc_near_dup_split_leakage(sf_dir: str):
+    """(split_a, split_b, n_pairs): near-dup pairs bucketed by the
+    train/val/test assignment of their two documents — the document-
+    level completion of the leakage triad (transcript exact-dup and
+    conversation near-dup variants exist). Off-diagonal cells are
+    test-set contamination: a test doc near-identical to a train doc
+    inflates eval. Split labels derive from the hash assignment
+    BATCH-LOCALLY (no join — the split IS a function of doc_id);
+    pair cells are normalized (alphabetical order) and the full 3x3
+    unordered grid emits zero-filled (the empty-result rule).
+
+    Shape: the bounded LSH pair generator plus one batch-local map
+    to 6 constant cells; nothing new shuffles."""
+    from ray.data.aggregate import Sum
+
+    from dataquality_ray.spec import token_hash_u64
+
+    pairs = near_dup_documents(sf_dir)
+
+    def cells(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["id_a"].to_pylist(), dtype=np.int64)
+        b = np.asarray(t["id_b"].to_pylist(), dtype=np.int64)
+
+        def split_of(ids):
+            h = np.fromiter(
+                (token_hash_u64(str(int(i))) % SPLIT_BUCKETS
+                 for i in ids), dtype=np.int64, count=len(ids))
+            return np.where(h < SPLIT_TRAIN_LT, "train",
+                            np.where(h < SPLIT_VAL_LT, "val", "test"))
+
+        sa, sb = split_of(a), split_of(b)
+        le = sa <= sb          # np.minimum has no unicode loop
+        lo = np.where(le, sa, sb)
+        hi = np.where(le, sb, sa)
+        g = (pl.DataFrame({"split_a": lo, "split_b": hi})
+             .group_by(["split_a", "split_b"])
+             .agg(n=pl.len().cast(pl.Int64)))
+        return g.to_arrow().cast(pa.schema([
+            ("split_a", pa.string()), ("split_b", pa.string()),
+            ("n", pa.int64())]))
+
+    agg = (pairs.map_batches(cells, batch_format="pyarrow")
+           .groupby(["split_a", "split_b"])
+           .aggregate(Sum("n", alias_name="n_pairs"))
+           .to_pandas())
+
+    got = {(a, b): int(n) for a, b, n in zip(
+        agg["split_a"], agg["split_b"], agg["n_pairs"])}
+    names = ("test", "train", "val")
+    rows = [(a, b, got.get((a, b), 0))
+            for i, a in enumerate(names) for b in names[i:]]
+    return pa.table({
+        "split_a": pa.array([r[0] for r in rows], pa.string()),
+        "split_b": pa.array([r[1] for r in rows], pa.string()),
+        "n_pairs": pa.array([r[2] for r in rows], pa.int64()),
+    })

@@ -85,7 +85,8 @@ _EMBEDDABLE = ("transcript_near_dup_pairs", "doc_embedding_values",
                "bm25_top_docs", "c4_line_filtered_documents",
                "doc_compression_gate", "gopher_quality_documents",
                "gopher_repetition_documents", "mojibake_documents",
-               "quality_documents", "near_dup_kept_documents")
+               "quality_documents", "near_dup_kept_documents",
+               "near_dup_documents")
 
 
 def _oracle_want(name: str):

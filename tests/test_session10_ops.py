@@ -561,3 +561,18 @@ def test_mixture_dedup_shift_signal_and_arithmetic(ray_session):
     assert (out.delta_ppm
             == out.weight_kept_ppm - out.weight_raw_ppm).all()
     assert abs(int(out.delta_ppm.sum())) < 2 * len(out)
+
+
+# --- doc_near_dup_split_leakage ---------------------------------------------
+
+def test_doc_split_leakage_grid(ray_session):
+    from dataquality_ray.pipelines.documents import (
+        doc_near_dup_split_leakage,
+    )
+    out = doc_near_dup_split_leakage(SF).to_pandas()
+    # full unordered 3x3 grid (6 cells), normalized a <= b
+    assert len(out) == 6
+    assert (out.split_a <= out.split_b).all()
+    assert (out.n_pairs >= 0).all()
+    # near-dups exist at sf0.001, so the grid carries mass
+    assert out.n_pairs.sum() > 0
