@@ -534,6 +534,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mixture_dedup_shift": D.mixture_dedup_shift,
         # doc-level split-leakage grid over near-dup pairs
         "doc_near_dup_split_leakage": D.doc_near_dup_split_leakage,
+        # dedup observability: the K most-duplicated turn contents
+        "top_duplicated_turns": _top_duplicated_turns_q,
         # multimodal near-dup: decode -> integer average-hash ->
         # banded hamming search over real decoded PNGs (rows-only:
         # binary codec path has no SQL twin, like the other
@@ -934,6 +936,13 @@ def _assistant_refusal_census_q(sf_dir: str):
         assistant_refusal_census
     return assistant_refusal_census(
         _transcript_ds(sf_dir, columns=["role", "text", "ts"]))
+
+
+def _top_duplicated_turns_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import \
+        top_duplicated_turns
+    return top_duplicated_turns(_transcript_ds(
+        sf_dir, columns=["conv_id", "turn_idx", "text"]))
 
 
 def _pii_echo_turns_q(sf_dir: str):
@@ -6025,5 +6034,30 @@ SELECT g.split_a, g.split_b,
   CAST(COALESCE(n.n_pairs, 0) AS BIGINT) AS n_pairs
 FROM grid g
 LEFT JOIN n ON n.split_a = g.split_a AND n.split_b = g.split_b
+"""
+    # most-duplicated contents: frozen normalize+md5 identity; ties
+    # (n DESC, hex ASC); sample = min (conv_id, turn_idx) raw text
+    from dataquality_ray.pipelines.conversations import (
+        TOP_DUP_K as _TDK,
+    )
+    sql["top_duplicated_turns"] = f"""
+WITH nn AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS ti, text,
+    {_norm_doc} AS s
+  FROM read_parquet('{_tr_glob}')),
+h AS (
+  SELECT conv_id, ti, text, md5(s) AS hh
+  FROM nn WHERE length(s) > 0),
+c AS (SELECT hh, CAST(COUNT(*) AS BIGINT) AS n FROM h GROUP BY 1),
+top AS (SELECT hh, n FROM c ORDER BY n DESC, hh LIMIT {_TDK}),
+samp AS (
+  SELECT hh, conv_id, ti, text FROM (
+    SELECT hh, conv_id, ti, text,
+      row_number() OVER (PARTITION BY hh
+                         ORDER BY conv_id, ti) AS rn
+    FROM h) WHERE rn = 1)
+SELECT t.hh AS hash_hex, t.n AS n_copies, s.conv_id,
+  s.ti AS turn_idx, COALESCE(s.text, '') AS sample_text
+FROM top t JOIN samp s USING (hh)
 """
     return sql

@@ -148,7 +148,7 @@ def _query_benches(sf_dir: str) -> dict:
              "image_phash_near_dups", "special_token_contamination",
              "fim_split_documents", "filter_agreement_matrix",
              "calibrated_thresholds_by_source", "mixture_dedup_shift",
-             "doc_near_dup_split_leakage"]
+             "doc_near_dup_split_leakage", "top_duplicated_turns"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -3744,3 +3744,137 @@ def semantic_drift_daily(ds):
             np.array([counts[int(d)] for d in days], dtype=np.int64)),
         "cos_prev": pa.array(cos, pa.float64()),
     })
+
+
+# --- dedup observability: the most-duplicated contents -----------------------
+
+TOP_DUP_K = 20
+
+
+def top_duplicated_turns(ds, num_buckets: int = 0):
+    """(hash_hex, n_copies, conv_id, turn_idx, sample_text): the
+    TOP_DUP_K most-duplicated turn CONTENTS corpus-wide — dedup
+    observability that answers "what IS the boilerplate" (rates and
+    histograms say how much; this says which strings). Content
+    identity is the frozen normalize+md5 convention (dup_rate_daily /
+    sampled_dup_rate family); ties break (n_copies DESC, hash_hex
+    ASC); the sample is the copy at the MIN (conv_id, turn_idx) with
+    its RAW text. Empty-normalized turns are excluded (the skew
+    guard). Exact top-K: per-batch (digest, n) partials -> digest
+    buckets complete totals locally and keep their top K -> one
+    K x |buckets| driver reduce; a second pruned scan retrieves the
+    sample rows for only the K winning digests (broadcast set).
+
+    At 100 TB the exchange is the same slim digest stream the
+    dup-rate surfaces already pay, plus K rows of text."""
+    import polars as _pl
+    import pyarrow.compute as pc
+
+    import ray
+
+    from dataquality_ray.arrowutil import md5_digests
+    from dataquality_ray.spec import EDGE_WS_PATTERN, WS_PLUS_PATTERN
+
+    num_buckets = num_buckets or cluster_buckets(minimum=32)
+
+    def _norm(text):
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        return pc.replace_substring_regex(
+            pc.replace_substring_regex(
+                pc.utf8_lower(pc.fill_null(text, "")),
+                EDGE_WS_PATTERN, ""),
+            WS_PLUS_PATTERN, " ")
+
+    def slim(batch: pa.Table) -> pa.Table:
+        norm = _norm(batch["text"])
+        ok = pc.greater(pc.utf8_length(norm), 0).to_numpy(
+            zero_copy_only=False)
+        dig = md5_digests(norm)
+        keep = np.flatnonzero(ok)
+        digs = [dig[i] for i in keep]
+        g = (_pl.DataFrame({"h": _pl.Series(digs, dtype=_pl.Binary)})
+             .group_by("h").agg(n=_pl.len().cast(_pl.Int64)))
+        hb = np.fromiter(
+            (int.from_bytes(d[:4], "little") % num_buckets
+             for d in g["h"]),
+            dtype=np.int32, count=g.height)
+        return pa.table({
+            "hb": pa.array(hb),
+            "h": g["h"].to_arrow().cast(pa.binary()),
+            "n": g["n"].to_arrow(),
+        })
+
+    def bucket_topk(t: pa.Table) -> pa.Table:
+        d = (_pl.from_arrow(t.select(["h", "n"]))
+             .group_by("h").agg(n=_pl.col("n").sum())
+             .with_columns(hx=_pl.col("h").bin.encode("hex"))
+             .sort(["n", "hx"], descending=[True, False])
+             .head(TOP_DUP_K))
+        return d.select(["hx", "n"]).to_arrow().cast(pa.schema([
+            ("hx", pa.string()), ("n", pa.int64())]))
+
+    top = (ds.map_batches(slim, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("hb").map_groups(bucket_topk,
+                                     batch_format="pyarrow")
+           .to_pandas()
+           .sort_values(["n", "hx"], ascending=[False, True])
+           .head(TOP_DUP_K))
+    want = {bytes.fromhex(h): (h, int(n))
+            for h, n in zip(top["hx"], top["n"])}
+    wref = ray.put(set(want))
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ws = ray.get(wref)
+        norm = _norm(batch["text"])
+        dig = md5_digests(norm)
+        idx = [i for i, d in enumerate(dig) if d in ws]
+        if not idx:
+            return pa.table({
+                "h": pa.array([], pa.binary()),
+                "conv_id": pa.array([], pa.string()),
+                "turn_idx": pa.array([], pa.int64()),
+                "sample_text": pa.array([], pa.string()),
+            })
+        sub = batch.take(idx)
+        t = pa.table({
+            "h": pa.array([dig[i] for i in idx], pa.binary()),
+            "conv_id": sub["conv_id"].combine_chunks().cast(
+                pa.string()),
+            "turn_idx": pc.cast(sub["turn_idx"], pa.int64()),
+            "sample_text": pc.fill_null(
+                sub["text"].combine_chunks(), "").cast(pa.string()),
+        })
+        # batch-local min pre-reduce: a hot content may have tens of
+        # thousands of copies — ship at most K rows per batch
+        return (_pl.from_arrow(t)
+                .sort(["h", "conv_id", "turn_idx"])
+                .unique(subset="h", keep="first")
+                .to_arrow().cast(t.schema))
+
+    def min_copy(t: pa.Table) -> pa.Table:
+        d = (_pl.from_arrow(t)
+             .sort(["h", "conv_id", "turn_idx"])
+             .unique(subset="h", keep="first"))
+        return d.to_arrow().cast(pa.schema([
+            ("h", pa.binary()), ("conv_id", pa.string()),
+            ("turn_idx", pa.int64()), ("sample_text", pa.string())]))
+
+    samples = (ds.map_batches(sample, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .repartition(1)
+               .map_batches(min_copy, batch_format="pyarrow")
+               .to_pandas())
+    by_h = {bytes(h): (c, int(ti), s) for h, c, ti, s in zip(
+        samples["h"], samples["conv_id"], samples["turn_idx"],
+        samples["sample_text"])}
+    rows = sorted(((hx, n, *by_h[hb]) for hb, (hx, n) in want.items()),
+                  key=lambda r: (-r[1], r[0]))
+    return pa.table({
+        "hash_hex": pa.array([r[0] for r in rows], pa.string()),
+        "n_copies": pa.array([r[1] for r in rows], pa.int64()),
+        "conv_id": pa.array([r[2] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[3] for r in rows], pa.int64()),
+        "sample_text": pa.array([r[4] for r in rows], pa.string()),
+    })

@@ -576,3 +576,30 @@ def test_doc_split_leakage_grid(ray_session):
     assert (out.n_pairs >= 0).all()
     # near-dups exist at sf0.001, so the grid carries mass
     assert out.n_pairs.sum() > 0
+
+
+# --- top_duplicated_turns ---------------------------------------------------
+
+def test_top_duplicated_turns_ranking_and_sample(ray_session):
+    from dataquality_ray.pipelines.conversations import (
+        TOP_DUP_K,
+        top_duplicated_turns,
+    )
+    rows = ([("a0", 0, "user", "COPY me  please", 0)]     # norm-equal
+            + [(f"b{i}", 1, "user", "copy me please", 0)
+               for i in range(4)]                          # 5 copies
+            + [(f"c{i}", 0, "user", "twice here", 0) for i in range(2)]
+            + [("d0", 0, "user", "unique text", 0),
+               ("e0", 0, "user", "", 0)])                  # excluded
+    out = top_duplicated_turns(
+        ray.data.from_arrow(_turns(rows))).to_pandas()
+    assert len(out) <= TOP_DUP_K
+    # rank 1: the 5-copy content (case/whitespace-insensitive hash)
+    assert out.loc[0, "n_copies"] == 5
+    # sample = min (conv_id, turn_idx) copy with its RAW text
+    assert out.loc[0, "conv_id"] == "a0"
+    assert out.loc[0, "sample_text"] == "COPY me  please"
+    assert out.loc[1, "n_copies"] == 2
+    # descending by copies
+    assert list(out["n_copies"]) == sorted(out["n_copies"],
+                                           reverse=True)
