@@ -712,6 +712,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_wav_features": multimodal_wav_features,
         "multimodal_frame_samples": multimodal_frame_samples,
         "multimodal_resized": multimodal_resized,
+        # LM-training corpus statistics: modified Kneser-Ney
+        # count-of-counts + closed-form discounts over corpus bigrams
+        "kn_discount_stats": D.kn_discount_stats,
+        # batch-shape planning: power-of-two length buckets with
+        # exact padded-vs-packed overhead per bucket
+        "length_bucket_packing_stats": D.length_bucket_packing_stats,
+        # positional-index phrase query (adjacent-token exact match)
+        "phrase_match_documents": D.phrase_match_documents,
+        # curriculum phases from exact global difficulty tertiles
+        # (pinned discrete-quantile rule)
+        "curriculum_phase_documents": D.curriculum_phase_documents,
+        # streaming "distinct users to date" growth curve at HLL
+        # sketch cost (register surface exact — SQL-checked)
+        "hll_users_cumulative_daily": M.hll_users_cumulative_daily,
     }
 
 
@@ -6059,5 +6073,153 @@ samp AS (
 SELECT t.hh AS hash_hex, t.n AS n_copies, s.conv_id,
   s.ti AS turn_idx, COALESCE(s.text, '') AS sample_text
 FROM top t JOIN samp s USING (hh)
+"""
+    # modified Kneser-Ney discounts from corpus bigram count-of-counts;
+    # distinctness on the frozen md5-u64 bigram hash; negative discount
+    # numerators clamped BEFORE the division (DuckDB // truncates
+    # toward zero, Python floors — clamping makes both exact-equal)
+    sql["kn_discount_stats"] = f"""
+WITH t AS (
+  SELECT regexp_extract_all(lower(COALESCE(text, '')), '{_TOK}') AS ts
+  FROM documents),
+b AS (
+  SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+                               i -> ts[i] || ' ' || ts[i + 1])) AS bg
+  FROM t),
+c AS (
+  SELECT md5_number_upper(bg) AS h, CAST(COUNT(*) AS BIGINT) AS c
+  FROM b GROUP BY 1),
+a AS (
+  SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS tot,
+    CAST(COUNT(*) AS BIGINT) AS nd,
+    CAST(COUNT(*) FILTER (WHERE c = 1) AS BIGINT) AS n1,
+    CAST(COUNT(*) FILTER (WHERE c = 2) AS BIGINT) AS n2,
+    CAST(COUNT(*) FILTER (WHERE c = 3) AS BIGINT) AS n3,
+    CAST(COUNT(*) FILTER (WHERE c = 4) AS BIGINT) AS n4
+  FROM c),
+d AS (SELECT *, GREATEST(n1 + 2 * n2, 1) AS deno FROM a)
+SELECT tot AS n_bigrams, nd AS n_distinct, n1, n2, n3, n4,
+  CAST(1000000 * n1 // deno AS BIGINT) AS d1_micro,
+  CAST(GREATEST(2 * n2 * deno - 3 * n1 * n3, 0) * 1000000
+       // GREATEST(n2 * deno, 1) AS BIGINT) AS d2_micro,
+  CAST(GREATEST(3 * n3 * deno - 4 * n1 * n4, 0) * 1000000
+       // GREATEST(n3 * deno, 1) AS BIGINT) AS d3_micro
+FROM d
+"""
+    # power-of-two length buckets: bucket = bit_length(n_tokens - 1)
+    # as an exact integer (length(bin(n-1)) — float log2 misrounds
+    # near powers of two), seq_len = 1 << bucket
+    sql["length_bucket_packing_stats"] = f"""
+WITH t AS (
+  SELECT len(regexp_extract_all(lower(COALESCE(text, '')), '{_TOK}'))
+    AS n
+  FROM documents),
+b AS (
+  SELECT CAST(n AS BIGINT) AS n,
+    CAST(CASE WHEN n <= 1 THEN 0
+         ELSE length(bin(CAST(n - 1 AS BIGINT))) END AS BIGINT)
+      AS bucket
+  FROM t),
+g AS (
+  SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(n) AS BIGINT) AS sum_tokens
+  FROM b GROUP BY 1),
+s AS (SELECT *, CAST(1 << bucket AS BIGINT) AS seq_len FROM g)
+SELECT bucket, seq_len, n_docs, sum_tokens,
+  CAST(n_docs * seq_len AS BIGINT) AS padded_tokens,
+  CAST(1000000 * (n_docs * seq_len - sum_tokens)
+       // (n_docs * seq_len) AS BIGINT) AS pad_waste_ppm,
+  CAST((sum_tokens + seq_len - 1) // seq_len AS BIGINT)
+    AS packed_seqs
+FROM s
+"""
+    from dataquality_ray.pipelines.documents import (
+        PHRASE_QUERY as _PHRASE,
+    )
+    from dataquality_ray.pipelines.metrics import (
+        HLL_REG_BITS as M_HLL_REG_BITS,
+    )
+    _phr_cond = " AND ".join(
+        (f"ts[i + {j}] = '{t}'" if j else f"ts[i] = '{t}'")
+        for j, t in enumerate(_PHRASE))
+    # positional phrase query: adjacent-token exact match with 0-based
+    # first position (SQL list positions are 1-based — MIN(i) - 1)
+    sql["phrase_match_documents"] = f"""
+WITH t AS (
+  SELECT doc_id,
+    regexp_extract_all(lower(COALESCE(text, '')), '{_TOK}') AS ts
+  FROM documents),
+p AS (
+  SELECT doc_id,
+    unnest(list_filter(
+      generate_series(1, len(ts) - {len(_PHRASE) - 1}),
+      i -> {_phr_cond})) AS i
+  FROM t)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
+  CAST(MIN(i) - 1 AS BIGINT) AS first_pos
+FROM p GROUP BY 1
+"""
+    # curriculum tertiles via the pinned discrete-quantile rule:
+    # threshold = min value whose cumulative count >= ceil(q*n),
+    # ceil computed in exact integers ((n+2)//3, (2n+2)//3)
+    sql["curriculum_phase_documents"] = f"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(length(COALESCE(text, '')) AS BIGINT) AS nc,
+    CAST(len(regexp_extract_all(lower(COALESCE(text, '')),
+                                '{spec.BPE_TOKEN_PATTERN}'))
+         AS BIGINT) AS nb
+  FROM documents),
+d AS (
+  SELECT doc_id,
+    CASE WHEN nb > 0 THEN CAST((1000 * nc) // nb AS BIGINT)
+         ELSE -1 END AS difficulty
+  FROM t),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM d),
+cum AS (
+  SELECT difficulty AS v,
+    SUM(COUNT(*)) OVER (ORDER BY difficulty) AS cc
+  FROM d GROUP BY difficulty),
+t1 AS (SELECT MIN(v) AS v FROM cum
+       WHERE cc >= (SELECT (n + 2) // 3 FROM n)),
+t2 AS (SELECT MIN(v) AS v FROM cum
+       WHERE cc >= (SELECT (2 * n + 2) // 3 FROM n))
+SELECT doc_id, difficulty,
+  CAST(CASE WHEN difficulty <= (SELECT v FROM t1) THEN 1
+            WHEN difficulty <= (SELECT v FROM t2) THEN 2
+            ELSE 3 END AS BIGINT) AS phase
+FROM d
+"""
+    # cumulative HLL register timeline: same register/rho arithmetic
+    # as distinct_users_hll, dense 64-register grid per day, running
+    # MAX over the (chronologically-ordered) day strings
+    sql["hll_users_cumulative_daily"] = f"""
+WITH h AS (
+  SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day,
+    md5_number_upper(CAST(user_id AS VARCHAR)) AS hv
+  FROM events),
+r AS (
+  SELECT day,
+    CAST(hv >> {64 - M_HLL_REG_BITS} AS BIGINT) AS reg,
+    CAST(CASE WHEN (hv & {(1 << (64 - M_HLL_REG_BITS)) - 1}::UBIGINT) = 0
+              THEN {64 - M_HLL_REG_BITS + 1}
+         ELSE {64 - M_HLL_REG_BITS + 1}
+              - length(bin(hv & {(1 << (64 - M_HLL_REG_BITS)) - 1}::UBIGINT))
+         END AS BIGINT) AS rho
+  FROM h),
+m AS (SELECT day, reg, MAX(rho) AS rho FROM r GROUP BY 1, 2),
+grid AS (
+  SELECT day, g.reg
+  FROM (SELECT DISTINCT day FROM r)
+  CROSS JOIN (SELECT unnest(generate_series(
+    0, {(1 << M_HLL_REG_BITS) - 1})) AS reg) g),
+j AS (
+  SELECT grid.day, grid.reg, COALESCE(m.rho, 0) AS rho
+  FROM grid LEFT JOIN m
+    ON m.day = grid.day AND m.reg = grid.reg)
+SELECT day, reg,
+  CAST(MAX(rho) OVER (PARTITION BY reg ORDER BY day) AS BIGINT)
+    AS rho
+FROM j
 """
     return sql

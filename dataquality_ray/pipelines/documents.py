@@ -6075,3 +6075,295 @@ def doc_near_dup_split_leakage(sf_dir: str):
         "split_b": pa.array([r[1] for r in rows], pa.string()),
         "n_pairs": pa.array([r[2] for r in rows], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Kneser-Ney discount estimation (LM-training corpus statistics)
+# ---------------------------------------------------------------------------
+
+def kn_discount_stats(sf_dir: str, num_buckets: int = 0):
+    """(n_bigrams, n_distinct, n1, n2, n3, n4, d1_micro, d2_micro,
+    d3_micro): modified Kneser-Ney discount estimation over the corpus
+    bigram distribution (Chen & Goodman 1998) — the count-of-counts
+    n_c (number of distinct bigrams occurring exactly c times) and the
+    closed-form discounts D1 = n1/(n1+2*n2), D2 = 2 - 3*Y*n3/n2,
+    D3+ = 3 - 4*Y*n4/n3 with Y = n1/(n1+2*n2), emitted as exact
+    floor-micro integers (discounts clamped at 0: DuckDB's `//`
+    truncates toward zero while Python floors, so negative numerators
+    are clamped identically on both engines BEFORE the division).
+    This is the "what smoothing will my n-gram LM need" datasheet
+    stat a tokenizer/LM-training pipeline computes before training.
+
+    Scale shape: the bigram space grows with the corpus, so exact
+    per-bigram counts never meet a Ray aggregate — per-batch polars
+    group counts (one md5 per batch-distinct bigram), ONE
+    hash-bucket shuffle of slim (part, u64, cnt) rows, exact totals +
+    the count-of-counts histogram completed locally per bucket (each
+    hash lives in exactly one bucket), then <= num_buckets
+    constant-width rows to the driver. Distinctness is decided ON the
+    frozen md5-u64 hash (md5_number_upper in the DuckDB twin)."""
+    from dataquality_ray.arrowutil import md5_digests
+    from dataquality_ray.stages.bucketing import cluster_buckets
+
+    nb = num_buckets or cluster_buckets()
+    docs = _docs(sf_dir, columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(batch.select(["text"]))
+              .with_columns(toks=pl.col("text").fill_null("")
+                            .str.to_lowercase()
+                            .str.extract_all(TOKEN_PATTERN)))
+        e = (df.select("toks").with_row_index("rid")
+             .explode("toks").drop_nulls("toks"))
+        e = (e.with_columns(b=pl.col("toks").shift(-1),
+                            r2=pl.col("rid").shift(-1))
+             .filter(pl.col("rid") == pl.col("r2"))
+             .with_columns(bg=pl.col("toks") + " " + pl.col("b")))
+        g = e.group_by("bg").agg(c=pl.len().cast(pl.Int64))
+        digs = md5_digests(g["bg"].to_arrow())
+        if digs:
+            hh = np.frombuffer(b"".join(digs),
+                               dtype="<u8").reshape(-1, 2)[:, 0]
+        else:
+            hh = np.zeros(0, dtype=np.uint64)
+        return pa.table({
+            "part": pa.array((hh % nb).astype(np.int32)),
+            "hh": pa.array(hh.view(np.int64)),
+            "c": g["c"].to_arrow(),
+        })
+
+    def scan(t: pa.Table) -> pa.Table:
+        d = (pl.from_arrow(t.select(["hh", "c"]))
+             .group_by("hh").agg(c=pl.col("c").sum()))
+        c = d["c"].to_numpy()
+        cols = {"tot": int(c.sum()) if len(c) else 0,
+                "nd": int(len(c))}
+        for k in (1, 2, 3, 4):
+            cols[f"n{k}"] = int((c == k).sum()) if len(c) else 0
+        return pa.table({k: pa.array([v], pa.int64())
+                         for k, v in cols.items()})
+
+    agg = (docs.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("part").map_groups(scan, batch_format="pyarrow")
+           .to_pandas())           # <= num_buckets constant-width rows
+
+    tot = int(agg["tot"].sum())
+    nd = int(agg["nd"].sum())
+    n1, n2, n3, n4 = (int(agg[f"n{k}"].sum()) for k in (1, 2, 3, 4))
+    deno = max(n1 + 2 * n2, 1)
+    d1 = 1_000_000 * n1 // deno
+    d2 = max(2 * n2 * deno - 3 * n1 * n3, 0) * 1_000_000 \
+        // max(n2 * deno, 1)
+    d3 = max(3 * n3 * deno - 4 * n1 * n4, 0) * 1_000_000 \
+        // max(n3 * deno, 1)
+    return pa.table({
+        "n_bigrams": pa.array([tot], pa.int64()),
+        "n_distinct": pa.array([nd], pa.int64()),
+        "n1": pa.array([n1], pa.int64()),
+        "n2": pa.array([n2], pa.int64()),
+        "n3": pa.array([n3], pa.int64()),
+        "n4": pa.array([n4], pa.int64()),
+        "d1_micro": pa.array([d1], pa.int64()),
+        "d2_micro": pa.array([d2], pa.int64()),
+        "d3_micro": pa.array([d3], pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Sequence-length bucketing / packing-efficiency planning
+# ---------------------------------------------------------------------------
+
+def length_bucket_packing_stats(sf_dir: str):
+    """(bucket, seq_len, n_docs, sum_tokens, padded_tokens,
+    pad_waste_ppm, packed_seqs): power-of-two sequence-length
+    bucketing — the batch-shape planning stat for padded vs packed
+    training. bucket = bit_length(n_tokens - 1) (0 for n <= 1), so
+    bucket b holds docs with n_tokens in (2^(b-1), 2^b]; seq_len =
+    2^bucket is the pad target. padded_tokens = n_docs * seq_len is
+    the cost of pad-to-bucket batching, pad_waste_ppm its exact
+    floor-ppm padding overhead, and packed_seqs =
+    ceil(sum_tokens / seq_len) the sequence count a packer
+    (packed_sequence_documents) would emit at the same seq_len —
+    the padded-vs-packed tradeoff per length class in one table.
+
+    Zero data shuffle: per-batch vectorized token counts + integer
+    bit_length (the hll_reg_rho shift cascade — float log2 misrounds
+    near powers of two) collapse to constant-width (bucket, n, sum)
+    partials; the final aggregate is <= 64 rows."""
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["text"]))
+        n = df.select(
+            n=pl.col("text").fill_null("").str.to_lowercase()
+            .str.count_matches(TOKEN_PATTERN).cast(pl.Int64)
+        )["n"].to_numpy()
+        v = np.maximum(n - 1, 0).astype(np.uint64)
+        bitlen = np.zeros(len(v), dtype=np.int64)
+        w = v.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            big = w >= np.uint64(1 << shift)
+            bitlen[big] += shift
+            w[big] >>= np.uint64(shift)
+        bitlen[v > 0] += 1
+        g = (pl.DataFrame({"bucket": bitlen, "n": n})
+             .group_by("bucket")
+             .agg(n_docs=pl.len().cast(pl.Int64),
+                  sum_tokens=pl.col("n").sum().cast(pl.Int64)))
+        return g.to_arrow()
+
+    agg = (docs.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("bucket")
+           .aggregate(Sum("n_docs", alias_name="n_docs"),
+                      Sum("sum_tokens", alias_name="sum_tokens"))
+           .to_pandas())            # <= 64 rows
+
+    b = agg["bucket"].to_numpy(dtype=np.int64)
+    ndocs = agg["n_docs"].to_numpy(dtype=np.int64)
+    st = agg["sum_tokens"].to_numpy(dtype=np.int64)
+    order = np.argsort(b, kind="stable")
+    b, ndocs, st = b[order], ndocs[order], st[order]
+    seq = np.int64(1) << b
+    padded = ndocs * seq
+    waste = 1_000_000 * (padded - st) // padded
+    packed = (st + seq - 1) // seq
+    return pa.table({
+        "bucket": pa.array(b, pa.int64()),
+        "seq_len": pa.array(seq, pa.int64()),
+        "n_docs": pa.array(ndocs, pa.int64()),
+        "sum_tokens": pa.array(st, pa.int64()),
+        "padded_tokens": pa.array(padded, pa.int64()),
+        "pad_waste_ppm": pa.array(waste, pa.int64()),
+        "packed_seqs": pa.array(packed, pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Exact phrase search with token positions
+# ---------------------------------------------------------------------------
+
+# The phrase is a tuple of spec.TOKEN_PATTERN tokens matched ADJACENTLY
+# in the tokenized document (positional-index semantics: a phrase query
+# over an inverted index with positions). Interpolated into the oracle.
+PHRASE_QUERY = ("spark", "window")
+
+
+def phrase_match_documents(sf_dir: str):
+    """(doc_id, n_matches, first_pos): exact phrase search — documents
+    whose token stream contains PHRASE_QUERY as ADJACENT tokens, with
+    the match count (overlapping starts each count) and the 0-based
+    token position of the first match. The positional-index query
+    shape: conjunctive term search (docs_matching_terms) answers
+    "all words somewhere"; this answers "this exact phrase".
+
+    Zero shuffle: tokenization, adjacency test and per-doc reduction
+    are all batch-local (one doc = one row — the fused row-local rule,
+    CLAUDE.md); position arithmetic is pure numpy on the exploded
+    frame (whole-frame shifts + same-row masks, never keyed windows)."""
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    k = len(PHRASE_QUERY)
+
+    def scan(batch: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(batch.select(["doc_id", "text"]))
+              .with_columns(toks=pl.col("text").fill_null("")
+                            .str.to_lowercase()
+                            .str.extract_all(TOKEN_PATTERN)))
+        e = (df.select(["doc_id", "toks"]).with_row_index("rid")
+             .explode("toks").drop_nulls("toks"))
+        if not len(e):
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "n_matches": pa.array([], pa.int64()),
+                             "first_pos": pa.array([], pa.int64())})
+        rid = e["rid"].to_numpy()
+        toks = e["toks"].to_numpy()
+        hit = toks == PHRASE_QUERY[0]
+        for j in range(1, k):
+            nxt = np.empty(len(toks), dtype=bool)
+            tj = toks == PHRASE_QUERY[j]
+            nxt[:-j] = tj[j:] & (rid[:-j] == rid[j:])
+            nxt[len(toks) - j:] = False
+            hit &= nxt
+        # 0-based token position inside each doc: explode preserves
+        # order, rids are contiguous runs
+        starts = np.zeros(len(rid), dtype=np.int64)
+        change = np.flatnonzero(rid[1:] != rid[:-1]) + 1
+        starts[change] = change
+        np.maximum.accumulate(starts, out=starts)
+        pos = np.arange(len(rid), dtype=np.int64) - starts
+        g = (pl.DataFrame({"doc_id": e["doc_id"].to_numpy(),
+                           "pos": pos})
+             .filter(pl.Series(hit))
+             .group_by("doc_id")
+             .agg(n_matches=pl.len().cast(pl.Int64),
+                  first_pos=pl.col("pos").min().cast(pl.Int64)))
+        return g.to_arrow().cast(pa.schema([
+            ("doc_id", pa.int64()), ("n_matches", pa.int64()),
+            ("first_pos", pa.int64())]))
+
+    return docs.map_batches(scan, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Curriculum phases from exact global difficulty tertiles
+# ---------------------------------------------------------------------------
+
+def curriculum_phase_documents(sf_dir: str):
+    """(doc_id, difficulty, phase): curriculum-learning phase
+    assignment — difficulty = cpt_milli (the tokenizer-compression
+    fertility signal, doc_compression_gate's exact integer), phases =
+    exact global tertiles: phase 1 (easy/low-fertility) up to the
+    rank-ceil(n/3) value, phase 2 up to rank-ceil(2n/3), else 3. The
+    thresholds use the repo's pinned discrete-quantile rule (value
+    histogram + rank = ceil(q*n), CLAUDE.md) — never a float quantile
+    kernel.
+
+    Two streaming passes, no corpus shuffle: pass 1 collapses to a
+    bounded (difficulty value -> count) histogram (cpt_milli is a
+    bounded-range integer, so the histogram is value-domain-sized,
+    not corpus-sized); the driver derives the two thresholds; pass 2
+    re-reads and assigns batch-locally against the broadcast
+    thresholds."""
+    from ray.data.aggregate import Sum
+
+    def diffs(batch: pa.Table) -> pa.Table:
+        t = _compression_gate_batch(batch.select(["doc_id", "text"]))
+        return t.select(["doc_id", "cpt_milli"])
+
+    hist = (_docs(sf_dir, columns=["doc_id", "text"])
+            .map_batches(diffs, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .map_batches(lambda t: pl.from_arrow(t)
+                         .group_by("cpt_milli")
+                         .agg(c=pl.len().cast(pl.Int64)).to_arrow(),
+                         batch_format="pyarrow")
+            .groupby("cpt_milli").aggregate(Sum("c", alias_name="c"))
+            .to_pandas())           # value-domain-sized
+    v = hist["cpt_milli"].to_numpy(dtype=np.int64)
+    c = hist["c"].to_numpy(dtype=np.int64)
+    order = np.argsort(v, kind="stable")
+    v, c = v[order], c[order]
+    cum = np.cumsum(c)
+    n = int(cum[-1]) if len(cum) else 0
+    r1, r2 = (n + 2) // 3, (2 * n + 2) // 3
+    t1 = int(v[np.searchsorted(cum, r1)]) if n else 0
+    t2 = int(v[np.searchsorted(cum, r2)]) if n else 0
+
+    def assign(batch: pa.Table) -> pa.Table:
+        t = diffs(batch)
+        d = t["cpt_milli"].to_numpy(zero_copy_only=False)
+        phase = np.where(d <= t1, 1, np.where(d <= t2, 2, 3)) \
+            .astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "difficulty": t["cpt_milli"],
+            "phase": pa.array(phase),
+        })
+
+    return (_docs(sf_dir, columns=["doc_id", "text"])
+            .map_batches(assign, batch_format="pyarrow",
+                         zero_copy_batch=True))

@@ -1756,3 +1756,60 @@ def event_value_drift(sf_dir: str):
                            zero_copy_batch=True)
             .groupby("event_type")
             .map_groups(ks, batch_format="pyarrow"))
+
+
+def hll_users_cumulative_daily(sf_dir: str):
+    """(day, reg, rho): cumulative HyperLogLog register timeline of
+    distinct users — for every day in the events table, the register
+    state a streaming HLL would hold after ingesting all events up to
+    and including that day (register = top HLL_REG_BITS bits of the
+    frozen md5_u64(str(user_id)), rho = leading-zero count + 1,
+    cumulative value = running MAX over days). This is the "distinct
+    users to date" growth curve at sketch cost: registers merge by
+    MAX, so partials combine under any partitioning AND any day
+    ordering, and the exchange is bounded by |days| * 64 rows — an
+    exact cumulative COUNT(DISTINCT) timeline would need a
+    per-(day, user) distinct exchange that grows with the corpus.
+    Dense spine: all 64 registers emitted for every day (rho 0 =
+    untouched register), so the grid shape is identical on both
+    engines. The register surface is exact integers (SQL-checked);
+    the float estimate derived via hll_estimate is pytest-bounded
+    against exact cumulative distincts instead."""
+    import polars as _pl
+    from ray.data.aggregate import Max
+    from dataquality_ray.spec import token_hash_u64
+
+    ds = _events(sf_dir, columns=["ts", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+        d = df[["day", "user_id"]].drop_duplicates()
+        users = d["user_id"].tolist()
+        hv = np.fromiter((token_hash_u64(str(u)) for u in users),
+                         dtype=np.uint64, count=len(users))
+        reg, rho = hll_reg_rho(hv)
+        g = (_pl.DataFrame({"day": d["day"].to_numpy(),
+                            "reg": reg, "rho": rho})
+             .group_by(["day", "reg"])
+             .agg(rho=_pl.col("rho").max()))
+        return g.to_arrow()
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["day", "reg"])
+           .aggregate(Max("rho", alias_name="rho"))
+           .to_pandas())           # <= |days| * 64 rows
+
+    days = sorted(set(agg["day"].tolist()))
+    mat = np.zeros((len(days), HLL_REGISTERS), dtype=np.int64)
+    di = {d: i for i, d in enumerate(days)}
+    for d, r, rh in zip(agg["day"], agg["reg"], agg["rho"]):
+        mat[di[d], int(r)] = int(rh)
+    np.maximum.accumulate(mat, axis=0, out=mat)
+    nd, m = mat.shape
+    return pa.table({
+        "day": pa.array(np.repeat(np.array(days, dtype=object), m)),
+        "reg": pa.array(np.tile(np.arange(m, dtype=np.int64), nd)),
+        "rho": pa.array(mat.reshape(-1)),
+    })

@@ -1,0 +1,182 @@
+"""Edge-case pins for the round-5 session-11 operators
+(kn_discount_stats, length_bucket_packing_stats,
+phrase_match_documents, curriculum_phase_documents,
+hll_users_cumulative_daily). The DuckDB gate checks them corpus-wide
+at sf0.01; these pin the boundary semantics on crafted inputs:
+count-of-counts arithmetic and the negative-discount clamp, the
+power-of-two bucket boundaries, phrase adjacency / overlap / case /
+position arithmetic, the exact tertile rank rule, and cumulative
+register monotonicity + the dense grid."""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+
+def _write_docs(tmp_path, rows):
+    """rows: (doc_id, source, text)."""
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+        "lang": pa.array(["en"] * len(rows), pa.string()),
+        "source": pa.array([r[1] for r in rows], pa.string()),
+        "n_chars": pa.array([len(r[2] or "") for r in rows],
+                            pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def _write_events(tmp_path, rows):
+    """rows: (user_id, day_offset)."""
+    base = np.datetime64("2025-01-01T00:00:00", "us").astype(np.int64)
+    day = 86_400_000_000
+    t = pa.table({
+        "event_id": pa.array(list(range(len(rows))), pa.int64()),
+        "ts": pa.array(np.array(
+            [base + r[1] * day for r in rows],
+            dtype=np.int64).view("datetime64[us]")),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "event_type": pa.array(["click"] * len(rows), pa.string()),
+        "value": pa.array([1.0] * len(rows), pa.float64()),
+        "props": pa.array(['{"k": 1}'] * len(rows), pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+# --- kn_discount_stats ------------------------------------------------------
+
+def test_kn_counts_and_discounts(ray_session, tmp_path):
+    from dataquality_ray.pipelines.documents import kn_discount_stats
+    # bigrams: "a b" x2, "c d" x1, "e f" x1, "f g" x1
+    rows = [(1, "s", "a b"), (2, "s", "a b"), (3, "s", "c d"),
+            (4, "s", "e f g")]
+    out = kn_discount_stats(_write_docs(tmp_path, rows),
+                            num_buckets=4).to_pandas().iloc[0]
+    assert out.n_bigrams == 5 and out.n_distinct == 4
+    assert (out.n1, out.n2, out.n3, out.n4) == (3, 1, 0, 0)
+    deno = 3 + 2 * 1
+    assert out.d1_micro == 1_000_000 * 3 // deno       # 600000
+    assert out.d2_micro == 2 * 1 * deno * 1_000_000 // (1 * deno)
+    assert out.d3_micro == 0
+
+
+def test_kn_negative_discount_clamped(ray_session, tmp_path):
+    from dataquality_ray.pipelines.documents import kn_discount_stats
+    # n1=10 singles, n2=1 double, n3=5 triples ->
+    # 3*n1*n3 = 150 > 2*n2*deno = 24 -> D2 numerator clamps to 0
+    rows, did = [], 0
+    for i in range(10):
+        did += 1
+        rows.append((did, "s", f"s{i}a s{i}b"))
+    for _ in range(2):
+        did += 1
+        rows.append((did, "s", "d0a d0b"))
+    for j in range(5):
+        for _ in range(3):
+            did += 1
+            rows.append((did, "s", f"t{j}a t{j}b"))
+    out = kn_discount_stats(_write_docs(tmp_path, rows),
+                            num_buckets=4).to_pandas().iloc[0]
+    assert (out.n1, out.n2, out.n3) == (10, 1, 5)
+    assert out.d2_micro == 0
+
+
+# --- length_bucket_packing_stats -------------------------------------------
+
+def test_packing_bucket_boundaries(ray_session, tmp_path):
+    from dataquality_ray.pipelines.documents import (
+        length_bucket_packing_stats,
+    )
+    # token counts 0,1,2,3,4,5,8,9 -> buckets 0,0,1,2,2,3,3,4
+    counts = [0, 1, 2, 3, 4, 5, 8, 9]
+    rows = [(i, "s", " ".join(["w"] * n))
+            for i, n in enumerate(counts)]
+    out = (length_bucket_packing_stats(_write_docs(tmp_path, rows))
+           .to_pandas().set_index("bucket"))
+    assert list(out.index) == [0, 1, 2, 3, 4]
+    assert list(out.seq_len) == [1, 2, 4, 8, 16]
+    b0 = out.loc[0]
+    assert b0.n_docs == 2 and b0.sum_tokens == 1
+    assert b0.padded_tokens == 2 and b0.pad_waste_ppm == 500_000
+    assert b0.packed_seqs == 1
+    b3 = out.loc[3]
+    assert b3.n_docs == 2 and b3.sum_tokens == 13
+    assert b3.padded_tokens == 16
+    assert b3.pad_waste_ppm == 1_000_000 * 3 // 16
+    assert b3.packed_seqs == 2          # ceil(13/8)
+
+
+# --- phrase_match_documents -------------------------------------------------
+
+def test_phrase_adjacency_case_and_positions(ray_session, tmp_path):
+    from dataquality_ray.pipelines.documents import (
+        phrase_match_documents,
+    )
+    rows = [
+        (1, "s", "spark window spark window"),   # pos 0 and 2
+        (2, "s", "spark spark window"),          # pos 1 only
+        (3, "s", "window spark"),                # wrong order: none
+        (4, "s", "SPARK, WINDOW!"),              # case+punct: pos 0
+        (5, "s", "spark is window"),             # not adjacent: none
+        (6, "s", None),                          # null text: none
+    ]
+    out = (phrase_match_documents(_write_docs(tmp_path, rows))
+           .to_pandas().set_index("doc_id").sort_index())
+    assert list(out.index) == [1, 2, 4]
+    assert (out.loc[1].n_matches, out.loc[1].first_pos) == (2, 0)
+    assert (out.loc[2].n_matches, out.loc[2].first_pos) == (1, 1)
+    assert (out.loc[4].n_matches, out.loc[4].first_pos) == (1, 0)
+
+
+# --- curriculum_phase_documents --------------------------------------------
+
+def test_curriculum_tertile_rank_rule(ray_session, tmp_path):
+    from dataquality_ray.pipelines.documents import (
+        curriculum_phase_documents,
+    )
+    # difficulties (cpt_milli): "" -> -1 (no tokens), "a b c d" ->
+    # 1750, "ab cd" -> 2500, "aaaa" -> 4000. n=4: ceil(4/3)=2,
+    # ceil(8/3)=3 -> t1 = 2nd smallest (1750), t2 = 3rd (2500).
+    rows = [(1, "s", "aaaa"), (2, "s", "ab cd"),
+            (3, "s", "a b c d"), (4, "s", "")]
+    out = (curriculum_phase_documents(_write_docs(tmp_path, rows))
+           .to_pandas().set_index("doc_id").sort_index())
+    assert list(out.difficulty) == [4000, 2500, 1750, -1]
+    assert list(out.phase) == [3, 2, 1, 1]
+
+
+# --- hll_users_cumulative_daily --------------------------------------------
+
+def test_hll_cumulative_grid_and_monotone(ray_session, tmp_path):
+    from dataquality_ray.pipelines.metrics import (
+        HLL_REGISTERS,
+        hll_estimate,
+        hll_reg_rho,
+        hll_users_cumulative_daily,
+    )
+    from dataquality_ray.spec import token_hash_u64
+    # day0: users {1,2}; day1: {2} (no state change); day2: {99}
+    rows = [(1, 0), (2, 0), (2, 1), (99, 2)]
+    out = (hll_users_cumulative_daily(_write_events(tmp_path, rows))
+           .to_pandas())
+    days = sorted(out["day"].unique())
+    assert len(days) == 3 and len(out) == 3 * HLL_REGISTERS
+    mats = {d: out[out.day == d].set_index("reg")["rho"]
+            .sort_index().to_numpy() for d in days}
+    # expected register states from the shared kernel
+    hv = np.array([token_hash_u64(str(u)) for u in (1, 2, 99)],
+                  dtype=np.uint64)
+    reg, rho = hll_reg_rho(hv)
+    exp0 = np.zeros(HLL_REGISTERS, dtype=np.int64)
+    for r, h in zip(reg[:2], rho[:2]):
+        exp0[r] = max(exp0[r], h)
+    exp2 = exp0.copy()
+    exp2[reg[2]] = max(exp2[reg[2]], rho[2])
+    assert (mats[days[0]] == exp0).all()
+    assert (mats[days[1]] == exp0).all()      # returning user: no-op
+    assert (mats[days[2]] == exp2).all()
+    assert (mats[days[2]] >= mats[days[0]]).all()
+    est = hll_estimate(dict(enumerate(mats[days[2]])))
+    assert 1.0 <= est <= 10.0                 # 3 true distinct users
