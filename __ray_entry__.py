@@ -726,6 +726,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # streaming "distinct users to date" growth curve at HLL
         # sketch cost (register surface exact — SQL-checked)
         "hll_users_cumulative_daily": M.hll_users_cumulative_daily,
+        # word2phrase collocation mining: top-K phrase candidates by
+        # the exact integer lift score (two slim hash-bucket passes)
+        "collocation_phrases": D.collocation_phrases,
+        # deterministic source-interleaved training order via the
+        # histogram-rank pattern (no per-source global sort)
+        "shard_interleave_plan": D.shard_interleave_plan,
     }
 
 
@@ -6221,5 +6227,62 @@ SELECT day, reg,
   CAST(MAX(rho) OVER (PARTITION BY reg ORDER BY day) AS BIGINT)
     AS rho
 FROM j
+"""
+    from dataquality_ray.pipelines.documents import (
+        COLLOC_COUNT_CAP as _CCAP,
+        COLLOC_DELTA as _CDELTA,
+        COLLOC_TOP_K as _CTOPK,
+    )
+    # word2phrase collocation score: counts saturated at the cap so
+    # int64 products stay in range at any corpus size; constant N
+    # factor dropped (ranking-equivalent); ties by (a, b) ascending
+    sql["collocation_phrases"] = f"""
+WITH t AS (
+  SELECT regexp_extract_all(lower(COALESCE(text, '')), '{_TOK}') AS ts
+  FROM documents),
+u AS (SELECT unnest(ts) AS tok FROM t),
+uc AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM u GROUP BY 1),
+p AS (
+  SELECT unnest(list_transform(generate_series(1, len(ts) - 1),
+    i -> {{'a': ts[i], 'b': ts[i + 1]}}), recursive := true)
+  FROM t),
+bc AS (
+  SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c_ab
+  FROM p GROUP BY 1, 2),
+s AS (
+  SELECT bc.a, bc.b, ua.c AS c_a, ub.c AS c_b, bc.c_ab,
+    CAST(GREATEST(LEAST(bc.c_ab, {_CCAP}) - {_CDELTA}, 0)
+         * 1000000000
+         // (LEAST(ua.c, {_CCAP}) * LEAST(ub.c, {_CCAP}))
+         AS BIGINT) AS score_ppb
+  FROM bc
+  JOIN uc ua ON ua.tok = bc.a
+  JOIN uc ub ON ub.tok = bc.b)
+SELECT * FROM s ORDER BY score_ppb DESC, a, b LIMIT {_CTOPK}
+"""
+    # deterministic source-interleaved order: per-source rank by the
+    # frozen md5-u64 of 'ilv:<doc_id>' (unsigned order), global grid
+    # position = src_rank * n_sources + source_idx (binary-collation
+    # source index)
+    sql["shard_interleave_plan"] = """
+WITH d AS (
+  SELECT doc_id, source,
+    md5_number_upper('ilv:' || CAST(doc_id AS VARCHAR)) AS hv
+  FROM documents),
+ns AS (SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n FROM d),
+si AS (
+  SELECT source,
+    CAST(dense_rank() OVER (ORDER BY source) - 1 AS BIGINT) AS sidx
+  FROM (SELECT DISTINCT source FROM d)),
+r AS (
+  SELECT doc_id, source,
+    CAST(row_number() OVER (PARTITION BY source
+                            ORDER BY hv, doc_id) - 1 AS BIGINT)
+      AS src_rank
+  FROM d)
+SELECT r.doc_id, r.source, r.src_rank,
+  CAST(r.src_rank * (SELECT n FROM ns) + si.sidx AS BIGINT)
+    AS global_pos
+FROM r JOIN si USING (source)
 """
     return sql

@@ -148,7 +148,11 @@ def _query_benches(sf_dir: str) -> dict:
              "image_phash_near_dups", "special_token_contamination",
              "fim_split_documents", "filter_agreement_matrix",
              "calibrated_thresholds_by_source", "mixture_dedup_shift",
-             "doc_near_dup_split_leakage", "top_duplicated_turns"]
+             "doc_near_dup_split_leakage", "top_duplicated_turns",
+             "kn_discount_stats", "length_bucket_packing_stats",
+             "phrase_match_documents", "curriculum_phase_documents",
+             "hll_users_cumulative_daily",
+             "collocation_phrases", "shard_interleave_plan"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -6367,3 +6367,249 @@ def curriculum_phase_documents(sf_dir: str):
     return (_docs(sf_dir, columns=["doc_id", "text"])
             .map_batches(assign, batch_format="pyarrow",
                          zero_copy_batch=True))
+
+
+# ---------------------------------------------------------------------------
+# Collocation / phrase-candidate mining (word2phrase)
+# ---------------------------------------------------------------------------
+
+# word2phrase scoring constants (Mikolov et al. 2013, "Distributed
+# Representations of Words and Phrases"): score(a,b) =
+# (count(ab) - DELTA) / (count(a) * count(b)), with the corpus-constant
+# N factor dropped (ranking-equivalent) and all counts saturated at
+# COLLOC_COUNT_CAP so every int64 product stays in range at ANY corpus
+# size (the BM25_TF_CAP precedent). Interpolated into the oracle.
+COLLOC_DELTA = 2
+COLLOC_COUNT_CAP = 1_000_000
+COLLOC_TOP_K = 30
+
+
+
+_COLLOC_SCHEMA = pa.schema([
+    ("part", pa.int32()), ("key", pa.string()),
+    ("other", pa.string()), ("cnt", pa.int64()),
+    ("c_a", pa.int64()), ("kind", pa.int8()),
+])
+
+def collocation_phrases(sf_dir: str, num_buckets: int = 0):
+    """(a, b, c_a, c_b, c_ab, score_ppb): top-K phrase candidates by
+    the word2phrase collocation score — adjacent token pairs whose
+    co-occurrence beats what their unigram frequencies predict
+    (score_ppb = max(min(c_ab,CAP) - DELTA, 0) * 1e9 //
+    (min(c_a,CAP) * min(c_b,CAP)); exact integers, ties broken by
+    (a, b) ascending). The phrase-vocabulary induction step a
+    tokenizer/embedding pipeline runs before training.
+
+    Scale shape: vocabulary and bigram space grow with the corpus, so
+    neither meets a corpus-proportional Ray aggregate or a shuffle
+    join — two slim hash-bucket passes of a discriminated union:
+    pass 1 buckets unigram partials and bigram partials by hash(a),
+    completes exact totals locally (every token/pair lives in exactly
+    one bucket) and attaches c_a to each pair; pass 2 re-buckets the
+    same union by hash(b), attaches c_b, scores, and keeps a local
+    top-K per bucket (global top-K is a subset of the union of
+    per-bucket top-Ks); the driver merges <= num_buckets * K rows."""
+    from dataquality_ray.arrowutil import md5_digests
+    from dataquality_ray.stages.bucketing import cluster_buckets
+
+    nb = num_buckets or cluster_buckets()
+    docs = _docs(sf_dir, columns=["text"])
+
+    def _hash_part(arr: pa.Array) -> np.ndarray:
+        digs = md5_digests(arr)
+        if not digs:
+            return np.zeros(0, dtype=np.int32)
+        hh = np.frombuffer(b"".join(digs),
+                           dtype="<u8").reshape(-1, 2)[:, 0]
+        return (hh % nb).astype(np.int32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(batch.select(["text"]))
+              .with_columns(toks=pl.col("text").fill_null("")
+                            .str.to_lowercase()
+                            .str.extract_all(TOKEN_PATTERN)))
+        e = (df.select("toks").with_row_index("rid")
+             .explode("toks").drop_nulls("toks"))
+        ug = e.group_by("toks").agg(cnt=pl.len().cast(pl.Int64))
+        eb = (e.with_columns(b=pl.col("toks").shift(-1),
+                             r2=pl.col("rid").shift(-1))
+              .filter(pl.col("rid") == pl.col("r2")))
+        bg = (eb.group_by(["toks", "b"])
+              .agg(cnt=pl.len().cast(pl.Int64)))
+        k0 = pa.table({
+            "part": pa.array(_hash_part(ug["toks"].to_arrow())),
+            "key": ug["toks"].to_arrow(),
+            "other": pa.array([""] * len(ug), pa.string()),
+            "cnt": ug["cnt"].to_arrow(),
+            "c_a": pa.array(np.zeros(len(ug), dtype=np.int64)),
+            "kind": pa.array(np.zeros(len(ug), dtype=np.int8)),
+        })
+        k1 = pa.table({
+            "part": pa.array(_hash_part(bg["toks"].to_arrow())),
+            "key": bg["toks"].to_arrow(),
+            "other": bg["b"].to_arrow(),
+            "cnt": bg["cnt"].to_arrow(),
+            "c_a": pa.array(np.zeros(len(bg), dtype=np.int64)),
+            "kind": pa.array(np.ones(len(bg), dtype=np.int8)),
+        })
+        return pa.concat_tables([k0.cast(_COLLOC_SCHEMA),
+                                 k1.cast(_COLLOC_SCHEMA)])
+
+    def scan1(t: pa.Table) -> pa.Table:
+        d = pl.from_arrow(t.select(
+            ["key", "other", "cnt", "c_a", "kind"]))
+        uni = (d.filter(pl.col("kind") == 0)
+               .group_by("key").agg(tot=pl.col("cnt").sum()))
+        big = (d.filter(pl.col("kind") == 1)
+               .group_by(["key", "other"])
+               .agg(cnt=pl.col("cnt").sum())
+               .join(uni, on="key", how="left")
+               .rename({"tot": "ca"}))
+        # re-key the union by hash(b) for pass 2: unigram totals by
+        # their own token, pairs by their SECOND token
+        o0 = pa.table({
+            "part": pa.array(_hash_part(uni["key"].to_arrow())),
+            "key": uni["key"].to_arrow(),
+            "other": pa.array([""] * len(uni), pa.string()),
+            "cnt": uni["tot"].to_arrow(),
+            "c_a": pa.array(np.zeros(len(uni), dtype=np.int64)),
+            "kind": pa.array(np.zeros(len(uni), dtype=np.int8)),
+        })
+        o1 = pa.table({
+            "part": pa.array(_hash_part(big["other"].to_arrow())),
+            "key": big["key"].to_arrow(),
+            "other": big["other"].to_arrow(),
+            "cnt": big["cnt"].to_arrow(),
+            "c_a": big["ca"].fill_null(0).to_arrow()
+            .cast(pa.int64()),
+            "kind": pa.array(np.ones(len(big), dtype=np.int8)),
+        })
+        return pa.concat_tables([o0.cast(_COLLOC_SCHEMA),
+                                 o1.cast(_COLLOC_SCHEMA)])
+
+    def scan2(t: pa.Table) -> pa.Table:
+        d = pl.from_arrow(t.select(
+            ["key", "other", "cnt", "c_a", "kind"]))
+        uni = (d.filter(pl.col("kind") == 0)
+               .select([pl.col("key").alias("other"),
+                        pl.col("cnt").alias("cb")]))
+        big = (d.filter(pl.col("kind") == 1)
+               .join(uni, on="other", how="left")
+               .with_columns(cb=pl.col("cb").fill_null(0)))
+        cap = pl.lit(COLLOC_COUNT_CAP, dtype=pl.Int64)
+        num = (pl.min_horizontal(pl.col("cnt"), cap)
+               - COLLOC_DELTA).clip(lower_bound=0)
+        den = (pl.min_horizontal(pl.col("c_a"), cap).clip(lower_bound=1)
+               * pl.min_horizontal(pl.col("cb"), cap)
+               .clip(lower_bound=1))
+        big = (big.with_columns(
+            score_ppb=(num * 1_000_000_000 // den).cast(pl.Int64))
+            .sort(["score_ppb", "key", "other"],
+                  descending=[True, False, False])
+            .head(COLLOC_TOP_K))
+        return big.select([
+            pl.col("key").alias("a"), pl.col("other").alias("b"),
+            pl.col("c_a"), pl.col("cb").alias("c_b"),
+            pl.col("cnt").alias("c_ab"), pl.col("score_ppb"),
+        ]).to_arrow().cast(pa.schema([
+            ("a", pa.string()), ("b", pa.string()),
+            ("c_a", pa.int64()), ("c_b", pa.int64()),
+            ("c_ab", pa.int64()), ("score_ppb", pa.int64())]))
+
+    cand = (docs.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("part").map_groups(scan1, batch_format="pyarrow")
+            .groupby("part").map_groups(scan2, batch_format="pyarrow")
+            .to_pandas())           # <= num_buckets * K rows
+    cand = cand.sort_values(
+        ["score_ppb", "a", "b"], ascending=[False, True, True],
+        kind="mergesort").head(COLLOC_TOP_K).reset_index(drop=True)
+    return pa.table({
+        "a": pa.array(cand["a"], pa.string()),
+        "b": pa.array(cand["b"], pa.string()),
+        "c_a": pa.array(cand["c_a"].to_numpy(np.int64)),
+        "c_b": pa.array(cand["c_b"].to_numpy(np.int64)),
+        "c_ab": pa.array(cand["c_ab"].to_numpy(np.int64)),
+        "score_ppb": pa.array(cand["score_ppb"].to_numpy(np.int64)),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Deterministic source-interleaved training order
+# ---------------------------------------------------------------------------
+
+def shard_interleave_plan(sf_dir: str):
+    """(doc_id, source, src_rank, global_pos): deterministic
+    source-interleaved training order — every doc gets an exact
+    per-source rank by the frozen md5-u64 of 'ilv:<doc_id>' (a
+    deterministic shuffle within each source) and a global position
+    on the round-robin grid global_pos = src_rank * n_sources +
+    source_idx, so a loader reading positions in order sees sources
+    interleaved 1:1:...:1 (gaps where a source has exhausted are
+    skipped by the loader; the grid keeps positions stable under
+    source growth). The data-ORDERING twin of the mixture plan: what
+    to feed when, not just how much.
+
+    Shape: exact per-source ranks WITHOUT a per-source global sort —
+    the shard_plan histogram-rank pattern keyed on (source, top hash
+    byte): a bounded |sources| x 256 count aggregate gives each
+    (source, byte) cell its start offset; one shuffle on the same
+    compound key ranks rows locally by (hash, doc_id); hot cells
+    sub-bucket by the next byte at 100 TB (same pattern one level
+    down)."""
+    from ray.data.aggregate import Sum
+    from dataquality_ray.spec import token_hash_u64
+
+    slim = _docs(sf_dir, columns=["doc_id", "source"]).materialize()
+
+    def with_hash(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        hv = np.fromiter(
+            (token_hash_u64(f"ilv:{i}") for i in ids),
+            dtype=np.uint64, count=len(ids))
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "source": batch["source"],
+            "hv": pa.array(hv.view(np.int64)),
+            "hb": pa.array((hv >> np.uint64(56)).astype(np.int64)),
+        })
+
+    hashed = slim.map_batches(with_hash, batch_format="pyarrow",
+                              zero_copy_batch=True).materialize()
+
+    hist = (hashed.map_batches(
+        lambda t: pl.from_arrow(t.select(["source", "hb"]))
+        .group_by(["source", "hb"]).agg(n=pl.len().cast(pl.Int64))
+        .to_arrow(), batch_format="pyarrow")
+        .groupby(["source", "hb"]).aggregate(Sum("n", alias_name="n"))
+        .to_pandas())               # <= |sources| * 256 rows
+    hist = hist.sort_values(["source", "hb"], kind="mergesort")
+    starts = (hist["n"].cumsum() - hist["n"]).to_numpy(np.int64)
+    src_base = hist.groupby("source", sort=True)["n"].sum() \
+        .cumsum().shift(fill_value=0)
+    # per-(source, byte) start offset WITHIN the source
+    offs = {}
+    for (s, hb), st in zip(zip(hist["source"], hist["hb"]), starts):
+        offs[(s, int(hb))] = int(st) - int(src_base[s])
+    sources = sorted(src_base.index.tolist())
+    sidx = {s: i for i, s in enumerate(sources)}
+    n_src = len(sources)
+
+    def rank_group(t: pa.Table) -> pa.Table:
+        s = t["source"][0].as_py()
+        hb = int(t["hb"][0].as_py())
+        hv = t["hv"].to_numpy(zero_copy_only=False).view(np.uint64)
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.lexsort((ids, hv))
+        rank = np.empty(len(ids), dtype=np.int64)
+        rank[order] = offs[(s, hb)] + np.arange(len(ids),
+                                                dtype=np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "source": t["source"],
+            "src_rank": pa.array(rank),
+            "global_pos": pa.array(rank * n_src + sidx[s]),
+        })
+
+    return (hashed.groupby(["source", "hb"])
+            .map_groups(rank_group, batch_format="pyarrow"))

@@ -180,3 +180,55 @@ def test_hll_cumulative_grid_and_monotone(ray_session, tmp_path):
     assert (mats[days[2]] >= mats[days[0]]).all()
     est = hll_estimate(dict(enumerate(mats[days[2]])))
     assert 1.0 <= est <= 10.0                 # 3 true distinct users
+
+
+# --- collocation_phrases ----------------------------------------------------
+
+def test_collocation_score_and_tiebreak(ray_session, tmp_path):
+    from dataquality_ray.pipelines.documents import (
+        COLLOC_DELTA,
+        collocation_phrases,
+    )
+    assert COLLOC_DELTA == 2
+    # unigrams: new=3, york=3, city=1, the=3; pairs: (new,york)=3,
+    # (york,new)=1, (york,city)=1, (the,the)=2
+    rows = [(1, "s", "new york new york"),
+            (2, "s", "new york city"),
+            (3, "s", "the the the")]
+    out = collocation_phrases(_write_docs(tmp_path, rows),
+                              num_buckets=4).to_pandas()
+    top = out.iloc[0]
+    assert (top.a, top.b, top.c_a, top.c_b, top.c_ab) == \
+        ("new", "york", 3, 3, 3)
+    assert top.score_ppb == (3 - 2) * 1_000_000_000 // (3 * 3)
+    # all other pairs clamp to score 0 (c_ab <= DELTA), tie-broken
+    # by (a, b) ascending
+    rest = out.iloc[1:]
+    assert (rest.score_ppb == 0).all()
+    assert list(zip(rest.a, rest.b)) == [
+        ("the", "the"), ("york", "city"), ("york", "new")]
+
+
+# --- shard_interleave_plan --------------------------------------------------
+
+def test_interleave_ranks_and_grid(ray_session, tmp_path):
+    from dataquality_ray.pipelines.documents import (
+        shard_interleave_plan,
+    )
+    from dataquality_ray.spec import token_hash_u64
+    rows = [(i, "a" if i % 2 else "b", f"text {i}")
+            for i in range(10)]
+    out = (shard_interleave_plan(_write_docs(tmp_path, rows))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == 10
+    for src, sidx in (("a", 0), ("b", 1)):
+        sub = out[out.source == src]
+        assert sorted(sub.src_rank) == list(range(len(sub)))
+        assert (sub.global_pos == sub.src_rank * 2 + sidx).all()
+        # rank order == unsigned order of the frozen hash
+        hv = {i: token_hash_u64(f"ilv:{i}") for i in sub.doc_id}
+        by_rank = sub.sort_values("src_rank").doc_id.tolist()
+        assert by_rank == sorted(sub.doc_id, key=lambda i: (hv[i], i))
+    # the grid interleaves sources 1:1 at the head
+    head = out.sort_values("global_pos").head(4).source.tolist()
+    assert head == ["a", "b", "a", "b"]
