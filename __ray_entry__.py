@@ -732,6 +732,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # deterministic source-interleaved training order via the
         # histogram-rank pattern (no per-source global sort)
         "shard_interleave_plan": D.shard_interleave_plan,
+        # mixture temperature sweep: size^tau weights for four taus
+        # via nested exact isqrt compositions (never float pow)
+        "mixture_temperature_sweep": D.mixture_temperature_sweep,
+        # Heaps-law vocabulary growth from nested doc-hash samples
+        # (last row = exact full corpus)
+        "vocab_growth_curve": D.vocab_growth_curve,
+        # compute-optimal token-budget planning (tokens/param ratio,
+        # epochs needed, peta-FLOPs) per candidate model size
+        "token_budget_plan": D.token_budget_plan,
+        # inverted-index export: exact df + bounded posting-list head
+        "term_posting_lists": D.term_posting_lists,
     }
 
 
@@ -6284,5 +6295,110 @@ SELECT r.doc_id, r.source, r.src_rank,
   CAST(r.src_rank * (SELECT n FROM ns) + si.sidx AS BIGINT)
     AS global_pos
 FROM r JOIN si USING (source)
+"""
+    from dataquality_ray.pipelines.documents import (
+        BUDGET_MODEL_PARAMS as _BMP,
+        BUDGET_TOKENS_PER_PARAM as _BTPP,
+        POSTING_HEAD_K as _PHK,
+        SEARCH_TERMS as _D_SEARCH_TERMS,
+        VOCAB_SAMPLE_KEEPS as _VSK,
+        VOCAB_SAMPLE_MOD as _VSM,
+    )
+    # temperature ladder by nested floor(sqrt(double)) — the
+    # source_mixture_weights parity recipe, never float pow()
+    sql["mixture_temperature_sweep"] = f"""
+WITH a AS (
+  SELECT source, CAST(SUM(n_chars) AS BIGINT) AS c
+  FROM documents GROUP BY 1),
+r AS (
+  SELECT source, c,
+    CAST(floor(sqrt(CAST(c AS DOUBLE) * {_MIX_SCALE}.0)) AS BIGINT)
+      AS m
+  FROM a),
+r2 AS (
+  SELECT source, c, m,
+    CAST(floor(sqrt(CAST(m AS DOUBLE) * {_MIX_SCALE}.0)) AS BIGINT)
+      AS q,
+    CAST(floor(sqrt(CAST(c AS DOUBLE) * CAST(m AS DOUBLE)))
+         AS BIGINT) AS t
+  FROM r),
+w AS (
+  SELECT 250 AS tau_milli, source, c, q AS s FROM r2
+  UNION ALL SELECT 500, source, c, m FROM r2
+  UNION ALL SELECT 750, source, c, t FROM r2
+  UNION ALL SELECT 1000, source, c, c FROM r2),
+tot AS (SELECT tau_milli, SUM(s) AS tot FROM w GROUP BY 1)
+SELECT CAST(w.tau_milli AS BIGINT) AS tau_milli, w.source,
+  w.c AS sum_chars,
+  CAST(CAST(w.s AS HUGEINT) * {_MIX_PPM}
+       // GREATEST(tot.tot, 1) AS BIGINT) AS weight_ppm
+FROM w JOIN tot USING (tau_milli)
+"""
+    # Heaps-law growth from nested doc-hash samples; a token is in
+    # sample-k vocabulary iff the MIN containing-doc key is < k
+    sql["vocab_growth_curve"] = f"""
+WITH d AS (
+  SELECT md5_number_upper(CAST(doc_id AS VARCHAR)) % {_VSM} AS key,
+    regexp_extract_all(lower(COALESCE(text, '')), '{_TOK}') AS ts
+  FROM documents),
+k AS (SELECT unnest([{", ".join(str(x) for x in _VSK)}])
+        AS sample_keep),
+tok AS (SELECT key, unnest(ts) AS tok FROM d),
+mh AS (
+  SELECT md5_number_upper(tok) AS h, CAST(MIN(key) AS BIGINT) AS mk
+  FROM tok GROUP BY 1)
+SELECT CAST(k.sample_keep AS BIGINT) AS sample_keep,
+  CAST((SELECT COUNT(*) FROM d
+        WHERE key < k.sample_keep) AS BIGINT) AS n_docs,
+  CAST((SELECT COALESCE(SUM(len(ts)), 0) FROM d
+        WHERE key < k.sample_keep) AS BIGINT) AS n_tokens,
+  CAST((SELECT COUNT(*) FROM mh
+        WHERE mk < k.sample_keep) AS BIGINT) AS n_vocab
+FROM k
+"""
+    # Chinchilla-ratio budget plan; products in HUGEINT (6*N*D
+    # overflows int64 at 100-TB corpora), reported floor-exact
+    sql["token_budget_plan"] = f"""
+WITH n AS (
+  SELECT CAST(COALESCE(SUM(len(regexp_extract_all(
+    lower(COALESCE(text, '')), '{_TOK}'))), 0) AS BIGINT) AS tot
+  FROM documents),
+m AS (SELECT unnest([{", ".join(str(x) for x in _BMP)}])
+        AS model_params)
+SELECT CAST(model_params AS BIGINT) AS model_params,
+  n.tot AS corpus_tokens,
+  CAST(model_params * {_BTPP} AS BIGINT) AS needed_tokens,
+  CAST(CAST(1000 AS HUGEINT) * model_params * {_BTPP}
+       // GREATEST(n.tot, 1) AS BIGINT) AS epochs_milli,
+  CAST(CAST(6 AS HUGEINT) * model_params
+       * (CAST(model_params AS HUGEINT) * {_BTPP})
+       // 1000000000000000 AS BIGINT) AS flops_peta
+FROM m, n
+"""
+    _terms_sql = ", ".join(f"'{t}'" for t in _D_SEARCH_TERMS)
+    # posting-list export: exact df + the first K doc_ids ascending;
+    # LEFT-JOIN spine so a zero-hit term still emits its row
+    sql["term_posting_lists"] = f"""
+WITH t AS (
+  SELECT doc_id,
+    regexp_extract_all(lower(COALESCE(text, '')), '{_TOK}') AS ts
+  FROM documents),
+q AS (SELECT unnest([{_terms_sql}]) AS term),
+h AS (
+  SELECT q.term, t.doc_id
+  FROM q JOIN t ON list_contains(t.ts, q.term)),
+r AS (
+  SELECT term, doc_id,
+    row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+  FROM h),
+a AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+    string_agg(CASE WHEN rn <= {_PHK}
+                    THEN CAST(doc_id AS VARCHAR) END,
+               ',' ORDER BY doc_id) AS posting_head
+  FROM r GROUP BY term)
+SELECT q.term, COALESCE(a.df, 0) AS df,
+  COALESCE(a.posting_head, '') AS posting_head
+FROM q LEFT JOIN a USING (term)
 """
     return sql

@@ -152,7 +152,9 @@ def _query_benches(sf_dir: str) -> dict:
              "kn_discount_stats", "length_bucket_packing_stats",
              "phrase_match_documents", "curriculum_phase_documents",
              "hll_users_cumulative_daily",
-             "collocation_phrases", "shard_interleave_plan"]
+             "collocation_phrases", "shard_interleave_plan",
+             "mixture_temperature_sweep", "vocab_growth_curve",
+             "token_budget_plan", "term_posting_lists"]
     out = {}
     for name in names:
         t0 = time.time()

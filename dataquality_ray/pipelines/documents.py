@@ -6613,3 +6613,305 @@ def shard_interleave_plan(sf_dir: str):
 
     return (hashed.groupby(["source", "hb"])
             .map_groups(rank_group, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# Temperature-sweep mixture weights (tau in {1, 3/4, 1/2, 1/4})
+# ---------------------------------------------------------------------------
+
+# Exact-parity temperature ladder: every rung is defined by nested
+# floor(sqrt(double)) compositions (IEEE sqrt is correctly rounded and
+# double products round identically in numpy and DuckDB, the
+# source_mixture_weights precedent) — never a float pow(), whose libm
+# result is engine-dependent. With K = MIXTURE_SQRT_SCALE:
+#   tau=1     : c
+#   tau=1/2   : m = floor(sqrt(c * K))
+#   tau=1/4   : floor(sqrt(m * K))      ~ K^(3/4) * c^(1/4)
+#   tau=3/4   : floor(sqrt(c * m))      ~ K^(1/4) * c^(3/4)
+MIXTURE_TAUS_MILLI = (250, 500, 750, 1000)
+
+
+def mixture_temperature_sweep(sf_dir: str):
+    """(tau_milli, source, sum_chars, weight_ppm): the data-mixture
+    temperature sweep — per-source sampling weights w_s proportional to
+    size^tau for tau in {1/4, 1/2, 3/4, 1}, the knob every multi-domain
+    training run tunes (tau=1 reproduces natural proportions, lower tau
+    flattens toward uniform; tau=1/2 is source_mixture_weights). Exact
+    integers end-to-end: the tau ladder is nested floor(sqrt(·))
+    compositions (see MIXTURE_TAUS_MILLI), normalization is trunc-div
+    ppm per tau. One constant-size per-source aggregate; the sweep
+    itself is driver arithmetic over |sources| rows."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, columns=["source", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = (pl.DataFrame({
+            "source": pl.from_arrow(batch["source"]),
+            "c": pl.from_arrow(batch["n_chars"]),
+        }).group_by("source").agg(c=pl.col("c").sum()))
+        return g.to_arrow().cast(pa.schema([
+            ("source", pa.string()), ("c", pa.int64())]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("source").aggregate(Sum("c", alias_name="c"))
+           .to_pandas().sort_values("source", kind="mergesort"))
+    c = agg["c"].to_numpy(dtype=np.int64)
+    cf = c.astype(np.float64)
+    kf = float(MIXTURE_SQRT_SCALE)
+    m = np.floor(np.sqrt(cf * kf)).astype(np.int64)
+    rungs = {
+        250: np.floor(np.sqrt(m.astype(np.float64) * kf))
+        .astype(np.int64),
+        500: m,
+        750: np.floor(np.sqrt(cf * m.astype(np.float64)))
+        .astype(np.int64),
+        1000: c,
+    }
+    taus, srcs, chars, ppm = [], [], [], []
+    for tau in MIXTURE_TAUS_MILLI:
+        s = rungs[tau]
+        tot = max(int(s.sum()), 1)
+        taus.extend([tau] * len(agg))
+        srcs.extend(agg["source"].tolist())
+        chars.extend(c.tolist())
+        ppm.extend((s.astype(object) * MIXTURE_PPM // tot).tolist())
+    return pa.table({
+        "tau_milli": pa.array(taus, pa.int64()),
+        "source": pa.array(srcs, pa.string()),
+        "sum_chars": pa.array(chars, pa.int64()),
+        "weight_ppm": pa.array([int(x) for x in ppm], pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Heaps-law vocabulary growth curve from nested hash samples
+# ---------------------------------------------------------------------------
+
+VOCAB_SAMPLE_MOD = 256
+VOCAB_SAMPLE_KEEPS = (1, 4, 16, 64, 256)
+
+
+def vocab_growth_curve(sf_dir: str, num_buckets: int = 0):
+    """(sample_keep, n_docs, n_tokens, n_vocab): the Heaps-law
+    vocabulary growth curve from nested deterministic doc-hash
+    samples — how fast does distinct vocabulary grow as the corpus
+    grows? The tokenizer-planning twin of sampled_dup_rate: run the
+    1/256 sample at 100 TB to extrapolate vocab size before training a
+    tokenizer; the last row (keep = MOD) is the exact full-corpus
+    answer, so convergence is visible and hash-checkable. A doc is in
+    sample k iff md5_u64(str(doc_id)) % MOD < k (nested by
+    construction); a token is in sample-k vocabulary iff the MIN
+    sample key over its containing docs is < k.
+
+    Scale shape: vocabulary grows with the corpus, so per-token MIN
+    keys never meet a Ray aggregate — per-batch polars group-min per
+    token (dedup before hashing), ONE token-hash bucket shuffle of
+    slim (part, u64, key) rows, bucket-local exact MIN + a |KEEPS|-row
+    cumulative histogram; per-key doc/token totals ride the same
+    discriminated union as constant-size (256-row) partials."""
+    from dataquality_ray.arrowutil import md5_digests
+    from dataquality_ray.stages.bucketing import cluster_buckets
+    from dataquality_ray.spec import token_hash_u64
+
+    nb = num_buckets or cluster_buckets()
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    schema = pa.schema([
+        ("part", pa.int32()), ("hh", pa.int64()),
+        ("key", pa.int64()), ("n", pa.int64()),
+        ("kind", pa.int8())])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        keys = np.fromiter(
+            (token_hash_u64(str(i)) % VOCAB_SAMPLE_MOD for i in ids),
+            dtype=np.int64, count=len(ids))
+        df = (pl.from_arrow(batch.select(["text"]))
+              .with_columns(key=pl.Series(keys),
+                            toks=pl.col("text").fill_null("")
+                            .str.to_lowercase()
+                            .str.extract_all(TOKEN_PATTERN)))
+        # constant-size per-key doc/token totals (kind 1)
+        tot = (df.group_by("key")
+               .agg(nd=pl.len().cast(pl.Int64),
+                    nt=pl.col("toks").list.len().cast(pl.Int64)
+                    .sum()))
+        # per-token min key within the batch (kind 0)
+        e = (df.select(["key", "toks"]).explode("toks")
+             .drop_nulls("toks")
+             .group_by("toks").agg(key=pl.col("key").min()))
+        digs = md5_digests(e["toks"].to_arrow())
+        if digs:
+            hh = np.frombuffer(b"".join(digs),
+                               dtype="<u8").reshape(-1, 2)[:, 0]
+        else:
+            hh = np.zeros(0, dtype=np.uint64)
+        k0 = pa.table({
+            "part": pa.array((hh % nb).astype(np.int32)),
+            "hh": pa.array(hh.view(np.int64)),
+            "key": e["key"].to_arrow(),
+            "n": pa.array(np.zeros(len(e), dtype=np.int64)),
+            "kind": pa.array(np.zeros(len(e), dtype=np.int8)),
+        }).cast(schema)
+        k1a = pa.table({
+            "part": pa.array(np.zeros(len(tot), dtype=np.int32)),
+            "hh": pa.array(np.zeros(len(tot), dtype=np.int64)),
+            "key": tot["key"].to_arrow(),
+            "n": tot["nd"].to_arrow(),
+            "kind": pa.array(np.full(len(tot), 1, dtype=np.int8)),
+        }).cast(schema)
+        k1b = pa.table({
+            "part": pa.array(np.zeros(len(tot), dtype=np.int32)),
+            "hh": pa.array(np.zeros(len(tot), dtype=np.int64)),
+            "key": tot["key"].to_arrow(),
+            "n": tot["nt"].to_arrow(),
+            "kind": pa.array(np.full(len(tot), 2, dtype=np.int8)),
+        }).cast(schema)
+        return pa.concat_tables([k0, k1a, k1b])
+
+    def scan(t: pa.Table) -> pa.Table:
+        d = pl.from_arrow(t.select(["hh", "key", "n", "kind"]))
+        vocab = (d.filter(pl.col("kind") == 0)
+                 .group_by("hh").agg(mk=pl.col("key").min()))
+        rows = []
+        for k in VOCAB_SAMPLE_KEEPS:
+            nv = int((vocab["mk"] < k).sum()) if len(vocab) else 0
+            sub = d.filter(pl.col("key") < k)
+            nd = int(sub.filter(pl.col("kind") == 1)["n"].sum() or 0)
+            nt = int(sub.filter(pl.col("kind") == 2)["n"].sum() or 0)
+            rows.append((k, nd, nt, nv))
+        return pa.table({
+            "sample_keep": pa.array([r[0] for r in rows], pa.int64()),
+            "nd": pa.array([r[1] for r in rows], pa.int64()),
+            "nt": pa.array([r[2] for r in rows], pa.int64()),
+            "nv": pa.array([r[3] for r in rows], pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+    agg = (docs.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("part").map_groups(scan, batch_format="pyarrow")
+           .groupby("sample_keep")
+           .aggregate(Sum("nd", alias_name="n_docs"),
+                      Sum("nt", alias_name="n_tokens"),
+                      Sum("nv", alias_name="n_vocab"))
+           .to_pandas().sort_values("sample_keep", kind="mergesort"))
+    return pa.table({
+        "sample_keep": pa.array(
+            agg["sample_keep"].to_numpy(np.int64)),
+        "n_docs": pa.array(agg["n_docs"].to_numpy(np.int64)),
+        "n_tokens": pa.array(agg["n_tokens"].to_numpy(np.int64)),
+        "n_vocab": pa.array(agg["n_vocab"].to_numpy(np.int64)),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Compute-optimal token-budget planning (Chinchilla ratios)
+# ---------------------------------------------------------------------------
+
+# Candidate model sizes and the compute-optimal tokens-per-parameter
+# ratio (~20, Hoffmann et al. 2022). FLOPs ~ 6 * params * tokens,
+# reported in units of 1e15 (peta) with exact Python-int products (the
+# 6*N*D product overflows int64 at 100-TB corpora). Interpolated into
+# the oracle.
+BUDGET_MODEL_PARAMS = (125_000_000, 1_300_000_000, 13_000_000_000)
+BUDGET_TOKENS_PER_PARAM = 20
+
+
+def token_budget_plan(sf_dir: str):
+    """(model_params, corpus_tokens, needed_tokens, epochs_milli,
+    flops_peta): compute-optimal training-budget planning — for each
+    candidate model size, the Chinchilla-ratio token requirement
+    (20 tokens/param), how many corpus epochs that implies
+    (floor-milli; >1000 means the corpus must repeat), and the exact
+    compute cost of one compute-optimal run in peta-FLOPs. The "is
+    this corpus big enough for that model" datasheet row. One
+    constant-size token-count aggregate; the plan is driver
+    arithmetic in unbounded Python ints."""
+    from ray.data.aggregate import Sum
+
+    docs = _docs(sf_dir, columns=["text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        n = (pl.from_arrow(batch.select(["text"]))
+             .select(n=pl.col("text").fill_null("")
+                     .str.to_lowercase()
+                     .str.count_matches(TOKEN_PATTERN)
+                     .cast(pl.Int64).sum()))["n"][0]
+        return pa.table({"n": pa.array([int(n or 0)], pa.int64())})
+
+    tot = int(docs.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+              .aggregate(Sum("n", alias_name="n"))["n"])
+    rows = []
+    for p in BUDGET_MODEL_PARAMS:
+        need = p * BUDGET_TOKENS_PER_PARAM
+        epochs = 1000 * need // max(tot, 1)
+        flops = 6 * p * need // 10 ** 15
+        rows.append((p, tot, need, epochs, flops))
+    return pa.table({
+        "model_params": pa.array([r[0] for r in rows], pa.int64()),
+        "corpus_tokens": pa.array([r[1] for r in rows], pa.int64()),
+        "needed_tokens": pa.array([r[2] for r in rows], pa.int64()),
+        "epochs_milli": pa.array([r[3] for r in rows], pa.int64()),
+        "flops_peta": pa.array([r[4] for r in rows], pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index posting-list export (bounded head + exact df)
+# ---------------------------------------------------------------------------
+
+POSTING_HEAD_K = 20
+
+
+def term_posting_lists(sf_dir: str):
+    """(term, df, posting_head): inverted-index export for the
+    SEARCH_TERMS dictionary — exact document frequency plus the first
+    POSTING_HEAD_K doc_ids (ascending, comma-joined) of each term's
+    posting list: the bounded "index shard sample" a search layer
+    materializes. Lists cross a shuffle as delimited strings (Acero
+    joins reject list payloads — CLAUDE.md).
+
+    Scale shape: a common term's full posting list is
+    corpus-proportional, so it never ships — per-batch partials
+    pre-reduce to (term, local df, local smallest-K ids); the final
+    per-term merge sees #batches * K ids, never the corpus."""
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+    terms = list(SEARCH_TERMS)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(batch.select(["doc_id", "text"]))
+              .with_columns(toks=pl.col("text").fill_null("")
+                            .str.to_lowercase()
+                            .str.extract_all(TOKEN_PATTERN)))
+        out = []
+        for t in terms:
+            hit = df.filter(pl.col("toks").list.contains(t))
+            ids = np.sort(hit["doc_id"].to_numpy())
+            out.append((t, len(ids),
+                        ",".join(str(i)
+                                 for i in ids[:POSTING_HEAD_K])))
+        return pa.table({
+            "term": pa.array([o[0] for o in out], pa.string()),
+            "df_n": pa.array([o[1] for o in out], pa.int64()),
+            "head": pa.array([o[2] for o in out], pa.string()),
+        })
+
+    def merge(t: pa.Table) -> pa.Table:
+        term = t["term"][0].as_py()
+        dfn = int(pc.sum(t["df_n"]).as_py() or 0)
+        ids = sorted({int(x) for h in t["head"].to_pylist()
+                      if h for x in h.split(",")})
+        return pa.table({
+            "term": pa.array([term], pa.string()),
+            "df": pa.array([dfn], pa.int64()),
+            "posting_head": pa.array(
+                [",".join(str(i) for i in ids[:POSTING_HEAD_K])],
+                pa.string()),
+        })
+
+    return (docs.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+            .groupby("term").map_groups(merge, batch_format="pyarrow"))

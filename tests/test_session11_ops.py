@@ -232,3 +232,107 @@ def test_interleave_ranks_and_grid(ray_session, tmp_path):
     # the grid interleaves sources 1:1 at the head
     head = out.sort_values("global_pos").head(4).source.tolist()
     assert head == ["a", "b", "a", "b"]
+
+
+# --- mixture_temperature_sweep ----------------------------------------------
+
+def test_temperature_sweep_rungs_and_flattening(ray_session, tmp_path):
+    from dataquality_ray.pipelines.documents import (
+        MIXTURE_PPM,
+        MIXTURE_SQRT_SCALE,
+        mixture_temperature_sweep,
+    )
+    rows = [(1, "a", "x" * 100), (2, "b", "y" * 10000)]
+    out = (mixture_temperature_sweep(_write_docs(tmp_path, rows))
+           .to_pandas())
+    piv = out.pivot(index="tau_milli", columns="source",
+                    values="weight_ppm")
+    # tau=1: natural proportions
+    assert piv.loc[1000, "a"] == 100 * MIXTURE_PPM // 10100
+    # tau=1/2: the documented isqrt rung
+    ma = int(np.floor(np.sqrt(100.0 * MIXTURE_SQRT_SCALE)))
+    mb = int(np.floor(np.sqrt(10000.0 * MIXTURE_SQRT_SCALE)))
+    assert piv.loc[500, "a"] == ma * MIXTURE_PPM // (ma + mb)
+    # lower tau flattens: the small source's share rises monotonically
+    shares = [piv.loc[t, "a"] for t in (1000, 750, 500, 250)]
+    assert shares == sorted(shares)
+    # weights stay a (floor-truncated) distribution per tau
+    assert ((out.groupby("tau_milli").weight_ppm.sum()
+             <= MIXTURE_PPM).all())
+
+
+# --- vocab_growth_curve -----------------------------------------------------
+
+def test_vocab_growth_exact_vs_bruteforce(ray_session, tmp_path):
+    from dataquality_ray.pipelines.documents import (
+        VOCAB_SAMPLE_KEEPS,
+        VOCAB_SAMPLE_MOD,
+        vocab_growth_curve,
+    )
+    from dataquality_ray.spec import TOKEN_PATTERN, token_hash_u64
+    import re
+    rows = [(i, "s", f"tok{i % 7} shared w{i}") for i in range(40)]
+    out = (vocab_growth_curve(_write_docs(tmp_path, rows),
+                              num_buckets=4)
+           .to_pandas().set_index("sample_keep").sort_index())
+    assert list(out.index) == sorted(VOCAB_SAMPLE_KEEPS)
+    toks = {i: re.findall(TOKEN_PATTERN, t.lower())
+            for i, _, t in rows}
+    keys = {i: token_hash_u64(str(i)) % VOCAB_SAMPLE_MOD
+            for i, _, _ in rows}
+    for k in VOCAB_SAMPLE_KEEPS:
+        samp = [i for i in keys if keys[i] < k]
+        vocab = {t for i in samp for t in toks[i]}
+        r = out.loc[k]
+        assert r.n_docs == len(samp)
+        assert r.n_tokens == sum(len(toks[i]) for i in samp)
+        assert r.n_vocab == len(vocab)
+    # last row is the exact full corpus; curve is monotone
+    assert out.loc[VOCAB_SAMPLE_MOD].n_docs == 40
+    assert (out.n_vocab.diff().dropna() >= 0).all()
+
+
+# --- token_budget_plan ------------------------------------------------------
+
+def test_token_budget_exact_formulas(ray_session, tmp_path):
+    from dataquality_ray.pipelines.documents import (
+        BUDGET_MODEL_PARAMS,
+        BUDGET_TOKENS_PER_PARAM,
+        token_budget_plan,
+    )
+    rows = [(1, "s", "a b c d e"), (2, "s", "f g h i j")]  # 10 tokens
+    out = (token_budget_plan(_write_docs(tmp_path, rows))
+           .to_pandas().set_index("model_params").sort_index())
+    assert list(out.index) == sorted(BUDGET_MODEL_PARAMS)
+    for p in BUDGET_MODEL_PARAMS:
+        need = p * BUDGET_TOKENS_PER_PARAM
+        r = out.loc[p]
+        assert r.corpus_tokens == 10
+        assert r.needed_tokens == need
+        assert r.epochs_milli == 1000 * need // 10
+        assert r.flops_peta == 6 * p * need // 10 ** 15
+
+
+# --- term_posting_lists -----------------------------------------------------
+
+def test_posting_lists_cap_and_spine(ray_session, tmp_path):
+    from dataquality_ray.pipelines.documents import (
+        POSTING_HEAD_K,
+        SEARCH_TERMS,
+        term_posting_lists,
+    )
+    assert SEARCH_TERMS == ("data", "join", "stream")
+    # 25 docs contain 'data' (head caps at K), 2 contain 'join',
+    # none contain 'stream' (spine row with df 0)
+    rows = [(i, "s", "data point") for i in range(25)]
+    rows += [(100, "s", "inner join"), (101, "s", "outer join")]
+    out = (term_posting_lists(_write_docs(tmp_path, rows))
+           .to_pandas().set_index("term"))
+    d = out.loc["data"]
+    assert d.df == 25
+    assert d.posting_head == ",".join(
+        str(i) for i in range(POSTING_HEAD_K))
+    j = out.loc["join"]
+    assert j.df == 2 and j.posting_head == "100,101"
+    s = out.loc["stream"]
+    assert s.df == 0 and s.posting_head == ""
