@@ -743,6 +743,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_budget_plan": D.token_budget_plan,
         # inverted-index export: exact df + bounded posting-list head
         "term_posting_lists": D.term_posting_lists,
+        # streaming watermark planning: per-user out-of-order arrival
+        # audit (running-max lateness in arrival order)
+        "event_disorder_stats": M.event_disorder_stats,
+        # contrastive training prep: top-K most-similar DIFFERENT-label
+        # vectors per query (the ann_topk float recipe + label filter)
+        "hard_negative_topk_embeddings": D.hard_negative_topk_embeddings,
+        # embedding-quality probe: 1-NN label confusion over a bounded
+        # deterministic probe set (dense label-grid spine)
+        "knn_label_probe": D.knn_label_probe,
+        # turn length vs conversation depth (exact 0-7, pow2 deeper)
+        "turn_position_length_curve": _turn_position_length_curve_q,
     }
 
 
@@ -940,6 +951,13 @@ def _role_length_profile_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import role_length_profile
     return role_length_profile(_transcript_ds(
         sf_dir, columns=["role", "text"]))
+
+
+def _turn_position_length_curve_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import \
+        turn_position_length_curve
+    return turn_position_length_curve(_transcript_ds(
+        sf_dir, columns=["role", "turn_idx", "text"]))
 
 
 def _conv_lang_switches_q(sf_dir: str):
@@ -6400,5 +6418,93 @@ a AS (
 SELECT q.term, COALESCE(a.df, 0) AS df,
   COALESCE(a.posting_head, '') AS posting_head
 FROM q LEFT JOIN a USING (term)
+"""
+    # per-user out-of-order arrival audit: lateness vs the running
+    # max timestamp in arrival (event_id) order
+    sql["event_disorder_stats"] = """
+WITH w AS (
+  SELECT user_id, epoch_us(ts) AS t,
+    MAX(epoch_us(ts)) OVER (
+      PARTITION BY user_id ORDER BY event_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+  FROM events)
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+  CAST(SUM(CASE WHEN pm IS NOT NULL AND t < pm
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+  CAST(COALESCE(MAX(CASE WHEN pm IS NOT NULL AND t < pm
+                          THEN pm - t END), 0) AS BIGINT)
+    AS max_late_us
+FROM w GROUP BY user_id
+"""
+    from dataquality_ray.pipelines.documents import (
+        ANN_QUERY_IDS as _HN_QIDS,
+        HARD_NEG_K as _HN_K,
+        KNN_PROBE_N as _KNN_N,
+    )
+    _hn_ids = ", ".join(str(i) for i in _HN_QIDS)
+    # hard negatives: the ann_topk oracle with a label constraint
+    sql["hard_negative_topk_embeddings"] = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, label AS query_label,
+    CAST(embedding AS DOUBLE[]) AS qe
+  FROM embeddings WHERE vec_id IN ({_hn_ids})),
+c AS (SELECT vec_id, label AS neg_label,
+        CAST(embedding AS DOUBLE[]) AS e
+      FROM embeddings),
+s AS (
+  SELECT q.query_id, q.query_label, c.vec_id, c.neg_label,
+    list_cosine_similarity(q.qe, c.e) AS sim,
+    row_number() OVER (PARTITION BY q.query_id
+      ORDER BY list_cosine_similarity(q.qe, c.e) DESC,
+               c.vec_id) AS rank
+  FROM q, c WHERE c.neg_label <> q.query_label)
+SELECT query_id, CAST(query_label AS BIGINT) AS query_label,
+  vec_id, CAST(neg_label AS BIGINT) AS neg_label,
+  round(sim, 6) AS cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM s WHERE rank <= {_HN_K}
+"""
+    # 1-NN label confusion over the smallest-hash probe set, dense
+    # label-grid spine
+    sql["knn_label_probe"] = f"""
+WITH h AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+    md5_number_upper(CAST(vec_id AS VARCHAR)) AS hv
+  FROM embeddings),
+q AS (SELECT * FROM h ORDER BY hv, vec_id LIMIT {_KNN_N}),
+s AS (
+  SELECT q.vec_id AS qid, q.label AS ql, c.label AS nl,
+    row_number() OVER (PARTITION BY q.vec_id
+      ORDER BY list_cosine_similarity(q.e, c.e) DESC,
+               c.vec_id) AS rn
+  FROM q JOIN h c ON c.vec_id <> q.vec_id),
+n AS (SELECT ql, nl, CAST(COUNT(*) AS BIGINT) AS n
+      FROM s WHERE rn = 1 GROUP BY 1, 2),
+l AS (SELECT DISTINCT label FROM embeddings)
+SELECT CAST(a.label AS BIGINT) AS query_label,
+  CAST(b.label AS BIGINT) AS nn_label,
+  CAST(COALESCE(n.n, 0) AS BIGINT) AS n_queries
+FROM l a CROSS JOIN l b
+LEFT JOIN n ON n.ql = a.label AND n.nl = b.label
+"""
+    # turn length vs conversation depth: positions 0-7 exact, deeper
+    # in power-of-two buckets via exact integer bit_length
+    sql["turn_position_length_curve"] = f"""
+WITH t AS (
+  SELECT role,
+    CAST(CASE WHEN turn_idx < 8 THEN turn_idx
+         ELSE 4 + length(bin(CAST(turn_idx AS BIGINT)))
+         END AS BIGINT) AS pos_bucket,
+    CAST(length(COALESCE(text, '')) AS BIGINT) AS ln
+  FROM read_parquet('{_tr_glob}')),
+g AS (
+  SELECT role, pos_bucket, CAST(COUNT(*) AS BIGINT) AS n_turns,
+    CAST(SUM(ln) AS BIGINT) AS sum_chars
+  FROM t GROUP BY 1, 2)
+SELECT role, pos_bucket,
+  CAST(CASE WHEN pos_bucket < 8 THEN pos_bucket
+       ELSE 1 << (pos_bucket - 5) END AS BIGINT) AS bucket_lo,
+  n_turns, sum_chars,
+  CAST(1000 * sum_chars // n_turns AS BIGINT) AS avg_chars_milli
+FROM g
 """
     return sql

@@ -154,7 +154,9 @@ def _query_benches(sf_dir: str) -> dict:
              "hll_users_cumulative_daily",
              "collocation_phrases", "shard_interleave_plan",
              "mixture_temperature_sweep", "vocab_growth_curve",
-             "token_budget_plan", "term_posting_lists"]
+             "token_budget_plan", "term_posting_lists",
+             "event_disorder_stats", "hard_negative_topk_embeddings",
+             "knn_label_probe", "turn_position_length_curve"]
     out = {}
     for name in names:
         t0 = time.time()

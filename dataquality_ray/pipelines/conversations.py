@@ -3878,3 +3878,66 @@ def top_duplicated_turns(ds, num_buckets: int = 0):
         "turn_idx": pa.array([r[3] for r in rows], pa.int64()),
         "sample_text": pa.array([r[4] for r in rows], pa.string()),
     })
+
+
+def turn_position_length_curve(ds):
+    """(role, pos_bucket, bucket_lo, n_turns, sum_chars,
+    avg_chars_milli): turn length vs conversation DEPTH — average
+    turn length by role and turn position, positions 0-7 kept exact
+    and deeper positions in power-of-two buckets (8-15, 16-31, ...:
+    bucket = 4 + bit_length(turn_idx), an exact integer — never float
+    log2). The "do turns degrade deep into the conversation"
+    datasheet curve; a drooping assistant line is the signature of
+    context-budget truncation or model fatigue, and it decides
+    whether long-tail turns are worth keeping.
+
+    Zero data shuffle: per-batch vectorized length + bucket partials
+    collapse to (role, bucket) rows; the final aggregate is
+    |roles| x |buckets|."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(["role", "turn_idx", "text"]))
+        ti = df["turn_idx"].to_numpy().astype(np.int64)
+        v = ti.astype(np.uint64)
+        bitlen = np.zeros(len(v), dtype=np.int64)
+        w = v.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            big = w >= np.uint64(1 << shift)
+            bitlen[big] += shift
+            w[big] >>= np.uint64(shift)
+        bitlen[v > 0] += 1
+        bucket = np.where(ti < 8, ti, 4 + bitlen)
+        g = (df.select(
+            role=pl.col("role"),
+            ln=pl.col("text").fill_null("").str.len_chars()
+            .cast(pl.Int64))
+            .with_columns(bucket=pl.Series(bucket))
+            .group_by(["role", "bucket"])
+            .agg(n=pl.len().cast(pl.Int64),
+                 s=pl.col("ln").sum()))
+        return g.to_arrow().cast(pa.schema([
+            ("role", pa.string()), ("bucket", pa.int64()),
+            ("n", pa.int64()), ("s", pa.int64())]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["role", "bucket"])
+           .aggregate(Sum("n", alias_name="n_turns"),
+                      Sum("s", alias_name="sum_chars"))
+           .to_pandas()
+           .sort_values(["role", "bucket"], kind="mergesort"))
+    b = agg["bucket"].to_numpy(dtype=np.int64)
+    n = agg["n_turns"].to_numpy(dtype=np.int64)
+    s = agg["sum_chars"].to_numpy(dtype=np.int64)
+    lo = np.where(b < 8, b, np.int64(1) << (b - 5))
+    return pa.table({
+        "role": pa.array(agg["role"].tolist(), pa.string()),
+        "pos_bucket": pa.array(b),
+        "bucket_lo": pa.array(lo.astype(np.int64)),
+        "n_turns": pa.array(n),
+        "sum_chars": pa.array(s),
+        "avg_chars_milli": pa.array(1000 * s // n, pa.int64()),
+    })

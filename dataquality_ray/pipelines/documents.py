@@ -6915,3 +6915,187 @@ def term_posting_lists(sf_dir: str):
     return (docs.map_batches(partial, batch_format="pyarrow",
                              zero_copy_batch=True)
             .groupby("term").map_groups(merge, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining over embeddings (contrastive training prep)
+# ---------------------------------------------------------------------------
+
+HARD_NEG_K = 5
+
+
+def hard_negative_topk_embeddings(sf_dir: str):
+    """(query_id, query_label, vec_id, neg_label, cosine_sim, rank):
+    hard-negative mining for contrastive training — for each query
+    vector, the top-K most similar vectors with a DIFFERENT label
+    (the negatives closest to the decision boundary, which carry the
+    training signal). Same broadcast + per-batch partial top-k +
+    distributed reduce topology as cosine_topk (the hash-checked
+    ann_topk recipe: normalize-then-dot, round-6, (sim desc, vec_id)
+    ties), with the label constraint applied inside each batch."""
+    from dataquality_ray.stages.similarity import (
+        _as_matrix,
+        _normalize,
+        reduce_topk,
+    )
+
+    ds = _emb(sf_dir)
+    qset = set(int(q) for q in ANN_QUERY_IDS)
+
+    def grab(batch: pa.Table) -> pa.Table:
+        mask = pa.array([int(v) in qset
+                         for v in batch["vec_id"].to_pylist()])
+        return batch.filter(mask)
+
+    q_tab = ds.map_batches(grab, batch_format="pyarrow").to_pandas()
+    q_ids = q_tab["vec_id"].to_numpy(dtype=np.int64)
+    q_lab = q_tab["label"].to_numpy(dtype=np.int64)
+    q_mat = _normalize(np.stack(
+        [np.asarray(e, dtype=np.float64)
+         for e in q_tab["embedding"]]))
+    order = np.argsort(q_ids)
+    q_ids, q_lab, q_mat = q_ids[order], q_lab[order], q_mat[order]
+    ref = ray.put((q_ids, q_lab, q_mat))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids_q, lab_q, mat_q = ray.get(ref)
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        labs = np.asarray(batch["label"].to_pylist(), dtype=np.int64)
+        m = _normalize(_as_matrix(batch["embedding"]))
+        sims = m @ mat_q.T
+        oq, oql, ov, onl, os_ = [], [], [], [], []
+        for qi in range(len(ids_q)):
+            cand = np.flatnonzero(labs != lab_q[qi])
+            if not len(cand):
+                continue
+            col = sims[:, qi]
+            top = cand[np.argsort(-col[cand],
+                                  kind="stable")[:HARD_NEG_K]]
+            oq.extend([int(ids_q[qi])] * len(top))
+            oql.extend([int(lab_q[qi])] * len(top))
+            ov.extend(ids[top].tolist())
+            onl.extend(labs[top].tolist())
+            os_.extend(col[top].tolist())
+        return pa.table({
+            "query_id": pa.array(oq, pa.int64()),
+            "query_label": pa.array(oql, pa.int64()),
+            "vec_id": pa.array(ov, pa.int64()),
+            "neg_label": pa.array(onl, pa.int64()),
+            "cosine_sim": pa.array(os_, pa.float64()),
+        })
+
+    return reduce_topk(
+        ds.map_batches(partial, batch_format="pyarrow"), HARD_NEG_K)
+
+
+# ---------------------------------------------------------------------------
+# k-NN label probe (embedding-quality evaluation)
+# ---------------------------------------------------------------------------
+
+KNN_PROBE_N = 64
+
+
+def knn_label_probe(sf_dir: str):
+    """(query_label, nn_label, n_queries): 1-nearest-neighbor label
+    confusion over a BOUNDED deterministic probe set — the cheap
+    "are these embeddings any good" evaluation: pick the
+    KNN_PROBE_N vectors with the smallest frozen md5-u64(str(vec_id))
+    (a fixed-size sample at any corpus scale, unlike a fixed-RATE
+    sample whose query count grows with the corpus), find each
+    probe's nearest other vector, and tabulate query-label vs
+    neighbor-label on the dense label grid (the empty-result spine
+    rule). High diagonal mass = labels are linearly recoverable from
+    the embedding geometry.
+
+    Shape: probe selection is a per-batch smallest-N pre-reduce
+    (#batches * N rows to the driver); scoring is one broadcast scan
+    with per-batch top-1 partials and the distributed reduce_topk
+    fold; the confusion aggregate is |labels|^2."""
+    from dataquality_ray.spec import token_hash_u64
+    from dataquality_ray.stages.similarity import (
+        _as_matrix,
+        _normalize,
+        reduce_topk,
+    )
+
+    ds = _emb(sf_dir)
+
+    def probe_partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        hv = np.fromiter((token_hash_u64(str(i)) for i in ids),
+                         dtype=np.uint64, count=len(ids))
+        top = np.lexsort((ids, hv))[:KNN_PROBE_N]
+        return pa.table({
+            "vec_id": pa.array(ids[top]),
+            "hv": pa.array(hv[top].view(np.int64)),
+        })
+
+    cand = (ds.map_batches(probe_partial, batch_format="pyarrow")
+            .to_pandas())
+    hv = cand["hv"].to_numpy().view(np.uint64)
+    ids = cand["vec_id"].to_numpy(dtype=np.int64)
+    probe_ids = set(
+        ids[np.lexsort((ids, hv))[:KNN_PROBE_N]].tolist())
+
+    def grab(batch: pa.Table) -> pa.Table:
+        mask = pa.array([int(v) in probe_ids
+                         for v in batch["vec_id"].to_pylist()])
+        return batch.filter(mask)
+
+    q_tab = ds.map_batches(grab, batch_format="pyarrow").to_pandas()
+    q_ids = q_tab["vec_id"].to_numpy(dtype=np.int64)
+    q_lab = q_tab["label"].to_numpy(dtype=np.int64)
+    q_mat = _normalize(np.stack(
+        [np.asarray(e, dtype=np.float64)
+         for e in q_tab["embedding"]]))
+    order = np.argsort(q_ids)
+    q_ids, q_lab, q_mat = q_ids[order], q_lab[order], q_mat[order]
+    qlab_of = dict(zip(q_ids.tolist(), q_lab.tolist()))
+    ref = ray.put((q_ids, q_mat))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids_q, mat_q = ray.get(ref)
+        ids = np.asarray(batch["vec_id"].to_pylist(), dtype=np.int64)
+        labs = np.asarray(batch["label"].to_pylist(), dtype=np.int64)
+        m = _normalize(_as_matrix(batch["embedding"]))
+        sims = m @ mat_q.T
+        oq, ov, onl, os_ = [], [], [], []
+        for qi in range(len(ids_q)):
+            cand_i = np.flatnonzero(ids != ids_q[qi])
+            if not len(cand_i):
+                continue
+            col = sims[:, qi]
+            top = cand_i[np.argsort(-col[cand_i], kind="stable")[:1]]
+            oq.extend([int(ids_q[qi])] * len(top))
+            ov.extend(ids[top].tolist())
+            onl.extend(labs[top].tolist())
+            os_.extend(col[top].tolist())
+        return pa.table({
+            "query_id": pa.array(oq, pa.int64()),
+            "vec_id": pa.array(ov, pa.int64()),
+            "nn_label": pa.array(onl, pa.int64()),
+            "cosine_sim": pa.array(os_, pa.float64()),
+        })
+
+    nn = reduce_topk(
+        ds.map_batches(partial, batch_format="pyarrow"), 1) \
+        .to_pandas()
+    nn["query_label"] = nn["query_id"].map(qlab_of).astype(np.int64)
+
+    def lab_partial(batch: pa.Table) -> pa.Table:
+        v = np.unique(np.asarray(batch["label"].to_pylist(),
+                                 dtype=np.int64))
+        return pa.table({"label": pa.array(v)})
+
+    labels = sorted(set(
+        ds.map_batches(lab_partial, batch_format="pyarrow")
+        .to_pandas()["label"].tolist()))
+    got = (nn.groupby(["query_label", "nn_label"])
+           .size().to_dict())
+    rows = [(a, b, int(got.get((a, b), 0)))
+            for a in labels for b in labels]
+    return pa.table({
+        "query_label": pa.array([r[0] for r in rows], pa.int64()),
+        "nn_label": pa.array([r[1] for r in rows], pa.int64()),
+        "n_queries": pa.array([r[2] for r in rows], pa.int64()),
+    })

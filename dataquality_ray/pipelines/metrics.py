@@ -1813,3 +1813,59 @@ def hll_users_cumulative_daily(sf_dir: str):
         "reg": pa.array(np.tile(np.arange(m, dtype=np.int64), nd)),
         "rho": pa.array(mat.reshape(-1)),
     })
+
+
+def event_disorder_stats(sf_dir: str, num_buckets: int = 0):
+    """(user_id, n_events, n_late, max_late_us): out-of-order arrival
+    audit per user — in ARRIVAL order (event_id ascending), count
+    events whose timestamp is behind the user's running max and the
+    worst lateness in microseconds. This is the watermark-planning
+    stat for any streaming ingest (what allowed-lateness must a
+    tumbling window tolerate before it drops data?).
+
+    Shape: ONE user-bucket shuffle of slim (user, event_id, t) rows;
+    the running max is a bucket-local vectorized pandas groupby
+    cummax over (user, event_id)-sorted rows (each user lives in
+    exactly one bucket), then a per-user fold — no corpus-sized
+    aggregate, no keyed polars window."""
+    num_buckets = num_buckets or cluster_buckets(minimum=32)
+    ds = _events(sf_dir, columns=["event_id", "ts", "user_id"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = batch["user_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "bucket": pa.array((u % num_buckets).astype(np.int32)),
+            "user_id": batch["user_id"],
+            "event_id": batch["event_id"],
+            "t": batch["ts"].cast(pa.int64()),
+        })
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["user_id", "event_id"],
+                            kind="mergesort").reset_index(drop=True)
+        t = df["t"].to_numpy(dtype=np.int64)
+        cm = df.groupby("user_id", sort=False)["t"].cummax() \
+            .to_numpy(dtype=np.int64)
+        prev = np.empty_like(cm)
+        prev[0] = 0
+        prev[1:] = cm[:-1]
+        u = df["user_id"].to_numpy()
+        is_start = np.empty(len(u), dtype=bool)
+        is_start[0] = True
+        is_start[1:] = u[1:] != u[:-1]
+        late = (~is_start) & (t < prev)
+        amt = np.where(late, prev - t, 0)
+        g = (pd.DataFrame({"user_id": u,
+                           "late": late.astype(np.int64),
+                           "amt": amt})
+             .groupby("user_id", sort=False)
+             .agg(n_events=("late", "size"),
+                  n_late=("late", "sum"),
+                  max_late_us=("amt", "max"))
+             .reset_index())
+        return g
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket")
+            .map_groups(scan, batch_format="pandas"))

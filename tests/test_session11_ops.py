@@ -336,3 +336,105 @@ def test_posting_lists_cap_and_spine(ray_session, tmp_path):
     assert j.df == 2 and j.posting_head == "100,101"
     s = out.loc["stream"]
     assert s.df == 0 and s.posting_head == ""
+
+
+# --- event_disorder_stats ---------------------------------------------------
+
+def test_disorder_lateness_vs_running_max(ray_session, tmp_path):
+    from dataquality_ray.pipelines.metrics import event_disorder_stats
+    # arrival order = event_id; user 1: ts 10, 5, 20, 7 (days) ->
+    # late at 5 (5 behind 10) and at 7 (13 behind 20); user 2 ordered
+    rows = [(1, 10), (1, 5), (1, 20), (1, 7), (2, 1), (2, 2)]
+    out = (event_disorder_stats(_write_events(tmp_path, rows),
+                                num_buckets=4)
+           .to_pandas().set_index("user_id").sort_index())
+    day = 86_400_000_000
+    u1 = out.loc[1]
+    assert u1.n_events == 4 and u1.n_late == 2
+    assert u1.max_late_us == 13 * day
+    u2 = out.loc[2]
+    assert u2.n_events == 2 and u2.n_late == 0 and u2.max_late_us == 0
+
+
+# --- hard_negative_topk_embeddings / knn_label_probe ------------------------
+
+def _write_embeddings(tmp_path, rows):
+    """rows: (vec_id, label, vec)."""
+    t = pa.table({
+        "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+        "embedding": pa.array([list(map(float, r[2])) for r in rows],
+                              pa.list_(pa.float32())),
+        "label": pa.array([r[1] for r in rows], pa.int32()),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    return str(tmp_path)
+
+
+def test_hard_negatives_exclude_same_label(ray_session, tmp_path):
+    from dataquality_ray.pipelines.documents import (
+        hard_negative_topk_embeddings,
+    )
+    # query 0 (label 0) is closest to vec 10 (same label: excluded);
+    # hard negatives must be the label-1 vectors by similarity
+    rows = [
+        (0, 0, [1.0, 0.0]),
+        (10, 0, [0.99, 0.14]),          # same label: never a negative
+        (20, 1, [0.9, 0.43]),           # best different-label
+        (21, 1, [0.0, 1.0]),            # orthogonal
+        (1, 0, [0.0, 1.0]), (2, 0, [1.0, 0.0]),
+        (3, 0, [0.5, 0.5]), (4, 0, [0.1, 0.9]),
+    ]
+    out = (hard_negative_topk_embeddings(
+        _write_embeddings(tmp_path, rows)).to_pandas())
+    q0 = out[out.query_id == 0].sort_values("rank")
+    assert 10 not in set(q0.vec_id)
+    assert (q0.neg_label != 0).all()
+    assert q0.iloc[0].vec_id == 20
+    assert q0.iloc[0]["rank"] == 1
+
+
+def test_knn_probe_grid_and_diagonal(ray_session, tmp_path):
+    from dataquality_ray.pipelines.documents import (
+        KNN_PROBE_N,
+        knn_label_probe,
+    )
+    # two tight clusters, one per label: every probe's 1-NN shares
+    # its label -> all mass on the diagonal of the dense 2x2 grid
+    rows = [(i, 0, [1.0, 0.001 * i]) for i in range(8)]
+    rows += [(100 + i, 1, [0.001 * i, 1.0]) for i in range(8)]
+    out = (knn_label_probe(_write_embeddings(tmp_path, rows))
+           .to_pandas())
+    assert len(out) == 4                          # dense 2x2 spine
+    n = min(len(rows), KNN_PROBE_N)
+    assert out.n_queries.sum() == n
+    off = out[(out.query_label != out.nn_label)]
+    assert (off.n_queries == 0).all()
+
+
+# --- turn_position_length_curve ---------------------------------------------
+
+def test_position_curve_buckets_and_avgs(ray_session, tmp_path):
+    from dataquality_ray.pipelines.conversations import (
+        turn_position_length_curve,
+    )
+    import ray as _ray
+    base = np.datetime64("2025-12-31T00:00:00", "us").astype(np.int64)
+    # positions 0..7 exact buckets; 8..15 -> bucket 8; 16 -> bucket 9
+    rows = [("c", i, "user", "x" * (i + 1)) for i in range(17)]
+    turns = pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows], pa.string()),
+        "text": pa.array([r[3] for r in rows], pa.string()),
+        "ts": pa.array(np.full(len(rows), base,
+                               dtype=np.int64).view("datetime64[us]")),
+    })
+    out = (turn_position_length_curve(_ray.data.from_arrow(turns))
+        .to_pandas().set_index("pos_bucket").sort_index())
+    assert list(out.index) == list(range(10))
+    assert out.loc[3].bucket_lo == 3 and out.loc[3].n_turns == 1
+    assert out.loc[3].avg_chars_milli == 4000
+    b8 = out.loc[8]                               # positions 8..15
+    assert b8.bucket_lo == 8 and b8.n_turns == 8
+    assert b8.sum_chars == sum(range(9, 17))
+    assert out.loc[9].bucket_lo == 16 and out.loc[9].n_turns == 1
