@@ -754,6 +754,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_label_probe": D.knn_label_probe,
         # turn length vs conversation depth (exact 0-7, pow2 deeper)
         "turn_position_length_curve": _turn_position_length_curve_q,
+        # content-defined chunking (token-level rsync/LBFS rule):
+        # per-doc chunk geometry for shift-resistant dedup storage
+        "cdc_chunk_documents": D.cdc_chunk_documents,
+        # SFT instruction-following audit: did the assistant comply
+        # with the requested output format? (fixed kind spine)
+        "format_compliance_turns": _format_compliance_turns_q,
     }
 
 
@@ -958,6 +964,13 @@ def _turn_position_length_curve_q(sf_dir: str):
         turn_position_length_curve
     return turn_position_length_curve(_transcript_ds(
         sf_dir, columns=["role", "turn_idx", "text"]))
+
+
+def _format_compliance_turns_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import \
+        format_compliance_turns
+    return format_compliance_turns(_transcript_ds(
+        sf_dir, columns=["conv_id", "turn_idx", "role", "text"]))
 
 
 def _conv_lang_switches_q(sf_dir: str):
@@ -6506,5 +6519,77 @@ SELECT role, pos_bucket,
   n_turns, sum_chars,
   CAST(1000 * sum_chars // n_turns AS BIGINT) AS avg_chars_milli
 FROM g
+"""
+    from dataquality_ray.pipelines.documents import (
+        CDC_MOD as _CDC_MOD,
+    )
+    # token-level content-defined chunking: boundary AFTER tokens
+    # whose frozen md5-u64 hash is 0 mod CDC_MOD; ends = boundary
+    # positions plus the trailing end when the last token is not a
+    # boundary; chunk lengths = within-doc diffs
+    sql["cdc_chunk_documents"] = f"""
+WITH t AS (
+  SELECT doc_id,
+    regexp_extract_all(lower(COALESCE(text, '')), '{_TOK}') AS ts
+  FROM documents),
+b AS (
+  SELECT doc_id, len(ts) AS n,
+    list_filter(generate_series(1, len(ts)),
+      i -> md5_number_upper(ts[i]) % {_CDC_MOD} = 0) AS bp
+  FROM t),
+c AS (
+  SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, bp,
+    CASE WHEN n = 0 THEN CAST([] AS BIGINT[])
+         WHEN len(bp) > 0 AND bp[len(bp)] = n THEN bp
+         ELSE list_append(bp, CAST(n AS BIGINT)) END AS ends
+  FROM b)
+SELECT doc_id, n_tokens,
+  CAST(len(ends) AS BIGINT) AS n_chunks,
+  CAST(CASE WHEN len(bp) > 0 THEN bp[1] - 1 ELSE -1 END AS BIGINT)
+    AS first_boundary,
+  CAST(COALESCE(list_max(list_transform(
+    generate_series(1, len(ends)),
+    j -> ends[j] - CASE WHEN j = 1 THEN 0 ELSE ends[j - 1] END)),
+    0) AS BIGINT) AS max_chunk_tokens,
+  CAST(CASE WHEN len(ends) > 0 THEN 1000 * n_tokens // len(ends)
+       ELSE 0 END AS BIGINT) AS avg_chunk_tokens_milli
+FROM c
+"""
+    # instruction-format compliance: user turn requesting a format,
+    # next turn an assistant reply containing the marker; fixed
+    # 3-kind spine
+    sql["format_compliance_turns"] = f"""
+WITH o AS (
+  SELECT conv_id, role, COALESCE(text, '') AS txt,
+    lead(role) OVER w AS nrole,
+    lead(COALESCE(text, '')) OVER w AS ntxt
+  FROM read_parquet('{_tr_glob}')
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+p AS (
+  SELECT lower(txt) AS u, ntxt AS a FROM o
+  WHERE role = 'user' AND nrole = 'assistant'),
+k AS (
+  SELECT 'json' AS kind,
+    CAST(COUNT(*) FILTER (WHERE contains(u, 'json')) AS BIGINT)
+      AS nr,
+    CAST(COUNT(*) FILTER (WHERE contains(u, 'json')
+                          AND contains(a, '{{')) AS BIGINT) AS nc
+  FROM p
+  UNION ALL
+  SELECT 'list',
+    CAST(COUNT(*) FILTER (WHERE contains(u, 'list')) AS BIGINT),
+    CAST(COUNT(*) FILTER (WHERE contains(u, 'list')
+      AND contains(a, chr(10) || '-')) AS BIGINT)
+  FROM p
+  UNION ALL
+  SELECT 'code',
+    CAST(COUNT(*) FILTER (WHERE contains(u, 'code')) AS BIGINT),
+    CAST(COUNT(*) FILTER (WHERE contains(u, 'code')
+      AND contains(a, '```')) AS BIGINT)
+  FROM p)
+SELECT kind, nr AS n_requests, nc AS n_compliant,
+  CAST(nc * 1000000 // GREATEST(nr, 1) AS BIGINT)
+    AS compliance_ppm
+FROM k
 """
     return sql

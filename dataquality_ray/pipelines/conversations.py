@@ -3941,3 +3941,93 @@ def turn_position_length_curve(ds):
         "sum_chars": pa.array(s),
         "avg_chars_milli": pa.array(1000 * s // n, pa.int64()),
     })
+
+
+# Instruction-format compliance kinds: (kind, request substring in the
+# lowercased user turn, compliance marker in the following assistant
+# turn). Interpolated into the oracle; the marker set is deliberately
+# literal-substring (RE2/Python/polars-neutral).
+FORMAT_KINDS = (
+    ("json", "json", "{"),
+    ("list", "list", "\n-"),
+    ("code", "code", "```"),
+)
+
+
+def format_compliance_turns(ds, num_buckets: int = 0):
+    """(kind, n_requests, n_compliant, compliance_ppm):
+    instruction-format compliance — for every user turn whose text
+    requests a format (contains 'json'/'list'/'code') and whose NEXT
+    turn in the conversation is an assistant turn, did the assistant
+    reply contain the corresponding structural marker ('{' / a
+    newline-dash bullet / a code fence)? The SFT instruction-following
+    audit: a corpus with many format requests and near-zero marker
+    compliance teaches format-ignoring behavior. Fixed 3-row kind
+    spine on both engines (the empty-result rule).
+
+    Shape: ONE conv-bucket shuffle; the (user turn -> next turn) pair
+    scan is the pinned bucket-local shape — sort once, whole-frame
+    shift(-1) + same-conv mask, flag COLUMNS, plain sums (never a
+    keyed window)."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+    from dataquality_ray.arrowutil import md5_digests
+
+    num_buckets = num_buckets or cluster_buckets(minimum=32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["conv_id", "turn_idx", "role", "text"])
+        digs = md5_digests(t["conv_id"].combine_chunks()
+                           if isinstance(t["conv_id"], pa.ChunkedArray)
+                           else t["conv_id"])
+        b = (np.frombuffer(b"".join(digs), dtype="<u8")
+             .reshape(-1, 2)[:, 0] % num_buckets).astype(np.int32) \
+            if digs else np.zeros(0, dtype=np.int32)
+        return t.append_column("bucket", pa.array(b))
+
+    def scan(t: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(t.select(
+            ["conv_id", "turn_idx", "role", "text"]))
+            .sort(["conv_id", "turn_idx"]))
+        nxt_role = df["role"].shift(-1)
+        nxt_text = df["text"].shift(-1)
+        nxt_conv = df["conv_id"].shift(-1)
+        same = (df["conv_id"] == nxt_conv).fill_null(False)
+        pair = same & (df["role"] == "user") & \
+            (nxt_role == "assistant")
+        low = df["text"].fill_null("").str.to_lowercase()
+        nxt = nxt_text.fill_null("")
+        rows = []
+        for kind, req, marker in FORMAT_KINDS:
+            is_req = pair & low.str.contains(req, literal=True)
+            ok = is_req & nxt.str.contains(marker, literal=True)
+            rows.append((kind, int(is_req.sum()), int(ok.sum())))
+        return pa.table({
+            "kind": pa.array([r[0] for r in rows], pa.string()),
+            "nr": pa.array([r[1] for r in rows], pa.int64()),
+            "nc": pa.array([r[2] for r in rows], pa.int64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("bucket").map_groups(scan, batch_format="pyarrow")
+           .groupby("kind")
+           .aggregate(Sum("nr", alias_name="n_requests"),
+                      Sum("nc", alias_name="n_compliant"))
+           .to_pandas())
+    got = {k: (0, 0) for k, _, _ in FORMAT_KINDS}
+    for k, nr, nc in zip(agg["kind"], agg["n_requests"],
+                         agg["n_compliant"]):
+        got[k] = (int(nr), int(nc))
+    kinds = [k for k, _, _ in FORMAT_KINDS]
+    nr = [got[k][0] for k in kinds]
+    nc = [got[k][1] for k in kinds]
+    return pa.table({
+        "kind": pa.array(kinds, pa.string()),
+        "n_requests": pa.array(nr, pa.int64()),
+        "n_compliant": pa.array(nc, pa.int64()),
+        "compliance_ppm": pa.array(
+            [c * 1_000_000 // max(r, 1) for r, c in zip(nr, nc)],
+            pa.int64()),
+    })

@@ -7099,3 +7099,114 @@ def knn_label_probe(sf_dir: str):
         "nn_label": pa.array([r[1] for r in rows], pa.int64()),
         "n_queries": pa.array([r[2] for r in rows], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (token-level CDC, rsync/LBFS rule)
+# ---------------------------------------------------------------------------
+
+CDC_MOD = 16    # expected chunk length = CDC_MOD tokens
+
+
+def cdc_chunk_documents(sf_dir: str):
+    """(doc_id, n_tokens, n_chunks, first_boundary,
+    max_chunk_tokens, avg_chunk_tokens_milli): content-defined
+    chunking — a chunk boundary falls AFTER every token whose frozen
+    md5-u64 hash is ≡ 0 (mod CDC_MOD), the rsync/LBFS rule at token
+    granularity: insertions shift at most the chunk they land in, so
+    chunk hashes are the shift-resistant dedup unit (fixed-stride
+    chunking breaks every downstream chunk). Emits the per-doc chunk
+    geometry a CDC-dedup store plans with; first_boundary is the
+    0-based position of the first boundary token (-1 if none).
+
+    Zero shuffle: boundary detection and the per-doc segment fold are
+    batch-local (fused row-local rule) — exploded token hashes,
+    numpy segment arithmetic (reduceat over doc ranges), no Python
+    per-row loop."""
+    from dataquality_ray.arrowutil import md5_digests
+
+    docs = _docs(sf_dir, columns=["doc_id", "text"])
+
+    def scan(batch: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(batch.select(["doc_id", "text"]))
+              .with_columns(toks=pl.col("text").fill_null("")
+                            .str.to_lowercase()
+                            .str.extract_all(TOKEN_PATTERN)))
+        ids = df["doc_id"].to_numpy().astype(np.int64)
+        nt = df["toks"].list.len().fill_null(0).to_numpy() \
+            .astype(np.int64)
+        e = (df.select("toks").with_row_index("rid")
+             .explode("toks").drop_nulls("toks"))
+        n_docs = len(ids)
+        out_nt = nt
+        out_nc = np.zeros(n_docs, dtype=np.int64)
+        out_fb = np.full(n_docs, -1, dtype=np.int64)
+        out_mx = np.zeros(n_docs, dtype=np.int64)
+        if len(e):
+            rid = e["rid"].to_numpy().astype(np.int64)
+            digs = md5_digests(e["toks"].to_arrow())
+            hh = np.frombuffer(b"".join(digs),
+                               dtype="<u8").reshape(-1, 2)[:, 0]
+            bnd = (hh % CDC_MOD) == 0
+            # position within doc (contiguous rid runs)
+            starts = np.zeros(len(rid), dtype=np.int64)
+            change = np.flatnonzero(rid[1:] != rid[:-1]) + 1
+            starts[change] = change
+            np.maximum.accumulate(starts, out=starts)
+            pos = np.arange(len(rid), dtype=np.int64) - starts
+            doc_starts = np.zeros(n_docs, dtype=np.int64)
+            present = np.flatnonzero(nt > 0)
+            doc_starts[present] = np.concatenate(
+                ([0], np.cumsum(nt[present])[:-1]))
+            # boundary count + first boundary per doc
+            red = np.add.reduceat(bnd.astype(np.int64),
+                                  doc_starts[present])
+            out_nc[present] = red
+            fb = np.full(len(present), -1, dtype=np.int64)
+            bidx = np.flatnonzero(bnd)
+            if len(bidx):
+                first = np.searchsorted(bidx, doc_starts[present])
+                ends = doc_starts[present] + nt[present]
+                has = (first < len(bidx)) & \
+                    (bidx[np.minimum(first, len(bidx) - 1)]
+                     < ends)
+                fb[has] = pos[bidx[np.minimum(
+                    first, len(bidx) - 1)][has]]
+            out_fb[present] = fb
+            # trailing partial chunk: last token of the doc is not a
+            # boundary -> one extra chunk
+            last_idx = doc_starts[present] + nt[present] - 1
+            trailing = ~bnd[last_idx]
+            out_nc[present] += trailing.astype(np.int64)
+            # max chunk length: segment ends = boundary pos+1 plus
+            # (for docs whose last token is not a boundary) the
+            # trailing end nt; chunk lengths = within-doc diffs from 0
+            end_rid = np.concatenate((rid[bnd], present[trailing]))
+            end_val = np.concatenate((pos[bnd] + 1,
+                                      nt[present][trailing]))
+            order = np.lexsort((end_val, end_rid))
+            er, ev = end_rid[order], end_val[order]
+            if len(er):
+                prev = np.zeros(len(ev), dtype=np.int64)
+                prev[1:] = ev[:-1]
+                seg_start = np.empty(len(er), dtype=bool)
+                seg_start[0] = True
+                seg_start[1:] = er[1:] != er[:-1]
+                prev[seg_start] = 0
+                lengths = ev - prev
+                grp = np.flatnonzero(seg_start)
+                mx = np.maximum.reduceat(lengths, grp)
+                out_mx[er[grp]] = mx
+        avg = np.where(out_nc > 0, 1000 * out_nt //
+                       np.maximum(out_nc, 1), 0)
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_tokens": pa.array(out_nt),
+            "n_chunks": pa.array(out_nc),
+            "first_boundary": pa.array(out_fb),
+            "max_chunk_tokens": pa.array(out_mx),
+            "avg_chunk_tokens_milli": pa.array(avg.astype(np.int64)),
+        })
+
+    return docs.map_batches(scan, batch_format="pyarrow",
+                            zero_copy_batch=True)

@@ -438,3 +438,82 @@ def test_position_curve_buckets_and_avgs(ray_session, tmp_path):
     assert b8.bucket_lo == 8 and b8.n_turns == 8
     assert b8.sum_chars == sum(range(9, 17))
     assert out.loc[9].bucket_lo == 16 and out.loc[9].n_turns == 1
+
+
+# --- cdc_chunk_documents ----------------------------------------------------
+
+def test_cdc_geometry_vs_bruteforce(ray_session, tmp_path):
+    from dataquality_ray.pipelines.documents import (
+        CDC_MOD,
+        cdc_chunk_documents,
+    )
+    from dataquality_ray.spec import TOKEN_PATTERN, token_hash_u64
+    import re
+    rows = [(i, "s", " ".join(f"w{j}" for j in range(i * 3)))
+            for i in range(12)]           # includes a 0-token doc
+    rows.append((50, "s", ""))
+    rows.append((51, "s", None))
+    out = (cdc_chunk_documents(_write_docs(
+        tmp_path, [(i, s, t if t is not None else None)
+                   for i, s, t in rows]))
+        .to_pandas().set_index("doc_id").sort_index())
+    for i, _, text in rows:
+        toks = re.findall(TOKEN_PATTERN, (text or "").lower())
+        bnd = [p for p, t in enumerate(toks)
+               if token_hash_u64(t) % CDC_MOD == 0]
+        ends = [p + 1 for p in bnd]
+        if toks and (not ends or ends[-1] != len(toks)):
+            ends.append(len(toks))
+        lengths = [e - s for s, e in zip([0] + ends[:-1], ends)]
+        r = out.loc[i]
+        assert r.n_tokens == len(toks)
+        assert r.n_chunks == len(ends)
+        assert r.first_boundary == (bnd[0] if bnd else -1)
+        assert r.max_chunk_tokens == (max(lengths) if lengths else 0)
+        assert r.avg_chunk_tokens_milli == (
+            1000 * len(toks) // len(ends) if ends else 0)
+
+
+# --- format_compliance_turns ------------------------------------------------
+
+def test_format_compliance_pairs_and_spine(ray_session, tmp_path):
+    from dataquality_ray.pipelines.conversations import (
+        format_compliance_turns,
+    )
+    import ray as _ray
+    base = np.datetime64("2025-12-31T00:00:00", "us").astype(np.int64)
+    rows = [
+        # compliant json pair
+        ("c1", 0, "user", "give me JSON please"),
+        ("c1", 1, "assistant", 'sure: {"a": 1}'),
+        # json request, non-compliant reply
+        ("c1", 2, "user", "more json"),
+        ("c1", 3, "assistant", "here you go, no braces"),
+        # list request followed by a TOOL turn: not a counted pair
+        ("c2", 0, "user", "make a list"),
+        ("c2", 1, "tool", "irrelevant"),
+        # compliant list pair (newline-dash marker)
+        ("c2", 2, "user", "a list again"),
+        ("c2", 3, "assistant", "sure:\n- one\n- two"),
+        # trailing user request with no next turn: not counted
+        ("c2", 4, "user", "json?"),
+    ]
+    turns = pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows], pa.string()),
+        "text": pa.array([r[3] for r in rows], pa.string()),
+        "ts": pa.array(np.full(len(rows), base,
+                               dtype=np.int64).view("datetime64[us]")),
+    })
+    out = (format_compliance_turns(_ray.data.from_arrow(turns),
+                                   num_buckets=4)
+           .to_pandas().set_index("kind"))
+    assert sorted(out.index) == ["code", "json", "list"]
+    j = out.loc["json"]
+    assert j.n_requests == 2 and j.n_compliant == 1
+    assert j.compliance_ppm == 500_000
+    l = out.loc["list"]
+    assert l.n_requests == 1 and l.n_compliant == 1
+    c = out.loc["code"]                      # spine row
+    assert c.n_requests == 0 and c.compliance_ppm == 0
