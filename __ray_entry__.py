@@ -760,6 +760,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # SFT instruction-following audit: did the assistant comply
         # with the requested output format? (fixed kind spine)
         "format_compliance_turns": _format_compliance_turns_q,
+        # multi-round distributed BPE trainer (word-frequency
+        # formulation; one corpus pass, K vocab-sized merge rounds)
+        "bpe_train_merges": D.bpe_train_merges,
     }
 
 
@@ -6592,4 +6595,48 @@ SELECT kind, nr AS n_requests, nc AS n_compliant,
     AS compliance_ppm
 FROM k
 """
+    from dataquality_ray.pipelines.documents import (
+        BPE_APPLY_PASSES as _BPE_P,
+        BPE_TRAIN_ROUNDS as _BPE_R,
+    )
+    # multi-round BPE trainer, unrolled: each round r is three CTEs
+    # (weighted pair counts over the current symbol strings, the
+    # argmax pair, the merge application as _BPE_P nested literal
+    # replaces — the exact semantic the Ray side pins). Empty-pair
+    # rounds degrade to a never-matching chr(0) pattern.
+    _bpe_ctes = [f"""wf AS MATERIALIZED (
+  SELECT tok AS word, CAST(COUNT(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(regexp_extract_all(
+    lower(COALESCE(text, '')), '{_TOK}')) AS tok FROM documents)
+  GROUP BY 1),
+w0 AS MATERIALIZED (
+  SELECT ' ' || array_to_string(regexp_extract_all(word, '.'), ' ')
+    || ' ' AS sp, freq
+  FROM wf)"""]
+    for _r in range(1, _BPE_R + 1):
+        _pv = f"w{_r - 1}"
+        _pat = (f"COALESCE((SELECT ' ' || a || ' ' || b || ' ' "
+                f"FROM b{_r}), chr(0))")
+        _rep = (f"COALESCE((SELECT ' ' || a || b || ' ' "
+                f"FROM b{_r}), '')")
+        _expr = "sp"
+        for _ in range(_BPE_P):
+            _expr = f"replace({_expr}, {_pat}, {_rep})"
+        _bpe_ctes.append(f"""p{_r} AS MATERIALIZED (
+  SELECT a, b, CAST(SUM(freq) AS BIGINT) AS c FROM (
+    SELECT freq, unnest(list_transform(
+      generate_series(1, len(sy) - 1),
+      i -> {{'a': sy[i], 'b': sy[i + 1]}}), recursive := true)
+    FROM (SELECT string_split(trim(sp, ' '), ' ') AS sy, freq
+          FROM {_pv}))
+  GROUP BY 1, 2),
+b{_r} AS MATERIALIZED (
+  SELECT a, b, c FROM p{_r} ORDER BY c DESC, a, b LIMIT 1),
+w{_r} AS MATERIALIZED (SELECT {_expr} AS sp, freq FROM {_pv})""")
+    _bpe_sel = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, a AS sym_a, "
+        f"b AS sym_b, a || b AS merged, c AS pair_count FROM b{r}"
+        for r in range(1, _BPE_R + 1))
+    sql["bpe_train_merges"] = ("WITH " + ",\n".join(_bpe_ctes)
+                               + "\n" + _bpe_sel)
     return sql

@@ -157,7 +157,8 @@ def _query_benches(sf_dir: str) -> dict:
              "token_budget_plan", "term_posting_lists",
              "event_disorder_stats", "hard_negative_topk_embeddings",
              "knn_label_probe", "turn_position_length_curve",
-             "cdc_chunk_documents", "format_compliance_turns"]
+             "cdc_chunk_documents", "format_compliance_turns",
+             "bpe_train_merges"]
     out = {}
     for name in names:
         t0 = time.time()

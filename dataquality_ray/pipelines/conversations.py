@@ -3965,10 +3965,13 @@ def format_compliance_turns(ds, num_buckets: int = 0):
     compliance teaches format-ignoring behavior. Fixed 3-row kind
     spine on both engines (the empty-result rule).
 
-    Shape: ONE conv-bucket shuffle; the (user turn -> next turn) pair
-    scan is the pinned bucket-local shape — sort once, whole-frame
-    shift(-1) + same-conv mask, flag COLUMNS, plain sums (never a
-    keyed window)."""
+    Shape: the substring tests are evaluated batch-locally and only
+    slim (conv_id, turn_idx, role flags, two 3-bit masks) rows ride
+    the ONE conv-bucket shuffle — never the text (measured: shipping
+    text cost 28.6 s at sf0.1/32; the flag exchange ~7 s). The
+    (user turn -> next turn) pair scan is the pinned bucket-local
+    shape — sort once, whole-frame shift(-1) + same-conv mask, flag
+    columns, plain sums (never a keyed window)."""
     import polars as pl
 
     from ray.data.aggregate import Sum
@@ -3978,30 +3981,49 @@ def format_compliance_turns(ds, num_buckets: int = 0):
 
     def partial(batch: pa.Table) -> pa.Table:
         t = batch.select(["conv_id", "turn_idx", "role", "text"])
-        digs = md5_digests(t["conv_id"].combine_chunks()
-                           if isinstance(t["conv_id"], pa.ChunkedArray)
-                           else t["conv_id"])
+        df = pl.from_arrow(t)
+        low = df["text"].fill_null("").str.to_lowercase()
+        raw = df["text"].fill_null("")
+        req = np.zeros(len(df), dtype=np.int8)
+        mark = np.zeros(len(df), dtype=np.int8)
+        for bit, (_, rq, mk) in enumerate(FORMAT_KINDS):
+            req |= (low.str.contains(rq, literal=True)
+                    .to_numpy().astype(np.int8) << bit)
+            mark |= (raw.str.contains(mk, literal=True)
+                     .to_numpy().astype(np.int8) << bit)
+        conv = t["conv_id"].combine_chunks() \
+            if isinstance(t["conv_id"], pa.ChunkedArray) \
+            else t["conv_id"]
+        digs = md5_digests(conv)
         b = (np.frombuffer(b"".join(digs), dtype="<u8")
              .reshape(-1, 2)[:, 0] % num_buckets).astype(np.int32) \
             if digs else np.zeros(0, dtype=np.int32)
-        return t.append_column("bucket", pa.array(b))
+        role = df["role"].to_numpy()
+        return pa.table({
+            "bucket": pa.array(b),
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"].cast(pa.int64()),
+            "is_user": pa.array(role == "user"),
+            "is_asst": pa.array(role == "assistant"),
+            "req": pa.array(req),
+            "mark": pa.array(mark),
+        })
 
     def scan(t: pa.Table) -> pa.Table:
         df = (pl.from_arrow(t.select(
-            ["conv_id", "turn_idx", "role", "text"]))
+            ["conv_id", "turn_idx", "is_user", "is_asst",
+             "req", "mark"]))
             .sort(["conv_id", "turn_idx"]))
-        nxt_role = df["role"].shift(-1)
-        nxt_text = df["text"].shift(-1)
-        nxt_conv = df["conv_id"].shift(-1)
-        same = (df["conv_id"] == nxt_conv).fill_null(False)
-        pair = same & (df["role"] == "user") & \
-            (nxt_role == "assistant")
-        low = df["text"].fill_null("").str.to_lowercase()
-        nxt = nxt_text.fill_null("")
+        nxt_asst = df["is_asst"].shift(-1).fill_null(False)
+        nxt_mark = df["mark"].shift(-1).fill_null(0).to_numpy()
+        same = (df["conv_id"] == df["conv_id"].shift(-1)) \
+            .fill_null(False)
+        pair = (same & df["is_user"] & nxt_asst).to_numpy()
+        req = df["req"].to_numpy()
         rows = []
-        for kind, req, marker in FORMAT_KINDS:
-            is_req = pair & low.str.contains(req, literal=True)
-            ok = is_req & nxt.str.contains(marker, literal=True)
+        for bit, (kind, _, _) in enumerate(FORMAT_KINDS):
+            is_req = pair & ((req >> bit) & 1).astype(bool)
+            ok = is_req & ((nxt_mark >> bit) & 1).astype(bool)
             rows.append((kind, int(is_req.sum()), int(ok.sum())))
         return pa.table({
             "kind": pa.array([r[0] for r in rows], pa.string()),

@@ -7210,3 +7210,131 @@ def cdc_chunk_documents(sf_dir: str):
 
     return docs.map_batches(scan, batch_format="pyarrow",
                             zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Multi-round distributed BPE trainer (word-frequency formulation)
+# ---------------------------------------------------------------------------
+
+# Training constants. Merge APPLICATION is pinned as BPE_APPLY_PASSES
+# nested non-overlapping left-to-right literal replaces over the
+# space-delimited symbol string (' a b ' -> ' ab '): Python
+# str.replace and DuckDB replace() share that exact semantic, so the
+# whole K-round trainer is value-hash-checkable; a single replace pass
+# can miss alternating overlaps (shared delimiter space), which the
+# repeated passes close for any word up to ~2^PASSES symbols.
+BPE_TRAIN_ROUNDS = 4
+BPE_APPLY_PASSES = 8
+
+
+def bpe_train_merges(sf_dir: str, num_buckets: int = 0):
+    """(round, sym_a, sym_b, merged, pair_count): a REAL multi-round
+    BPE trainer (Sennrich et al. 2016) in the word-frequency
+    formulation every production tokenizer trainer uses: ONE corpus
+    pass collapses to an exact (word, freq) table — vocabulary-sized,
+    not corpus-sized — and all K merge rounds run over that table
+    (count weighted adjacent symbol pairs -> pick the global argmax
+    pair (count desc, symbols asc) -> apply the merge). The corpus is
+    never re-read after pass 1; token_bigram_merges is the one-round
+    preview, this is the trainer.
+
+    Scale shape: word frequencies via per-batch counts + one
+    word-hash bucket shuffle (every word in exactly one bucket);
+    each round is a vocabulary-sized pair aggregate (pair space is
+    bounded by the symbol vocabulary, not the corpus), a driver
+    argmax over that small table, and a broadcast batch-local merge
+    apply; the word table is re-materialized per round (K cheap
+    materializations of vocab-sized data)."""
+    from ray.data.aggregate import Sum
+
+    from dataquality_ray.arrowutil import md5_digests
+    from dataquality_ray.stages.bucketing import cluster_buckets
+
+    nb = num_buckets or cluster_buckets()
+    docs = _docs(sf_dir, columns=["text"])
+
+    def wcount(batch: pa.Table) -> pa.Table:
+        g = (pl.from_arrow(batch.select(["text"]))
+             .with_columns(toks=pl.col("text").fill_null("")
+                           .str.to_lowercase()
+                           .str.extract_all(TOKEN_PATTERN))
+             .select("toks").explode("toks").drop_nulls("toks")
+             .group_by("toks").agg(c=pl.len().cast(pl.Int64)))
+        digs = md5_digests(g["toks"].to_arrow())
+        hh = (np.frombuffer(b"".join(digs), dtype="<u8")
+              .reshape(-1, 2)[:, 0] % nb).astype(np.int32) \
+            if digs else np.zeros(0, dtype=np.int32)
+        return pa.table({
+            "part": pa.array(hh),
+            "word": g["toks"].to_arrow().cast(pa.string()),
+            "freq": g["c"].to_arrow(),
+        })
+
+    def wsum(t: pa.Table) -> pa.Table:
+        g = (pl.from_arrow(t.select(["word", "freq"]))
+             .group_by("word").agg(freq=pl.col("freq").sum()))
+        sp = (" " + g["word"].str.split("").list.join(" ") + " ")
+        return pa.table({
+            "sp": sp.to_arrow().cast(pa.string()),
+            "freq": g["freq"].to_arrow(),
+        })
+
+    wf = (docs.map_batches(wcount, batch_format="pyarrow",
+                           zero_copy_batch=True)
+          .groupby("part").map_groups(wsum, batch_format="pyarrow")
+          .materialize())
+
+    def pair_partial(batch: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(batch.select(["sp", "freq"]))
+              .with_columns(syms=pl.col("sp")
+                            .str.strip_chars(" ").str.split(" ")))
+        e = (df.select(["freq", "syms"]).with_row_index("rid")
+             .explode("syms"))
+        e = (e.with_columns(b=pl.col("syms").shift(-1),
+                            r2=pl.col("rid").shift(-1))
+             .filter(pl.col("rid") == pl.col("r2")))
+        g = (e.group_by(["syms", "b"])
+             .agg(c=pl.col("freq").sum())
+             .rename({"syms": "a"}))
+        return g.to_arrow().cast(pa.schema([
+            ("a", pa.string()), ("b", pa.string()),
+            ("c", pa.int64())]))
+
+    merges = []
+    for rnd in range(1, BPE_TRAIN_ROUNDS + 1):
+        pairs = (wf.map_batches(pair_partial, batch_format="pyarrow")
+                 .groupby(["a", "b"]).aggregate(Sum("c",
+                                                    alias_name="c"))
+                 .to_pandas())
+        if not len(pairs):
+            break
+        pairs = pairs.sort_values(["c", "a", "b"],
+                                  ascending=[False, True, True],
+                                  kind="mergesort")
+        a, b, c = (pairs.iloc[0]["a"], pairs.iloc[0]["b"],
+                   int(pairs.iloc[0]["c"]))
+        merges.append((rnd, a, b, a + b, c))
+        pat, rep = f" {a} {b} ", f" {a}{b} "
+
+        def apply(batch: pa.Table, pat=pat, rep=rep) -> pa.Table:
+            # vectorized: polars replace_all(literal) shares the
+            # non-overlapping left-to-right semantic with Python
+            # str.replace and DuckDB replace (pinned by test)
+            s = pl.from_arrow(batch["sp"])
+            for _ in range(BPE_APPLY_PASSES):
+                s = s.str.replace_all(pat, rep, literal=True)
+            return pa.table({
+                "sp": s.to_arrow().cast(pa.string()),
+                "freq": batch["freq"],
+            })
+
+        wf = wf.map_batches(apply,
+                            batch_format="pyarrow").materialize()
+
+    return pa.table({
+        "round": pa.array([m[0] for m in merges], pa.int64()),
+        "sym_a": pa.array([m[1] for m in merges], pa.string()),
+        "sym_b": pa.array([m[2] for m in merges], pa.string()),
+        "merged": pa.array([m[3] for m in merges], pa.string()),
+        "pair_count": pa.array([m[4] for m in merges], pa.int64()),
+    })

@@ -517,3 +517,32 @@ def test_format_compliance_pairs_and_spine(ray_session, tmp_path):
     assert l.n_requests == 1 and l.n_compliant == 1
     c = out.loc["code"]                      # spine row
     assert c.n_requests == 0 and c.compliance_ppm == 0
+
+
+# --- bpe_train_merges -------------------------------------------------------
+
+def test_bpe_classic_merges_and_ties(ray_session, tmp_path):
+    from dataquality_ray.pipelines.documents import bpe_train_merges
+    # the Sennrich example: low x3, lower x2, newest x1.
+    # round 1: (l,o)=5 ties (o,w)=5 -> (l,o) by symbol order;
+    # round 2: (lo,w)=5; round 3: (e,r)=2 ties (low,e)=2 -> (e,r);
+    # round 4: (low,er)=2
+    rows = [(1, "s", "low low low"), (2, "s", "lower lower"),
+            (3, "s", "newest")]
+    out = bpe_train_merges(_write_docs(tmp_path, rows),
+                           num_buckets=4).to_pandas()
+    got = list(zip(out.sym_a, out.sym_b, out.pair_count))
+    assert got == [("l", "o", 5), ("lo", "w", 5),
+                   ("e", "r", 2), ("low", "er", 2)]
+    assert list(out.merged) == ["lo", "low", "er", "lower"]
+
+
+def test_bpe_early_stop_when_no_pairs_left(ray_session, tmp_path):
+    from dataquality_ray.pipelines.documents import bpe_train_merges
+    # single word 'aaaa': round 1 merges (a,a) x3; round 2 (aa,aa);
+    # round 3 has no adjacent pairs left -> trainer stops at 2 rows
+    rows = [(1, "s", "aaaa")]
+    out = bpe_train_merges(_write_docs(tmp_path, rows),
+                           num_buckets=4).to_pandas()
+    assert list(zip(out.sym_a, out.sym_b, out.pair_count)) == [
+        ("a", "a", 3), ("aa", "aa", 1)]
