@@ -763,6 +763,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # multi-round distributed BPE trainer (word-frequency
         # formulation; one corpus pass, K vocab-sized merge rounds)
         "bpe_train_merges": D.bpe_train_merges,
+        # declared-vs-predicted language confusion grid (dense spine)
+        "lang_confusion_matrix": D.lang_confusion_matrix,
+        # exact distinct-user overlap + Jaccard between event types
+        # (the exact twin of an HLL-union estimate)
+        "event_type_audience_overlap": M.event_type_audience_overlap,
     }
 
 
@@ -6639,4 +6644,48 @@ w{_r} AS MATERIALIZED (SELECT {_expr} AS sp, freq FROM {_pv})""")
         for r in range(1, _BPE_R + 1))
     sql["bpe_train_merges"] = ("WITH " + ",\n".join(_bpe_ctes)
                                + "\n" + _bpe_sel)
+    # declared-vs-predicted language confusion grid: the pinned
+    # marker classifier (same CTE as langid_documents) joined with
+    # the declared label, zero-filled over the dense
+    # (declared x classifier-domain) spine
+    sql["lang_confusion_matrix"] = f"""
+WITH l AS ({sql['langid_documents']}),
+d AS (
+  SELECT doc.lang AS declared_lang, l.pred_lang,
+    CAST(COUNT(*) AS BIGINT) AS n
+  FROM documents doc JOIN l ON l.doc_id = doc.doc_id
+  GROUP BY 1, 2),
+dl AS (SELECT DISTINCT lang AS declared_lang FROM documents),
+pd AS (SELECT unnest(['de', 'en', 'es', 'fr', 'und'])
+         AS pred_lang)
+SELECT dl.declared_lang, pd.pred_lang,
+  CAST(COALESCE(d.n, 0) AS BIGINT) AS n_docs
+FROM dl CROSS JOIN pd
+LEFT JOIN d ON d.declared_lang = dl.declared_lang
+           AND d.pred_lang = pd.pred_lang
+"""
+    # exact distinct-user overlap between event types: distinct
+    # (user, type) pairs self-joined per user, unordered pairs,
+    # exact Jaccard in floor-ppm
+    sql["event_type_audience_overlap"] = """
+WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+s AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM d GROUP BY 1),
+p AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+    CAST(COUNT(*) AS BIGINT) AS n_common
+  FROM d a JOIN d b ON a.user_id = b.user_id
+  WHERE a.event_type < b.event_type
+  GROUP BY 1, 2),
+g AS (
+  SELECT sa.event_type AS type_a, sb.event_type AS type_b,
+    sa.n AS n_a, sb.n AS n_b
+  FROM s sa JOIN s sb ON sa.event_type < sb.event_type)
+SELECT g.type_a, g.type_b, g.n_a, g.n_b,
+  CAST(COALESCE(p.n_common, 0) AS BIGINT) AS n_common,
+  CAST(1000000 * COALESCE(p.n_common, 0)
+       // GREATEST(g.n_a + g.n_b - COALESCE(p.n_common, 0), 1)
+       AS BIGINT) AS jaccard_ppm
+FROM g LEFT JOIN p ON p.type_a = g.type_a AND p.type_b = g.type_b
+"""
     return sql

@@ -158,7 +158,8 @@ def _query_benches(sf_dir: str) -> dict:
              "event_disorder_stats", "hard_negative_topk_embeddings",
              "knn_label_probe", "turn_position_length_curve",
              "cdc_chunk_documents", "format_compliance_turns",
-             "bpe_train_merges"]
+             "bpe_train_merges", "lang_confusion_matrix",
+             "event_type_audience_overlap"]
     out = {}
     for name in names:
         t0 = time.time()

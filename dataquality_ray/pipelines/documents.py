@@ -7338,3 +7338,55 @@ def bpe_train_merges(sf_dir: str, num_buckets: int = 0):
         "merged": pa.array([m[3] for m in merges], pa.string()),
         "pair_count": pa.array([m[4] for m in merges], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Declared-vs-predicted language confusion matrix
+# ---------------------------------------------------------------------------
+
+LANG_PRED_DOMAIN = ("de", "en", "es", "fr", "und")
+
+
+def lang_confusion_matrix(sf_dir: str):
+    """(declared_lang, pred_lang, n_docs): the full declared-label vs
+    classifier confusion GRID — langid_mismatch_by_source tells you
+    WHICH source lies about language; this tells you HOW it lies
+    (e.g. 'zh' declared, 'und' predicted = the classifier has no
+    marker coverage; 'es' declared, 'en' predicted = mixed crawl).
+    Dense spine: every (distinct declared lang) x (the 5-value
+    classifier domain) cell is emitted, zero-filled (the empty-result
+    rule), so the grid shape is identical on both engines.
+
+    Zero data shuffle: batch-local classify (the pinned
+    stopword-marker classifier shared with langid_documents) +
+    (declared, pred) integer partials into a |langs| x 5 aggregate."""
+    from ray.data.aggregate import Sum
+
+    ds = _docs(sf_dir, columns=["lang", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        pred = _pred_lang_of(batch["text"])
+        g = (pl.DataFrame({
+            "declared_lang": pl.from_arrow(batch["lang"]),
+            "pred_lang": pred,
+        }).group_by(["declared_lang", "pred_lang"])
+            .agg(n=pl.len().cast(pl.Int64)))
+        return g.to_arrow().cast(pa.schema([
+            ("declared_lang", pa.string()),
+            ("pred_lang", pa.string()), ("n", pa.int64())]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["declared_lang", "pred_lang"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    got = {(d, p): int(n) for d, p, n in zip(
+        agg["declared_lang"], agg["pred_lang"], agg["n"])}
+    declared = sorted(set(agg["declared_lang"].tolist()))
+    rows = [(d, p, got.get((d, p), 0))
+            for d in declared for p in LANG_PRED_DOMAIN]
+    return pa.table({
+        "declared_lang": pa.array([r[0] for r in rows], pa.string()),
+        "pred_lang": pa.array([r[1] for r in rows], pa.string()),
+        "n_docs": pa.array([r[2] for r in rows], pa.int64()),
+    })

@@ -546,3 +546,64 @@ def test_bpe_early_stop_when_no_pairs_left(ray_session, tmp_path):
                            num_buckets=4).to_pandas()
     assert list(zip(out.sym_a, out.sym_b, out.pair_count)) == [
         ("a", "a", 3), ("aa", "aa", 1)]
+
+
+# --- lang_confusion_matrix --------------------------------------------------
+
+def test_lang_confusion_dense_grid(ray_session, tmp_path):
+    from dataquality_ray.pipelines.documents import (
+        LANG_PRED_DOMAIN,
+        lang_confusion_matrix,
+    )
+    rows = [
+        (1, "s", "the cat and the dog is in that house of it"),  # en
+        (2, "s", "el que una por para con los las"),             # es
+        (3, "s", "zzz qqq xxx"),                                 # und
+    ]
+    # declared labels: en correct, en mislabeled as zh, zh->und
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+        "lang": pa.array(["en", "zh", "zh"], pa.string()),
+        "source": pa.array(["s"] * 3, pa.string()),
+        "n_chars": pa.array([len(r[2]) for r in rows], pa.int64()),
+    })
+    pq.write_table(t, str(tmp_path / "documents.parquet"))
+    out = (lang_confusion_matrix(str(tmp_path))
+           .to_pandas().set_index(["declared_lang", "pred_lang"]))
+    # dense grid: 2 declared langs x the 5-value classifier domain
+    assert len(out) == 2 * len(LANG_PRED_DOMAIN)
+    assert out.loc[("en", "en")].n_docs == 1
+    assert out.loc[("zh", "es")].n_docs == 1
+    assert out.loc[("zh", "und")].n_docs == 1
+    assert out.loc[("en", "fr")].n_docs == 0          # zero-filled
+
+
+# --- event_type_audience_overlap --------------------------------------------
+
+def test_audience_overlap_exact_jaccard(ray_session, tmp_path):
+    from dataquality_ray.pipelines.metrics import (
+        event_type_audience_overlap,
+    )
+    # users by type: click {1,2,3}, buy {2,3}, view {9}
+    base = np.datetime64("2025-01-01T00:00:00", "us").astype(np.int64)
+    ev = [(1, "click"), (2, "click"), (3, "click"), (2, "click"),
+          (2, "buy"), (3, "buy"), (9, "view")]
+    t = pa.table({
+        "event_id": pa.array(list(range(len(ev))), pa.int64()),
+        "ts": pa.array(np.full(len(ev), base,
+                               dtype=np.int64).view("datetime64[us]")),
+        "user_id": pa.array([e[0] for e in ev], pa.int64()),
+        "event_type": pa.array([e[1] for e in ev], pa.string()),
+        "value": pa.array([1.0] * len(ev), pa.float64()),
+        "props": pa.array(["{}"] * len(ev), pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = (event_type_audience_overlap(str(tmp_path), num_buckets=4)
+           .to_pandas().set_index(["type_a", "type_b"]))
+    assert len(out) == 3                    # all unordered pairs
+    r = out.loc[("buy", "click")]
+    assert (r.n_a, r.n_b, r.n_common) == (2, 3, 2)
+    assert r.jaccard_ppm == 1_000_000 * 2 // 3
+    r2 = out.loc[("buy", "view")]
+    assert r2.n_common == 0 and r2.jaccard_ppm == 0
