@@ -768,6 +768,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact distinct-user overlap + Jaccard between event types
         # (the exact twin of an HLL-union estimate)
         "event_type_audience_overlap": M.event_type_audience_overlap,
+        # the sketch-algebra twin: pairwise HLL UNION registers
+        # (element-wise max; exact-integer surface, SQL-checked)
+        "hll_audience_union_registers": M.hll_audience_union_registers,
     }
 
 
@@ -6687,5 +6690,26 @@ SELECT g.type_a, g.type_b, g.n_a, g.n_b,
        // GREATEST(g.n_a + g.n_b - COALESCE(p.n_common, 0), 1)
        AS BIGINT) AS jaccard_ppm
 FROM g LEFT JOIN p ON p.type_a = g.type_a AND p.type_b = g.type_b
+"""
+    # pairwise HLL union: element-wise register MAX over the
+    # distinct_users_hll surface, dense (pair x 64-register) spine
+    sql["hll_audience_union_registers"] = f"""
+WITH h AS MATERIALIZED ({sql['distinct_users_hll']}),
+ty AS (SELECT DISTINCT event_type FROM events),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM ty a JOIN ty b ON a.event_type < b.event_type),
+grid AS (
+  SELECT type_a, type_b, g.reg
+  FROM pairs CROSS JOIN (SELECT unnest(generate_series(
+    0, {(1 << M_HLL_REG_BITS) - 1})) AS reg) g)
+SELECT grid.type_a, grid.type_b, CAST(grid.reg AS BIGINT) AS reg,
+  CAST(GREATEST(COALESCE(ha.rho, 0), COALESCE(hb.rho, 0))
+       AS BIGINT) AS rho
+FROM grid
+LEFT JOIN h ha ON ha.event_type = grid.type_a
+              AND ha.reg = grid.reg
+LEFT JOIN h hb ON hb.event_type = grid.type_b
+              AND hb.reg = grid.reg
 """
     return sql

@@ -159,7 +159,8 @@ def _query_benches(sf_dir: str) -> dict:
              "knn_label_probe", "turn_position_length_curve",
              "cdc_chunk_documents", "format_compliance_turns",
              "bpe_train_merges", "lang_confusion_matrix",
-             "event_type_audience_overlap"]
+             "event_type_audience_overlap",
+             "hll_audience_union_registers"]
     out = {}
     for name in names:
         t0 = time.time()

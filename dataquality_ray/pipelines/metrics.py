@@ -1946,3 +1946,43 @@ def event_type_audience_overlap(sf_dir: str, num_buckets: int = 0):
         "n_common": pa.array([r[4] for r in rows], pa.int64()),
         "jaccard_ppm": pa.array([r[5] for r in rows], pa.int64()),
     })
+
+
+def hll_audience_union_registers(sf_dir: str):
+    """(type_a, type_b, reg, rho): HyperLogLog UNION sketches for
+    every unordered event-type pair — the sketch-algebra twin of
+    event_type_audience_overlap: HLL registers merge under set UNION
+    by element-wise MAX, so |A ∪ B| (and via inclusion-exclusion
+    |A ∩ B|) is estimable from per-type sketches WITHOUT touching the
+    (user, type) stream again — at 100 TB the per-type sketches are
+    64 integers each and every pairwise union is a 64-element max,
+    while the exact overlap needs a corpus-sized distinct exchange.
+    The register surface is exact integers (SQL-checked); the float
+    union/intersection estimates via hll_estimate are pytest-bounded
+    against the exact overlap counts instead. Dense spine: all 64
+    registers per pair (rho 0 = untouched).
+
+    Shape: one run of the distinct_users_hll register pipeline
+    (per-batch distinct partials, |types| x 64 aggregate); the
+    pairwise max is driver arithmetic over that constant-size
+    surface."""
+    regs = distinct_users_hll(sf_dir).to_pandas()
+    types = sorted(set(regs["event_type"].tolist()))
+    mat = {t: np.zeros(HLL_REGISTERS, dtype=np.int64) for t in types}
+    for t, r, rh in zip(regs["event_type"], regs["reg"],
+                        regs["rho"]):
+        mat[t][int(r)] = int(rh)
+    ta, tb, rg, rh = [], [], [], []
+    for i, a in enumerate(types):
+        for b in types[i + 1:]:
+            u = np.maximum(mat[a], mat[b])
+            ta.extend([a] * HLL_REGISTERS)
+            tb.extend([b] * HLL_REGISTERS)
+            rg.extend(range(HLL_REGISTERS))
+            rh.extend(u.tolist())
+    return pa.table({
+        "type_a": pa.array(ta, pa.string()),
+        "type_b": pa.array(tb, pa.string()),
+        "reg": pa.array(rg, pa.int64()),
+        "rho": pa.array(rh, pa.int64()),
+    })

@@ -607,3 +607,34 @@ def test_audience_overlap_exact_jaccard(ray_session, tmp_path):
     assert r.jaccard_ppm == 1_000_000 * 2 // 3
     r2 = out.loc[("buy", "view")]
     assert r2.n_common == 0 and r2.jaccard_ppm == 0
+
+
+# --- hll_audience_union_registers -------------------------------------------
+
+def test_hll_union_estimates_overlap(ray_session, tmp_path):
+    from dataquality_ray.pipelines.metrics import (
+        HLL_REGISTERS,
+        hll_audience_union_registers,
+        hll_estimate,
+    )
+    # click: 40 users, buy: 30 users, 20 shared -> union 50
+    base = np.datetime64("2025-01-01T00:00:00", "us").astype(np.int64)
+    ev = [(u, "click") for u in range(40)]
+    ev += [(u, "buy") for u in range(20, 50)]
+    t = pa.table({
+        "event_id": pa.array(list(range(len(ev))), pa.int64()),
+        "ts": pa.array(np.full(len(ev), base,
+                               dtype=np.int64).view("datetime64[us]")),
+        "user_id": pa.array([e[0] for e in ev], pa.int64()),
+        "event_type": pa.array([e[1] for e in ev], pa.string()),
+        "value": pa.array([1.0] * len(ev), pa.float64()),
+        "props": pa.array(["{}"] * len(ev), pa.string()),
+    })
+    pq.write_table(t, str(tmp_path / "events.parquet"))
+    out = hll_audience_union_registers(str(tmp_path)).to_pandas()
+    assert len(out) == HLL_REGISTERS            # one pair, dense
+    assert set(zip(out.type_a, out.type_b)) == {("buy", "click")}
+    regs = dict(zip(out.reg, out.rho))
+    est = hll_estimate(regs)
+    # 64-register HLL: ~13% rel error; union of 50 within [30, 80]
+    assert 30 <= est <= 80
