@@ -771,6 +771,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the sketch-algebra twin: pairwise HLL UNION registers
         # (element-wise max; exact-integer surface, SQL-checked)
         "hll_audience_union_registers": M.hll_audience_union_registers,
+        # deterministic per-day eval-set refresh (smallest-hash K)
+        "daily_eval_sample": _daily_eval_sample_q,
+        # verbosity coupling: exact integer sufficient stats for the
+        # user-length vs assistant-reply-length correlation
+        "reply_length_covariance": _reply_length_covariance_q,
+        # curation insight: quality decile x exact-dup membership grid
+        "quality_vs_dup_matrix": D.quality_vs_dup_matrix,
     }
 
 
@@ -981,6 +988,21 @@ def _format_compliance_turns_q(sf_dir: str):
     from dataquality_ray.pipelines.conversations import \
         format_compliance_turns
     return format_compliance_turns(_transcript_ds(
+        sf_dir, columns=["conv_id", "turn_idx", "role", "text"]))
+
+
+def _daily_eval_sample_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import \
+        daily_eval_sample
+    return daily_eval_sample(_transcript_ds(
+        sf_dir, columns=["conv_id", "turn_idx", "role", "text",
+                         "ts"]))
+
+
+def _reply_length_covariance_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import \
+        reply_length_covariance
+    return reply_length_covariance(_transcript_ds(
         sf_dir, columns=["conv_id", "turn_idx", "role", "text"]))
 
 
@@ -6711,5 +6733,78 @@ LEFT JOIN h ha ON ha.event_type = grid.type_a
               AND ha.reg = grid.reg
 LEFT JOIN h hb ON hb.event_type = grid.type_b
               AND hb.reg = grid.reg
+"""
+    from dataquality_ray.pipelines.conversations import (
+        EVAL_SAMPLE_K as _EVK,
+    )
+    # per-day smallest-hash eval sample; hv ordered as UNSIGNED
+    # 64-bit on both engines
+    sql["daily_eval_sample"] = f"""
+WITH t AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, conv_id,
+    CAST(turn_idx AS BIGINT) AS turn_idx,
+    COALESCE(text, '') AS sample_text,
+    md5_number_upper(conv_id || ':'
+                     || CAST(turn_idx AS VARCHAR)) AS hv
+  FROM read_parquet('{_tr_glob}')),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY day ORDER BY hv, conv_id, turn_idx) AS rank
+  FROM t)
+SELECT day, CAST(rank AS BIGINT) AS rank, conv_id, turn_idx,
+  sample_text
+FROM r WHERE rank <= {_EVK}
+"""
+    # verbosity coupling: exact integer sufficient statistics over
+    # (user turn, next assistant turn) length pairs
+    sql["reply_length_covariance"] = f"""
+WITH o AS (
+  SELECT conv_id, role,
+    CAST(length(COALESCE(text, '')) AS BIGINT) AS ln,
+    lead(role) OVER w AS nrole,
+    lead(CAST(length(COALESCE(text, '')) AS BIGINT)) OVER w AS nln
+  FROM read_parquet('{_tr_glob}')
+  WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+p AS (SELECT ln AS u, nln AS a FROM o
+      WHERE role = 'user' AND nrole = 'assistant')
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+  CAST(COALESCE(SUM(u), 0) AS BIGINT) AS sum_u,
+  CAST(COALESCE(SUM(a), 0) AS BIGINT) AS sum_a,
+  CAST(COALESCE(SUM(u * u), 0) AS BIGINT) AS sum_uu,
+  CAST(COALESCE(SUM(a * a), 0) AS BIGINT) AS sum_aa,
+  CAST(COALESCE(SUM(u * a), 0) AS BIGINT) AS sum_ua
+FROM p
+"""
+    # quality decile x exact-dup membership, dense 10x2 spine;
+    # composes the hash-green quality CTE with the exact_dedup
+    # content-hash identity
+    sql["quality_vs_dup_matrix"] = _QUALITY_CTE + f"""
+, dq AS (
+  SELECT doc_id,
+    CAST(ntile(10) OVER (ORDER BY overall, doc_id) AS BIGINT)
+      AS decile
+  FROM q),
+hsh AS (
+  SELECT doc_id, md5(regexp_replace(
+    regexp_replace(lower(COALESCE(text, '')),
+      '{spec.EDGE_WS_PATTERN}', '', 'g'),
+    '{spec.WS_PLUS_PATTERN}', ' ', 'g')) AS ch
+  FROM documents),
+cc AS (SELECT ch, CAST(COUNT(*) AS BIGINT) AS n
+       FROM hsh GROUP BY 1),
+f AS (
+  SELECT hsh.doc_id,
+    CASE WHEN cc.n > 1 THEN 1 ELSE 0 END AS is_dup
+  FROM hsh JOIN cc USING (ch)),
+m AS (
+  SELECT dq.decile, f.is_dup, CAST(COUNT(*) AS BIGINT) AS n
+  FROM dq JOIN f USING (doc_id) GROUP BY 1, 2),
+grid AS (SELECT unnest(generate_series(1, 10)) AS decile),
+fl AS (SELECT unnest([0, 1]) AS is_dup)
+SELECT CAST(grid.decile AS BIGINT) AS decile,
+  CAST(fl.is_dup AS BIGINT) AS is_dup,
+  CAST(COALESCE(m.n, 0) AS BIGINT) AS n_docs
+FROM grid CROSS JOIN fl
+LEFT JOIN m ON m.decile = grid.decile AND m.is_dup = fl.is_dup
 """
     return sql

@@ -160,7 +160,8 @@ def _query_benches(sf_dir: str) -> dict:
              "cdc_chunk_documents", "format_compliance_turns",
              "bpe_train_merges", "lang_confusion_matrix",
              "event_type_audience_overlap",
-             "hll_audience_union_registers"]
+             "hll_audience_union_registers", "daily_eval_sample",
+             "reply_length_covariance", "quality_vs_dup_matrix"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -4053,3 +4053,140 @@ def format_compliance_turns(ds, num_buckets: int = 0):
             [c * 1_000_000 // max(r, 1) for r, c in zip(nr, nc)],
             pa.int64()),
     })
+
+
+EVAL_SAMPLE_K = 5    # per-day eval-refresh sample size
+
+
+def daily_eval_sample(ds):
+    """(day, rank, conv_id, turn_idx, sample_text): deterministic
+    per-day eval-set refresh — for every day in the corpus, the
+    EVAL_SAMPLE_K turns with the smallest frozen
+    md5_u64('conv_id:turn_idx') (a fixed-size unbiased sample per day
+    at any corpus scale; re-running on a grown corpus changes the
+    sample only where smaller hashes arrived, so day-over-day eval
+    sets are stable). The human-review / LLM-judge feed a quality
+    pipeline refreshes daily.
+
+    Shape: per-batch per-day smallest-K pre-reduce (text rides only
+    for the <= K x |days| kept rows per batch), then a per-day final
+    top-K — driver volume is |days| x K."""
+    import polars as pl
+
+    from dataquality_ray.spec import token_hash_u64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = pl.from_arrow(batch.select(
+            ["conv_id", "turn_idx", "role", "text", "ts"]))
+        pdf = df.to_pandas()
+        day = pdf["ts"].dt.strftime("%Y-%m-%d").to_numpy()
+        conv = pdf["conv_id"].to_numpy()
+        ti = pdf["turn_idx"].to_numpy().astype(np.int64)
+        hv = np.fromiter(
+            (token_hash_u64(f"{c}:{t}") for c, t in zip(conv, ti)),
+            dtype=np.uint64, count=len(conv))
+        g = pl.DataFrame({
+            "day": day, "hv": hv, "conv_id": conv,
+            "turn_idx": ti,
+            "sample_text": pdf["text"].fillna("").to_numpy(),
+        })
+        keep = (g.sort(["day", "hv", "conv_id", "turn_idx"])
+                .group_by("day", maintain_order=True)
+                .head(EVAL_SAMPLE_K))
+        return keep.to_arrow().cast(pa.schema([
+            ("day", pa.string()), ("hv", pa.uint64()),
+            ("conv_id", pa.string()), ("turn_idx", pa.int64()),
+            ("sample_text", pa.string())]))
+
+    def final(t: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(t.select(
+            ["day", "hv", "conv_id", "turn_idx", "sample_text"]))
+            .sort(["hv", "conv_id", "turn_idx"])
+            .head(EVAL_SAMPLE_K)
+            .with_row_index("rank", offset=1))
+        return df.select(
+            ["day", "rank", "conv_id", "turn_idx", "sample_text"]) \
+            .to_arrow().cast(pa.schema([
+                ("day", pa.string()), ("rank", pa.int64()),
+                ("conv_id", pa.string()), ("turn_idx", pa.int64()),
+                ("sample_text", pa.string())]))
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("day").map_groups(final, batch_format="pyarrow"))
+
+
+def reply_length_covariance(ds, num_buckets: int = 0):
+    """(n_pairs, sum_u, sum_a, sum_uu, sum_aa, sum_ua): exact integer
+    sufficient statistics for the correlation between a user turn's
+    length and the immediately following assistant reply's length —
+    the verbosity-coupling audit (does the corpus teach 'long prompt
+    -> long answer'?). Exact integers only (the repo's
+    sufficient-statistics convention: the float correlation is one
+    driver division away and engine-dependent, the sums are not).
+
+    Shape: lengths are computed batch-locally and only slim
+    (conv_id, turn_idx, role flags, len) rows ride the ONE
+    conv-bucket shuffle (the slim-exchange rule); the pair scan is
+    the pinned whole-frame-shift shape; output is a single row."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+    from dataquality_ray.arrowutil import md5_digests
+
+    num_buckets = num_buckets or cluster_buckets(minimum=32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["conv_id", "turn_idx", "role", "text"])
+        df = pl.from_arrow(t)
+        conv = t["conv_id"].combine_chunks() \
+            if isinstance(t["conv_id"], pa.ChunkedArray) \
+            else t["conv_id"]
+        digs = md5_digests(conv)
+        b = (np.frombuffer(b"".join(digs), dtype="<u8")
+             .reshape(-1, 2)[:, 0] % num_buckets).astype(np.int32) \
+            if digs else np.zeros(0, dtype=np.int32)
+        role = df["role"].to_numpy()
+        return pa.table({
+            "bucket": pa.array(b),
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"].cast(pa.int64()),
+            "is_user": pa.array(role == "user"),
+            "is_asst": pa.array(role == "assistant"),
+            "ln": pl.Series(df["text"].fill_null("")
+                            .str.len_chars().cast(pl.Int64))
+            .to_arrow().cast(pa.int64()),
+        })
+
+    def scan(t: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(t.select(
+            ["conv_id", "turn_idx", "is_user", "is_asst", "ln"]))
+            .sort(["conv_id", "turn_idx"]))
+        same = (df["conv_id"] == df["conv_id"].shift(-1)) \
+            .fill_null(False)
+        pair = (same & df["is_user"]
+                & df["is_asst"].shift(-1).fill_null(False)) \
+            .to_numpy()
+        u = df["ln"].to_numpy()[pair]
+        a = df["ln"].shift(-1).fill_null(0).to_numpy()[pair]
+        return pa.table({
+            "n_pairs": pa.array([len(u)], pa.int64()),
+            "sum_u": pa.array([int(u.sum())], pa.int64()),
+            "sum_a": pa.array([int(a.sum())], pa.int64()),
+            "sum_uu": pa.array([int((u * u).sum())], pa.int64()),
+            "sum_aa": pa.array([int((a * a).sum())], pa.int64()),
+            "sum_ua": pa.array([int((u * a).sum())], pa.int64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("bucket").map_groups(scan, batch_format="pyarrow")
+           .aggregate(Sum("n_pairs", alias_name="n_pairs"),
+                      Sum("sum_u", alias_name="sum_u"),
+                      Sum("sum_a", alias_name="sum_a"),
+                      Sum("sum_uu", alias_name="sum_uu"),
+                      Sum("sum_aa", alias_name="sum_aa"),
+                      Sum("sum_ua", alias_name="sum_ua")))
+    return pa.table({k: pa.array([int(agg[k] or 0)], pa.int64())
+                     for k in ("n_pairs", "sum_u", "sum_a",
+                               "sum_uu", "sum_aa", "sum_ua")})

@@ -7390,3 +7390,119 @@ def lang_confusion_matrix(sf_dir: str):
         "pred_lang": pa.array([r[1] for r in rows], pa.string()),
         "n_docs": pa.array([r[2] for r in rows], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Quality-decile x duplication cross-tabulation
+# ---------------------------------------------------------------------------
+
+def quality_vs_dup_matrix(sf_dir: str,
+                          cfg: PipelineConfig = DEFAULT_CONFIG):
+    """(decile, is_dup, n_docs): does duplication concentrate in
+    low-quality text? Cross-tabulation of the NTILE(10) quality
+    decile (doc_quality_deciles' exact histogram-rank rule) against
+    exact-duplicate membership (the doc's normalized-text md5 group
+    has more than one member — exact_dedup_documents' identity).
+    The curation-insight table that decides whether dedup and
+    quality filtering are redundant or complementary on a corpus.
+    Dense 10x2 spine (the empty-result rule).
+
+    Shape: the decile side reuses doc_quality_deciles (histogram
+    ranking, one score shuffle); the dup side is one content-hash
+    bucket shuffle with bucket-local group counts (every hash in
+    exactly one bucket; at 100 TB empty-norm docs need the dedup_key
+    skew guard — the sf tables have none); the two doc-keyed sides
+    then co-shuffle on doc_id buckets as a discriminated union and
+    the join + cell counts complete locally; final aggregate is
+    <= 20 cells."""
+    from ray.data.aggregate import Sum
+
+    from dataquality_ray.arrowutil import md5_digests
+    from dataquality_ray.spec import EDGE_WS_PATTERN, WS_PLUS_PATTERN
+    from dataquality_ray.stages.bucketing import cluster_buckets
+
+    nb = cluster_buckets()
+    schema = pa.schema([
+        ("part", pa.int32()), ("doc_id", pa.int64()),
+        ("val", pa.int64()), ("kind", pa.int8())])
+
+    # dup side: content-hash bucket shuffle -> (doc_id, is_dup)
+    def hash_partial(batch: pa.Table) -> pa.Table:
+        text = batch["text"]
+        if isinstance(text, pa.ChunkedArray):
+            text = text.combine_chunks()
+        norm = pc.replace_substring_regex(
+            pc.replace_substring_regex(
+                pc.utf8_lower(pc.coalesce(text, pa.scalar(""))),
+                EDGE_WS_PATTERN, ""),
+            WS_PLUS_PATTERN, " ")
+        digs = md5_digests(norm)
+        hh = np.frombuffer(b"".join(digs),
+                           dtype="<u8").reshape(-1, 2)[:, 0] \
+            if digs else np.zeros(0, dtype=np.uint64)
+        return pa.table({
+            "part": pa.array((hh % nb).astype(np.int32)),
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "hh": pa.array(hh.view(np.int64)),
+        })
+
+    def dup_scan(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["doc_id", "hh"]))
+        cnt = df.group_by("hh").agg(n=pl.len())
+        j = df.join(cnt, on="hh")
+        return pa.table({
+            "part": pa.array((j["doc_id"].to_numpy() % nb)
+                             .astype(np.int32)),
+            "doc_id": j["doc_id"].to_arrow().cast(pa.int64()),
+            "val": pl.Series((j["n"] > 1).cast(pl.Int64))
+            .to_arrow().cast(pa.int64()),
+            "kind": pa.array(np.zeros(len(j), dtype=np.int8)),
+        }).cast(schema)
+
+    dup = (_docs(sf_dir, columns=["doc_id", "text"])
+           .map_batches(hash_partial, batch_format="pyarrow",
+                        zero_copy_batch=True)
+           .groupby("part").map_groups(dup_scan,
+                                       batch_format="pyarrow"))
+
+    # decile side re-keyed by doc_id bucket
+    def dec_rows(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+        return pa.table({
+            "part": pa.array((ids % nb).astype(np.int32)),
+            "doc_id": batch["doc_id"].cast(pa.int64()),
+            "val": batch["decile"].cast(pa.int64()),
+            "kind": pa.array(np.ones(len(ids), dtype=np.int8)),
+        }).cast(schema)
+
+    dec = doc_quality_deciles(sf_dir, cfg) \
+        .map_batches(dec_rows, batch_format="pyarrow")
+
+    def join_cells(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["doc_id", "val", "kind"]))
+        d = (df.filter(pl.col("kind") == 0)
+             .select(["doc_id", pl.col("val").alias("is_dup")]))
+        q = (df.filter(pl.col("kind") == 1)
+             .select(["doc_id", pl.col("val").alias("decile")]))
+        g = (q.join(d, on="doc_id", how="inner")
+             .group_by(["decile", "is_dup"])
+             .agg(n=pl.len().cast(pl.Int64)))
+        return g.to_arrow().cast(pa.schema([
+            ("decile", pa.int64()), ("is_dup", pa.int64()),
+            ("n", pa.int64())]))
+
+    agg = (dup.union(dec)
+           .groupby("part").map_groups(join_cells,
+                                       batch_format="pyarrow")
+           .groupby(["decile", "is_dup"])
+           .aggregate(Sum("n", alias_name="n"))
+           .to_pandas())
+    got = {(int(d), int(f)): int(n) for d, f, n in zip(
+        agg["decile"], agg["is_dup"], agg["n"])}
+    rows = [(d, f, got.get((d, f), 0))
+            for d in range(1, 11) for f in (0, 1)]
+    return pa.table({
+        "decile": pa.array([r[0] for r in rows], pa.int64()),
+        "is_dup": pa.array([r[1] for r in rows], pa.int64()),
+        "n_docs": pa.array([r[2] for r in rows], pa.int64()),
+    })

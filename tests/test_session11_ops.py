@@ -638,3 +638,90 @@ def test_hll_union_estimates_overlap(ray_session, tmp_path):
     est = hll_estimate(regs)
     # 64-register HLL: ~13% rel error; union of 50 within [30, 80]
     assert 30 <= est <= 80
+
+
+# --- daily_eval_sample ------------------------------------------------------
+
+def test_daily_eval_sample_rank_and_cap(ray_session):
+    from dataquality_ray.pipelines.conversations import (
+        EVAL_SAMPLE_K,
+        daily_eval_sample,
+    )
+    from dataquality_ray.spec import token_hash_u64
+    import ray as _ray
+    base = np.datetime64("2025-06-01T00:00:00", "us").astype(np.int64)
+    day = 86_400_000_000
+    rows = [(f"c{i}", j, "user", f"t{i}:{j}", i % 2)
+            for i in range(8) for j in range(3)]   # 12 turns/day
+    turns = pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows], pa.string()),
+        "text": pa.array([r[3] for r in rows], pa.string()),
+        "ts": pa.array(np.array([base + r[4] * day for r in rows],
+                                dtype=np.int64).view("datetime64[us]")),
+    })
+    out = (daily_eval_sample(_ray.data.from_arrow(turns))
+           .to_pandas())
+    days = sorted(out["day"].unique())
+    assert len(days) == 2
+    for d_i, d in enumerate(days):
+        sub = out[out.day == d].sort_values("rank")
+        assert list(sub["rank"]) == list(range(1, EVAL_SAMPLE_K + 1))
+        expect = sorted(
+            [(r[0], r[1]) for r in rows if r[4] == d_i],
+            key=lambda ct: (token_hash_u64(f"{ct[0]}:{ct[1]}"),
+                            ct[0], ct[1]))[:EVAL_SAMPLE_K]
+        assert list(zip(sub.conv_id, sub.turn_idx)) == expect
+
+
+# --- reply_length_covariance ------------------------------------------------
+
+def test_reply_covariance_sufficient_stats(ray_session):
+    from dataquality_ray.pipelines.conversations import (
+        reply_length_covariance,
+    )
+    import ray as _ray
+    base = np.datetime64("2025-06-01T00:00:00", "us").astype(np.int64)
+    rows = [
+        ("c1", 0, "user", "abcd"),        # u=4 -> a=6
+        ("c1", 1, "assistant", "abcdef"),
+        ("c1", 2, "user", "ab"),          # u=2 -> a=10
+        ("c1", 3, "assistant", "a" * 10),
+        ("c2", 0, "user", "xyz"),         # next is tool: no pair
+        ("c2", 1, "tool", "zz"),
+    ]
+    turns = pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows], pa.string()),
+        "text": pa.array([r[3] for r in rows], pa.string()),
+        "ts": pa.array(np.full(len(rows), base,
+                               dtype=np.int64).view("datetime64[us]")),
+    })
+    out = (reply_length_covariance(_ray.data.from_arrow(turns),
+                                   num_buckets=4)
+           .to_pandas().iloc[0])
+    assert out.n_pairs == 2
+    assert (out.sum_u, out.sum_a) == (6, 16)
+    assert (out.sum_uu, out.sum_aa) == (20, 136)
+    assert out.sum_ua == 4 * 6 + 2 * 10
+
+
+# --- quality_vs_dup_matrix --------------------------------------------------
+
+def test_quality_dup_matrix_marginals_and_spine(ray_session,
+                                                tmp_path):
+    from dataquality_ray.pipelines.documents import (
+        quality_vs_dup_matrix,
+    )
+    # 2 exact dups (after ws-normalization) + 4 uniques
+    rows = [(1, "s", "Hello   world"), (2, "s", "hello world"),
+            (3, "s", "a completely different document here"),
+            (4, "s", "short"), (5, "s", "x y z " * 20),
+            (6, "s", "qq!!@@##")]
+    out = (quality_vs_dup_matrix(_write_docs(tmp_path, rows))
+           .to_pandas())
+    assert len(out) == 20                          # dense 10x2 spine
+    assert out.n_docs.sum() == 6
+    assert out[out.is_dup == 1].n_docs.sum() == 2  # the dup pair
