@@ -778,6 +778,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reply_length_covariance": _reply_length_covariance_q,
         # curation insight: quality decile x exact-dup membership grid
         "quality_vs_dup_matrix": D.quality_vs_dup_matrix,
+        # register audit: exact vocabulary Jaccard between roles
+        "role_vocab_overlap": _role_vocab_overlap_q,
+        # per-source style fingerprint (caps/digit/punct ppm,
+        # mean word length)
+        "source_style_profile": D.source_style_profile,
     }
 
 
@@ -1004,6 +1009,13 @@ def _reply_length_covariance_q(sf_dir: str):
         reply_length_covariance
     return reply_length_covariance(_transcript_ds(
         sf_dir, columns=["conv_id", "turn_idx", "role", "text"]))
+
+
+def _role_vocab_overlap_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import \
+        role_vocab_overlap
+    return role_vocab_overlap(_transcript_ds(
+        sf_dir, columns=["role", "text"]))
 
 
 def _conv_lang_switches_q(sf_dir: str):
@@ -6806,5 +6818,58 @@ SELECT CAST(grid.decile AS BIGINT) AS decile,
   CAST(COALESCE(m.n, 0) AS BIGINT) AS n_docs
 FROM grid CROSS JOIN fl
 LEFT JOIN m ON m.decile = grid.decile AND m.is_dup = fl.is_dup
+"""
+    # exact vocabulary Jaccard between roles; distinctness on the
+    # frozen md5-u64 token hash
+    sql["role_vocab_overlap"] = f"""
+WITH d AS (
+  SELECT DISTINCT role, md5_number_upper(tok) AS h FROM (
+    SELECT role, unnest(regexp_extract_all(
+      lower(COALESCE(text, '')), '{_TOK}')) AS tok
+    FROM read_parquet('{_tr_glob}'))),
+s AS (SELECT role, CAST(COUNT(*) AS BIGINT) AS v
+      FROM d GROUP BY 1),
+p AS (
+  SELECT a.role AS role_a, b.role AS role_b,
+    CAST(COUNT(*) AS BIGINT) AS vc
+  FROM d a JOIN d b ON a.h = b.h
+  WHERE a.role < b.role GROUP BY 1, 2),
+g AS (
+  SELECT sa.role AS role_a, sb.role AS role_b,
+    sa.v AS v_a, sb.v AS v_b
+  FROM s sa JOIN s sb ON sa.role < sb.role)
+SELECT g.role_a, g.role_b, g.v_a, g.v_b,
+  CAST(COALESCE(p.vc, 0) AS BIGINT) AS v_common,
+  CAST(1000000 * COALESCE(p.vc, 0)
+       // GREATEST(g.v_a + g.v_b - COALESCE(p.vc, 0), 1)
+       AS BIGINT) AS jaccard_ppm
+FROM g LEFT JOIN p ON p.role_a = g.role_a AND p.role_b = g.role_b
+"""
+    # per-source style fingerprint: exact floor-ppm character-class
+    # ratios + mean whitespace-token length
+    sql["source_style_profile"] = f"""
+WITH t AS (SELECT source, COALESCE(text, '') AS t FROM documents),
+a AS (
+  SELECT source,
+    CAST(SUM(length(t)) AS BIGINT) AS nc,
+    CAST(SUM(len(regexp_extract_all(t, '[A-Z]'))) AS BIGINT)
+      AS caps,
+    CAST(SUM(len(regexp_extract_all(t, '[0-9]'))) AS BIGINT)
+      AS dig,
+    CAST(SUM(len(regexp_extract_all(t, '[^A-Za-z0-9 \\t\\r\\n]')))
+      AS BIGINT) AS punct,
+    CAST(SUM(len(regexp_extract_all(t, '{spec.WS_TOKEN_PATTERN}')))
+      AS BIGINT) AS wtok,
+    CAST(SUM(length(t)
+             - len(regexp_extract_all(t, '[ \\t\\r\\n]')))
+      AS BIGINT) AS wchars
+  FROM t GROUP BY 1)
+SELECT source, nc AS n_chars,
+  CAST(1000000 * caps // GREATEST(nc, 1) AS BIGINT) AS caps_ppm,
+  CAST(1000000 * dig // GREATEST(nc, 1) AS BIGINT) AS digit_ppm,
+  CAST(1000000 * punct // GREATEST(nc, 1) AS BIGINT) AS punct_ppm,
+  CAST(1000 * wchars // GREATEST(wtok, 1) AS BIGINT)
+    AS avg_word_len_milli
+FROM a
 """
     return sql

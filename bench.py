@@ -161,7 +161,8 @@ def _query_benches(sf_dir: str) -> dict:
              "bpe_train_merges", "lang_confusion_matrix",
              "event_type_audience_overlap",
              "hll_audience_union_registers", "daily_eval_sample",
-             "reply_length_covariance", "quality_vs_dup_matrix"]
+             "reply_length_covariance", "quality_vs_dup_matrix",
+             "role_vocab_overlap", "source_style_profile"]
     out = {}
     for name in names:
         t0 = time.time()

@@ -4190,3 +4190,83 @@ def reply_length_covariance(ds, num_buckets: int = 0):
     return pa.table({k: pa.array([int(agg[k] or 0)], pa.int64())
                      for k in ("n_pairs", "sum_u", "sum_a",
                                "sum_uu", "sum_aa", "sum_ua")})
+
+
+def role_vocab_overlap(ds, num_buckets: int = 0):
+    """(role_a, role_b, v_a, v_b, v_common, jaccard_ppm): exact
+    vocabulary overlap between ROLES — do users and assistants speak
+    the same language? A low user-assistant vocab Jaccard flags
+    register mismatch (jargon-heavy replies to plain-language
+    prompts); tool-role rows profile the structured-output span. The
+    role-axis twin of source_vocab_overlap.
+
+    Shape: distinctness is decided on the frozen md5-u64 token hash;
+    per-batch (role, token) dedup before hashing, ONE token-hash
+    bucket shuffle of slim (part, hash, role-bit) rows, per-bucket
+    exact per-role distinct counts + pairwise intersections (each
+    hash lives in exactly one bucket), |roles|^2-bounded aggregate."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+    from dataquality_ray.arrowutil import md5_digests
+    from dataquality_ray.spec import TOKEN_PATTERN
+
+    nb = num_buckets or cluster_buckets()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(batch.select(["role", "text"]))
+              .with_columns(toks=pl.col("text").fill_null("")
+                            .str.to_lowercase()
+                            .str.extract_all(TOKEN_PATTERN))
+              .select(["role", "toks"]).explode("toks")
+              .drop_nulls("toks").unique())
+        digs = md5_digests(df["toks"].to_arrow())
+        hh = np.frombuffer(b"".join(digs),
+                           dtype="<u8").reshape(-1, 2)[:, 0] \
+            if digs else np.zeros(0, dtype=np.uint64)
+        return pa.table({
+            "part": pa.array((hh % nb).astype(np.int32)),
+            "hh": pa.array(hh.view(np.int64)),
+            "role": df["role"].to_arrow().cast(pa.string()),
+        })
+
+    def scan(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["hh", "role"])).unique()
+        singles = (df.group_by("role")
+                   .agg(c=pl.len().cast(pl.Int64))
+                   .select(ra=pl.col("role"), rb=pl.lit(""),
+                           c=pl.col("c")))
+        pairs = (df.join(df, on="hh", suffix="_b")
+                 .filter(pl.col("role") < pl.col("role_b"))
+                 .group_by(["role", "role_b"])
+                 .agg(c=pl.len().cast(pl.Int64))
+                 .select(ra=pl.col("role"), rb=pl.col("role_b"),
+                         c=pl.col("c")))
+        return pl.concat([singles, pairs]).to_arrow().cast(
+            pa.schema([("ra", pa.string()), ("rb", pa.string()),
+                       ("c", pa.int64())]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("part").map_groups(scan, batch_format="pyarrow")
+           .groupby(["ra", "rb"]).aggregate(Sum("c", alias_name="c"))
+           .to_pandas())
+    singles = {r.ra: int(r.c) for r in agg.itertuples() if r.rb == ""}
+    pairs = {(r.ra, r.rb): int(r.c) for r in agg.itertuples()
+             if r.rb != ""}
+    roles = sorted(singles)
+    rows = []
+    for i, a in enumerate(roles):
+        for b in roles[i + 1:]:
+            va, vb = singles[a], singles[b]
+            vc = pairs.get((a, b), 0)
+            rows.append((a, b, va, vb, vc,
+                         1_000_000 * vc // max(va + vb - vc, 1)))
+    return pa.table({
+        "role_a": pa.array([r[0] for r in rows], pa.string()),
+        "role_b": pa.array([r[1] for r in rows], pa.string()),
+        "v_a": pa.array([r[2] for r in rows], pa.int64()),
+        "v_b": pa.array([r[3] for r in rows], pa.int64()),
+        "v_common": pa.array([r[4] for r in rows], pa.int64()),
+        "jaccard_ppm": pa.array([r[5] for r in rows], pa.int64()),
+    })

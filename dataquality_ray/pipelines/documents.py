@@ -7506,3 +7506,72 @@ def quality_vs_dup_matrix(sf_dir: str,
         "is_dup": pa.array([r[1] for r in rows], pa.int64()),
         "n_docs": pa.array([r[2] for r in rows], pa.int64()),
     })
+
+
+# ---------------------------------------------------------------------------
+# Per-source style fingerprint
+# ---------------------------------------------------------------------------
+
+def source_style_profile(sf_dir: str):
+    """(source, n_chars, caps_ppm, digit_ppm, punct_ppm,
+    avg_word_len_milli): the per-source STYLE fingerprint — exact
+    floor-ppm ratios of uppercase, digit and
+    non-alphanumeric-non-space characters plus the mean
+    whitespace-token length, aggregated from integer per-batch
+    partials. Sources cluster by register (shouting ALL-CAPS crawls,
+    number-heavy tables, punctuation-soup logs) before any model
+    scoring spends compute on them. Zero shuffle; |sources|-row
+    aggregate."""
+    from ray.data.aggregate import Sum
+
+    from dataquality_ray.spec import WS_TOKEN_PATTERN
+
+    docs = _docs(sf_dir, columns=["source", "text"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(batch.select(["source", "text"]))
+              .with_columns(t=pl.col("text").fill_null("")))
+        t = pl.col("t")
+        g = (df.group_by("source").agg(
+            nc=t.str.len_chars().cast(pl.Int64).sum(),
+            caps=t.str.count_matches("[A-Z]").cast(pl.Int64).sum(),
+            dig=t.str.count_matches("[0-9]").cast(pl.Int64).sum(),
+            punct=t.str.count_matches("[^A-Za-z0-9 \\t\\r\\n]")
+            .cast(pl.Int64).sum(),
+            wtok=t.str.count_matches(WS_TOKEN_PATTERN)
+            .cast(pl.Int64).sum(),
+            wchars=(t.str.len_chars()
+                    - t.str.count_matches("[ \\t\\r\\n]"))
+            .cast(pl.Int64).sum(),
+        ))
+        return g.to_arrow().cast(pa.schema([
+            ("source", pa.string()), ("nc", pa.int64()),
+            ("caps", pa.int64()), ("dig", pa.int64()),
+            ("punct", pa.int64()), ("wtok", pa.int64()),
+            ("wchars", pa.int64())]))
+
+    agg = (docs.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True)
+           .groupby("source")
+           .aggregate(Sum("nc", alias_name="nc"),
+                      Sum("caps", alias_name="caps"),
+                      Sum("dig", alias_name="dig"),
+                      Sum("punct", alias_name="punct"),
+                      Sum("wtok", alias_name="wtok"),
+                      Sum("wchars", alias_name="wchars"))
+           .to_pandas().sort_values("source", kind="mergesort"))
+    nc = agg["nc"].to_numpy(dtype=np.int64)
+    d = np.maximum(nc, 1)
+    wt = np.maximum(agg["wtok"].to_numpy(dtype=np.int64), 1)
+    return pa.table({
+        "source": pa.array(agg["source"].tolist(), pa.string()),
+        "n_chars": pa.array(nc),
+        "caps_ppm": pa.array(
+            1_000_000 * agg["caps"].to_numpy(np.int64) // d),
+        "digit_ppm": pa.array(
+            1_000_000 * agg["dig"].to_numpy(np.int64) // d),
+        "punct_ppm": pa.array(
+            1_000_000 * agg["punct"].to_numpy(np.int64) // d),
+        "avg_word_len_milli": pa.array(
+            1000 * agg["wchars"].to_numpy(np.int64) // wt),
+    })

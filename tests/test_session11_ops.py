@@ -725,3 +725,53 @@ def test_quality_dup_matrix_marginals_and_spine(ray_session,
     assert len(out) == 20                          # dense 10x2 spine
     assert out.n_docs.sum() == 6
     assert out[out.is_dup == 1].n_docs.sum() == 2  # the dup pair
+
+
+# --- role_vocab_overlap -----------------------------------------------------
+
+def test_role_vocab_jaccard_exact(ray_session):
+    from dataquality_ray.pipelines.conversations import (
+        role_vocab_overlap,
+    )
+    import ray as _ray
+    base = np.datetime64("2025-06-01T00:00:00", "us").astype(np.int64)
+    rows = [
+        ("c1", 0, "user", "alpha beta gamma"),
+        ("c1", 1, "assistant", "beta gamma delta epsilon"),
+        ("c2", 0, "user", "alpha alpha beta"),
+    ]
+    turns = pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows], pa.string()),
+        "text": pa.array([r[3] for r in rows], pa.string()),
+        "ts": pa.array(np.full(len(rows), base,
+                               dtype=np.int64).view("datetime64[us]")),
+    })
+    out = (role_vocab_overlap(_ray.data.from_arrow(turns),
+                              num_buckets=4)
+           .to_pandas().set_index(["role_a", "role_b"]))
+    r = out.loc[("assistant", "user")]
+    # user vocab {alpha,beta,gamma}, assistant {beta,gamma,delta,
+    # epsilon}; common {beta,gamma}; union 5
+    assert (r.v_a, r.v_b, r.v_common) == (4, 3, 2)
+    assert r.jaccard_ppm == 1_000_000 * 2 // 5
+
+
+# --- source_style_profile ---------------------------------------------------
+
+def test_style_profile_ratios(ray_session, tmp_path):
+    from dataquality_ray.pipelines.documents import (
+        source_style_profile,
+    )
+    rows = [(1, "caps", "ABCDEFGHIJ"),          # 10 chars, 10 caps
+            (2, "nums", "12345!!!??"),          # 5 digits, 5 punct
+            (3, "word", "ab cd")]               # 2 tokens, 4 wchars
+    out = (source_style_profile(_write_docs(tmp_path, rows))
+           .to_pandas().set_index("source"))
+    c = out.loc["caps"]
+    assert c.n_chars == 10 and c.caps_ppm == 1_000_000
+    n = out.loc["nums"]
+    assert n.digit_ppm == 500_000 and n.punct_ppm == 500_000
+    w = out.loc["word"]
+    assert w.avg_word_len_milli == 1000 * 4 // 2
