@@ -783,6 +783,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # per-source style fingerprint (caps/digit/punct ppm,
         # mean word length)
         "source_style_profile": D.source_style_profile,
+        # serving-cost planning: cumulative prior-context tokens per
+        # depth bucket (the quadratic prefill curve)
+        "prefill_cost_curve": _prefill_cost_curve_q,
+        # dialog structure: run-length histogram of consecutive
+        # same-role turns
+        "role_run_lengths": _role_run_lengths_q,
     }
 
 
@@ -1016,6 +1022,20 @@ def _role_vocab_overlap_q(sf_dir: str):
         role_vocab_overlap
     return role_vocab_overlap(_transcript_ds(
         sf_dir, columns=["role", "text"]))
+
+
+def _prefill_cost_curve_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import \
+        prefill_cost_curve
+    return prefill_cost_curve(_transcript_ds(
+        sf_dir, columns=["conv_id", "turn_idx", "text"]))
+
+
+def _role_run_lengths_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import \
+        role_run_lengths
+    return role_run_lengths(_transcript_ds(
+        sf_dir, columns=["conv_id", "turn_idx", "role"]))
 
 
 def _conv_lang_switches_q(sf_dir: str):
@@ -6871,5 +6891,52 @@ SELECT source, nc AS n_chars,
   CAST(1000 * wchars // GREATEST(wtok, 1) AS BIGINT)
     AS avg_word_len_milli
 FROM a
+"""
+    # prefill cost: exclusive per-conv running token sum, bucketed by
+    # the turn_position_length_curve depth rule
+    sql["prefill_cost_curve"] = f"""
+WITH t AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS ti,
+    CAST(len(regexp_extract_all(lower(COALESCE(text, '')),
+                                '{_TOK}')) AS BIGINT) AS n
+  FROM read_parquet('{_tr_glob}')),
+w AS (
+  SELECT ti,
+    COALESCE(SUM(n) OVER (PARTITION BY conv_id ORDER BY ti
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS p
+  FROM t),
+b AS (
+  SELECT CAST(CASE WHEN ti < 8 THEN ti
+              ELSE 4 + length(bin(ti)) END AS BIGINT) AS pos_bucket,
+    p
+  FROM w),
+g AS (
+  SELECT pos_bucket, CAST(COUNT(*) AS BIGINT) AS n_turns,
+    CAST(SUM(p) AS BIGINT) AS sum_prefix_tokens
+  FROM b GROUP BY 1)
+SELECT pos_bucket,
+  CAST(CASE WHEN pos_bucket < 8 THEN pos_bucket
+       ELSE 1 << (pos_bucket - 5) END AS BIGINT) AS bucket_lo,
+  n_turns, sum_prefix_tokens,
+  CAST(1000 * sum_prefix_tokens // n_turns AS BIGINT)
+    AS avg_prefix_tokens_milli
+FROM g
+"""
+    # gaps-and-islands run lengths of consecutive same-role turns
+    sql["role_run_lengths"] = f"""
+WITH t AS (
+  SELECT conv_id, CAST(turn_idx AS BIGINT) AS ti, role
+  FROM read_parquet('{_tr_glob}')),
+r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY conv_id ORDER BY ti)
+    - row_number() OVER (PARTITION BY conv_id, role ORDER BY ti)
+      AS grp
+  FROM t),
+runs AS (
+  SELECT role, CAST(COUNT(*) AS BIGINT) AS run_len
+  FROM r GROUP BY conv_id, role, grp)
+SELECT role, run_len, CAST(COUNT(*) AS BIGINT) AS n_runs
+FROM runs GROUP BY 1, 2
 """
     return sql

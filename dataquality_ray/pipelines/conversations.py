@@ -4270,3 +4270,147 @@ def role_vocab_overlap(ds, num_buckets: int = 0):
         "v_common": pa.array([r[4] for r in rows], pa.int64()),
         "jaccard_ppm": pa.array([r[5] for r in rows], pa.int64()),
     })
+
+
+def prefill_cost_curve(ds, num_buckets: int = 0):
+    """(pos_bucket, bucket_lo, n_turns, sum_prefix_tokens,
+    avg_prefix_tokens_milli): the serving/training PREFILL cost curve
+    — for every turn, the cumulative token count of all PRIOR turns
+    in its conversation (the context a model re-reads to process that
+    turn), aggregated by the turn_position_length_curve depth buckets
+    (0-7 exact, power-of-two deeper). Quadratic-in-depth context cost
+    is why long conversations dominate compute budgets; this table
+    prices it per depth class.
+
+    Shape: token counts are computed batch-locally and only slim
+    (conv_id, turn_idx, n_tok) rows ride the ONE conv-bucket shuffle
+    (the slim-exchange rule); the exclusive prefix sum is a
+    bucket-local vectorized pandas groupby cumsum over sorted rows;
+    the aggregate is |buckets|-sized."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+    from dataquality_ray.arrowutil import md5_digests
+    from dataquality_ray.spec import TOKEN_PATTERN
+
+    num_buckets = num_buckets or cluster_buckets(minimum=32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["conv_id", "turn_idx", "text"])
+        df = pl.from_arrow(t)
+        conv = t["conv_id"].combine_chunks() \
+            if isinstance(t["conv_id"], pa.ChunkedArray) \
+            else t["conv_id"]
+        digs = md5_digests(conv)
+        b = (np.frombuffer(b"".join(digs), dtype="<u8")
+             .reshape(-1, 2)[:, 0] % num_buckets).astype(np.int32) \
+            if digs else np.zeros(0, dtype=np.int32)
+        return pa.table({
+            "bucket": pa.array(b),
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"].cast(pa.int64()),
+            "ntok": pl.Series(
+                df["text"].fill_null("").str.to_lowercase()
+                .str.count_matches(TOKEN_PATTERN).cast(pl.Int64))
+            .to_arrow().cast(pa.int64()),
+        })
+
+    def scan(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["conv_id", "turn_idx"],
+                            kind="mergesort").reset_index(drop=True)
+        cs = df.groupby("conv_id", sort=False)["ntok"].cumsum() \
+            .to_numpy(dtype=np.int64)
+        prefix = cs - df["ntok"].to_numpy(dtype=np.int64)
+        ti = df["turn_idx"].to_numpy(dtype=np.int64)
+        v = ti.astype(np.uint64)
+        bitlen = np.zeros(len(v), dtype=np.int64)
+        w = v.copy()
+        for shift in (32, 16, 8, 4, 2, 1):
+            big = w >= np.uint64(1 << shift)
+            bitlen[big] += shift
+            w[big] >>= np.uint64(shift)
+        bitlen[v > 0] += 1
+        bucket = np.where(ti < 8, ti, 4 + bitlen)
+        g = (pd.DataFrame({"pos_bucket": bucket, "p": prefix})
+             .groupby("pos_bucket", sort=False)
+             .agg(n=("p", "size"), s=("p", "sum")).reset_index())
+        return g
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("bucket").map_groups(scan, batch_format="pandas")
+           .groupby("pos_bucket")
+           .aggregate(Sum("n", alias_name="n_turns"),
+                      Sum("s", alias_name="sum_prefix_tokens"))
+           .to_pandas().sort_values("pos_bucket", kind="mergesort"))
+    b = agg["pos_bucket"].to_numpy(dtype=np.int64)
+    n = agg["n_turns"].to_numpy(dtype=np.int64)
+    s = agg["sum_prefix_tokens"].to_numpy(dtype=np.int64)
+    lo = np.where(b < 8, b, np.int64(1) << (b - 5))
+    return pa.table({
+        "pos_bucket": pa.array(b),
+        "bucket_lo": pa.array(lo.astype(np.int64)),
+        "n_turns": pa.array(n),
+        "sum_prefix_tokens": pa.array(s),
+        "avg_prefix_tokens_milli": pa.array(1000 * s // n,
+                                            pa.int64()),
+    })
+
+
+def role_run_lengths(ds, num_buckets: int = 0):
+    """(role, run_len, n_runs): run-length histogram of consecutive
+    same-role turns — the dialog-structure depth profile
+    (assistant-assistant chains = multi-message replies or tool-loop
+    spans; user-user chains = unanswered follow-ups). Exact run
+    lengths are safe to histogram directly: run_len is bounded by
+    conversation length, so the aggregate is |roles| x max_run.
+
+    Shape: ONE conv-bucket shuffle of slim (conv_id, turn_idx, role)
+    rows; run boundaries via the pinned whole-frame-shift shape (a
+    run starts where conv or role changes); per-bucket run-length
+    counts, tiny final aggregate."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+    from dataquality_ray.arrowutil import md5_digests
+
+    num_buckets = num_buckets or cluster_buckets(minimum=32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["conv_id", "turn_idx", "role"])
+        conv = t["conv_id"].combine_chunks() \
+            if isinstance(t["conv_id"], pa.ChunkedArray) \
+            else t["conv_id"]
+        digs = md5_digests(conv)
+        b = (np.frombuffer(b"".join(digs), dtype="<u8")
+             .reshape(-1, 2)[:, 0] % num_buckets).astype(np.int32) \
+            if digs else np.zeros(0, dtype=np.int32)
+        return t.append_column("bucket", pa.array(b))
+
+    def scan(t: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(t.select(["conv_id", "turn_idx", "role"]))
+              .sort(["conv_id", "turn_idx"]))
+        conv = df["conv_id"].to_numpy()
+        role = df["role"].to_numpy()
+        n = len(conv)
+        if not n:
+            return pa.table({"role": pa.array([], pa.string()),
+                             "run_len": pa.array([], pa.int64()),
+                             "n": pa.array([], pa.int64())})
+        start = np.empty(n, dtype=bool)
+        start[0] = True
+        start[1:] = (conv[1:] != conv[:-1]) | (role[1:] != role[:-1])
+        sidx = np.flatnonzero(start)
+        lens = np.diff(np.append(sidx, n))
+        g = (pl.DataFrame({"role": role[sidx], "run_len": lens})
+             .group_by(["role", "run_len"])
+             .agg(n=pl.len().cast(pl.Int64)))
+        return g.to_arrow().cast(pa.schema([
+            ("role", pa.string()), ("run_len", pa.int64()),
+            ("n", pa.int64())]))
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket").map_groups(scan, batch_format="pyarrow")
+            .groupby(["role", "run_len"])
+            .aggregate(Sum("n", alias_name="n_runs")))

@@ -775,3 +775,66 @@ def test_style_profile_ratios(ray_session, tmp_path):
     assert n.digit_ppm == 500_000 and n.punct_ppm == 500_000
     w = out.loc["word"]
     assert w.avg_word_len_milli == 1000 * 4 // 2
+
+
+# --- prefill_cost_curve -----------------------------------------------------
+
+def test_prefill_exclusive_prefix_and_buckets(ray_session):
+    from dataquality_ray.pipelines.conversations import (
+        prefill_cost_curve,
+    )
+    import ray as _ray
+    base = np.datetime64("2025-06-01T00:00:00", "us").astype(np.int64)
+    # conv c1: token counts 2, 3, 4 -> prefixes 0, 2, 5
+    # conv c2: token counts 1, 1   -> prefixes 0, 1
+    texts = {("c1", 0): "a b", ("c1", 1): "a b c",
+             ("c1", 2): "a b c d", ("c2", 0): "a", ("c2", 1): "b"}
+    rows = sorted(texts)
+    turns = pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array(["user"] * len(rows), pa.string()),
+        "text": pa.array([texts[r] for r in rows], pa.string()),
+        "ts": pa.array(np.full(len(rows), base,
+                               dtype=np.int64).view("datetime64[us]")),
+    })
+    out = (prefill_cost_curve(_ray.data.from_arrow(turns),
+                              num_buckets=4)
+           .to_pandas().set_index("pos_bucket").sort_index())
+    assert out.loc[0].n_turns == 2            # both convs, pos 0
+    assert out.loc[0].sum_prefix_tokens == 0
+    assert out.loc[1].sum_prefix_tokens == 2 + 1
+    assert out.loc[2].sum_prefix_tokens == 5
+    assert out.loc[2].avg_prefix_tokens_milli == 5000
+
+
+# --- role_run_lengths -------------------------------------------------------
+
+def test_role_runs_gaps_and_islands(ray_session):
+    from dataquality_ray.pipelines.conversations import (
+        role_run_lengths,
+    )
+    import ray as _ray
+    base = np.datetime64("2025-06-01T00:00:00", "us").astype(np.int64)
+    # c1: u u a a a u  -> runs: user 2, assistant 3, user 1
+    # c2: a            -> assistant 1
+    seq = [("c1", 0, "user"), ("c1", 1, "user"),
+           ("c1", 2, "assistant"), ("c1", 3, "assistant"),
+           ("c1", 4, "assistant"), ("c1", 5, "user"),
+           ("c2", 0, "assistant")]
+    turns = pa.table({
+        "conv_id": pa.array([r[0] for r in seq], pa.string()),
+        "turn_idx": pa.array([r[1] for r in seq], pa.int32()),
+        "role": pa.array([r[2] for r in seq], pa.string()),
+        "text": pa.array(["x"] * len(seq), pa.string()),
+        "ts": pa.array(np.full(len(seq), base,
+                               dtype=np.int64).view("datetime64[us]")),
+    })
+    out = (role_run_lengths(_ray.data.from_arrow(turns),
+                            num_buckets=4)
+           .to_pandas().set_index(["role", "run_len"]).sort_index())
+    assert out.loc[("user", 2)].n_runs == 1
+    assert out.loc[("user", 1)].n_runs == 1
+    assert out.loc[("assistant", 3)].n_runs == 1
+    assert out.loc[("assistant", 1)].n_runs == 1
+    assert out.n_runs.sum() == 4
