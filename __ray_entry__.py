@@ -789,6 +789,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dialog structure: run-length histogram of consecutive
         # same-role turns
         "role_run_lengths": _role_run_lengths_q,
+        # agent-loop health: tool-retry vs recovery rate
+        "tool_retry_stats": _tool_retry_stats_q,
+        # structure-drift monitor: daily role-mix timeline
+        "role_share_daily": _role_share_daily_q,
     }
 
 
@@ -1036,6 +1040,20 @@ def _role_run_lengths_q(sf_dir: str):
         role_run_lengths
     return role_run_lengths(_transcript_ds(
         sf_dir, columns=["conv_id", "turn_idx", "role"]))
+
+
+def _tool_retry_stats_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import \
+        tool_retry_stats
+    return tool_retry_stats(_transcript_ds(
+        sf_dir, columns=["conv_id", "turn_idx", "role"]))
+
+
+def _role_share_daily_q(sf_dir: str):
+    from dataquality_ray.pipelines.conversations import \
+        role_share_daily
+    return role_share_daily(_transcript_ds(
+        sf_dir, columns=["ts", "role"]))
 
 
 def _conv_lang_switches_q(sf_dir: str):
@@ -6938,5 +6956,39 @@ runs AS (
   FROM r GROUP BY conv_id, role, grp)
 SELECT role, run_len, CAST(COUNT(*) AS BIGINT) AS n_runs
 FROM runs GROUP BY 1, 2
+"""
+    # tool-retry vs recovery: successor-role test on tool turns
+    sql["tool_retry_stats"] = f"""
+WITH o AS (
+  SELECT role, lead(role) OVER (
+    PARTITION BY conv_id ORDER BY turn_idx) AS nrole
+  FROM read_parquet('{_tr_glob}'))
+SELECT
+  CAST(COUNT(*) FILTER (WHERE role = 'tool') AS BIGINT)
+    AS n_tool_turns,
+  CAST(COUNT(*) FILTER (WHERE role = 'tool' AND nrole = 'tool')
+       AS BIGINT) AS n_retries,
+  CAST(COUNT(*) FILTER (WHERE role = 'tool'
+                        AND nrole = 'assistant') AS BIGINT)
+    AS n_recovered,
+  CAST(1000000 * COUNT(*) FILTER (WHERE role = 'tool'
+                                  AND nrole = 'tool')
+       // GREATEST(COUNT(*) FILTER (WHERE role = 'tool'), 1)
+       AS BIGINT) AS retry_ppm
+FROM o
+"""
+    # daily role-mix timeline with exact floor-ppm shares
+    sql["role_share_daily"] = f"""
+WITH t AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, role
+  FROM read_parquet('{_tr_glob}')),
+g AS (
+  SELECT day, role, CAST(COUNT(*) AS BIGINT) AS n_turns
+  FROM t GROUP BY 1, 2),
+d AS (SELECT day, CAST(SUM(n_turns) AS BIGINT) AS tot
+      FROM g GROUP BY 1)
+SELECT g.day, g.role, g.n_turns,
+  CAST(1000000 * g.n_turns // d.tot AS BIGINT) AS share_ppm
+FROM g JOIN d USING (day)
 """
     return sql

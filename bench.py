@@ -163,7 +163,8 @@ def _query_benches(sf_dir: str) -> dict:
              "hll_audience_union_registers", "daily_eval_sample",
              "reply_length_covariance", "quality_vs_dup_matrix",
              "role_vocab_overlap", "source_style_profile",
-             "prefill_cost_curve", "role_run_lengths"]
+             "prefill_cost_curve", "role_run_lengths",
+             "tool_retry_stats", "role_share_daily"]
     out = {}
     for name in names:
         t0 = time.time()

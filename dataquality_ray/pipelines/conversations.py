@@ -4414,3 +4414,116 @@ def role_run_lengths(ds, num_buckets: int = 0):
             .groupby("bucket").map_groups(scan, batch_format="pyarrow")
             .groupby(["role", "run_len"])
             .aggregate(Sum("n", alias_name="n_runs")))
+
+
+def tool_retry_stats(ds, num_buckets: int = 0):
+    """(n_tool_turns, n_retries, n_recovered, retry_ppm): agent-loop
+    health — a RETRY is a tool turn immediately followed by another
+    tool turn in the same conversation (the model re-invoked a tool
+    without an intervening assistant synthesis), a RECOVERY is a tool
+    turn followed by an assistant turn. High retry share flags flaky
+    tools or thrashing agents before those trajectories are kept for
+    training. Single-row output.
+
+    Shape: ONE conv-bucket shuffle of slim (conv_id, turn_idx,
+    role flags) rows (the slim-exchange rule); the successor test is
+    the pinned whole-frame-shift pair scan."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+    from dataquality_ray.arrowutil import md5_digests
+
+    num_buckets = num_buckets or cluster_buckets(minimum=32)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = batch.select(["conv_id", "turn_idx", "role"])
+        conv = t["conv_id"].combine_chunks() \
+            if isinstance(t["conv_id"], pa.ChunkedArray) \
+            else t["conv_id"]
+        digs = md5_digests(conv)
+        b = (np.frombuffer(b"".join(digs), dtype="<u8")
+             .reshape(-1, 2)[:, 0] % num_buckets).astype(np.int32) \
+            if digs else np.zeros(0, dtype=np.int32)
+        role = pl.from_arrow(t["role"]).to_numpy()
+        return pa.table({
+            "bucket": pa.array(b),
+            "conv_id": t["conv_id"],
+            "turn_idx": t["turn_idx"].cast(pa.int64()),
+            "is_tool": pa.array(role == "tool"),
+            "is_asst": pa.array(role == "assistant"),
+        })
+
+    def scan(t: pa.Table) -> pa.Table:
+        df = (pl.from_arrow(t.select(
+            ["conv_id", "turn_idx", "is_tool", "is_asst"]))
+            .sort(["conv_id", "turn_idx"]))
+        same = (df["conv_id"] == df["conv_id"].shift(-1)) \
+            .fill_null(False)
+        tool = df["is_tool"]
+        retry = (same & tool & df["is_tool"].shift(-1)
+                 .fill_null(False))
+        recov = (same & tool & df["is_asst"].shift(-1)
+                 .fill_null(False))
+        return pa.table({
+            "nt": pa.array([int(tool.sum())], pa.int64()),
+            "nr": pa.array([int(retry.sum())], pa.int64()),
+            "nc": pa.array([int(recov.sum())], pa.int64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("bucket").map_groups(scan, batch_format="pyarrow")
+           .aggregate(Sum("nt", alias_name="nt"),
+                      Sum("nr", alias_name="nr"),
+                      Sum("nc", alias_name="nc")))
+    nt = int(agg["nt"] or 0)
+    nr = int(agg["nr"] or 0)
+    nc = int(agg["nc"] or 0)
+    return pa.table({
+        "n_tool_turns": pa.array([nt], pa.int64()),
+        "n_retries": pa.array([nr], pa.int64()),
+        "n_recovered": pa.array([nc], pa.int64()),
+        "retry_ppm": pa.array([1_000_000 * nr // max(nt, 1)],
+                              pa.int64()),
+    })
+
+
+def role_share_daily(ds):
+    """(day, role, n_turns, share_ppm): daily role-mix timeline — the
+    structure-drift monitor (a rising tool share = agentic traffic
+    growth; a falling assistant share = broken ingest). share_ppm is
+    the exact floor-ppm of the day's turns. Zero data shuffle:
+    per-batch (day, role) integer partials into a |days| x |roles|
+    aggregate; shares complete on the driver over that
+    output-sized table."""
+    import polars as pl
+
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        df = batch.select(["ts", "role"]).to_pandas()
+        df["day"] = df["ts"].dt.strftime("%Y-%m-%d")
+        g = (pl.from_pandas(df[["day", "role"]])
+             .group_by(["day", "role"])
+             .agg(n=pl.len().cast(pl.Int64)))
+        return g.to_arrow().cast(pa.schema([
+            ("day", pa.string()), ("role", pa.string()),
+            ("n", pa.int64())]))
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["day", "role"])
+           .aggregate(Sum("n", alias_name="n_turns"))
+           .to_pandas())
+    tot = agg.groupby("day")["n_turns"].transform("sum") \
+        .to_numpy()
+    n = agg["n_turns"].to_numpy(dtype=np.int64)
+    agg = agg.sort_values(["day", "role"], kind="mergesort")
+    order = agg.index.to_numpy()
+    return pa.table({
+        "day": pa.array(agg["day"].tolist(), pa.string()),
+        "role": pa.array(agg["role"].tolist(), pa.string()),
+        "n_turns": pa.array(n[order]),
+        "share_ppm": pa.array(
+            (1_000_000 * n[order] // tot[order]).astype(np.int64)),
+    })

@@ -838,3 +838,58 @@ def test_role_runs_gaps_and_islands(ray_session):
     assert out.loc[("assistant", 3)].n_runs == 1
     assert out.loc[("assistant", 1)].n_runs == 1
     assert out.n_runs.sum() == 4
+
+
+# --- tool_retry_stats / role_share_daily ------------------------------------
+
+def test_tool_retry_and_recovery(ray_session):
+    from dataquality_ray.pipelines.conversations import (
+        tool_retry_stats,
+    )
+    import ray as _ray
+    base = np.datetime64("2025-06-01T00:00:00", "us").astype(np.int64)
+    # c1: user tool tool tool assistant -> 3 tool turns, 2 retries,
+    # 1 recovery; c2: tool (trailing) -> neither
+    seq = [("c1", 0, "user"), ("c1", 1, "tool"), ("c1", 2, "tool"),
+           ("c1", 3, "tool"), ("c1", 4, "assistant"),
+           ("c2", 0, "tool")]
+    turns = pa.table({
+        "conv_id": pa.array([r[0] for r in seq], pa.string()),
+        "turn_idx": pa.array([r[1] for r in seq], pa.int32()),
+        "role": pa.array([r[2] for r in seq], pa.string()),
+        "text": pa.array(["x"] * len(seq), pa.string()),
+        "ts": pa.array(np.full(len(seq), base,
+                               dtype=np.int64).view("datetime64[us]")),
+    })
+    out = (tool_retry_stats(_ray.data.from_arrow(turns),
+                            num_buckets=4).to_pandas().iloc[0])
+    assert out.n_tool_turns == 4
+    assert out.n_retries == 2 and out.n_recovered == 1
+    assert out.retry_ppm == 1_000_000 * 2 // 4
+
+
+def test_role_share_daily_sums_to_one(ray_session):
+    from dataquality_ray.pipelines.conversations import (
+        role_share_daily,
+    )
+    import ray as _ray
+    base = np.datetime64("2025-06-01T00:00:00", "us").astype(np.int64)
+    day = 86_400_000_000
+    rows = [("c1", 0, "user", 0), ("c1", 1, "assistant", 0),
+            ("c1", 2, "user", 0), ("c2", 0, "tool", 1)]
+    turns = pa.table({
+        "conv_id": pa.array([r[0] for r in rows], pa.string()),
+        "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+        "role": pa.array([r[2] for r in rows], pa.string()),
+        "text": pa.array(["x"] * len(rows), pa.string()),
+        "ts": pa.array(np.array([base + r[3] * day for r in rows],
+                                dtype=np.int64).view("datetime64[us]")),
+    })
+    out = (role_share_daily(_ray.data.from_arrow(turns))
+           .to_pandas())
+    d0 = out[out.day == "2025-06-01"].set_index("role")
+    assert d0.loc["user"].n_turns == 2
+    assert d0.loc["user"].share_ppm == 1_000_000 * 2 // 3
+    assert d0.loc["assistant"].share_ppm == 333_333
+    d1 = out[out.day == "2025-06-02"]
+    assert len(d1) == 1 and d1.iloc[0].share_ppm == 1_000_000
